@@ -1,0 +1,157 @@
+"""Silver-layer transform operators (SURVEY §2.2 P1-P4, §2.5 W1).
+
+Behavioral parity with the reference's transform chain
+(``silver/jobs/bronze_to_silver.py:311-349``): rename → cast → derive →
+filter → dedupe, in that order. Each op is a pure plan-builder — no
+action is triggered, so Catalyst sees one logical plan for the whole
+chain (the reference fires ~10 eager ``.count()`` jobs per run purely
+for logging; we keep the plan lazy and let callers attach
+``df.observe()`` metrics instead).
+
+Scale notes:
+- rename/cast/derive/filter are narrow (no shuffle), fully codegen'd,
+  and filters expressed as SQL strings reach the Parquet scan as pushed
+  predicates.
+- dedupe is the only wide op (one hash shuffle on the dedupe keys).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Config cast-type vocabulary, parity with bronze_to_silver.py:353-361.
+_TYPE_MAP: dict[str, T.DataType] = {
+    "timestamp": T.TimestampType(),
+    "integer": T.IntegerType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\s*(?:\(\s*(\d+)\s*,\s*(\d+)\s*\))?$", re.I)
+
+
+def parse_type(name: str) -> T.DataType:
+    """Parse a config type name (incl. ``decimal(p,s)``, defaults (10,2) —
+    parity with bronze_to_silver.py:366-373)."""
+    key = name.strip().lower()
+    m = _DECIMAL_RE.match(key)
+    if m:
+        p = int(m.group(1)) if m.group(1) else 10
+        s = int(m.group(2)) if m.group(2) else 2
+        return T.DecimalType(p, s)
+    try:
+        return _TYPE_MAP[key]
+    except KeyError:
+        raise ValueError(f"unsupported cast type: {name!r}") from None
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """P1 — rename columns, silently skipping ones not present
+    (parity: bronze_to_silver.py:317-321 skips missing)."""
+    present = {c for c in df.columns}
+    effective = {old: new for old, new in mapping.items() if old in present}
+    if not effective:
+        return df
+    return df.withColumnsRenamed(dict(effective))
+
+
+def cast_columns(df: DataFrame, casts: Mapping[str, str]) -> DataFrame:
+    """P2 — per-column casts via the config type vocabulary
+    (parity: bronze_to_silver.py:351-379). Missing columns skipped."""
+    effective = {
+        c: F.col(c).cast(parse_type(t)) for c, t in casts.items() if c in df.columns
+    }
+    if not effective:
+        return df
+    return df.withColumns(effective)
+
+
+def derive_columns(df: DataFrame, exprs: Mapping[str, str]) -> DataFrame:
+    """P3 — derived columns from arbitrary Spark-SQL scalar expressions
+    (parity: bronze_to_silver.py:381-390, the YAML ``F.expr`` surface)."""
+    if not exprs:
+        return df
+    return df.withColumns({name: F.expr(sql) for name, sql in exprs.items()})
+
+
+def filter_rows(df: DataFrame, predicates: Iterable[str]) -> DataFrame:
+    """P4 — conjunctive filter chain of SQL predicate strings
+    (parity: bronze_to_silver.py:337-342). Sequential ``.filter`` calls
+    collapse into one pushed predicate under Catalyst."""
+    for pred in predicates:
+        df = df.filter(pred)
+    return df
+
+
+def dedupe_keep_first(
+    df: DataFrame,
+    keys: list[str],
+    order_by: str | None = None,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """W1 — keep-first dedup via row_number over a key window.
+
+    Parity: bronze_to_silver.py:392-429 — ``order_by`` is a ``"col DIR"``
+    string; no-op when ``keys`` is empty (reference warns and skips).
+
+    Deviation (documented in SURVEY §7.3): the reference orders by a
+    single column, so ties pick an arbitrary survivor. We append
+    ``tie_breakers`` (ascending) to the ordering for deterministic,
+    reproducible output — required for oracle hash-parity and for
+    idempotent re-runs at scale.
+
+    Scale: one shuffle on ``keys``; Spark plans a partial
+    row_number per partition only after the exchange, so the cost is the
+    exchange itself. For heavily-skewed keys AQE skew handling does not
+    apply to window exchanges — callers with known-skewed dedupe keys
+    should pre-salt or widen the key set.
+    """
+    if not keys:
+        return df
+
+    order_cols = []
+    if order_by:
+        parts = order_by.split()
+        col, direction = parts[0], (parts[1].upper() if len(parts) > 1 else "ASC")
+        order_cols.append(F.col(col).desc() if direction == "DESC" else F.col(col).asc())
+    for tb in tie_breakers or []:
+        order_cols.append(F.col(tb).asc())
+    if not order_cols:
+        # row_number requires an ordering; fall back to the key columns.
+        order_cols = [F.col(k).asc() for k in keys]
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    rn = "__rn"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+
+
+def apply_transformations(
+    df: DataFrame,
+    renames: Mapping[str, str] | None = None,
+    casts: Mapping[str, str] | None = None,
+    derived: Mapping[str, str] | None = None,
+    filters: Iterable[str] | None = None,
+    dedupe_keys: list[str] | None = None,
+    dedupe_order_by: str | None = None,
+    dedupe_tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """The full Silver chain in the reference's order
+    (bronze_to_silver.py:311-349): rename → cast → derive → filter → dedupe."""
+    df = rename_columns(df, renames or {})
+    df = cast_columns(df, casts or {})
+    df = derive_columns(df, derived or {})
+    df = filter_rows(df, filters or [])
+    if dedupe_keys:
+        df = dedupe_keep_first(df, dedupe_keys, dedupe_order_by, dedupe_tie_breakers)
+    return df

@@ -1,0 +1,110 @@
+"""Sink operators (SURVEY §2.1 S8-S13, S15 analogue; §2.11 M1/M2).
+
+The reference writes through pyiceberg (Bronze, chunked appends —
+``ingest_to_iceberg.py:459-515``) and Spark+Iceberg (Silver overwrite —
+``bronze_to_silver.py:469-489``; Gold CTAS — ``build_gold_layer.py``).
+Here everything is Spark's distributed Parquet writer: chunking is
+unnecessary (executors write partitions in parallel), and Iceberg's
+MERGE-incremental materialization (M1) becomes dynamic partition
+overwrite — only the (year, month) partitions touched by the lookback
+window are rewritten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """S8/S11 — partitioned parquet write (Hive-style layout → static
+    partition pruning on read). Overwrite gives the reference's
+    idempotent-rerun semantics (``bronze_to_silver.py:469-489``)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S9/S13 — append sink (lineage/error event tables)."""
+    write_partitioned(df, path, partition_by or [], mode="append")
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """M1 — incremental materialization without MERGE: dynamic partition
+    overwrite replaces exactly the partitions present in ``df`` and
+    leaves the rest of the table intact.
+
+    This is the Parquet-native equivalent of the reference's dbt
+    merge-incremental with 7-day lookback (``daily_trip_stats.sql:1-11``):
+    the caller computes the lookback slice; only affected (year, month)
+    partitions are rewritten. Equivalence `incremental == full recompute`
+    is asserted in tests.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> int:
+    """S15 analogue — small-file compaction (the reference calls Iceberg's
+    ``rewrite_data_files`` — ``scripts/iceberg_maintenance.py:97-174``).
+
+    Rewrites the dataset into ~`target_file_bytes` files. Returns the
+    number of output partitions chosen. Uses a size estimate from the
+    input files; at scale run per-partition to bound memory.
+    """
+    import glob
+    import os
+
+    size = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n = max(1, round(size / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    write_partitioned(df.repartition(n), tmp, partition_by or [])
+    # atomic-ish swap
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
+def create_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S8/S12 — saveAsTable (CTAS analogue) into the session catalog.
+    ``CREATE DATABASE IF NOT EXISTS`` for namespaced names."""
+    if "." in name:
+        db = name.rsplit(".", 1)[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
