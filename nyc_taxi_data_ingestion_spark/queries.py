@@ -256,6 +256,422 @@ def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Batch 2 — remaining relational/aggregate inventory rows
+# ---------------------------------------------------------------------------
+
+_HOURLY_ORACLE = f"""
+SELECT CAST(year(ts) AS INT) AS event_year,
+       CAST(month(ts) AS INT) AS event_month,
+       CAST(dayofweek(ts) + 1 AS INT) AS day_of_week,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       event_type,
+       COUNT(*) AS event_cnt,
+       {davg_sql('value')} AS avg_value,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("hourly_analysis", _HOURLY_ORACLE, tags=["A2", "A12"])
+def q_hourly_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — 6-key-grain GROUP BY (hourly_location_analysis analogue,
+    build_gold_layer.py:108-138). Spark dayofweek is 1=Sunday..7; the
+    oracle uses DuckDB's 0-based dayofweek + 1."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").cast("int").alias("event_year"),
+            F.month("ts").cast("int").alias("event_month"),
+            F.dayofweek("ts").cast("int").alias("day_of_week"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("event_cnt"),
+            davg("value", "avg_value"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+_REVENUE_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       o_orderpriority,
+       COUNT(*) AS order_cnt,
+       {dsum_sql('o_totalprice')} AS total_revenue,
+       {davg_sql('o_totalprice')} AS avg_revenue
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY order_year DESC, order_month DESC, total_revenue DESC, o_orderpriority ASC
+"""
+
+
+@register("revenue_by_group", _REVENUE_ORACLE, tags=["A3", "T1"])
+def q_revenue_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/T1 — grouped revenue + multi-key descending sort
+    (build_gold_layer.py:148-184)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dsum("o_totalprice", "total_revenue"),
+            davg("o_totalprice", "avg_revenue"),
+        )
+        .orderBy(
+            F.desc("order_year"),
+            F.desc("order_month"),
+            F.desc("total_revenue"),
+            F.asc("o_orderpriority"),
+        )
+    )
+
+
+_RATIO_ORACLE = f"""
+SELECT l_returnflag,
+       CASE WHEN {dsum_sql('l_extendedprice')} > 0
+            THEN {dsum_sql('l_extendedprice * l_discount')}
+                 / {dsum_sql('l_extendedprice')} * 100
+            ELSE 0 END AS discount_pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("ratio_of_sums", _RATIO_ORACLE, tags=["A4"])
+def q_ratio_of_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — guarded ratio-of-sums (tip-percentage pattern,
+    revenue_by_payment_type.sql:35-39)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sum_price = dsum("l_extendedprice")
+    sum_disc = dsum(F.col("l_extendedprice") * F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.when(sum_price > 0, sum_disc / sum_price * 100)
+        .otherwise(F.lit(0.0))
+        .alias("discount_pct")
+    )
+
+
+# Deterministic sample stddev from exact decimal sums:
+# sqrt((sumsq - sum^2/n) / (n-1)) evaluated identically in both engines.
+_STATS_ORACLE = """
+SELECT COUNT(l_quantity) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_qty,
+       SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(l_quantity))
+            / (COUNT(l_quantity) - 1)) AS stddev_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
+@register("stats_bundle", _STATS_ORACLE, tags=["A6", "Q4"])
+def q_stats_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — mean/stddev/min/max/count bundle for z-score anomaly bands
+    (anomaly_detection.py:77-83). stddev is computed from exact decimal
+    sums so the result is partitioning-independent (a distributed
+    stddev's merge order is not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count("l_quantity")
+    s = F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double")
+    sq = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    return li.agg(
+        n.alias("n"),
+        (s / n).alias("mean_qty"),
+        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+       quantile_cont(l_extendedprice, 0.50) AS median,
+       quantile_cont(l_extendedprice, 0.75) AS q3,
+       quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25) AS iqr
+FROM lineitem
+"""
+
+
+@register("quantiles", _QUANTILES_ORACLE, tags=["A7", "Q5"])
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — quantiles for IQR bands (anomaly_detection.py:154). Exact
+    `percentile` here for oracle parity; the production anomaly module
+    uses `approxQuantile` (single-pass sketch) at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    q1 = F.expr("percentile(l_extendedprice, 0.25)")
+    q2 = F.expr("percentile(l_extendedprice, 0.50)")
+    q3 = F.expr("percentile(l_extendedprice, 0.75)")
+    return li.agg(
+        q1.alias("q1"),
+        q2.alias("median"),
+        q3.alias("q3"),
+        (q3 - q1).alias("iqr"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
+       COUNT(DISTINCT l_suppkey) AS distinct_supps
+FROM lineitem
+"""
+
+
+@register("distinct_count", _DISTINCT_ORACLE, tags=["A9"])
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — exact distinct counts (great_expectations.py:352-362). At
+    100 TB prefer approx_count_distinct (HLL, no expand+dedup shuffle);
+    the exact form is what's oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+_COND_COUNT_ORACLE = """
+SELECT COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS discounted_cnt,
+       COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS taxfree_cnt,
+       COUNT(*) AS total_cnt
+FROM lineitem
+"""
+
+
+@register("conditional_count", _COND_COUNT_ORACLE, tags=["A10"])
+def q_conditional_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — COUNT(CASE WHEN …) (test_medallion_pipeline.py:241)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_cnt"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("taxfree_cnt"),
+        F.count("*").alias("total_cnt"),
+    )
+
+
+_HAVING_ORACLE = """
+SELECT l_suppkey, COUNT(*) AS item_cnt
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 550
+"""
+
+
+@register("group_having", _HAVING_ORACLE, tags=["A11"])
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — GROUP BY + HAVING (test_spark_jobs.py:305-314)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("item_cnt"))
+        .filter(F.col("item_cnt") > 550)
+    )
+
+
+_DATE_GROUP_ORACLE = f"""
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS order_cnt,
+       {dsum_sql('o_totalprice')} AS daily_revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("date_group", _DATE_GROUP_ORACLE, tags=["A12"])
+def q_date_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — date-truncated grouping (test_spark_jobs.py:272-283)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count("*").alias("order_cnt"),
+            dsum("o_totalprice", "daily_revenue"),
+        )
+    )
+
+
+_LEFT_JOIN_ORACLE = """
+SELECT l.l_orderkey, l.l_linenumber,
+       cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+"""
+
+
+@register("left_join_dims", _LEFT_JOIN_ORACLE, tags=["J1"])
+def q_left_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact LEFT JOIN the same dim twice under different aliases
+    (the pickup/dropoff-zone pattern, example_zones_join.py:21-35).
+
+    Scale: every dim side is broadcast (nation 25 rows, supplier and
+    customer small relative to the fact) → zero shuffles; the fact
+    table streams through five broadcast hash joins in one stage.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"), "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"), "left")
+        .select("l_orderkey", "l_linenumber", "cust_nation", "supp_nation")
+    )
+
+
+_OD_MATRIX_ORACLE = """
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       COUNT(*) AS flow_cnt
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+ORDER BY flow_cnt DESC, cust_nation ASC, supp_nation ASC
+LIMIT 10
+"""
+
+
+@register("od_matrix", _OD_MATRIX_ORACLE, tags=["J3", "T2"])
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — origin-destination matrix via double dim join, top-10
+    (example_zones_join.py:78-88)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.count("*").alias("flow_cnt"))
+        .orderBy(F.desc("flow_cnt"), F.asc("cust_nation"), F.asc("supp_nation"))
+        .limit(10)
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT DISTINCT o_orderkey AS orderkey FROM orders
+EXCEPT
+SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+"""
+
+
+@register("except_distinct", _EXCEPT_ORACLE, tags=["U1"])
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — EXCEPT over distinct key sets (reconciliation.py:268-272)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    return o.distinct().subtract(li.distinct())
+
+
+_BETWEEN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag IN ('N', 'R')
+"""
+
+
+@register("between_filter", _BETWEEN_ORACLE, tags=["P7", "P8", "P9"])
+def q_between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7-P9 — range + set-membership predicates; all reach the parquet
+    scan as pushed filters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").between(10, 20))
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .filter(F.col("l_returnflag").isin("N", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY o_orderpriority
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+) <= 3
+"""
+
+
+@register("topk_per_group", _TOPK_PER_GROUP_ORACLE, tags=["T2", "W1"])
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (the generalization of W1's
+    keep-first; deterministic tie-breaker on the key)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+_RANGE_CHECK_ORACLE = """
+SELECT COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS value_out_of_range,
+       COUNT(CASE WHEN user_id < 0 THEN 1 END) AS user_id_out_of_range,
+       COUNT(CASE WHEN value <= 0 THEN 1 END) AS value_nonpositive,
+       COUNT(*) AS total_rows
+FROM events
+"""
+
+
+@register("range_check", _RANGE_CHECK_ORACLE, tags=["Q2", "Q3"])
+def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/Q3 — range + positive-value checks folded into ONE pass (the
+    reference runs two filter+count jobs per column —
+    quality_checks.py:35-63, ingest_to_iceberg.py:583-597)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 1000), 1)).alias(
+            "value_out_of_range"
+        ),
+        F.count(F.when(F.col("user_id") < 0, 1)).alias("user_id_out_of_range"),
+        F.count(F.when(F.col("value") <= 0, 1)).alias("value_nonpositive"),
+        F.count("*").alias("total_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
