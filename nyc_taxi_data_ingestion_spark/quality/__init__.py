@@ -1,0 +1,25 @@
+from nyc_taxi_data_ingestion_spark.quality.checks import (
+    Check,
+    NullCheck,
+    PositiveCheck,
+    RangeCheck,
+    SetCheck,
+    run_checks,
+)
+from nyc_taxi_data_ingestion_spark.quality.expectations import (
+    Expectation,
+    run_expectations,
+)
+from nyc_taxi_data_ingestion_spark.quality.metrics import quality_score
+
+__all__ = [
+    "Check",
+    "Expectation",
+    "NullCheck",
+    "PositiveCheck",
+    "RangeCheck",
+    "SetCheck",
+    "quality_score",
+    "run_checks",
+    "run_expectations",
+]

@@ -1,0 +1,183 @@
+"""Anomaly detection (SURVEY §2.9 Q4-Q8, §2.5 W2).
+
+Parity with ``src/data_quality/anomaly_detection.py`` semantics, with
+two engine-level redesigns:
+
+1. The stats pass (mean/stddev/quantiles) and the outlier scan are the
+   only two jobs; severity tiers are computed inside the scan, not in
+   a driver loop over collected rows.
+2. The time-series moving-average detector — the ONE operator the
+   reference computes in pandas on the driver
+   (``anomaly_detection.py:348-416``) — is a Spark window
+   (``rowsBetween(-(w-1), 0)``), so it scales past driver memory.
+
+Deterministic stddev: computed from exact decimal sums (see
+functions/numeric.py) so bounds don't flap across partitionings.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact_stats(df: DataFrame, column: str) -> dict[str, float]:
+    c = F.col(column)
+    n = F.count(c)
+    s = F.sum(c.cast("decimal(30,4)")).cast("double")
+    sq = F.sum((c * c).cast("decimal(38,8)")).cast("double")
+    row = df.agg(
+        n.alias("n"),
+        (s / n).alias("mean"),
+        F.sqrt((sq - s * s / n) / (n - F.lit(1))).alias("stddev"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    ).first()
+    return dict(row.asDict())
+
+
+def _severity(z_expr, thresholds=(3.0, 4.0, 5.0)):
+    lo, mid, hi = thresholds
+    return (
+        F.when(z_expr >= hi, "critical")
+        .when(z_expr >= mid, "high")
+        .when(z_expr >= lo, "medium")
+        .otherwise("low")
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame, column: str, k: float = 3.0, sample_limit: int = 100
+) -> dict[str, Any]:
+    """Q4 — rows outside mean ± k·stddev with severity tiers
+    (anomaly_detection.py:64-137). Two jobs: stats, then filter+limit."""
+    stats = _exact_stats(df, column)
+    mean, std = stats["mean"], stats["stddev"]
+    if not std or std != std:  # zero/NaN stddev → no anomalies definable
+        return {"stats": stats, "count": 0, "sample": [], "bounds": None}
+    lower, upper = mean - k * std, mean + k * std
+    c = F.col(column)
+    z = F.abs(c - mean) / std
+    outliers = df.filter((c < lower) | (c > upper)).withColumn(
+        "severity", _severity(z, (k, k + 1, k + 2))
+    )
+    count = outliers.count()
+    sample = [r.asDict() for r in outliers.limit(sample_limit).collect()]
+    return {
+        "stats": stats,
+        "bounds": (lower, upper),
+        "count": count,
+        "sample": sample,
+    }
+
+
+def iqr_anomalies(
+    df: DataFrame,
+    column: str,
+    k: float = 1.5,
+    relative_error: float = 0.01,
+    sample_limit: int = 100,
+) -> dict[str, Any]:
+    """Q5 — IQR fences via approxQuantile (anomaly_detection.py:139-205).
+    The GK sketch is single-pass and mergeable — the right tool at
+    100 TB where exact quantiles would need a global sort."""
+    q1, q3 = df.approxQuantile(column, [0.25, 0.75], relative_error)
+    iqr = q3 - q1
+    lower, upper = q1 - k * iqr, q3 + k * iqr
+    c = F.col(column)
+    outliers = df.filter((c < lower) | (c > upper))
+    return {
+        "q1": q1,
+        "q3": q3,
+        "iqr": iqr,
+        "bounds": (lower, upper),
+        "count": outliers.count(),
+        "sample": [r.asDict() for r in outliers.limit(sample_limit).collect()],
+    }
+
+
+def rare_categories(
+    df: DataFrame, column: str, min_frequency: float = 0.001
+) -> DataFrame:
+    """Q6 — categories with relative frequency below threshold
+    (anomaly_detection.py:207-255). One groupBy + a window-free total
+    via a scalar subquery-style cross join of the single-row count."""
+    counts = df.groupBy(column).agg(F.count("*").alias("cnt"))
+    total = df.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("frequency", F.col("cnt") / F.col("total"))
+        .filter(F.col("frequency") < min_frequency)
+        .drop("total")
+    )
+
+
+def null_spike(
+    df: DataFrame, column: str, historical_rate: float = 0.05, factor: float = 2.0
+) -> dict[str, Any]:
+    """Q7 — current null rate vs historical × factor
+    (anomaly_detection.py:257-306)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col(column).isNull(), 1)).alias("nulls"),
+    ).first()
+    rate = row["nulls"] / row["total"] if row["total"] else 0.0
+    return {
+        "null_rate": rate,
+        "historical_rate": historical_rate,
+        "is_spike": rate > historical_rate * factor,
+    }
+
+
+def moving_average_bands(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_size: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """W2/Q8 — rolling mean ± k·rolling-std anomaly band as a Spark
+    window (the reference drops to driver-side pandas here —
+    anomaly_detection.py:348-416).
+
+    Matches pandas ``rolling(window, min_periods=1)`` semantics: the
+    frame is the last `window_size` rows inclusive; a single-row frame
+    has NULL std (pandas NaN), which we treat as "not anomalous", the
+    same way the reference's ``fillna(False)`` does.
+
+    Rolling sums accumulate in exact decimal → deterministic bands.
+
+    Scale: ``Window.orderBy`` without partitioning is a single-task
+    sort — fine for pre-aggregated series (one row per day/hour), which
+    is exactly the reference's use. For raw-event scale, aggregate to
+    the series grain first (see q_moving_avg_band), or partition by
+    series key.
+    """
+    w = (
+        Window.orderBy(time_col)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v.cast("decimal(30,4)")).over(w).cast("double")
+    sq = F.sum((v * v).cast("decimal(38,8)")).over(w).cast("double")
+    mean = s / n
+    var = (sq - s * s / n) / (n - F.lit(1))
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None))
+    return (
+        df.withColumn("moving_avg", mean)
+        .withColumn("moving_std", std)
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("moving_std").isNotNull()
+                & (
+                    (v > mean + k * F.col("moving_std"))
+                    | (v < mean - k * F.col("moving_std"))
+                ),
+                True,
+            ).otherwise(False),
+        )
+    )

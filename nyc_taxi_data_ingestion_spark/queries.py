@@ -672,6 +672,350 @@ def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 3 — data-quality framework surface (SURVEY §2.9) as queries
+# ---------------------------------------------------------------------------
+
+_EXPECTATIONS_ORACLE = """
+SELECT COUNT(CASE WHEN value IS NULL THEN 1 END) AS nn_value_violations,
+       COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS between_value_violations,
+       COUNT(CASE WHEN event_type NOT IN ('signup','error','click','view','purchase')
+                   AND event_type IS NOT NULL THEN 1 END) AS inset_event_type_violations,
+       CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS mean_value,
+       COUNT(*) AS row_cnt,
+       COUNT(DISTINCT user_id) AS unique_user_cnt,
+       COUNT(CASE WHEN NOT regexp_matches(event_type, '^[a-z]+$')
+                   AND event_type IS NOT NULL THEN 1 END) AS regex_event_type_violations
+FROM events
+"""
+
+
+@register("expectations_suite", _EXPECTATIONS_ORACLE, tags=["Q9"])
+def q_expectations_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — the 7-kind expectations suite in ONE aggregate pass
+    (great_expectations.py:71-129,269-362; the reference's fallback
+    never implements match_regex — we do, via rlike)."""
+    ev = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    return ev.agg(
+        F.count(F.when(F.col("value").isNull(), 1)).alias("nn_value_violations"),
+        F.count(F.when((F.col("value") < 0) | (F.col("value") > 1000), 1)).alias(
+            "between_value_violations"
+        ),
+        F.count(
+            F.when(
+                ~et.isin("signup", "error", "click", "view", "purchase")
+                & et.isNotNull(),
+                1,
+            )
+        ).alias("inset_event_type_violations"),
+        davg("value", "mean_value"),
+        F.count("*").alias("row_cnt"),
+        F.countDistinct("user_id").alias("unique_user_cnt"),
+        F.count(F.when(~et.rlike("^[a-z]+$") & et.isNotNull(), 1)).alias(
+            "regex_event_type_violations"
+        ),
+    )
+
+
+_RECONCILE_ROWCOUNT_ORACLE = """
+WITH s AS (SELECT COUNT(*) AS source_count FROM orders),
+     t AS (SELECT COUNT(*) AS target_count FROM lineitem)
+SELECT source_count, target_count,
+       CAST(ABS(source_count - target_count) AS DOUBLE) / source_count * 100
+           AS difference_pct
+FROM s, t
+"""
+
+
+@register("reconcile_rowcount", _RECONCILE_ROWCOUNT_ORACLE, tags=["Q10"])
+def q_reconcile_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 — cross-table row-count reconciliation (reconciliation.py:69-141)."""
+    s = _t(spark, sf_dir, "orders").agg(F.count("*").alias("source_count"))
+    t = _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("target_count"))
+    return s.crossJoin(t).select(
+        "source_count",
+        "target_count",
+        (
+            F.abs(F.col("source_count") - F.col("target_count")).cast("double")
+            / F.col("source_count")
+            * 100
+        ).alias("difference_pct"),
+    )
+
+
+_RECONCILE_AGG_ORACLE = f"""
+WITH s AS (SELECT {dsum_sql('o_totalprice')} AS source_value FROM orders),
+     t AS (SELECT {dsum_sql('l_extendedprice')} AS target_value FROM lineitem)
+SELECT source_value, target_value,
+       ABS(source_value - target_value) / ABS(source_value) * 100 AS difference_pct
+FROM s, t
+"""
+
+
+@register("reconcile_agg", _RECONCILE_AGG_ORACLE, tags=["Q11", "A13"])
+def q_reconcile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11/A13 — aggregate reconciliation across layers
+    (reconciliation.py:143-229; build_gold_layer.py:208-269)."""
+    s = _t(spark, sf_dir, "orders").agg(dsum("o_totalprice", "source_value"))
+    t = _t(spark, sf_dir, "lineitem").agg(dsum("l_extendedprice", "target_value"))
+    return s.crossJoin(t).select(
+        "source_value",
+        "target_value",
+        (
+            F.abs(F.col("source_value") - F.col("target_value"))
+            / F.abs(F.col("source_value"))
+            * 100
+        ).alias("difference_pct"),
+    )
+
+
+_COMPLETENESS_ORACLE = """
+WITH s AS (SELECT COUNT(*) AS total, COUNT(c_acctbal) AS nn_acctbal,
+                  COUNT(c_mktsegment) AS nn_seg FROM customer),
+     t AS (SELECT COUNT(*) AS total, COUNT(s_acctbal) AS nn_acctbal FROM supplier)
+SELECT CAST(s.nn_acctbal AS DOUBLE) / s.total * 100 AS source_acctbal_pct,
+       CAST(t.nn_acctbal AS DOUBLE) / t.total * 100 AS target_acctbal_pct,
+       ABS(CAST(s.nn_acctbal AS DOUBLE) / s.total * 100
+           - CAST(t.nn_acctbal AS DOUBLE) / t.total * 100) AS acctbal_diff_pct,
+       CAST(s.nn_seg AS DOUBLE) / s.total * 100 AS source_seg_pct
+FROM s, t
+"""
+
+
+@register("completeness", _COMPLETENESS_ORACLE, tags=["Q13"])
+def q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 — column-completeness reconciliation, one agg pass per table
+    for all columns (reconciliation.py:310-398 loops a job per column)."""
+    c = _t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("s_total"),
+        F.count("c_acctbal").alias("s_nn_acctbal"),
+        F.count("c_mktsegment").alias("s_nn_seg"),
+    )
+    s = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("t_total"),
+        F.count("s_acctbal").alias("t_nn_acctbal"),
+    )
+    src_pct = F.col("s_nn_acctbal").cast("double") / F.col("s_total") * 100
+    tgt_pct = F.col("t_nn_acctbal").cast("double") / F.col("t_total") * 100
+    return c.crossJoin(s).select(
+        src_pct.alias("source_acctbal_pct"),
+        tgt_pct.alias("target_acctbal_pct"),
+        F.abs(src_pct - tgt_pct).alias("acctbal_diff_pct"),
+        (F.col("s_nn_seg").cast("double") / F.col("s_total") * 100).alias(
+            "source_seg_pct"
+        ),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH s AS (
+  SELECT COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sq
+  FROM events
+), b AS (
+  SELECT n,
+         sv / n AS mean_value,
+         SQRT((sq - sv * sv / n) / (n - 1)) AS stddev_value,
+         sv / n - 3 * SQRT((sq - sv * sv / n) / (n - 1)) AS lower_bound,
+         sv / n + 3 * SQRT((sq - sv * sv / n) / (n - 1)) AS upper_bound
+  FROM s
+)
+SELECT b.n, b.mean_value, b.stddev_value, b.lower_bound, b.upper_bound,
+       COUNT(CASE WHEN e.value < b.lower_bound OR e.value > b.upper_bound THEN 1 END)
+           AS outlier_cnt
+FROM events e, b
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("zscore_outliers", _ZSCORE_ORACLE, tags=["Q4", "A6"])
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — z-score bounds + outlier count (anomaly_detection.py:64-137).
+    Stats from exact decimal sums → deterministic bounds; the bounds row
+    broadcast-joins the scan, so outlier counting is a second map-only
+    pass (no driver round-trip between stats and scan)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    n = F.count(v)
+    s = F.sum(v.cast("decimal(30,4)")).cast("double")
+    sq = F.sum((v * v).cast("decimal(38,8)")).cast("double")
+    mean = s / n
+    std = F.sqrt((sq - s * s / n) / (n - F.lit(1)))
+    stats = ev.agg(
+        n.alias("n"),
+        mean.alias("mean_value"),
+        std.alias("stddev_value"),
+        (mean - 3 * std).alias("lower_bound"),
+        (mean + 3 * std).alias("upper_bound"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy("n", "mean_value", "stddev_value", "lower_bound", "upper_bound")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("value") < F.col("lower_bound"))
+                    | (F.col("value") > F.col("upper_bound")),
+                    1,
+                )
+            ).alias("outlier_cnt")
+        )
+    )
+
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+), b AS (
+  SELECT q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lower_fence,
+         q3 + 1.5 * (q3 - q1) AS upper_fence
+  FROM q
+)
+SELECT b.q1, b.q3, b.lower_fence, b.upper_fence,
+       COUNT(CASE WHEN l.l_extendedprice < b.lower_fence
+                    OR l.l_extendedprice > b.upper_fence THEN 1 END) AS outlier_cnt
+FROM lineitem l, b
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("iqr_outliers", _IQR_ORACLE, tags=["Q5", "A7"])
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — IQR fences + outlier count (anomaly_detection.py:139-205).
+    Exact percentile here for oracle parity; quality/anomaly.py uses the
+    mergeable approxQuantile sketch for the 100 TB path."""
+    li = _t(spark, sf_dir, "lineitem")
+    q1 = F.expr("percentile(l_extendedprice, 0.25)")
+    q3 = F.expr("percentile(l_extendedprice, 0.75)")
+    fences = li.agg(q1.alias("q1"), q3.alias("q3")).select(
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("upper_fence"),
+    )
+    return (
+        li.crossJoin(F.broadcast(fences))
+        .groupBy("q1", "q3", "lower_fence", "upper_fence")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lower_fence"))
+                    | (F.col("l_extendedprice") > F.col("upper_fence")),
+                    1,
+                )
+            ).alias("outlier_cnt")
+        )
+    )
+
+
+_RARE_CATS_ORACLE = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+     t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT lang, cnt, CAST(cnt AS DOUBLE) / total AS frequency
+FROM c, t
+WHERE CAST(cnt AS DOUBLE) / total < 0.14
+"""
+
+
+@register("rare_categories", _RARE_CATS_ORACLE, tags=["Q6", "A8"])
+def q_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — rare-category anomaly (anomaly_detection.py:207-255), via
+    the quality/anomaly module."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import rare_categories
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_categories(docs, "lang", min_frequency=0.14)
+
+
+_NULL_SPIKE_ORACLE = """
+SELECT CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+           AS null_rate,
+       CAST(0.05 AS DOUBLE) AS historical_rate,
+       CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+           > 0.05 * 2.0 AS is_spike
+FROM events
+"""
+
+
+@register("null_spike", _NULL_SPIKE_ORACLE, tags=["Q7"])
+def q_null_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 — null-rate spike vs historical baseline
+    (anomaly_detection.py:257-306)."""
+    ev = _t(spark, sf_dir, "events")
+    rate = (
+        F.count(F.when(F.col("props").isNull(), 1)).cast("double") / F.count("*")
+    )
+    return ev.agg(
+        rate.alias("null_rate"),
+        F.lit(0.05).cast("double").alias("historical_rate"),
+        (rate > 0.05 * 2.0).alias("is_spike"),
+    )
+
+
+_MOVING_AVG_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT day, cnt,
+       CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+           / COUNT(cnt) OVER w AS moving_avg,
+       CASE WHEN COUNT(cnt) OVER w > 1 THEN
+         SQRT(GREATEST(
+           (CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,8))) OVER w AS DOUBLE)
+            - CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+              * CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+              / COUNT(cnt) OVER w)
+           / (COUNT(cnt) OVER w - 1), 0.0))
+       END AS moving_std,
+       CASE WHEN (CASE WHEN COUNT(cnt) OVER w > 1 THEN
+         SQRT(GREATEST(
+           (CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,8))) OVER w AS DOUBLE)
+            - CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+              * CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+              / COUNT(cnt) OVER w)
+           / (COUNT(cnt) OVER w - 1), 0.0)) END) IS NOT NULL
+         AND (cnt > CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                      / COUNT(cnt) OVER w
+                    + 2 * (SQRT(GREATEST(
+                        (CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                         - CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                           * CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                           / COUNT(cnt) OVER w)
+                        / (COUNT(cnt) OVER w - 1), 0.0)))
+              OR cnt < CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                         / COUNT(cnt) OVER w
+                       - 2 * (SQRT(GREATEST(
+                           (CAST(SUM(CAST(cnt * cnt AS DECIMAL(38,8))) OVER w AS DOUBLE)
+                            - CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                              * CAST(SUM(CAST(cnt AS DECIMAL(30,4))) OVER w AS DOUBLE)
+                              / COUNT(cnt) OVER w)
+                           / (COUNT(cnt) OVER w - 1), 0.0))))
+       THEN true ELSE false END AS is_anomaly
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("moving_avg_band", _MOVING_AVG_ORACLE, tags=["W2", "Q8"])
+def q_moving_avg_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/Q8 — 7-day moving average ± 2σ anomaly band as a Spark window
+    (the one operator the reference computes in driver-side pandas —
+    anomaly_detection.py:348-416). The series is pre-aggregated to one
+    row per day, so the unpartitioned ordered window is tiny regardless
+    of raw-event scale."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import moving_average_bands
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    return moving_average_bands(daily, "day", "cnt", window_size=7, k=2.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,186 @@
+"""Unit tests for the quality framework (mirroring the reference's
+invariant-based test strategy, SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+    iqr_anomalies,
+    moving_average_bands,
+    null_spike,
+    zscore_anomalies,
+)
+from nyc_taxi_data_ingestion_spark.quality.checks import (
+    NullCheck,
+    PositiveCheck,
+    RangeCheck,
+    SetCheck,
+    run_checks,
+)
+from nyc_taxi_data_ingestion_spark.quality.expectations import (
+    Expectation,
+    run_expectations,
+    standard_suite,
+)
+from nyc_taxi_data_ingestion_spark.quality.metrics import (
+    completeness_from_checks,
+    quality_score,
+    validity_from_checks,
+)
+from nyc_taxi_data_ingestion_spark.quality.orchestrator import (
+    ValidationConfig,
+    ValidationError,
+    validate_table,
+)
+from nyc_taxi_data_ingestion_spark.quality.reconciliation import (
+    check_aggregation,
+    check_column_completeness,
+    check_key_integrity,
+    check_row_count,
+)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    """Small frame with injected defects, FIXTURES.md §2 style."""
+    rows = [
+        # (id, amount, qty, category)
+        (1, 10.0, 2, "a"),
+        (2, -5.0, 1, "a"),      # negative amount
+        (3, 20.0, None, "b"),   # null qty
+        (4, 30.0, 3, "zz"),     # bad category
+        (5, 999.0, 4, "b"),     # out of range
+        (6, 15.0, 5, "c"),
+    ]
+    return spark.createDataFrame(rows, "id long, amount double, qty int, category string")
+
+
+def test_run_checks_single_pass(dirty):
+    res = run_checks(
+        dirty,
+        [
+            NullCheck("qty"),
+            PositiveCheck("amount"),
+            RangeCheck("amount", min_value=0, max_value=100),
+            SetCheck("category", allowed=("a", "b", "c")),
+            NullCheck("missing_col"),  # skipped
+        ],
+    )
+    m = res["metrics"]
+    assert m["row_count"] == 6
+    assert m["null_count_qty"] == 1
+    assert m["non_positive_amount"] == 1
+    assert m["out_of_range_amount"] == 2  # -5 and 999
+    assert m["outside_set_category"] == 1
+    assert res["skipped"] == ["missing_col"]
+    assert not res["passed"]
+
+
+def test_expectations_suite(dirty):
+    suite = [
+        Expectation("not_null", "amount"),
+        Expectation("between", "amount", min_value=-10, max_value=1000),
+        Expectation("in_set", "category", values=("a", "b", "c", "zz")),
+        Expectation("mean_between", "qty", min_value=0, max_value=10),
+        Expectation("row_count_between", None, min_value=1, max_value=100),
+        Expectation("unique_count_between", "id", min_value=6, max_value=6),
+        Expectation("match_regex", "category", regex="^[a-z]+$"),
+    ]
+    res = run_expectations(dirty, suite)
+    assert res["success"], res
+    # and a failing one
+    res2 = run_expectations(dirty, [Expectation("between", "amount", min_value=0)])
+    assert not res2["success"]
+
+
+def test_standard_suite(dirty):
+    # id/category have no nulls, qty >= 0 where present, row_count >= 1
+    res = run_expectations(dirty, standard_suite(["id", "category"], ["qty"]))
+    assert res["success"]
+    # amount has a negative value → 'between min 0' fails
+    res2 = run_expectations(dirty, standard_suite(["id"], ["amount"]))
+    assert not res2["success"]
+
+
+def test_zscore_and_iqr(spark):
+    vals = [(float(i % 10),) for i in range(200)] + [(500.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    z = zscore_anomalies(df, "v", k=3.0)
+    assert z["count"] == 1
+    assert z["sample"][0]["v"] == 500.0
+    assert z["sample"][0]["severity"] in ("medium", "high", "critical")
+    iqr = iqr_anomalies(df, "v", k=1.5)
+    assert iqr["count"] >= 1
+
+
+def test_null_spike(spark):
+    df = spark.createDataFrame([(None,), ("x",), (None,), ("y",)], "c string")
+    res = null_spike(df, "c", historical_rate=0.05, factor=2.0)
+    assert res["null_rate"] == 0.5
+    assert res["is_spike"]
+
+
+def test_moving_average_bands_matches_pandas(spark):
+    import pandas as pd
+
+    counts = [10, 11, 9, 10, 12, 10, 11, 50, 10, 9, 11, 10]
+    pdf = pd.DataFrame({"t": range(len(counts)), "v": [float(c) for c in counts]})
+    roll = pdf["v"].rolling(7, min_periods=1)
+    expected_avg = roll.mean()
+    expected_std = roll.std()
+
+    df = spark.createDataFrame(pdf, "t long, v double")
+    out = (
+        moving_average_bands(df, "t", "v", window_size=7, k=2.0)
+        .orderBy("t")
+        .toPandas()
+    )
+    assert out["moving_avg"].tolist() == pytest.approx(expected_avg.tolist())
+    got_std = out["moving_std"].tolist()
+    exp_std = expected_std.tolist()
+    assert got_std[0] != got_std[0] or got_std[0] is None  # NaN for 1-row frame
+    assert got_std[1:] == pytest.approx(exp_std[1:])
+    assert bool(out.loc[out["v"] == 50.0, "is_anomaly"].iloc[0])
+
+
+def test_reconciliation(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rc = check_row_count(orders, orders, tolerance_pct=0.0)
+    assert rc["passed"]
+    agg = check_aggregation(orders, orders, "o_totalprice", "o_totalprice")
+    assert agg["passed"] and agg["difference_pct"] == 0.0
+    ki = check_key_integrity(orders, lineitem, ["o_orderkey"], ["l_orderkey"])
+    assert ki["missing_count"] == 257  # orders with no lineitem rows
+    assert len(ki["sample"]) == 10
+    cc = check_column_completeness(orders, lineitem, [("o_orderkey", "l_orderkey")])
+    assert cc["passed"]
+
+
+def test_quality_score():
+    s = quality_score({"completeness": 100, "validity": 90, "consistency": 80})
+    assert 80 <= s["score"] <= 100
+    assert s["level"] in ("good", "excellent")
+    assert quality_score({"completeness": 10})["level"] == "critical"
+
+
+def test_metrics_from_checks():
+    m = {"row_count": 100, "null_count_a": 10, "null_count_b": 0, "out_of_range_c": 5}
+    assert completeness_from_checks(m) == 95.0
+    assert validity_from_checks(m) == 95.0
+
+
+def test_orchestrator(dirty):
+    cfg = ValidationConfig(
+        checks=[NullCheck("qty"), RangeCheck("amount", 0, 100)],
+        expectations=[Expectation("row_count_between", None, min_value=1)],
+        anomaly_columns=["amount"],
+    )
+    report = validate_table(dirty, cfg, "dirty")
+    assert not report["passed"]
+    assert report["score"]["score"] > 0
+    cfg.raise_on_failure = True
+    with pytest.raises(ValidationError):
+        validate_table(dirty, cfg, "dirty")
