@@ -1,0 +1,387 @@
+"""Deduplication operators for LLM data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join → Jaccard verify), SimHash (per-row bit aggregation +
+banded candidate join + Hamming verify), and n-gram Jaccard — all
+expressed with JVM-side higher-order array functions and xxhash64.
+No Python UDFs anywhere.
+
+Scale design:
+- signatures are computed in a narrow map stage (per-row array exprs);
+- candidate generation shuffles only (band_key → doc_id) pairs, never
+  documents;
+- verification joins shingle SETS for candidate pairs only — the
+  classic candidates ≪ n² LSH contract;
+- banding parameters (num_hashes, bands) trade recall vs shuffle
+  volume; defaults follow the standard s-curve at ~0.7 similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# -- shingling ---------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of lowercased, whitespace-normalized
+    text. Documents shorter than k tokens yield their full token tuple
+    as a single shingle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "), " ")
+    n = F.size(toks)
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(joined)
+
+
+# -- exact dedup (hash-groupBy) ---------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id row per normalized-text fingerprint.
+    One shuffle on the 128-bit fingerprint — never on the text itself
+    (at 100 TB the shuffle moves ~48 B/row, not documents)."""
+    from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
+
+    fp = fingerprint(text_col).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature as a single Column expression:
+    lane j is min over shingles of xxhash64(xxhash64(shingle), j).
+
+    NOTE: higher-order array functions are CodegenFallback (interpreted)
+    and re-evaluate their input array per enclosing evaluation, so this
+    per-row form costs O(num_hashes · shingle_pipeline). Use
+    ``minhash_signatures`` (explode → codegen hash → min-aggregate) for
+    anything beyond small data — same math, whole-stage codegen."""
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    def lane(j: int):
+        return lambda h: F.xxhash64(h, F.lit(j))
+
+    return F.array(
+        *[F.array_min(F.transform(base, lane(j))) for j in range(num_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(__id, __sig) MinHash signatures via the scale-path plan:
+    explode shingles to rows → one xxhash64 per shingle (whole-stage
+    codegen) → num_hashes ``min(xxhash64(h, j))`` hash aggregates.
+    Map-side partial aggregation means the shuffle carries at most
+    one signature-width row per (doc, partition) — never shingles."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, k)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("__id")
+        .agg(*aggs)
+        .select(
+            "__id",
+            F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("__sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing ≥1 band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. Only
+    (band_key, id) tuples shuffle; the bucket self-join is on a
+    composite (band_index, band_hash) key so hot buckets are the only
+    skew risk — AQE skew-join handles them.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over shingle sets.
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold. Docs are
+    semi-join-pruned to candidate members BEFORE the (interpreted,
+    CodegenFallback) shingle expression runs — shingle sets are built
+    for candidates only, the classic candidates ≪ n LSH contract."""
+    member_ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        df.join(
+            F.broadcast(member_ids),
+            df[id_col] == member_ids["__id"],
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+    )
+    withs = (
+        pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    return (
+        withs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → Jaccard verify.
+    Returns the verified near-duplicate edge list."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
+    return jaccard_verify(df, cands, id_col, text_col, k, threshold)
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash as a per-row expression: for each bit position,
+    sum +1/-1 over token hashes, then assemble the sign vector into one
+    BIGINT. Narrow map stage; no explode, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # F.shiftleft/shiftright take a Python int for numBits; inside a
+    # higher-order-function lambda the shift amount is a Column, so go
+    # through the SQL function, which accepts expressions for both args.
+    shl = lambda x, n: F.call_function("shiftleft", x, n)  # noqa: E731
+    bit_signs = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(shl(F.lit(1).cast("long"), i)) != 0, 1)
+                .otherwise(-1)
+                .cast("long"),
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_signs,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, i: shl(s, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(__id, __sh) SimHash signatures via the codegen plan: explode
+    tokens → one xxhash64 per token → per-bit signed sums as hash
+    aggregates → assemble the sign vector into one BIGINT. Same math as
+    ``simhash`` but whole-stage-codegen throughout (the per-row Column
+    form re-evaluates the token pipeline per bit, interpreted)."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+        ).alias("__t"),
+    ).select("__id", F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__h"), j).bitwiseAND(F.lit(1).cast("long")) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    signed = ex.groupBy("__id").agg(*aggs)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_val = -(1 << 63) if j == 63 else (1 << j)
+        out = out.bitwiseOR(
+            F.when(F.col(f"__b{j}") >= 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return signed.select("__id", out.alias("__sh"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into `chunks`
+    16-bit chunks (pigeonhole: hamming ≤ chunks-1 ⇒ ≥1 chunk equal),
+    bucket-join on equal chunks, verify with exact popcount Hamming.
+
+    Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    sh = simhash_signatures(df, id_col, text_col)
+    banded = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.call_function(
+                        "shiftrightunsigned", F.col("__sh"), i * chunk_bits
+                    )
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    .alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("__id", "__sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- n-gram Jaccard (block + verify, no sketch) ------------------------------
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard similarity for all pairs within a blocking key
+    (e.g. same language+source). Exact — use when a natural blocking
+    key bounds the pair count; otherwise prefer minhash_dedup.
+    Returns (id_a, id_b, jaccard ≥ threshold)."""
+    sh = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        shingles(text_col, k).alias("__sh"),
+    )
+    # Broadcast one side and round-robin repartition the other: the
+    # pair comparison (interpreted array_intersect) then parallelizes
+    # across all cores instead of inheriting the scan's partitioning
+    # (a small table = one file = one serial task).
+    par = sh.sparkSession.sparkContext.defaultParallelism
+    a, b = sh.repartition(par).alias("a"), F.broadcast(sh).alias("b")
+    cond = (F.col("a.__id") < F.col("b.__id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    union = F.size(F.col("a.__sh")) + F.size(F.col("b.__sh")) - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

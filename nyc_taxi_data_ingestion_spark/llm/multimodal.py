@@ -1,0 +1,143 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side machinery is real — binary payload schema, Arrow-batched
+``mapInPandas`` pipelines, partition-size control for large blobs. The
+codec step itself (JPEG decode, audio resample, frame sampling) is
+STUBBED: the decode libraries are not in this environment, so
+``decode_fn`` defaults to a clearly-marked deterministic fake that
+produces byte-level features. Swap in a real decoder (PIL/librosa/
+pyav) by passing ``decode_fn``.
+
+Scale notes: binary payloads make rows big — the reader should set
+``spark.sql.files.maxPartitionBytes`` low enough that a batch of blobs
+fits executor memory, and mapInPandas batches are bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it small, e.g.
+64, for >1 MB blobs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spark's Python workers don't necessarily have this package on their
+# path (the driver may add it via sys.path only). Register this module
+# for by-value cloudpickle serialization so mapInPandas closures ship
+# their code instead of an import reference.
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older pickler without the API
+    pass
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, byte_len int, sha256 string, "
+    "feature array<double>"
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat a text table as binary media (utf-8 payload) so
+    the multimodal plumbing is exercisable on the synthetic testdata."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _stub_decode(payload: bytes, media_type: str) -> list[float]:
+    """STUB decoder — deterministic fake features from raw bytes.
+
+    A real deployment replaces this with e.g. PIL.Image.open +
+    resize + channel means. Raises for unknown media types the same
+    way a real codec dispatch would.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    if payload is None:
+        return []
+    # 8 bucket-mean byte histograms — stable, cheap, codec-free
+    buckets = [0.0] * 8
+    counts = [0] * 8
+    for i, b in enumerate(payload):
+        buckets[i % 8] += b
+        counts[i % 8] += 1
+    return [buckets[i] / counts[i] if counts[i] else 0.0 for i in range(8)]
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn=_stub_decode,
+    batch_hint: int | None = 64,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The mapInPandas shape (iterator of batches in, iterator out) is the
+    real production plumbing: decode happens executor-side, vectorized
+    per Arrow batch, with bounded memory.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                    "sha256": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                    "feature": [
+                        decode_fn(p, mt)
+                        for p, mt in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+            yield out
+
+    spark = media.sparkSession
+    if batch_hint:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
+        )
+    # one Python worker per core — a single-file source would otherwise
+    # feed one serial worker
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Pure-expression metadata pass (no Python): byte length + md5 —
+    the checks a pipeline runs BEFORE spending decode cycles."""
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("payload").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+    )

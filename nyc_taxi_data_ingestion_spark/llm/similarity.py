@@ -1,0 +1,222 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH-bucketed variant as the scale path. Dot products are
+JVM-side ``zip_with`` + ``aggregate`` expressions (no Python), and the
+hyperplanes are generated deterministically from a seed so results are
+reproducible across runs and engines.
+
+Scale design:
+- brute force is O(Q·N) — correct tool only when one side broadcasts;
+  the query side is broadcast explicitly here.
+- LSH reduces the candidate set to same-bucket pairs; signature
+  computation is a narrow map; only (bucket, id, vec) shuffles.
+- For 100 TB-scale corpora the natural extension is IVF: k-means
+  centroids (Spark ML KMeans), assign each vector to nearest centroid
+  partitions, search only the probed cells. Same join shape as LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double — deterministic
+    summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query side, score every corpus
+    vector, rank per query. Returns (query_id, neighbor_id, cosine_sim,
+    rank). Deterministic tie-break on neighbor id."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # small single-file corpora scan as ONE partition; round-robin so
+    # the O(Q·N) scoring uses every core (queries side broadcasts)
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (Gaussian via numpy, seeded)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(num_planes, dim).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for random-hyperplane LSH: bit i = 1 if
+    vec·plane_i >= 0. Returns a BIGINT bucket key (≤ 63 planes)."""
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def _table_buckets(
+    vec_col: Column, dim: int, num_planes: int, num_tables: int, seed: int
+) -> Column:
+    """Array of (table, bucket) structs — one sign bucket per hash
+    table, each table drawing independent hyperplanes from the seed."""
+    entries = []
+    for t in range(num_tables):
+        planes = hyperplanes(dim, num_planes, seed + t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec_col, planes).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share an LSH sign bucket in
+    at least one of `num_tables` hash tables (OR-amplification — recall
+    1-(1-p^b)^L vs p^b for one table). Fewer planes → bigger buckets →
+    higher recall & cost; more tables → higher recall, ×L candidate
+    generation. Same output schema as brute_force_topk."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _table_buckets(F.col(vec_col), dim, num_planes, num_tables, seed)
+        ).alias("tb"),
+    ).select("query_id", "q_vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(
+            _table_buckets(F.col(vec_col), dim, num_planes, num_tables, seed)
+        ).alias("tb"),
+    ).select("neighbor_id", "c_vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    # distinct before scoring: a pair colliding in 3 tables scores once
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    buckets + exact cosine verify. Returns (id_a, id_b,
+    cosine_sim ≥ threshold), each pair once."""
+    v = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode(
+            _table_buckets(F.col(vec_col), dim, num_planes, num_tables, seed)
+        ).alias("tb"),
+    ).select("__id", "__vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("__va"),
+            F.col("b.__vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

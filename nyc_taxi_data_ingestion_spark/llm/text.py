@@ -1,0 +1,128 @@
+"""Text analysis operators for LLM data pipelines.
+
+Language-ID (stopword heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting — all as pure column expressions (JVM-side,
+codegen'd; zero shuffles, zero Python). At 100 TB these run at scan
+speed as a narrow map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately small: the operator's shape (per-language hit counts →
+# argmax) is what matters; swap in real lists for production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+}
+# zh detected structurally (CJK codepoints), not by stopwords.
+_CJK_RE = "[\\u4e00-\\u9fff]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-approximating token count: word pieces + digits + punctuation
+    counted separately (a cheap, deterministic stand-in for a real
+    tokenizer — useful for corpus-size estimates)."""
+    c = F.col(text) if isinstance(text, str) else text
+    # count word chunks, numbers, and single punctuation marks
+    return F.size(
+        F.filter(
+            F.split(c, "(?<=[^\\w])|(?=[^\\w])"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Share of characters that are ASCII punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    stripped = F.length(F.regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped) / n.cast("double"))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang` (counts every
+    occurrence, not distinct)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def detect_language(text: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoints → zh; else argmax of
+    stopword hit counts; no hits → 'unknown'. Pure expression — one
+    narrow map, no shuffle, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    langs = list(STOPWORDS)
+    hits = [stopword_hits(c, lang) for lang in langs]
+    best = F.greatest(*hits)
+    # first language (in declaration order) achieving the max
+    pick = F.lit("unknown")
+    for lang, h in reversed(list(zip(langs, hits))):
+        pick = F.when(h == best, F.lit(lang)).otherwise(pick)
+    return (
+        F.when(c.rlike(_CJK_RE), F.lit("zh"))
+        .when(best > 0, pick)
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document quality in [0,1]: length score (saturating at
+    2000 chars), low punctuation, and stopword presence — the
+    length/punct/stopword-ratio recipe used by open-web pipelines."""
+    c = F.col(text) if isinstance(text, str) else text
+    length_score = F.least(F.length(c) / F.lit(2000.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    any_stop = F.greatest(*[stopword_hits(c, lg) for lg in STOPWORDS])
+    tok_n = token_count(c)
+    stop_score = F.when(tok_n == 0, F.lit(0.0)).otherwise(
+        F.least(any_stop / (tok_n * F.lit(0.05)), F.lit(1.0))
+    )
+    return (length_score * 0.4 + punct_score * 0.3 + stop_score * 0.3).alias(
+        "quality_score"
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint (md5 of NFC-ish normalized
+    text: lowercased, whitespace collapsed). Engine-portable — the same
+    value is computable in any SQL engine for reconciliation."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis bundle as columns."""
+    return df.withColumns(
+        {
+            "token_cnt": token_count(text_col),
+            "bpe_token_cnt": bpe_ish_token_count(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "lang_detected": detect_language(text_col),
+            "doc_quality": quality_score(text_col),
+            "doc_fingerprint": fingerprint(text_col),
+        }
+    )

@@ -1016,6 +1016,299 @@ def q_moving_avg_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_average_bands(daily, "day", "cnt", window_size=7, k=2.0)
 
 
+# ---------------------------------------------------------------------------
+# Batch 4 — LLM-data-pipeline operators (dedup, similarity, text, multimodal)
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+) keep USING (doc_id)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_ORACLE, tags=["llm-dedup"])
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min-id doc per normalized-text fingerprint.
+    The shuffle carries only (fingerprint, id) — never document text."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_TEXT_STATS_ORACLE = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS token_cnt,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(text)
+                      - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+                      AS DOUBLE) / length(text)
+       END AS punct_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_fingerprint
+FROM documents
+"""
+
+
+@register("text_stats", _TEXT_STATS_ORACLE, tags=["llm-text"])
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, punctuation ratio, and fingerprinting — pure
+    column expressions at scan speed (llm/text.py)."""
+    from nyc_taxi_data_ingestion_spark.llm import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("token_cnt"),
+        tx.punct_ratio("text").alias("punct_ratio"),
+        tx.fingerprint("text").alias("doc_fingerprint"),
+    )
+
+
+def _langid_oracle() -> str:
+    from nyc_taxi_data_ingestion_spark.llm.text import STOPWORDS
+
+    hit_exprs = []
+    for lang, words in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hit_exprs.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({inlist}))) AS h_{lang}"
+        )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH hits AS (
+  SELECT doc_id, lang, text, {', '.join(hit_exprs)} FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN {best} > 0 THEN {pick}
+            ELSE 'unknown' END AS lang_detected
+FROM hits
+"""
+
+
+@register("lang_id", _langid_oracle(), tags=["llm-text"])
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-heuristic language ID next to the labeled lang."""
+    from nyc_taxi_data_ingestion_spark.llm.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", detect_language("text").alias("lang_detected")
+    )
+
+
+_EMB_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_transform(range(1, 65), i -> q_vec[i]::DOUBLE * c_vec[i]::DOUBLE), (acc,x) -> acc+x)
+    / (sqrt(list_reduce(list_transform(range(1, 65), i -> q_vec[i]::DOUBLE * q_vec[i]::DOUBLE), (acc,x) -> acc+x))
+       * sqrt(list_reduce(list_transform(range(1, 65), i -> c_vec[i]::DOUBLE * c_vec[i]::DOUBLE), (acc,x) -> acc+x)))
+      AS cosine_sim
+  FROM c, q
+  WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine_sim, 8) AS cosine_sim, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@register("embedding_topk", _EMB_TOPK_ORACLE, tags=["llm-similarity"])
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query
+    side × corpus scan, JVM-side fold dot product, ranked window.
+    Rounded to 8 dp for cross-engine float parity (ranking uses full
+    precision)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(q, emb, k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 8).alias("cosine_sim"),
+        "rank",
+    )
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_reduce(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (acc,x) -> acc+x)
+    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (acc,x) -> acc+x))
+       * sqrt(list_reduce(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (acc,x) -> acc+x)))
+      AS cosine_sim
+  FROM v a, v b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine_sim, 8) AS cosine_sim
+FROM pairs WHERE cosine_sim >= 0.4
+"""
+
+
+@register("embedding_near_dup", _EMB_NEAR_DUP_ORACLE, tags=["llm-similarity", "llm-dedup"])
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (brute force) for oracle
+    parity; llm/similarity.embedding_near_dups is the LSH-bucketed
+    scale path (see lsh_topk rows-only query)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    # Precompute each vector's norm ONCE (N sqrt-folds instead of 2·N²
+    # — cosine's norms are pair-invariant), round-robin the stream side
+    # so the O(N²) dot products use every core, broadcast the build
+    # side. The fold order inside _dot/_norm matches the oracle's
+    # list_reduce exactly, so precomputing keeps bit parity.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    ).repartition(par)
+    b = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            _norm(F.col("embedding")).alias("nb"),
+        )
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine_full"
+            ),
+        )
+        .filter(F.col("cosine_full") >= 0.4)
+        .select("id_a", "id_b", F.round("cosine_full", 8).alias("cosine_sim"))
+    )
+
+
+_BLOCKED_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+       / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+           AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+      >= 0.5
+"""
+
+
+@register("blocked_jaccard", _BLOCKED_JACCARD_ORACLE, tags=["llm-dedup"])
+def q_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (1-gram) Jaccard near-dup pairs within (lang, source)
+    blocks — exact set similarity with a natural blocking key bounding
+    the pair count (llm/dedup.blocked_jaccard_pairs)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import blocked_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return blocked_jaccard_pairs(
+        docs, block_cols=["lang", "source"], k=1, threshold=0.5
+    )
+
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id AS media_id,
+       'image' AS media_type,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@register("multimodal_meta", _MULTIMODAL_META_ORACLE, tags=["llm-multimodal"])
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over binary payloads (byte length +
+    checksum) — the pre-decode screen; payloads here are utf-8 text
+    bytes via the documents_as_media adapter."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        media_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = media_metadata(documents_as_media(docs))
+    return out.select(
+        "media_id",
+        "media_type",
+        F.col("byte_len").cast("long").alias("byte_len"),
+        "payload_md5",
+    )
+
+
+@register("minhash_near_dup", None, tags=["llm-dedup"])
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline (shingle → 64 minhashes → 16 bands
+    → bucket join → Jaccard verify). Not SQL-expressible (xxhash64) →
+    rows-only driver check; Jaccard edges are verified against the
+    exact blocked_jaccard oracle in tests."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+@register("simhash_near_dup", None, tags=["llm-dedup"])
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded 16-bit chunks + Hamming ≤ 3).
+    Rows-only (xxhash64)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+@register("lsh_topk", None, tags=["llm-similarity"])
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (the ANN scale path —
+    bucket join instead of full cross product). Rows-only; recall vs
+    the exact embedding_topk is asserted in tests."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(q, emb, k=5, num_planes=4)
+
+
+@register("multimodal_features", None, tags=["llm-multimodal"])
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (STUB decoder — deterministic byte-bucket features; the
+    batching/schema plumbing is the real production shape)."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

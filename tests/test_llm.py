@@ -1,0 +1,146 @@
+"""Unit tests for the LLM-pipeline operators (recall/consistency
+properties that the SQL oracle can't express)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.llm.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    simhash_near_dups,
+)
+from nyc_taxi_data_ingestion_spark.llm.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    lsh_topk,
+)
+from nyc_taxi_data_ingestion_spark.llm.text import detect_language, with_text_stats
+from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_idempotent(spark):
+    rows = [(1, "hello  world"), (2, "Hello World"), (3, "different text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_dedup(df)
+    # normalization folds 1 and 2 together; min id survives
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    assert exact_dedup(out).count() == out.count()
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),   # near-dup of 1
+        (3, "completely unrelated content about spark query engines " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = minhash_dedup(df, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b) for r in edges}
+    assert (1, 2) in pairs
+    assert all(p != (1, 3) and p != (2, 3) for p in pairs)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """LSH candidates + verify should recover most true Jaccard≥0.7
+    pairs found by exact blocked comparison."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in blocked_jaccard_pairs(
+            docs, ["lang", "source"], k=3, threshold=0.7
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup(docs, k=3, threshold=0.7).collect()
+    }
+    # verified LSH pairs are a subset of true pairs by construction...
+    assert lsh and exact
+    # ...and within-block recall should be high (banding 64/16 at s>=0.7)
+    covered = exact & lsh
+    assert len(covered) / len(exact) >= 0.8
+
+
+def test_simhash_identical_texts(spark):
+    rows = [(1, "spark engine test text"), (2, "spark engine test text"), (3, "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_dups(df, max_hamming=0)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_lsh_topk_recall(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    approx = lsh_topk(q, emb, k=5, num_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # 4 planes → 16 buckets over 500 vecs; moderate recall demanded
+    assert len(a & e) / len(e) >= 0.3
+    assert approx.count() <= 50
+
+
+def test_embedding_near_dups_lsh_subset_of_exact(emb):
+    lsh = embedding_near_dups(emb, threshold=0.4, num_planes=4)
+    rows = lsh.collect()
+    assert all(r.cosine_sim >= 0.4 for r in rows)
+
+
+def test_text_stats_bundle(docs):
+    out = with_text_stats(docs).limit(50).collect()
+    for r in out:
+        assert r.token_cnt > 0
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.doc_quality <= 1
+        assert len(r.doc_fingerprint) == 32
+        assert r.bpe_token_cnt >= r.token_cnt
+
+
+def test_detect_language_basics(spark):
+    rows = [
+        (1, "the cat sat of the mat and it is that for"),
+        (2, "el gato de la casa y que en un una los por"),
+        (3, "der hund und die katze ist von ein eine zu mit"),
+        (4, "你好世界"),
+        (5, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", detect_language("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "unknown"}
+
+
+def test_multimodal_features_stub(docs):
+    media = documents_as_media(docs.limit(20))
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r.byte_len > 0
+        assert len(r.sha256) == 64
+        assert len(r.feature) == 8
+        assert all(0 <= x <= 255 for x in r.feature)
+
+
+def test_multimodal_unknown_type_raises(spark, docs):
+    media = documents_as_media(docs.limit(1)).withColumn(
+        "media_type", F.lit("hologram")
+    )
+    with pytest.raises(Exception, match="hologram"):
+        extract_features(media).collect()
