@@ -1,0 +1,182 @@
+"""Config → DataFrame-plan compiler + materialization runner.
+
+Replaces the reference's three interpreted jobs (bronze ingestor →
+silver transformer → gold builder, each a separate spark-submit with
+eager ``.count()`` logging between steps — SURVEY §3) with one compiler
+that builds a lazy Catalyst plan per layer. Nothing executes until a
+sink materializes; Catalyst sees the whole chain, so filters placed in
+the silver spec push down into the bronze scan and gold sees pruned
+columns.
+
+Materialization (SURVEY §2.11):
+- M2 full refresh → partitioned overwrite.
+- M1 merge-incremental + lookback → dynamic partition-overwrite: only
+  the partitions the lookback window touches are recomputed and
+  replaced (the Parquet-native MERGE equivalent; equivalence with full
+  recompute is asserted in tests).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.operators.transform import apply_transformations
+from nyc_taxi_data_ingestion_spark.plans.config import (
+    apply_performance_confs,
+    prepare_config,
+)
+from nyc_taxi_data_ingestion_spark.sources.sinks import (
+    overwrite_partitions,
+    write_partitioned,
+)
+
+
+@dataclass
+class PipelinePlan:
+    """Compiled pipeline: lazy DataFrames per layer, ready to run."""
+
+    name: str
+    bronze: DataFrame
+    silver: DataFrame
+    gold: dict[str, DataFrame]
+    config: dict = field(repr=False, default_factory=dict)
+    applied_confs: dict[str, str] = field(default_factory=dict)
+
+
+def _read_source(spark: SparkSession, source: dict) -> DataFrame:
+    fmt = source.get("format", "parquet")
+    if source.get("table"):
+        return spark.table(source["table"])
+    path = source["path"]
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "csv":
+        reader = spark.read.option("header", "true")
+        if source.get("schema"):
+            reader = reader.schema(source["schema"])
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+    raise ValueError(f"unsupported source format for compile: {fmt!r}")
+
+
+def build_gold_frame(silver: DataFrame, mart: dict) -> DataFrame:
+    """One gold mart: groupBy(grain).agg(measures), each measure an
+    arbitrary SQL aggregate expression (parity with the CTAS bodies in
+    ``build_gold_layer.py:62-184``, minus the second engine)."""
+    keys = [
+        F.expr(k["expr"]).alias(k["name"]) if isinstance(k, dict) else F.col(k)
+        for k in mart["group_by"]
+    ]
+    aggs = [F.expr(m["expr"]).alias(m["name"]) for m in mart["measures"]]
+    out = silver.groupBy(*keys).agg(*aggs)
+    if mart.get("having"):
+        out = out.filter(mart["having"])
+    if mart.get("order_by"):
+        out = out.orderBy(*[F.expr(e) for e in mart["order_by"]])
+    return out
+
+
+def compile_pipeline(
+    spark: SparkSession,
+    cfg: dict,
+    env_overlay: dict | None = None,
+    env: dict[str, str] | None = None,
+) -> PipelinePlan:
+    """Validate + compile a pipeline config into lazy DataFrames."""
+    cfg = prepare_config(cfg, env_overlay, env)
+    applied = apply_performance_confs(spark, cfg.get("performance"))
+
+    bronze = _read_source(spark, cfg["source"])
+
+    s = cfg.get("silver", {})
+    dedupe = s.get("dedupe", {})
+    silver = apply_transformations(
+        bronze,
+        renames=s.get("renames"),
+        casts=s.get("casts"),
+        derived=s.get("derived"),
+        filters=s.get("filters"),
+        dedupe_keys=dedupe.get("keys"),
+        dedupe_order_by=dedupe.get("order_by"),
+        dedupe_tie_breakers=dedupe.get("tie_breakers"),
+    )
+
+    gold = {m["name"]: build_gold_frame(silver, m) for m in cfg.get("gold", [])}
+    return PipelinePlan(
+        name=cfg["pipeline"]["name"],
+        bronze=bronze,
+        silver=silver,
+        gold=gold,
+        config=cfg,
+        applied_confs=applied,
+    )
+
+
+# -- materialization ----------------------------------------------------------
+
+
+def _lookback_filter(
+    silver: DataFrame, lookback: dict, partition_by: list[str]
+) -> DataFrame:
+    """Rows belonging to every partition the lookback window touches.
+
+    The window is `days` back from max(column) — the reference's
+    late-data window (``daily_trip_stats.sql:46-52``), computed on the
+    data itself so reruns are deterministic. Because M1 materializes by
+    partition-overwrite (not row-level MERGE), the slice is widened
+    from "rows ≥ bound" to "ALL rows of any partition containing a row
+    ≥ bound" — a partition must be recomputed whole or not at all."""
+    col, days = lookback["column"], int(lookback["days"])
+    bound = silver.agg(
+        F.date_sub(F.max(F.col(col)).cast("date"), days).alias("b")
+    ).first()["b"]
+    if bound is None:  # empty table → nothing to reprocess
+        return silver.limit(0)
+    slice_df = silver.filter(F.col(col) >= F.lit(bound))
+    if not partition_by:
+        # no partitioning → overwrite is full-table; slice alone would
+        # drop pre-window history, so recompute everything
+        return silver
+    touched = slice_df.select(*partition_by).distinct()
+    return silver.join(F.broadcast(touched), partition_by, "left_semi")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    plan: PipelinePlan,
+    warehouse: str,
+    incremental: bool = False,
+) -> dict[str, str]:
+    """Materialize silver + all gold marts under ``warehouse``.
+
+    Full refresh (M2) overwrites; ``incremental=True`` runs marts
+    declared ``materialization: incremental`` as M1 partition-overwrite
+    of the lookback slice only. Returns {layer/table: path}.
+    """
+    out: dict[str, str] = {}
+    s = plan.config.get("silver", {})
+    silver_path = os.path.join(warehouse, "silver", plan.name)
+    write_partitioned(plan.silver, silver_path, s.get("partition_by") or [])
+    out[f"silver/{plan.name}"] = silver_path
+
+    # gold reads the materialized silver so each mart scans parquet once
+    # rather than recomputing the transform chain per mart
+    silver_df = spark.read.parquet(silver_path)
+    for mart in plan.config.get("gold", []):
+        name = mart["name"]
+        path = os.path.join(warehouse, "gold", name)
+        parts = mart.get("partition_by") or []
+        if incremental and mart.get("materialization") == "incremental":
+            slice_df = _lookback_filter(silver_df, mart["lookback"], parts)
+            gold_df = build_gold_frame(slice_df, mart)
+            overwrite_partitions(spark, gold_df, path, parts)
+        else:
+            gold_df = build_gold_frame(silver_df, mart)
+            write_partitioned(gold_df, path, parts)
+        out[f"gold/{name}"] = path
+    return out

@@ -1309,6 +1309,127 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+# ---------------------------------------------------------------------------
+# Batch 5 — declarative pipeline compiler + lineage (SURVEY §7 step 6,
+# §2.10-2.11). The YAML surface of the reference compiled to one lazy
+# Catalyst plan.
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_config(sf_dir: str) -> dict:
+    """Declarative config over `orders` mirroring the reference's YAML
+    shape (lakehouse_config.yaml sections source/transformations/gold)."""
+    return {
+        "version": "2.0",
+        "pipeline": {"name": "orders_pipeline"},
+        "source": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"},
+        "silver": {
+            "renames": {"o_orderdate": "order_date", "o_totalprice": "amount"},
+            "casts": {"o_custkey": "long"},
+            "derived": {
+                "order_year": "CAST(year(order_date) AS INT)",
+                "order_month": "CAST(month(order_date) AS INT)",
+            },
+            "filters": ["amount > 0"],
+            "dedupe": {
+                "keys": ["o_orderkey"],
+                "order_by": "order_date DESC",
+                "tie_breakers": ["o_orderkey"],
+            },
+            "partition_by": ["order_year"],
+        },
+        "gold": [
+            {
+                "name": "monthly_order_stats",
+                "group_by": ["order_year", "order_month", "o_orderstatus"],
+                "measures": [
+                    {"name": "order_cnt", "expr": "COUNT(*)"},
+                    {
+                        "name": "total_amount",
+                        "expr": "CAST(SUM(CAST(amount AS DECIMAL(30,4))) AS DOUBLE)",
+                    },
+                    {
+                        "name": "max_amount",
+                        "expr": "MAX(amount)",
+                    },
+                ],
+                "materialization": "incremental",
+                "lookback": {"column": "order_date", "days": 365},
+                "partition_by": ["order_year"],
+            }
+        ],
+        "performance": {"adaptive_query_execution": True},
+    }
+
+
+_PIPELINE_GOLD_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       o_orderstatus,
+       COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_amount,
+       MAX(o_totalprice) AS max_amount
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY 1, 2, 3
+"""
+
+
+@register("pipeline_gold", _PIPELINE_GOLD_ORACLE, tags=["compiler", "M1", "A1"])
+def q_pipeline_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative config → compiled silver chain → gold mart, as ONE
+    lazy Catalyst plan (plans/compiler.py). The oracle recomputes the
+    mart directly — proving the compiler introduces no semantic drift.
+    (W1 dedupe on o_orderkey is a verified no-op: TPC-H orderkeys are
+    unique, so the plan's correctness doesn't depend on tie order.)"""
+    from nyc_taxi_data_ingestion_spark.plans.compiler import compile_pipeline
+
+    plan = compile_pipeline(spark, _pipeline_config(sf_dir))
+    return plan.gold["monthly_order_stats"]
+
+
+@register("lineage_events", None, tags=["L1", "L3", "L4"])
+def q_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L4 — record a pipeline run's lineage events and query the
+    event log for one table (lineage.py:498-551 analogue). Rows-only:
+    the event log is engine-generated (uuids/timestamps), not
+    SQL-reproducible."""
+    from nyc_taxi_data_ingestion_spark.plans.compiler import compile_pipeline
+    from nyc_taxi_data_ingestion_spark.plans.lineage import (
+        LineageTracker,
+        column_lineage,
+        query_events,
+    )
+
+    cfg = _pipeline_config(sf_dir)
+    plan = compile_pipeline(spark, cfg)
+    tr = LineageTracker(cfg["pipeline"]["name"])
+    tr.record(
+        "ingestion",
+        layer="bronze",
+        source_table=cfg["source"]["path"],
+        target_table="bronze.orders",
+        columns=plan.bronze.columns,
+    )
+    tr.record(
+        "transformation",
+        layer="silver",
+        source_table="bronze.orders",
+        target_table="silver.orders",
+        columns=plan.silver.columns,
+        transforms={"column_lineage": column_lineage(cfg)},
+    )
+    for mart in cfg["gold"]:
+        tr.record(
+            "aggregation",
+            layer="gold",
+            source_table="silver.orders",
+            target_table=f"gold.{mart['name']}",
+            columns=plan.gold[mart["name"]].columns,
+        )
+    return query_events(tr.to_df(spark), "silver.orders")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

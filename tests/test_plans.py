@@ -1,0 +1,233 @@
+"""Tests for the declarative pipeline layer (config / compiler /
+materialization / lineage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.plans.config import (
+    ConfigError,
+    expand_env_vars,
+    merge_environment,
+    migrate_config,
+    prepare_config,
+    validate_config,
+)
+from nyc_taxi_data_ingestion_spark.plans.compiler import (
+    compile_pipeline,
+    run_pipeline,
+)
+from nyc_taxi_data_ingestion_spark.plans.lineage import (
+    LineageTracker,
+    column_lineage,
+    downstream_impact,
+    query_events,
+    upstream_sources,
+)
+
+
+def events_config(sf_dir: str) -> dict:
+    return {
+        "version": "2.0",
+        "pipeline": {"name": "events_pipeline"},
+        "source": {"path": f"{sf_dir}/orders.parquet", "format": "parquet"},
+        "silver": {
+            "renames": {"o_orderdate": "order_date", "o_totalprice": "amount"},
+            "casts": {"o_custkey": "long"},
+            "derived": {
+                "order_year": "CAST(year(order_date) AS INT)",
+                "order_month": "CAST(month(order_date) AS INT)",
+            },
+            "filters": ["amount > 0"],
+            "dedupe": {
+                "keys": ["o_orderkey"],
+                "order_by": "order_date DESC",
+                "tie_breakers": ["o_orderkey"],
+            },
+            "partition_by": ["order_year"],
+        },
+        "gold": [
+            {
+                "name": "monthly_order_stats",
+                "group_by": ["order_year", "order_month", "o_orderstatus"],
+                "measures": [
+                    {"name": "order_cnt", "expr": "COUNT(*)"},
+                    {
+                        "name": "total_amount",
+                        "expr": "CAST(SUM(CAST(amount AS DECIMAL(30,4))) AS DOUBLE)",
+                    },
+                ],
+                "materialization": "incremental",
+                "lookback": {"column": "order_date", "days": 365},
+                "partition_by": ["order_year"],
+            }
+        ],
+        "performance": {"shuffle_partitions": 8, "adaptive_query_execution": True},
+    }
+
+
+# -- config system -----------------------------------------------------------
+
+
+def test_validate_rejects_missing_sections():
+    with pytest.raises(ConfigError, match="pipeline"):
+        validate_config({"source": {"path": "x"}})
+    with pytest.raises(ConfigError, match="source"):
+        validate_config({"pipeline": {"name": "p"}})
+    with pytest.raises(ConfigError, match="exactly one"):
+        validate_config(
+            {"pipeline": {"name": "p"}, "source": {"path": "x", "table": "t"}}
+        )
+
+
+def test_validate_incremental_requires_lookback_and_partitioning():
+    cfg = {
+        "pipeline": {"name": "p"},
+        "source": {"path": "x"},
+        "gold": [
+            {
+                "name": "g",
+                "group_by": ["a"],
+                "measures": [{"name": "c", "expr": "COUNT(*)"}],
+                "materialization": "incremental",
+            }
+        ],
+    }
+    with pytest.raises(ConfigError, match="lookback"):
+        validate_config(cfg)
+
+
+def test_merge_environment_deep():
+    base = {"a": {"x": 1, "y": 2}, "b": [1, 2]}
+    out = merge_environment(base, {"a": {"y": 3, "z": 4}, "b": [9]})
+    assert out == {"a": {"x": 1, "y": 3, "z": 4}, "b": [9]}
+    assert base["a"]["y"] == 2  # no mutation
+
+
+def test_expand_env_vars():
+    cfg = {"path": "${DATA_ROOT}/t", "opt": "${MISSING:-fallback}", "n": 5}
+    out = expand_env_vars(cfg, {"DATA_ROOT": "/data"})
+    assert out == {"path": "/data/t", "opt": "fallback", "n": 5}
+    with pytest.raises(ConfigError, match="NOPE"):
+        expand_env_vars({"p": "${NOPE}"}, {})
+
+
+def test_migrate_v1_config():
+    v1 = {
+        "version": "1.0",
+        "pipeline": {"name": "p"},
+        "source": {"path": "x"},
+        "transformations": {
+            "column_mappings": {"a": "b"},
+            "type_casts": {"b": "long"},
+            "quality_filters": ["b > 0"],
+            "deduplication": {"key_columns": ["b"], "order_by": "b DESC"},
+        },
+    }
+    out = migrate_config(v1)
+    assert out["version"] == "2.0"
+    assert out["silver"]["renames"] == {"a": "b"}
+    assert out["silver"]["casts"] == {"b": "long"}
+    assert out["silver"]["filters"] == ["b > 0"]
+    assert out["silver"]["dedupe"]["keys"] == ["b"]
+    validate_config(out)
+
+
+def test_prepare_config_order(sf_dir):
+    cfg = events_config(sf_dir)
+    cfg["source"]["path"] = "${SF_DIR}/orders.parquet"
+    out = prepare_config(cfg, {"pipeline": {"name": "overridden"}}, {"SF_DIR": sf_dir})
+    assert out["pipeline"]["name"] == "overridden"
+    assert out["source"]["path"] == f"{sf_dir}/orders.parquet"
+
+
+# -- compiler ----------------------------------------------------------------
+
+
+def test_compile_pipeline_gold_matches_sql(spark, sf_dir):
+    plan = compile_pipeline(spark, events_config(sf_dir))
+    assert set(plan.gold) == {"monthly_order_stats"}
+    assert plan.applied_confs.get("spark.sql.shuffle.partitions") == "8"
+
+    got = {
+        (r.order_year, r.order_month, r.o_orderstatus): (r.order_cnt, r.total_amount)
+        for r in plan.gold["monthly_order_stats"].collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want_df = (
+        orders.filter("o_totalprice > 0")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("amt"),
+        )
+    )
+    want = {(r.y, r.m, r.o_orderstatus): (r.cnt, r.amt) for r in want_df.collect()}
+    assert got == want
+
+
+def test_run_pipeline_full_and_incremental_equivalent(spark, sf_dir, tmp_path):
+    cfg = events_config(sf_dir)
+    plan = compile_pipeline(spark, cfg)
+
+    full_wh = str(tmp_path / "wh_full")
+    run_pipeline(spark, plan, full_wh, incremental=False)
+    full = spark.read.parquet(f"{full_wh}/gold/monthly_order_stats")
+
+    # incremental over an existing table: overwrite only lookback partitions
+    inc_wh = str(tmp_path / "wh_inc")
+    run_pipeline(spark, plan, inc_wh, incremental=False)  # seed
+    run_pipeline(spark, plan, inc_wh, incremental=True)   # M1 rerun
+    inc = spark.read.parquet(f"{inc_wh}/gold/monthly_order_stats")
+
+    assert full.count() == inc.count()
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+
+    # silver partitioned layout exists (year=... dirs)
+    import glob
+
+    assert glob.glob(f"{full_wh}/silver/events_pipeline/order_year=*")
+
+
+# -- lineage -----------------------------------------------------------------
+
+
+def test_column_lineage_edges(sf_dir):
+    edges = column_lineage(events_config(sf_dir))
+    by_type = {}
+    for e in edges:
+        by_type.setdefault(e["edge_type"], []).append(
+            (e["source_column"], e["target_column"])
+        )
+    assert ("o_orderdate", "order_date") in by_type["RENAME"]
+    assert ("o_custkey", "o_custkey") in by_type["CAST"]
+    assert ("order_date", "order_year") in by_type["DERIVE"]
+
+
+def test_impact_bfs_and_event_query(spark):
+    tr = LineageTracker("p")
+    tr.record("ingestion", layer="bronze", source_table="src", target_table="bronze.t",
+              rows_in=100, rows_out=100)
+    tr.record("transformation", layer="silver", source_table="bronze.t",
+              target_table="silver.t", rows_in=100, rows_out=90)
+    tr.record("aggregation", layer="gold", source_table="silver.t",
+              target_table="gold.m1", rows_in=90, rows_out=10)
+    tr.record("aggregation", layer="gold", source_table="silver.t",
+              target_table="gold.m2", rows_in=90, rows_out=5)
+
+    assert downstream_impact(tr.events, "bronze.t") == ["silver.t", "gold.m1", "gold.m2"]
+    assert upstream_sources(tr.events, "gold.m1") == ["silver.t", "bronze.t", "src"]
+
+    df = tr.to_df(spark)
+    assert df.count() == 4
+    hits = query_events(df, "silver.t")
+    assert hits.count() == 3  # as source twice + as target once
+    assert tr.events[1]["row_delta"] == -10
