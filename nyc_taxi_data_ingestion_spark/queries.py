@@ -1430,6 +1430,110 @@ def q_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_events(tr.to_df(spark), "silver.orders")
 
 
+# ---------------------------------------------------------------------------
+# Batch 6 — Structured Streaming (extension; reference is batch-only,
+# SURVEY §2.12). Deterministic Trigger.AvailableNow runs make streaming
+# aggregates oracle-comparable to batch SQL — Spark's own batch-parity
+# contract, checked cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage `events` as normal-μs-timestamp parquet (streaming schemas
+    can't express the raw TIMESTAMP(NANOS)); cached per (session, sf)."""
+    import os
+    import tempfile
+
+    key = f"spark_graft_events_{abs(hash(sf_dir))}"
+    path = os.path.join(tempfile.gettempdir(), key)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        _t(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_tumbling_agg", _STREAM_TUMBLING_ORACLE, tags=["streaming"])
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time window over a file-source STREAM, run
+    to completion with AvailableNow. Epoch-aligned windows ≡ batch
+    date_trunc — the oracle checks streaming results against batch SQL."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        tumbling_aggregate,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema)
+    agg = tumbling_aggregate(
+        stream,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("cnt"), dsum("value").alias("total_value")],
+        watermark_delay="1 minute",
+    )
+    return run_available_now(agg, "q_stream_tumbling", output_mode="complete")
+
+
+_STREAM_SESSION_ORACLE = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS event_cnt,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_windows", _STREAM_SESSION_ORACLE, tags=["streaming"])
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user over a STREAM — dynamic
+    unaligned windows with watermarked state. The oracle reproduces the
+    semantics with gaps-and-islands SQL (LAG + running break-sum):
+    session_end = last event + gap, new session at diff ≥ gap."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        session_windows,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema)
+    sess = session_windows(
+        stream, "ts", "30 minutes", ["user_id"], watermark_delay="1 minute"
+    )
+    return run_available_now(sess, "q_stream_sessions", output_mode="complete")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,21 @@
+"""Structured Streaming surface (extension — SURVEY §2.12: the
+reference is batch-only; `kafka` exists only as a config enum with no
+implementation, `lakehouse_config_schema_v1.json`).
+
+Design: the same Silver transform chain and Gold aggregates run over
+``readStream`` sources; watermarks bound state; tumbling/sliding/
+session windows cover the time-series rollups a streaming deployment
+of the reference would need. Every operator is testable deterministically
+with ``Trigger.AvailableNow`` (process-everything-then-stop), which also
+makes the streaming results oracle-comparable to batch SQL.
+"""
+
+from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
+    read_parquet_stream,
+    run_available_now,
+    silver_stream,
+    sliding_counts,
+    session_windows,
+    stream_dedupe,
+    tumbling_aggregate,
+)

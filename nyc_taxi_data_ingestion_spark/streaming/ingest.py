@@ -1,0 +1,187 @@
+"""Streaming ingest + windowed aggregation operators.
+
+The batch Silver chain (operators/transform.py) is plan-builders only,
+so it applies to streaming DataFrames unchanged — rename/cast/derive/
+filter are stateless; dedupe swaps row_number for
+``dropDuplicatesWithinWatermark`` (bounded state). Aggregations use
+event-time windows + watermarks so state is evictable at scale.
+
+Scale notes (1000-executor deployment):
+- watermark delay bounds state size: state per key-window is dropped
+  once the watermark passes window end.
+- file-source streams parallelize by file; Kafka streams by partition —
+  ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` throttle microbatches.
+- ``Trigger.AvailableNow`` gives deterministic batch-parity runs (used
+  by the oracle checks); production uses processingTime triggers.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet directory. Streaming reads
+    require an explicit schema (no inference race on new files)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def silver_stream(
+    df: DataFrame,
+    renames: dict | None = None,
+    casts: dict | None = None,
+    derived: dict | None = None,
+    filters: list | None = None,
+    watermark: tuple[str, str] | None = None,
+    dedupe_keys: list[str] | None = None,
+) -> DataFrame:
+    """The Silver chain on a stream. Stateless steps are shared with the
+    batch implementation verbatim; dedupe becomes
+    ``dropDuplicatesWithinWatermark`` (keep-first within the watermark
+    horizon — bounded-state analogue of W1's row_number keep-first)."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        apply_transformations,
+    )
+
+    df = apply_transformations(
+        df, renames=renames, casts=casts, derived=derived, filters=filters
+    )
+    if watermark:
+        col, delay = watermark
+        df = df.withWatermark(col, delay)
+    if dedupe_keys:
+        df = df.dropDuplicatesWithinWatermark(dedupe_keys)
+    return df
+
+
+def stream_dedupe(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """W1 streaming analogue: keep-first per key within the watermark."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def tumbling_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    keys: list[str],
+    aggs: list,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with watermark. Output
+    columns: window_start, window_end, *keys, *aggs."""
+    out = (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide_duration: str,
+    keys: list[str],
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window counts (overlapping windows — each event lands in
+    window/slide buckets)."""
+    out = (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration), *keys
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        "cnt",
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Session windows: events within `gap` of each other merge into one
+    session per key (built-in ``session_window`` — dynamic, unaligned
+    windows; state evicted past the watermark)."""
+    out = (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(
+            F.count("*").alias("event_cnt"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        "event_cnt",
+        "first_event",
+        "last_event",
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming plan to completion with Trigger.AvailableNow
+    into an in-memory sink, returning the result as a batch DataFrame.
+
+    This is the deterministic harness: process every available input,
+    then stop — so a streaming aggregate can be compared 1:1 against
+    its batch/oracle equivalent. Production code would writeStream to
+    parquet/Kafka with a processingTime trigger instead.
+    """
+    import uuid
+
+    # memory-sink tables are session-global; suffix so reruns of the
+    # same named query don't collide
+    qname = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {qname} did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return stream_df.sparkSession.table(qname)

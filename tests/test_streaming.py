@@ -1,0 +1,102 @@
+"""Structured Streaming tests — every streaming plan is run to
+completion with Trigger.AvailableNow and compared against its batch
+equivalent (batch-parity is Spark's own correctness contract for
+streaming aggregations)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+from nyc_taxi_data_ingestion_spark.streaming import (
+    read_parquet_stream,
+    run_available_now,
+    session_windows,
+    silver_stream,
+    stream_dedupe,
+    tumbling_aggregate,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-staged as a normal-timestamp parquet dir (the raw
+    testdata uses TIMESTAMP(NANOS), which streaming schemas can't
+    express)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, sf_dir, "events").write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def test_tumbling_aggregate_matches_batch(spark, events_dir, events_schema):
+    stream = read_parquet_stream(spark, events_dir, events_schema)
+    agg = tumbling_aggregate(
+        stream,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("cnt")],
+        watermark_delay="1 minute",
+    )
+    got = run_available_now(agg, "tumbling_test", output_mode="complete")
+
+    batch = spark.read.parquet(events_dir)
+    want = (
+        batch.groupBy(
+            F.date_trunc("day", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    g = {(r.window_start, r.event_type): r.cnt for r in got.collect()}
+    w = {(r.window_start, r.event_type): r.cnt for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_session_windows_semantics(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),   # same session (gap 30m)
+        (1, "2024-01-01 11:00:00"),   # new session (50m gap)
+        (2, "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = (
+        session_windows(df, "ts", "30 minutes", ["user_id"])
+        .orderBy("user_id", "session_start")
+        .collect()
+    )
+    assert [(r.user_id, r.event_cnt) for r in out] == [(1, 2), (1, 1), (2, 1)]
+    # session end = last event + gap
+    assert out[0].session_end == out[0].last_event.replace(minute=40)
+
+
+def test_stream_dedupe_and_silver_chain(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    rows = [(1, "a", "2024-01-01 10:00:00"), (1, "a", "2024-01-01 10:00:05"),
+            (2, "b", "2024-01-01 10:01:00")]
+    (
+        spark.createDataFrame(rows, "k long, v string, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema)
+    sil = silver_stream(
+        stream,
+        renames={"v": "val"},
+        derived={"k2": "k * 2"},
+        filters=["k IS NOT NULL"],
+        watermark=("ts", "10 minutes"),
+        dedupe_keys=["k"],
+    )
+    got = run_available_now(sil, "dedupe_test", output_mode="append")
+    assert got.count() == 2
+    assert set(got.columns) == {"k", "val", "ts", "k2"}
