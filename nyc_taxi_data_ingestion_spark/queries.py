@@ -1534,6 +1534,104 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(sess, "q_stream_sessions", output_mode="complete")
 
 
+# ---------------------------------------------------------------------------
+# Batch 7 — error capture + DQ orchestration (Q15/Q16)
+# ---------------------------------------------------------------------------
+
+_ERROR_CAPTURE_ORACLE = """
+SELECT 'silver' AS layer,
+       'orders' AS table_name,
+       'totalprice_range' AS check_name,
+       'range_check' AS check_type,
+       'o_totalprice' AS column_name,
+       'row_level' AS error_type,
+       'row failed totalprice_range' AS error_message,
+       'high' AS severity,
+       o_orderkey AS failing_key
+FROM orders
+WHERE o_totalprice > 400000
+"""
+
+
+@register("error_capture", _ERROR_CAPTURE_ORACLE, tags=["Q15"])
+def q_error_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 — row-level error capture for a failing range check
+    (error_tracking.py:98-209 analogue). sample_limit is set above the
+    failing-row count so the capture is the complete, deterministic
+    error set; uuid/timestamp audit columns are projected out for the
+    cross-engine compare (pytest covers them)."""
+    from nyc_taxi_data_ingestion_spark.quality.errors import capture_errors
+
+    orders = _t(spark, sf_dir, "orders")
+    errs = capture_errors(
+        orders.withColumn("failing_key", F.col("o_orderkey")),
+        F.col("o_totalprice") > 400000,
+        layer="silver",
+        table_name="orders",
+        check_name="totalprice_range",
+        check_type="range_check",
+        column_name="o_totalprice",
+        severity="high",
+        sample_limit=10_000_000,
+    )
+    key = F.get_json_object(F.col("row_data"), "$.failing_key").cast("long")
+    return errs.select(
+        "layer",
+        "table_name",
+        "check_name",
+        "check_type",
+        "column_name",
+        "error_type",
+        "error_message",
+        "severity",
+        key.alias("failing_key"),
+    )
+
+
+@register("dq_orchestration", None, tags=["Q16", "Q14"])
+def q_dq_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — full validate_table pipeline (counts → checks →
+    expectations → anomaly → weighted score, orchestrator.py:74-197
+    analogue) over `lineitem`, reported as one row per component.
+    Rows-only: the report is driver-side composite scoring."""
+    from nyc_taxi_data_ingestion_spark.quality.checks import NullCheck, RangeCheck
+    from nyc_taxi_data_ingestion_spark.quality.expectations import Expectation
+    from nyc_taxi_data_ingestion_spark.quality.orchestrator import (
+        ValidationConfig,
+        validate_table,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    report = validate_table(
+        li,
+        ValidationConfig(
+            checks=[
+                NullCheck("l_orderkey"),
+                NullCheck("l_quantity"),
+                RangeCheck("l_quantity", 0, 60),
+                RangeCheck("l_discount", 0, 0.11),
+            ],
+            expectations=[
+                Expectation("not_null", "l_shipdate"),
+                Expectation("between", "l_tax", min_value=0, max_value=0.09),
+            ],
+            anomaly_columns=["l_extendedprice"],
+        ),
+        table_name="lineitem",
+    )
+    rows = [
+        ("passed", float(report["passed"])),
+        ("score", float(report["score"]["score"])),
+        ("checks_passed", float(report["checks"]["passed"])),
+        ("expectations_success", float(report["expectations"]["success"])),
+        (
+            "anomaly_outliers_l_extendedprice",
+            float(report["anomalies"]["l_extendedprice"]["count"]),
+        ),
+    ]
+    return spark.createDataFrame(rows, "component string, value double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
