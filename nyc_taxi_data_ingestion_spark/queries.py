@@ -1178,13 +1178,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-        _norm(F.col("embedding"), 64).alias("na"),
+        _norm(F.col("embedding")).alias("na"),
     ).repartition(par)
     b = F.broadcast(
         emb.select(
             F.col("vec_id").alias("id_b"),
             F.col("embedding").alias("vb"),
-            _norm(F.col("embedding"), 64).alias("nb"),
+            _norm(F.col("embedding")).alias("nb"),
         )
     )
     return (
@@ -1192,7 +1192,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb"), 64) / (F.col("na") * F.col("nb"))).alias(
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
                 "cosine_full"
             ),
         )
