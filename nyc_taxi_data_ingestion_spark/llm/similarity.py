@@ -11,9 +11,10 @@ Scale design:
   the query side is broadcast explicitly here.
 - LSH reduces the candidate set to same-bucket pairs; signature
   computation is a narrow map; only (bucket, id, vec) shuffles.
-- For 100 TB-scale corpora the natural extension is IVF: k-means
-  centroids (Spark ML KMeans), assign each vector to nearest centroid
-  partitions, search only the probed cells. Same join shape as LSH.
+- IVF (``ivf_topk``): k-means centroids trained on a bounded
+  deterministic sample driver-side (how production IVF indexes train at
+  any scale), then distributed Arrow-batched cell assignment and a
+  cell-key equi-join — only probed cells are scored.
 """
 
 from __future__ import annotations
@@ -258,4 +259,120 @@ def embedding_near_dups(
             (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> "np.ndarray":
+    """Lloyd's k-means on a bounded deterministic sample, driver-side.
+
+    IVF indexes train centroids on a sample at every scale (FAISS
+    trains on ~max(10k, 256·cells) vectors even for billion-vector
+    indexes) — the distributed part of IVF is assignment, not training.
+    The sample is the `sample` lowest xxhash64(id, seed) rows: stable
+    under partitioning, re-runs, and engine versions."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(num_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def _nearest_cells_udf(cent: "np.ndarray", nprobe: int):
+    """pandas_udf: vector -> array of the nprobe nearest centroid ids
+    (L2), Arrow-batched matmul against the centroid matrix."""
+    c2 = (cent**2).sum(axis=1)  # ||c||² per centroid
+
+    @F.pandas_udf("array<int>")
+    def cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        # argmin ||x-c||² = argmin ||c||² - 2x·c  (||x||² is pair-invariant)
+        d = c2[None, :] - 2.0 * (x @ cent.T)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF index: corpus vectors live in
+    their nearest-centroid cell; each query scores only its `nprobe`
+    nearest cells. Recall/cost dial is nprobe/num_cells (nprobe =
+    num_cells ⇒ exact). Same output schema as brute_force_topk.
+
+    Scale shape: training is sample-bounded; assignment is a narrow
+    Arrow-batched map; the only wide op is the (cell)-keyed equi-join,
+    so cost is |corpus|·nprobe/num_cells candidate rows, not |Q|·|N|."""
+    from pyspark.sql import Window
+
+    cent = train_centroids(
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    assign1 = _nearest_cells_udf(cent, 1)
+    probe = _nearest_cells_udf(cent, nprobe)
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -114,6 +114,51 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-char gram of the normalized text, slide a window of
+    `window` consecutive gram hashes, keep each window's minimum, and
+    emit the distinct selected hashes per document. Robust to
+    insertions/reordering in a way a whole-document hash is not — two
+    documents sharing enough fingerprints share content.
+
+    Returns (id_col, fp). Engine-portable: md5 hex compares
+    lexicographically the same everywhere, so the selection is
+    reproducible in any SQL engine for reconciliation.
+
+    Scale shape: gram explode is a narrow map; the window-min
+    partitions by document (no global sort); output is bounded by
+    ~grams/window fingerprints per doc."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import spread
+
+    df = spread(df)
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substr(norm, i, F.lit(k))
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(grams).alias("__i", "__g")
+    ).select(id_col, "__i", F.md5("__g").alias("__h"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return ex.select(
+        F.col(id_col), F.min("__h").over(w).alias("fp")
+    ).distinct()
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis bundle as columns."""
     return df.withColumns(

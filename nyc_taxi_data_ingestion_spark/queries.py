@@ -1068,6 +1068,40 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i,
+         md5(substr(norm, CAST(i AS INT), 8)) AS h
+  FROM d,
+       LATERAL (SELECT unnest(range(1, greatest(length(norm) - 8 + 1, 1) + 1)) AS i) t
+),
+w AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM w
+"""
+
+
+@register("doc_fingerprints", _WINNOW_ORACLE, tags=["llm-text"])
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char grams, window=4):
+    the content-overlap fingerprint a whole-doc hash can't give
+    (llm/text.winnow_fingerprints). md5 hex min-selection is
+    engine-portable, so the full fingerprint SET is oracle-checked."""
+    from nyc_taxi_data_ingestion_spark.llm.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
 def _langid_oracle() -> str:
     from nyc_taxi_data_ingestion_spark.llm.text import STOPWORDS
 
@@ -1293,6 +1327,19 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(q, emb, k=5, num_planes=4)
+
+
+@register("ivf_topk", None, tags=["llm-similarity"])
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: sample-trained k-means centroids, Arrow
+    cell assignment, nprobe cell-key join (llm/similarity.ivf_topk).
+    Rows-only (k-means isn't SQL-expressible); recall vs the exact
+    embedding_topk is asserted in tests."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(q, emb, k=5, num_cells=16, nprobe=4)
 
 
 @register("multimodal_features", None, tags=["llm-multimodal"])

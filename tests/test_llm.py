@@ -97,6 +97,54 @@ def test_lsh_topk_recall(emb):
     assert approx.count() <= 50
 
 
+def test_ivf_topk_recall(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    approx = ivf_topk(q, emb, k=5, num_cells=16, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # probing 4/16 cells; near neighbors concentrate in nearby cells
+    assert len(a & e) / len(e) >= 0.3
+    assert approx.count() <= 50
+
+
+def test_ivf_full_probe_is_exact(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, emb, k=5)
+    full = ivf_topk(q, emb, k=5, num_cells=8, nprobe=8)
+    e = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    # nprobe == num_cells degenerates to exact search
+    assert a == e
+
+
+def test_winnow_fingerprints_detect_overlap(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, shared + " and then some unique tail one"),
+        (2, shared + " with a different unique ending two"),
+        (3, "completely unrelated text about spark query planning internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=8, window=4)
+    by_doc = {
+        r.doc_id: set()
+        for r in df.select("doc_id").collect()
+    }
+    for r in fp.collect():
+        by_doc[r.doc_id].add(r.fp)
+    j12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1] | by_doc[2])
+    j13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    assert j12 > 0.3  # shared prefix dominates the fingerprint sets
+    assert j13 < 0.1  # unrelated docs share ~nothing
+
+
 def test_embedding_near_dups_lsh_subset_of_exact(emb):
     lsh = embedding_near_dups(emb, threshold=0.4, num_planes=4)
     rows = lsh.collect()
