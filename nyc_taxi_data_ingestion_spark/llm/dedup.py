@@ -192,36 +192,48 @@ def jaccard_verify(
     CodegenFallback) shingle expression runs — shingle sets are built
     for candidates only, the classic candidates ≪ n LSH contract.
 
-    ``pairs`` and the member shingle sets are persisted: the plan
-    references pairs three times (edge base + both member_ids legs) and
-    the shingle sets twice (sh_a, sh_b) — without a persist each
-    reference re-executes the full upstream LSH pipeline. Both are
-    candidate-bounded (≪ corpus), so the cache is small by contract."""
+    ``pairs`` and the member shingle sets are persisted WITHIN this
+    call: the plan references pairs three times (edge base + both
+    member_ids legs) and the shingle sets twice (sh_a, sh_b) — without
+    a persist each reference re-executes the full upstream LSH
+    pipeline. The verified edge list (≪ candidates ≪ corpus) is
+    eagerly localCheckpoint-ed so both caches can be released before
+    returning — a long-lived session (bench.py runs the whole
+    registry) must not accumulate cached blocks across queries."""
     pairs = pairs.persist()
-    member_ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .union(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    sh = (
-        spread(df).join(
-            F.broadcast(member_ids),
-            df[id_col] == member_ids["__id"],
-            "left_semi",
+    sh = None
+    try:
+        member_ids = (
+            pairs.select(F.col("id_a").alias("__id"))
+            .union(pairs.select(F.col("id_b").alias("__id")))
+            .distinct()
         )
-        .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
-    ).persist()
-    withs = (
-        pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
-    return (
-        withs.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sh = (
+            spread(df).join(
+                F.broadcast(member_ids),
+                df[id_col] == member_ids["__id"],
+                "left_semi",
+            )
+            .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+        ).persist()
+        withs = (
+            pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+        result = (
+            withs.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # eager: materializes the small edge list and truncates lineage,
+        # so the persisted inputs are no longer referenced by its plan
+        return result.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+        if sh is not None:
+            sh.unpersist()
 
 
 def minhash_dedup(

@@ -97,35 +97,41 @@ def extract_features(
 
     The mapInPandas shape (iterator of batches in, iterator out) is the
     real production plumbing: decode happens executor-side, vectorized
-    per Arrow batch, with bounded memory.
+    per Arrow batch, with bounded memory. ``batch_hint`` bounds the
+    number of rows decoded/held per output batch inside the worker
+    (the incoming Arrow batch size stays at the session default; for
+    genuinely multi-MB blobs also lower
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` at session setup —
+    we deliberately do NOT mutate the live session conf here, since
+    mapInPandas is lazy and a set-here would leak to every later Arrow
+    operation in the session).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = batch_hint or 1024
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": [
-                        len(p) if p is not None else 0 for p in pdf["payload"]
-                    ],
-                    "sha256": [
-                        hashlib.sha256(p).hexdigest() if p is not None else None
-                        for p in pdf["payload"]
-                    ],
-                    "feature": [
-                        decode_fn(p, mt)
-                        for p, mt in zip(pdf["payload"], pdf["media_type"])
-                    ],
-                }
-            )
-            yield out
+            for lo in range(0, len(pdf), step):
+                chunk = pdf.iloc[lo : lo + step]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "media_type": chunk["media_type"],
+                        "byte_len": [
+                            len(p) if p is not None else 0
+                            for p in chunk["payload"]
+                        ],
+                        "sha256": [
+                            hashlib.sha256(p).hexdigest() if p is not None else None
+                            for p in chunk["payload"]
+                        ],
+                        "feature": [
+                            decode_fn(p, mt)
+                            for p, mt in zip(chunk["payload"], chunk["media_type"])
+                        ],
+                    }
+                )
 
     spark = media.sparkSession
-    if batch_hint:
-        spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
-        )
     # one Python worker per core — a single-file source would otherwise
     # feed one serial worker
     media = media.repartition(spark.sparkContext.defaultParallelism)

@@ -226,33 +226,50 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     buckets + exact cosine verify. Returns (id_a, id_b,
-    cosine_sim ≥ threshold), each pair once."""
+    cosine_sim ≥ threshold), each pair once.
+
+    Shuffle discipline (the 100 TB contract): the bucket self-join and
+    the cross-table pair dedup move ONLY (table, bucket, id) and
+    (id_a, id_b) tuples — never vectors. Vectors and their
+    once-per-vector norms are attached to the deduped candidate list
+    by two id equi-joins afterwards (auto-broadcast when the vector
+    table is small; AQE picks a shuffle-hash join at scale). The
+    earlier form carried two 64-float vectors through the dedup
+    shuffle — ~60× more shuffle bytes per candidate pair.
+
+    Recall/cost dial: p(collide|cos s) = (1 − arccos(s)/π)^planes per
+    table, OR-amplified over tables; fewer planes → higher recall AND
+    more noise candidates. For true near-dup thresholds (≥0.9) use
+    12-16 planes; moderate thresholds need fewer planes and pay a
+    higher candidate rate."""
     bk = table_buckets_arrow(dim, num_planes, num_tables, seed)
-    v = df.repartition(
+    ids = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     ).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        _norm(F.col(vec_col)).alias("__nrm"),
         F.posexplode(bk(F.col(vec_col))).alias("table", "bucket"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    return (
+    a, b = ids.alias("a"), ids.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__vec").alias("__va"),
-            F.col("b.__vec").alias("__vb"),
-            F.col("a.__nrm").alias("__na"),
-            F.col("b.__nrm").alias("__nb"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__nrm"),
+    )
+    va = vecs.withColumnsRenamed({"__vid": "id_a", "__vec": "__va", "__nrm": "__na"})
+    vb = vecs.withColumnsRenamed({"__vid": "id_b", "__vec": "__vb", "__nrm": "__nb"})
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -49,10 +49,17 @@ def _severity(z_expr, thresholds=(3.0, 4.0, 5.0)):
 
 
 def zscore_anomalies(
-    df: DataFrame, column: str, k: float = 3.0, sample_limit: int = 100
+    df: DataFrame,
+    column: str,
+    k: float = 3.0,
+    sample_limit: int = 100,
+    with_sample: bool = True,
 ) -> dict[str, Any]:
     """Q4 — rows outside mean ± k·stddev with severity tiers
-    (anomaly_detection.py:64-137). Two jobs: stats, then filter+limit."""
+    (anomaly_detection.py:64-137). Two jobs: stats, then ONE pass over
+    the filter (count via the collected sample when it fits in the
+    limit, else one extra count job). ``with_sample=False`` skips the
+    sample collection entirely — orchestration only needs the count."""
     stats = _exact_stats(df, column)
     mean, std = stats["mean"], stats["stddev"]
     if not std or std != std:  # zero/NaN stddev → no anomalies definable
@@ -63,14 +70,19 @@ def zscore_anomalies(
     outliers = df.filter((c < lower) | (c > upper)).withColumn(
         "severity", _severity(z, (k, k + 1, k + 2))
     )
-    count = outliers.count()
-    sample = [r.asDict() for r in outliers.limit(sample_limit).collect()]
-    return {
-        "stats": stats,
-        "bounds": (lower, upper),
-        "count": count,
-        "sample": sample,
-    }
+    result: dict[str, Any] = {"stats": stats, "bounds": (lower, upper)}
+    if not with_sample:
+        result["count"] = outliers.count()
+        result["sample"] = []
+        return result
+    sample = [r.asDict() for r in outliers.limit(sample_limit + 1).collect()]
+    if len(sample) <= sample_limit:
+        result["count"] = len(sample)  # sample is exhaustive — no count job
+    else:
+        sample = sample[:sample_limit]
+        result["count"] = outliers.count()
+    result["sample"] = sample
+    return result
 
 
 def iqr_anomalies(

@@ -56,7 +56,9 @@ def validate_table(
     report["anomalies"] = {
         col: {
             k: v
-            for k, v in zscore_anomalies(df, col, config.zscore_k).items()
+            for k, v in zscore_anomalies(
+                df, col, config.zscore_k, with_sample=False
+            ).items()
             if k != "sample"
         }
         for col in config.anomaly_columns

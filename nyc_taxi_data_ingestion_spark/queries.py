@@ -63,7 +63,7 @@ SELECT * FROM (
          CAST(year(ts) AS INT) AS event_year,
          CAST(month(ts) AS INT) AS event_month,
          CAST(hour(ts) AS INT) AS hour_of_day,
-         CAST(value AS DECIMAL(10,2)) AS amount_dec
+         CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS amount_dec
   FROM events
   WHERE value IS NOT NULL AND value > 0
 )
@@ -85,7 +85,9 @@ def q_silver_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_year": "CAST(year(event_ts) AS INT)",
             "event_month": "CAST(month(event_ts) AS INT)",
             "hour_of_day": "CAST(hour(event_ts) AS INT)",
-            "amount_dec": "CAST(amount AS DECIMAL(10,2))",
+            # DOUBLE after the DECIMAL(10,2) round so Spark and DuckDB
+            # canonicalize identically (Decimal('82.60') vs float 82.6).
+            "amount_dec": "CAST(CAST(amount AS DECIMAL(10,2)) AS DOUBLE)",
         },
         filters=["amount IS NOT NULL", "amount > 0"],
         dedupe_keys=["user_id", "event_type"],
@@ -1195,11 +1197,28 @@ FROM pairs WHERE cosine_sim >= 0.4
 """
 
 
-@register("embedding_near_dup", _EMB_NEAR_DUP_ORACLE, tags=["llm-similarity", "llm-dedup"])
+@register("embedding_near_dup", None, tags=["llm-similarity", "llm-dedup"])
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact (brute force) for oracle
-    parity; llm/similarity.embedding_near_dups is the LSH-bucketed
-    scale path (see lsh_topk rows-only query)."""
+    """Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path
+    (multi-table sign buckets + exact cosine verify on candidates
+    only; no O(N²) cross product in the plan). Rows-only driver check;
+    recall vs the exact form (`embedding_near_dup_exact`, the oracle
+    twin) is asserted in tests — the same twin structure
+    minhash_near_dup/blocked_jaccard use."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.4, num_planes=4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 8).alias("cosine_sim")
+    )
+
+
+@register("embedding_near_dup_exact", _EMB_NEAR_DUP_ORACLE, tags=["llm-similarity", "llm-dedup"])
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (broadcast brute force) —
+    the oracle-parity twin of embedding_near_dup. Correct tool only
+    when one side broadcasts; the LSH form is the default at scale."""
     from nyc_taxi_data_ingestion_spark.llm.similarity import _dot, _norm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1346,14 +1365,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
     payloads (STUB decoder — deterministic byte-bucket features; the
-    batching/schema plumbing is the real production shape)."""
+    batching/schema plumbing is the real production shape). The
+    array<double> feature column is serialized to a JSON string for the
+    driver's pandas canonicalizer (lists aren't hashable/sortable);
+    programmatic users call llm.multimodal.extract_features directly
+    for the array form."""
     from nyc_taxi_data_ingestion_spark.llm.multimodal import (
         documents_as_media,
         extract_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs))
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "byte_len",
+        "sha256",
+        F.to_json(F.col("feature")).alias("feature_json"),
+    )
 
 
 # ---------------------------------------------------------------------------

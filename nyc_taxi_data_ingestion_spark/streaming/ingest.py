@@ -184,4 +184,11 @@ def run_available_now(
     finally:
         if q.isActive:
             q.stop()
-    return stream_df.sparkSession.table(qname)
+    spark = stream_df.sparkSession
+    # copy the result out of the memory sink and drop its temp view —
+    # memory-sink tables are session-global and would otherwise pin
+    # their rows for the life of the session (bench.py runs dozens of
+    # queries in one session; leaked sinks inflate later queries)
+    result = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    return result

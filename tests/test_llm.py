@@ -146,9 +146,38 @@ def test_winnow_fingerprints_detect_overlap(spark):
 
 
 def test_embedding_near_dups_lsh_subset_of_exact(emb):
-    lsh = embedding_near_dups(emb, threshold=0.4, num_planes=4)
-    rows = lsh.collect()
-    assert all(r.cosine_sim >= 0.4 for r in rows)
+    from nyc_taxi_data_ingestion_spark.llm.similarity import _dot, _norm
+
+    lsh_rows = embedding_near_dups(emb, threshold=0.4, num_planes=4).collect()
+    # every emitted pair is exactly verified ≥ threshold by construction
+    assert all(r.cosine_sim >= 0.4 for r in lsh_rows)
+    # recall vs the exact O(N²) form (the oracle twin of the registered
+    # embedding_near_dup query): multi-table OR-amplification at 4
+    # planes should recover most true pairs at this threshold
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("c"),
+        )
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    got = {(r.id_a, r.id_b) for r in lsh_rows}
+    assert exact and got
+    assert len(got & exact) / len(exact) >= 0.5
 
 
 def test_text_stats_bundle(docs):
