@@ -1709,6 +1709,77 @@ def q_dq_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "component string, value double")
 
 
+# ---------------------------------------------------------------------------
+# Batch 8 — Bronze source surface (S1/S2/S5/S6/S7)
+# ---------------------------------------------------------------------------
+
+_BRONZE_INGEST_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey,
+       'nation.csv' AS source_name,
+       2024 AS year, 1 AS month
+FROM nation
+"""
+
+
+@register("bronze_ingest", _BRONZE_INGEST_ORACLE, tags=["S1", "S2", "S5", "S6", "S7"])
+def q_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S5/S6/S7 — the reference's Bronze ingest chain
+    (ingest_to_iceberg.py:239-298): HTTP fetch → CSV parse →
+    all-null-column drop (:276-279) → ingestion-metadata columns
+    (:281-284) → partition-column injection (:287-290), re-expressed as
+    read_http (file:// URL into staging) → read_csv (schema inference)
+    → drop_all_null_columns (one aggregate pass) →
+    add_ingestion_metadata → inject_partition_columns.
+
+    The nation dim is round-tripped through a CSV staging file with an
+    injected all-NULL column so the drop step has real work; the
+    nondeterministic ``_ingestion_timestamp`` is projected out (pytest
+    covers it) and ``_source_file`` is reduced to its basename so the
+    result is path-independent.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.readers import (
+        drop_all_null_columns,
+        inject_partition_columns,
+        read_http,
+    )
+
+    nation = _t(spark, sf_dir, "nation").withColumn(
+        "dead_col", F.lit(None).cast("string")
+    )
+    staging = tempfile.mkdtemp(prefix="bronze_ingest_")
+    try:
+        out = os.path.join(staging, "csv_out")
+        nation.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        part = glob.glob(os.path.join(out, "part-*.csv"))[0]
+        src = os.path.join(staging, "nation.csv")
+        os.rename(part, src)
+
+        dl = os.path.join(staging, "dl")
+        os.makedirs(dl, exist_ok=True)
+        bronze = read_http(spark, f"file://{src}", fmt="csv", staging_dir=dl)
+        bronze = drop_all_null_columns(bronze)  # removes dead_col
+        bronze = inject_partition_columns(bronze, year=2024, month=1)
+        return (
+            bronze.select(
+                "n_nationkey",
+                "n_name",
+                "n_regionkey",
+                F.element_at(F.split("_source_file", "/"), -1).alias("source_name"),
+                "year",
+                "month",
+            )
+            # materialize before the staging dir disappears
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

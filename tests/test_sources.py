@@ -1,0 +1,136 @@
+"""Bronze source-operator tests (SURVEY §2.1 S1-S7).
+
+Parity target: the reference's ingest chain
+``bronze/ingestors/ingest_to_iceberg.py:239-298`` (HTTP fetch, CSV
+parse, all-null drop :276-279, metadata columns :281-284, partition
+injection :287-290).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_data_ingestion_spark.sources.readers import (
+    add_ingestion_metadata,
+    drop_all_null_columns,
+    inject_partition_columns,
+    read_csv,
+    read_http,
+    read_parquet,
+)
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "zones.csv"
+    p.write_text(
+        "zone_id,zone_name,borough\n"
+        "1,Newark Airport,EWR\n"
+        '2,"Jamaica, Bay",Queens\n'
+        "3,Allerton,Bronx\n"
+    )
+    return str(p)
+
+
+def test_read_csv_inference_and_quoting(spark, csv_file):
+    df = read_csv(spark, csv_file)
+    assert df.count() == 3
+    assert dict(df.dtypes)["zone_id"] == "int"
+    # quoted embedded comma survives parsing
+    assert (
+        df.filter(F.col("zone_id") == 2).first().zone_name == "Jamaica, Bay"
+    )
+
+
+def test_read_csv_explicit_schema(spark, csv_file):
+    schema = T.StructType(
+        [
+            T.StructField("zone_id", T.LongType()),
+            T.StructField("zone_name", T.StringType()),
+            T.StructField("borough", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, csv_file, schema=schema)
+    assert dict(df.dtypes)["zone_id"] == "bigint"
+    assert df.count() == 3
+
+
+def test_read_http_csv_file_url(spark, csv_file, tmp_path):
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    df = read_http(
+        spark, f"file://{csv_file}", fmt="csv", staging_dir=str(staging)
+    )
+    # S6 metadata attached by the ingest path
+    assert "_ingestion_timestamp" in df.columns
+    assert "_source_file" in df.columns
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]._source_file == f"file://{csv_file}"
+    # the payload actually landed in the provided staging dir
+    assert os.listdir(str(staging)) == ["zones.csv"]
+
+
+def test_read_http_parquet_file_url(spark, sf_dir, tmp_path):
+    src = f"{sf_dir}/region.parquet"
+    df = read_http(spark, f"file://{src}", staging_dir=str(tmp_path))
+    assert df.count() == read_parquet(spark, src).count()
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, None, "a"), (2, None, None, None)],
+        "id int, dead1 string, dead2 int, partial string",
+    )
+    out = drop_all_null_columns(df)
+    # all-null columns dropped, partially-null kept (reference drops
+    # only fully-empty columns, ingest_to_iceberg.py:276-279)
+    assert out.columns == ["id", "partial"]
+
+
+def test_drop_all_null_columns_noop(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    assert drop_all_null_columns(df) is df
+
+
+def test_ingestion_metadata_and_partition_injection(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = inject_partition_columns(
+        add_ingestion_metadata(df, source="s3://bucket/file.parquet"),
+        year=2024,
+        month=3,
+    )
+    row = out.first()
+    assert row._source_file == "s3://bucket/file.parquet"
+    assert row._ingestion_timestamp is not None
+    assert (row.year, row.month) == (2024, 3)
+    assert dict(out.dtypes)["_ingestion_timestamp"] == "timestamp"
+
+
+def test_bronze_ingest_registry_query(spark, sf_dir):
+    """The registered bronze_ingest chain (S1+S2+S5+S6+S7) round-trips
+    the nation dim losslessly and drops the injected all-null column."""
+    from nyc_taxi_data_ingestion_spark.queries import REGISTRY
+
+    out = REGISTRY["bronze_ingest"].fn(spark, sf_dir)
+    assert out.columns == [
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        "source_name",
+        "year",
+        "month",
+    ]
+    rows = out.collect()
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    assert len(rows) == nation.count()
+    assert all(r.source_name == "nation.csv" for r in rows)
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in rows}
+    want = {
+        (r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()
+    }
+    assert got == want
