@@ -127,10 +127,17 @@ def rare_categories(
 
 
 def null_spike(
-    df: DataFrame, column: str, historical_rate: float = 0.05, factor: float = 2.0
+    df: DataFrame,
+    column: str,
+    historical_rate: float | None = None,
+    factor: float = 2.0,
 ) -> dict[str, Any]:
     """Q7 — current null rate vs historical × factor
-    (anomaly_detection.py:257-306)."""
+    (anomaly_detection.py:257-306). ``historical_rate=None`` falls back
+    to the reference's conservative 5% estimate (:278-280); callers with
+    a metrics store pass quality/store.historical_null_rate instead."""
+    if historical_rate is None:
+        historical_rate = 0.05
     row = df.agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(F.col(column).isNull(), 1)).alias("nulls"),

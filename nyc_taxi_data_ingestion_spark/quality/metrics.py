@@ -67,3 +67,42 @@ def validity_from_checks(metrics: dict[str, Any]) -> float:
     cells = total * len(bad_counts)
     bad = sum(bad_counts)
     return (cells - bad) / cells * 100.0
+
+
+def accuracy_from_reconciliation(
+    reconciliations: list[dict[str, Any]] | None,
+    anomaly_findings: int = 0,
+    total_rows: int = 0,
+) -> float:
+    """Accuracy % — share of passed cross-table reconciliation checks
+    (row_count / aggregation / key_integrity / completeness results from
+    quality/reconciliation.py) when any ran; cross-layer agreement is
+    the strongest accuracy signal available. Falls back to the
+    reference's anomaly-rate heuristic (``metrics.py:238-252``: each
+    finding assumed to affect ~100 rows, floor 50) when no
+    reconciliation was configured."""
+    if reconciliations:
+        passed = sum(1 for r in reconciliations if r.get("passed"))
+        return passed / len(reconciliations) * 100.0
+    if not total_rows:
+        return 100.0
+    estimated_affected = anomaly_findings * 100
+    if estimated_affected >= total_rows:
+        return 50.0
+    return max(50.0, 100.0 - estimated_affected / total_rows * 100.0)
+
+
+def timeliness_from_freshness(
+    freshness_hours: float | None = None,
+    ingestion_lag_seconds: float | None = None,
+) -> float:
+    """Timeliness % — the reference's deduction formula
+    (``metrics.py:256-270``): −2 points per hour of staleness past 24 h
+    (capped at 50), −0.1 per second of ingestion lag past 60 s (capped
+    at 25)."""
+    score = 100.0
+    if freshness_hours is not None and freshness_hours > 24:
+        score -= min(50.0, (freshness_hours - 24) * 2)
+    if ingestion_lag_seconds is not None and ingestion_lag_seconds > 60:
+        score -= min(25.0, (ingestion_lag_seconds - 60) / 10)
+    return max(0.0, score)

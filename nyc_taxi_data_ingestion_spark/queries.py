@@ -1667,18 +1667,32 @@ def q_error_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dq_orchestration", None, tags=["Q16", "Q14"])
 def q_dq_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q16 — full validate_table pipeline (counts → checks →
-    expectations → anomaly → weighted score, orchestrator.py:74-197
-    analogue) over `lineitem`, reported as one row per component.
-    Rows-only: the report is driver-side composite scoring."""
+    """Q16/Q14 — full validate_table pipeline (counts → checks →
+    expectations → anomaly → reconciliation-fed accuracy →
+    freshness-fed timeliness → five-component weighted score,
+    orchestrator.py:74-197 + metrics.py:178-270 analogue) over
+    `lineitem`, reported as one row per component. Rows-only: the
+    report is driver-side composite scoring. as_of is pinned so the
+    timeliness component is deterministic."""
+    import datetime as _dt
+
     from nyc_taxi_data_ingestion_spark.quality.checks import NullCheck, RangeCheck
     from nyc_taxi_data_ingestion_spark.quality.expectations import Expectation
     from nyc_taxi_data_ingestion_spark.quality.orchestrator import (
         ValidationConfig,
         validate_table,
     )
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import (
+        check_key_integrity,
+        check_row_count,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    recons = [
+        check_row_count(li, li),
+        check_key_integrity(li, orders, ["l_orderkey"], ["o_orderkey"]),
+    ]
     report = validate_table(
         li,
         ValidationConfig(
@@ -1693,17 +1707,31 @@ def q_dq_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Expectation("between", "l_tax", min_value=0, max_value=0.09),
             ],
             anomaly_columns=["l_extendedprice"],
+            reconciliations=recons,
+            timestamp_column="l_shipdate",
+            as_of=_dt.datetime(1999, 1, 1),
+            null_spike_columns=["l_returnflag"],
         ),
         table_name="lineitem",
     )
+    comps = report["score"]["components"]
     rows = [
         ("passed", float(report["passed"])),
         ("score", float(report["score"]["score"])),
+        ("score_completeness", float(comps["completeness"])),
+        ("score_validity", float(comps["validity"])),
+        ("score_consistency", float(comps["consistency"])),
+        ("score_accuracy", float(comps["accuracy"])),
+        ("score_timeliness", float(comps["timeliness"])),
         ("checks_passed", float(report["checks"]["passed"])),
         ("expectations_success", float(report["expectations"]["success"])),
         (
             "anomaly_outliers_l_extendedprice",
             float(report["anomalies"]["l_extendedprice"]["count"]),
+        ),
+        (
+            "null_spike_l_returnflag",
+            float(report["null_spikes"]["l_returnflag"]["is_spike"]),
         ),
     ]
     return spark.createDataFrame(rows, "component string, value double")

@@ -184,3 +184,96 @@ def test_orchestrator(dirty):
     cfg.raise_on_failure = True
     with pytest.raises(ValidationError):
         validate_table(dirty, cfg, "dirty")
+
+
+def test_accuracy_and_timeliness_components():
+    from nyc_taxi_data_ingestion_spark.quality.metrics import (
+        accuracy_from_reconciliation,
+        timeliness_from_freshness,
+    )
+
+    # reconciliation-driven: share of passed checks
+    recons = [{"passed": True}, {"passed": True}, {"passed": False}]
+    assert accuracy_from_reconciliation(recons) == pytest.approx(200 / 3)
+    # fallback heuristic (metrics.py:238-252): ~100 rows per finding
+    assert accuracy_from_reconciliation(None, anomaly_findings=0, total_rows=1000) == 100.0
+    assert accuracy_from_reconciliation(None, anomaly_findings=1, total_rows=1000) == 90.0
+    assert accuracy_from_reconciliation(None, anomaly_findings=50, total_rows=1000) == 50.0
+
+    # freshness deductions (metrics.py:256-270)
+    assert timeliness_from_freshness(1.0) == 100.0
+    assert timeliness_from_freshness(34.0) == 80.0  # (34-24)*2 = 20 off
+    assert timeliness_from_freshness(10_000.0) == 50.0  # capped at -50
+    assert timeliness_from_freshness(1.0, ingestion_lag_seconds=160.0) == 90.0
+    assert timeliness_from_freshness(10_000.0, ingestion_lag_seconds=1e9) == 25.0
+
+
+def test_orchestrator_five_component_weighting(dirty):
+    """All five DEFAULT_WEIGHTS components computed, score = weighted sum."""
+    import datetime as dt
+
+    from nyc_taxi_data_ingestion_spark.quality.metrics import DEFAULT_WEIGHTS
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import check_row_count
+
+    ts_df = dirty.withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    cfg = ValidationConfig(
+        checks=[NullCheck("qty"), RangeCheck("amount", 0, 100)],
+        expectations=[Expectation("row_count_between", None, min_value=1)],
+        anomaly_columns=["amount"],
+        reconciliations=[check_row_count(ts_df, ts_df)],
+        timestamp_column="ts",
+        as_of=dt.datetime(2024, 1, 3),  # 48h stale → timeliness 52
+        null_spike_columns=["qty"],
+    )
+    report = validate_table(ts_df, cfg, "dirty")
+    comps = report["score"]["components"]
+    assert set(comps) == set(DEFAULT_WEIGHTS)
+    assert comps["accuracy"] == 100.0
+    assert comps["timeliness"] == pytest.approx(100 - (48 - 24) * 2)
+    expected = sum(comps[k] * w for k, w in DEFAULT_WEIGHTS.items())
+    assert report["score"]["score"] == pytest.approx(expected)
+    assert "qty" in report["null_spikes"]
+
+
+def test_metrics_store_roundtrip_and_history(dirty, tmp_path):
+    """Second run's null-spike consumes the first run's stored rate."""
+    import datetime as dt
+
+    from nyc_taxi_data_ingestion_spark.quality.store import (
+        historical_null_rate,
+        read_metrics,
+        save_report,
+    )
+
+    store = str(tmp_path / "dq_metrics")
+    spark = dirty.sparkSession
+    # store missing → no history
+    assert historical_null_rate(spark, store, "dirty", "qty") is None
+
+    cfg = ValidationConfig(
+        checks=[NullCheck("qty")],
+        null_spike_columns=["qty"],
+        metrics_store=store,
+        save_metrics=True,
+    )
+    r1 = validate_table(dirty, cfg, "dirty")
+    rate1 = r1["null_spikes"]["qty"]["null_rate"]
+    # first run had no history → reference's conservative 5% default
+    assert r1["null_spikes"]["qty"]["historical_rate"] == 0.05
+    assert rate1 > 0
+
+    hist = historical_null_rate(spark, store, "dirty", "qty")
+    assert hist == pytest.approx(rate1)
+
+    r2 = validate_table(dirty, cfg, "dirty")
+    # second run consumed the stored historical rate → same rate, no spike
+    assert r2["null_spikes"]["qty"]["historical_rate"] == pytest.approx(rate1)
+    assert not r2["null_spikes"]["qty"]["is_spike"]
+
+    stored = read_metrics(spark, store, table_name="dirty")
+    metrics_present = {r.metric for r in stored.collect()}
+    assert {"row_count", "null_rate", "quality_score", "passed"} <= metrics_present
+    # two runs appended
+    assert read_metrics(spark, store, metric="quality_score").count() == 2
