@@ -396,45 +396,76 @@ def blocked_jaccard_pairs(
     key bounds the pair count; otherwise prefer minhash_dedup.
     Returns (id_a, id_b, jaccard ≥ threshold).
 
-    Implemented as an inverted index: explode shingles, equi-join on
-    (block, shingle), count matches per pair = |A∩B|, then
-    |A∪B| = |A|+|B|−|A∩B| from the per-doc set sizes. Pairs sharing
-    zero shingles never materialize, and the per-pair work is a
-    counting aggregate instead of repeated array_intersect hash-set
-    builds (the naive broadcast-all-pairs form re-evaluates
-    array_intersect inside the join predicate — measured 10×+ slower).
-    All data movement is (block, shingle)-keyed shuffles, so the plan
-    scales out with executors rather than with the pair count."""
-    assert threshold > 0.0, "inverted-index form requires threshold > 0"
+    Implemented as df-ordered PREFIX FILTERING (the AllPairs/PPJoin
+    candidate rule): tokens are globally ordered by (document
+    frequency asc, token) within each block, and each doc exposes only
+    its first |A| − ⌈τ·|A|⌉ + 1 rarest tokens to the inverted-index
+    self-join. Any pair with J(A,B) ≥ τ must collide inside both
+    prefixes under a shared total order, so the candidate set is
+    lossless — but high-df tokens (stopwords at k=1) fall OUT of every
+    non-trivial prefix, eliminating the O(df²) posting-list blowup an
+    unfiltered inverted index pays on open-web corpora. Candidates are
+    then exactly verified with one array_intersect per pair.
+
+    All data movement is (block, token)- or id-keyed shuffles of
+    scalars; full shingle sets are joined only for verified-candidate
+    ids (candidates ≪ n²). The per-doc rank window partitions by
+    (block, id) — no global sort."""
+    assert threshold > 0.0, "prefix filtering requires threshold > 0"
+    from pyspark.sql import Window
+
     # spread BEFORE shingling: the shingle expression is the per-row
     # hot spot and must not inherit a single-file scan's partitioning
     sh = spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
         shingles(text_col, k).alias("__sh"),
-    )
-    # shingles() is already distinct per doc → count(*) = |A∩B| exactly
-    tok = sh.select(
-        *block_cols,
-        "__id",
-        F.size("__sh").alias("__n"),
-        F.explode("__sh").alias("__tok"),
-    )
-    a, b = tok.alias("a"), tok.alias("b")
-    cond = (F.col("a.__id") < F.col("b.__id")) & (F.col("a.__tok") == F.col("b.__tok"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
+    ).persist()
+    try:
+        tok = sh.select(
+            *block_cols,
+            "__id",
+            F.size("__sh").alias("__n"),
+            F.explode("__sh").alias("__tok"),
         )
-        .agg(F.count("*").alias("__i"))
-    )
-    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
-    return inter.select(
-        "id_a", "id_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+        # document frequency per (block, token) — one partial-agg shuffle
+        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+        # rank each doc's tokens by the block-global (df, token) order;
+        # keep the prefix: rank ≤ n − ceil(τ·n) + 1
+        w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+        prefix = (
+            tok.join(dfreq, on=[*block_cols, "__tok"])
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(
+                F.col("__rank")
+                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            )
+            .select(*block_cols, "__id", "__tok")
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cond = (F.col("a.__id") < F.col("b.__id")) & (
+            F.col("a.__tok") == F.col("b.__tok")
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sh.select("__id", "__sh")
+        withs = cand.join(
+            sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
+        ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        union = F.size("__sa") + F.size("__sb") - inter
+        jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+        result = (
+            withs.select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+        # eager: materializes the surviving edge list and truncates
+        # lineage so the persisted shingle cache can be released
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()

@@ -37,16 +37,86 @@ _DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+def s3_confs(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+    anonymous: bool = False,
+    hadoop_aws_version: str | None = None,
+) -> dict[str, str]:
+    """S3 conf assembly (SURVEY §2.1 S3) — the hadoop-aws/s3a surface a
+    cluster deployment needs to make ``spark.read.parquet("s3a://…")``
+    work. Credentials default to the provider chain (instance profile /
+    env vars), the right default on a real cluster; pass keys only for
+    non-IAM endpoints (MinIO etc.). Returns plain confs for
+    ``get_spark(extra_confs=…)`` — assembly is unit-testable with no
+    network or jars."""
+    confs: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+    if hadoop_aws_version:
+        confs["spark.jars.packages"] = (
+            f"org.apache.hadoop:hadoop-aws:{hadoop_aws_version}"
+        )
+    if anonymous:
+        confs["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if access_key:
+        confs["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        confs["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if endpoint:
+        confs["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if path_style_access:
+        confs["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return confs
+
+
+def jdbc_confs(
+    driver_packages: list[str] | None = None,
+    driver_jars: list[str] | None = None,
+) -> dict[str, str]:
+    """JDBC conf assembly (SURVEY §2.1 S4) — puts the driver on the
+    executor classpath so ``sources/readers.read_jdbc`` can load (e.g.
+    ``["org.postgresql:postgresql:42.7.3"]`` for the reference's
+    declared Postgres source)."""
+    confs: dict[str, str] = {}
+    if driver_packages:
+        confs["spark.jars.packages"] = ",".join(driver_packages)
+    if driver_jars:
+        confs["spark.jars"] = ",".join(driver_jars)
+    return confs
+
+
+def _merge_confs(*conf_dicts: dict[str, str] | None) -> dict[str, str]:
+    """Later dicts win, except ``spark.jars.packages``/``spark.jars``
+    which are additive (S3 + JDBC must coexist)."""
+    merged: dict[str, str] = {}
+    for d in conf_dicts:
+        for k, v in (d or {}).items():
+            if k in ("spark.jars.packages", "spark.jars") and k in merged:
+                parts = merged[k].split(",") + v.split(",")
+                merged[k] = ",".join(dict.fromkeys(parts))
+            else:
+                merged[k] = v
+    return merged
+
+
 def get_spark(
     app_name: str = "nyc_taxi_data_ingestion_spark",
     master: str | None = None,
     extra_confs: dict[str, str] | None = None,
+    s3: dict[str, str] | None = None,
+    jdbc: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's default confs.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster the caller passes the cluster master / relies on spark-submit.
-    ``extra_confs`` overrides any default.
+    ``s3``/``jdbc`` take the outputs of :func:`s3_confs` /
+    :func:`jdbc_confs`; ``extra_confs`` overrides any default.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -56,8 +126,7 @@ def get_spark(
     confs = dict(_DEFAULT_CONFS)
     if master.startswith("local"):
         confs.setdefault("spark.driver.memory", "24g")
-    if extra_confs:
-        confs.update(extra_confs)
+    confs = _merge_confs(confs, s3, jdbc, extra_confs)
     for k, v in confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -72,9 +72,22 @@ def compact_parquet_dir(
     Rewrites the dataset into ~`target_file_bytes` files. Returns the
     number of output partitions chosen. Uses a size estimate from the
     input files; at scale run per-partition to bound memory.
+
+    LOCAL-FILESYSTEM ONLY: the size probe and directory swap below use
+    os/glob/rename, which have no meaning on object storage. On
+    S3/HDFS, compaction belongs to the table format's transactional
+    rewrite (Iceberg ``rewrite_data_files`` / Delta OPTIMIZE — exactly
+    what the reference's maintenance script calls); a plain-parquet
+    directory cannot be swapped atomically there at all.
+
+    Swap order keeps the data recoverable at every step: write tmp →
+    rename live dir ASIDE → promote tmp → delete old. A crash before
+    the promote leaves the original (possibly under the *_old name);
+    never a window where both copies are gone.
     """
     import glob
     import os
+    import shutil
 
     size = sum(
         os.path.getsize(f)
@@ -82,13 +95,18 @@ def compact_parquet_dir(
     )
     n = max(1, round(size / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp, old = base + "__compact_tmp", base + "__compact_old"
     write_partitioned(df.repartition(n), tmp, partition_by or [])
-    # atomic-ish swap
-    import shutil
-
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):  # leftover from an interrupted earlier run
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back — original promoted back intact
+        raise
+    shutil.rmtree(old)
     return n
 
 

@@ -221,3 +221,82 @@ def test_multimodal_unknown_type_raises(spark, docs):
     )
     with pytest.raises(Exception, match="hologram"):
         extract_features(media).collect()
+
+
+def test_blocked_jaccard_matches_bruteforce(spark):
+    """Prefix-filtered inverted index is EXACT: identical pair set to a
+    brute-force all-pairs array_intersect within each block."""
+    rows = [
+        ("a1", "en", "the quick brown fox jumps over the lazy dog"),
+        ("a2", "en", "the quick brown fox leaps over the lazy dog"),
+        ("a3", "en", "completely different text about spark engines"),
+        ("a4", "en", "spark engines text completely different about"),  # perm of a3
+        ("b1", "fr", "le renard brun rapide saute"),
+        ("b2", "fr", "le renard brun rapide saute aussi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in blocked_jaccard_pairs(
+            df, ["lang"], id_col="doc_id", threshold=0.5, k=1
+        ).collect()
+    }
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import shingles
+
+    sh = df.select("doc_id", "lang", shingles("text", 1).alias("sh")).collect()
+    want = {}
+    for i, x in enumerate(sh):
+        for y in sh[i + 1 :]:
+            if x.lang != y.lang:
+                continue
+            ia, ib = sorted([x.doc_id, y.doc_id])
+            inter = len(set(x.sh) & set(y.sh))
+            union = len(set(x.sh) | set(y.sh))
+            j = inter / union if union else 0.0
+            if j >= 0.5:
+                want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for pair in got:
+        assert got[pair] == pytest.approx(want[pair])
+
+
+def test_blocked_jaccard_stopword_df_cut(spark):
+    """A block where every doc shares the same stopwords: high-df tokens
+    must fall out of the prefixes, so candidate generation stays far
+    below the all-pairs count while the (empty) result is still exact."""
+    stop = "the of and a to in is it for on"
+    n = 60
+    uniq = " ".join(f"tok{{i}}x{j}" for j in range(12))
+    rows = [
+        (f"d{i:03d}", "en", f"{stop} " + uniq.format(i=i))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    # no pair reaches 0.5 (10 shared stopwords / 34-token union ≈ 0.29)
+    out = blocked_jaccard_pairs(df, ["lang"], id_col="doc_id", threshold=0.5, k=1)
+    assert out.count() == 0
+
+    # white-box: the prefix join itself must generate ZERO candidates
+    # here — every doc's prefix (22 − ceil(0.5·22) + 1 = 12 rarest
+    # tokens) consists of its unique tokens only, so the O(n²)=1770
+    # stopword posting-list pairs never materialize
+    from pyspark.sql import Window, functions as F
+    from nyc_taxi_data_ingestion_spark.llm.dedup import shingles, spread
+
+    sh = spread(df).select(
+        "lang", F.col("doc_id").alias("__id"), shingles("text", 1).alias("__sh")
+    )
+    tok = sh.select(
+        "lang", "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__tok")
+    )
+    dfreq = tok.groupBy("lang", "__tok").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("lang", "__id").orderBy("__df", "__tok")
+    prefix = (
+        tok.join(dfreq, on=["lang", "__tok"])
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= F.col("__n") - F.ceil(0.5 * F.col("__n")) + 1)
+    )
+    # no stopword survives any prefix → candidate join degenerates
+    surviving = {r["__tok"] for r in prefix.select("__tok").distinct().collect()}
+    assert not (surviving & set(stop.split()))

@@ -134,3 +134,61 @@ def test_bronze_ingest_registry_query(spark, sf_dir):
         (r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()
     }
     assert got == want
+
+
+def test_s3_and_jdbc_conf_assembly():
+    """S3/S4 — conf assembly is pure and unit-testable (no network)."""
+    from nyc_taxi_data_ingestion_spark.session import (
+        _merge_confs,
+        jdbc_confs,
+        s3_confs,
+    )
+
+    s3 = s3_confs(
+        access_key="AK",
+        secret_key="SK",
+        endpoint="http://minio:9000",
+        path_style_access=True,
+        hadoop_aws_version="3.4.0",
+    )
+    assert s3["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert s3["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    assert s3["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert s3["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert s3["spark.jars.packages"] == "org.apache.hadoop:hadoop-aws:3.4.0"
+    # credentials default to the provider chain — no provider pinned
+    assert "spark.hadoop.fs.s3a.aws.credentials.provider" not in s3_confs()
+    anon = s3_confs(anonymous=True)
+    assert anon["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "AnonymousAWSCredentialsProvider"
+    )
+
+    jdbc = jdbc_confs(driver_packages=["org.postgresql:postgresql:42.7.3"])
+    assert jdbc["spark.jars.packages"] == "org.postgresql:postgresql:42.7.3"
+
+    # packages are additive across sources, other keys last-wins
+    merged = _merge_confs(s3, jdbc, {"spark.hadoop.fs.s3a.endpoint": "x"})
+    assert merged["spark.jars.packages"] == (
+        "org.apache.hadoop:hadoop-aws:3.4.0,org.postgresql:postgresql:42.7.3"
+    )
+    assert merged["spark.hadoop.fs.s3a.endpoint"] == "x"
+
+
+def test_compact_swap_preserves_data(spark, tmp_path):
+    """Compaction swap never leaves a window with no data: output equals
+    input, and the aside/tmp dirs are cleaned up."""
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    # many small files
+    df.repartition(16).write.parquet(path)
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 999 * 1000
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
