@@ -241,14 +241,19 @@ def embedding_near_dups(
     table, OR-amplified over tables; fewer planes → higher recall AND
     more noise candidates. For true near-dup thresholds (≥0.9) use
     12-16 planes; moderate thresholds need fewer planes and pay a
-    higher candidate rate."""
+    higher candidate rate.
+
+    The (id, table, bucket) assignment is eagerly checkpointed before
+    the self-join: it is N·num_tables scalar rows (≪ the vectors), and
+    without it each join leg re-runs the scan + Arrow bucket UDF —
+    the assignment stage would execute twice."""
     bk = table_buckets_arrow(dim, num_planes, num_tables, seed)
     ids = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
     ).select(
         F.col(id_col).alias("__id"),
         F.posexplode(bk(F.col(vec_col))).alias("table", "bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a, b = ids.alias("a"), ids.alias("b")
     cand = (
         a.join(
