@@ -1,0 +1,159 @@
+"""Dataset maintenance cycle (SURVEY §2.1 S15).
+
+The reference runs a three-step Iceberg maintenance cycle per managed
+table — compact data files, expire old snapshots, remove orphan files
+(``scripts/iceberg_maintenance.py:97-216``), each step isolated so one
+failure doesn't stop the cycle (``:199-214``).
+
+Plain-parquet analogues:
+
+- **compact**  → ``sinks.compact_parquet_dir`` (rewrite to ~target-size
+  files).
+- **snapshot expiry** → partition retention. Parquet has no snapshot
+  log; the history that actually accumulates here is the append-only
+  event tables (error / lineage / DQ-metrics stores) partitioned by
+  day. Expiring means dropping partition directories older than the
+  retention window — the same "bounded history" contract as
+  ``expire_snapshots(older_than=...)``.
+- **orphan removal** → deleting write-ahead debris that is not part of
+  the dataset: Spark's ``_temporary`` staging dirs and the
+  ``__compact_tmp`` / ``__compact_old`` directories a crashed
+  compaction leaves behind. Only debris older than a retention window
+  is touched, mirroring the reference's in-progress-write guard
+  (``remove_orphan_files(older_than=...)``).
+
+LOCAL-FILESYSTEM ONLY, like ``compact_parquet_dir``: directory listing
+and deletion use ``os``/``shutil``. On object storage these operations
+belong to a table format's transactional procedures (exactly what the
+reference calls); a maintenance pass over raw S3 listings cannot be
+made safe against concurrent writers.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from datetime import date, datetime, timedelta
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from nyc_taxi_data_ingestion_spark.sources.sinks import compact_parquet_dir
+
+_ORPHAN_SUFFIXES = ("__compact_tmp", "__compact_old")
+
+
+def expire_partitions(
+    path: str,
+    partition_col: str,
+    retention_days: int,
+    today: date | None = None,
+) -> list[str]:
+    """Drop Hive-style ``<partition_col>=<ISO date>`` partition dirs
+    older than ``retention_days`` (reference ``expire_snapshots``,
+    ``iceberg_maintenance.py:96-121``; ``retain_last=1`` becomes
+    "never expire the newest partition").
+
+    Returns the removed partition directory names. Values that don't
+    parse as ISO dates are left untouched.
+    """
+    today = today or datetime.now().date()
+    cutoff = today - timedelta(days=retention_days)
+    prefix = partition_col + "="
+    candidates: list[tuple[date, str]] = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        try:
+            candidates.append((date.fromisoformat(name[len(prefix):]), name))
+        except ValueError:
+            # non-date partition values (e.g. layer=silver) are not expirable
+            continue
+    removed: list[str] = []
+    newest = max(candidates)[1] if candidates else None
+    for value, name in candidates:
+        if value < cutoff and name != newest:
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(name)
+    return removed
+
+
+def remove_orphan_files(path: str, retention_hours: int = 72) -> list[str]:
+    """Delete staging debris under ``path`` older than
+    ``retention_hours`` (reference ``remove_orphan_files``,
+    ``iceberg_maintenance.py:148-173``): Spark ``_temporary`` dirs and
+    interrupted-compaction ``__compact_tmp`` / ``__compact_old`` dirs
+    (which live NEXT to the dataset dir, so the parent is scanned for
+    those). The age guard keeps in-progress writes safe.
+    """
+    cutoff_ts = time.time() - retention_hours * 3600
+    removed: list[str] = []
+
+    def _expired(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) < cutoff_ts
+        except OSError:
+            return False
+
+    base = path.rstrip("/")
+    for cand in [os.path.join(base, "_temporary")] + [
+        base + suf for suf in _ORPHAN_SUFFIXES
+    ]:
+        if os.path.isdir(cand) and _expired(cand):
+            shutil.rmtree(cand)
+            removed.append(cand)
+    return removed
+
+
+def run_maintenance(
+    spark: SparkSession,
+    tables: list[dict[str, Any]],
+    retention_days: int = 7,
+    target_file_size_mb: int = 128,
+    remove_orphans: bool = True,
+    orphan_retention_hours: int = 72,
+) -> list[dict[str, Any]]:
+    """Full maintenance cycle over managed datasets (reference
+    ``run_maintenance``, ``iceberg_maintenance.py:178-216``): compact →
+    expire → orphans per table, each step fault-isolated, missing
+    tables skipped with a report row rather than an abort.
+
+    ``tables`` entries: ``{"path": str, "partition_by": [cols...],
+    "expire_on": "partition_day" | None}``. Returns one report dict per
+    table with per-step outcomes.
+    """
+    report: list[dict[str, Any]] = []
+    for spec in tables:
+        path = spec["path"]
+        row: dict[str, Any] = {"path": path}
+        if not os.path.isdir(path):
+            row["skipped"] = "missing"
+            report.append(row)
+            continue
+        try:
+            row["compacted_to_files"] = compact_parquet_dir(
+                spark,
+                path,
+                target_file_bytes=target_file_size_mb * 1024 * 1024,
+                partition_by=spec.get("partition_by"),
+            )
+        except Exception as exc:  # fault isolation, reference :199-202
+            row["compact_error"] = str(exc)
+        expire_on = spec.get("expire_on")
+        if expire_on:
+            try:
+                row["expired_partitions"] = expire_partitions(
+                    path, expire_on, retention_days
+                )
+            except Exception as exc:
+                row["expire_error"] = str(exc)
+        if remove_orphans:
+            try:
+                row["removed_orphans"] = remove_orphan_files(
+                    path, orphan_retention_hours
+                )
+            except Exception as exc:
+                row["orphan_error"] = str(exc)
+        report.append(row)
+    return report

@@ -1,0 +1,95 @@
+"""Maintenance cycle: partition expiry, orphan cleanup, orchestrator
+(reference ``scripts/iceberg_maintenance.py:97-216``)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+    expire_partitions,
+    remove_orphan_files,
+    run_maintenance,
+)
+
+
+def _write_day_partitioned(spark, path: str, days: list[str]) -> None:
+    df = spark.createDataFrame(
+        [(d, i) for d in days for i in range(5)], "partition_day string, v int"
+    )
+    df.write.mode("overwrite").partitionBy("partition_day").parquet(path)
+
+
+def test_expire_partitions_drops_only_old_days(spark, tmp_path):
+    path = str(tmp_path / "errors")
+    _write_day_partitioned(spark, path, ["2026-01-01", "2026-08-10", "2026-08-13"])
+    removed = expire_partitions(
+        path, "partition_day", retention_days=7, today=date(2026, 8, 13)
+    )
+    assert removed == ["partition_day=2026-01-01"]
+    remaining = spark.read.parquet(path)
+    days = {
+        str(r[0])
+        for r in remaining.select("partition_day").distinct().collect()
+    }
+    assert days == {"2026-08-10", "2026-08-13"}
+
+
+def test_expire_partitions_retains_newest_even_if_old(spark, tmp_path):
+    # retain_last=1 semantics: a stale table never loses its final state
+    path = str(tmp_path / "stale")
+    _write_day_partitioned(spark, path, ["2025-01-01", "2025-01-02"])
+    removed = expire_partitions(
+        path, "partition_day", retention_days=7, today=date(2026, 8, 13)
+    )
+    assert removed == ["partition_day=2025-01-01"]
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_expire_partitions_ignores_non_date_values(spark, tmp_path):
+    path = str(tmp_path / "layers")
+    df = spark.createDataFrame([("silver", 1), ("gold", 2)], "layer string, v int")
+    df.write.mode("overwrite").partitionBy("layer").parquet(path)
+    assert expire_partitions(path, "layer", 0, today=date(2026, 8, 13)) == []
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_remove_orphans_age_guarded(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    spark.range(10).write.parquet(path)
+    old_tmp = path + "__compact_tmp"
+    fresh_stage = os.path.join(path, "_temporary")
+    os.makedirs(old_tmp)
+    os.makedirs(fresh_stage)
+    stale = time.time() - 100 * 3600
+    os.utime(old_tmp, (stale, stale))
+    removed = remove_orphan_files(path, retention_hours=72)
+    assert removed == [old_tmp]
+    assert not os.path.exists(old_tmp)
+    # a fresh staging dir (in-progress write) must survive
+    assert os.path.exists(fresh_stage)
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_run_maintenance_cycle_and_fault_isolation(spark, tmp_path):
+    good = str(tmp_path / "events")
+    _write_day_partitioned(spark, good, ["2026-08-12", "2026-08-13"])
+    report = run_maintenance(
+        spark,
+        [
+            {"path": good, "partition_by": ["partition_day"],
+             "expire_on": "partition_day"},
+            {"path": str(tmp_path / "absent")},
+        ],
+        retention_days=365_000,  # nothing old enough to expire
+    )
+    assert report[0]["compacted_to_files"] >= 1
+    assert report[0]["expired_partitions"] == []
+    assert report[0]["removed_orphans"] == []
+    assert report[1]["skipped"] == "missing"
+    out = spark.read.parquet(good)
+    assert out.count() == 10
+    assert out.filter(F.col("partition_day") == "2026-08-13").count() == 5
