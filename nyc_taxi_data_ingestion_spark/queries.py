@@ -1808,6 +1808,290 @@ def q_bronze_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation (llm/curation.py): PII, Gopher filter, stratified
+# sampling, shard packing, contamination, line dedup. Extensions beyond
+# the reference (its scope stops at the lakehouse; these are the
+# training-data ops the same engine must also serve).
+# ---------------------------------------------------------------------------
+
+# Synthetic-but-deterministic PII suffix appended on BOTH sides so the
+# regexes do real work on testdata (the documents corpus contains none):
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST(doc_id % 100 AS VARCHAR) || ' call +44 20 7946 0' || "
+    "CAST(doc_id % 100 AS VARCHAR)"
+)
+
+_PII_ORACLE = rf"""
+WITH t AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS t2 FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT)
+           AS email_cnt,
+       CAST(len(regexp_extract_all(t2,
+           '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b')) AS INT) AS ipv4_cnt,
+       CAST(len(regexp_extract_all(t2,
+           '\+?[0-9][0-9 -]{{7,}}[0-9]')) AS INT) AS phone_cnt,
+       regexp_replace(regexp_replace(regexp_replace(t2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b', '<IP>', 'g'),
+           '\+?[0-9][0-9 -]{{7,}}[0-9]', '<PHONE>', 'g') AS redacted
+FROM t
+"""
+
+
+@register("pii_redact", _PII_ORACLE, tags=["llm-curation"])
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking (emails / IPv4 / phone runs) as pure
+    regex expressions — scan-speed narrow map, byte-exact redaction
+    verified against the oracle (llm/curation.pii_counts/redact_pii)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +44 20 7946 0"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    counts = cu.pii_counts(t2)
+    return docs.select(
+        "doc_id",
+        counts["email_cnt"].cast("int").alias("email_cnt"),
+        counts["ipv4_cnt"].cast("int").alias("ipv4_cnt"),
+        counts["phone_cnt"].cast("int").alias("phone_cnt"),
+        cu.redact_pii(t2).alias("redacted"),
+    )
+
+
+_GOPHER_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS word_cnt,
+       length(regexp_replace(text, '\s+', '', 'g'))
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+         AS mean_word_len,
+       (length(text) - length(replace(text, '#', ''))
+        + len(regexp_extract_all(text, '\.\.\.')))
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+         AS symbol_ratio,
+       len(list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(x, '^\s*[-*•]')))
+         / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullet_ratio,
+       len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000
+         AND (length(regexp_replace(text, '\s+', '', 'g'))
+              / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+             BETWEEN 3.0 AND 10.0
+         AND ((length(text) - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.\.\.')))
+              / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+             <= 0.1
+         AND (len(list_filter(string_split(text, chr(10)),
+                              x -> regexp_matches(x, '^\s*[-*•]')))
+              / CAST(len(string_split(text, chr(10))) AS DOUBLE)) <= 0.9
+         AS keep
+FROM documents
+"""
+
+
+@register("gopher_filter", _GOPHER_ORACLE, tags=["llm-curation"])
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality filter (word count, mean word
+    length, symbol ratio, bullet-line fraction → keep flag) — pure
+    column expressions (llm/curation.gopher_stats/gopher_keep)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    s = cu.gopher_stats("text")
+    return docs.select(
+        "doc_id",
+        s["word_cnt"].cast("int").alias("word_cnt"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["symbol_ratio"].alias("symbol_ratio"),
+        s["bullet_ratio"].alias("bullet_ratio"),
+        cu.gopher_keep("text").alias("keep"),
+    )
+
+
+_REPETITION_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+uni AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+u AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_tokens
+      FROM uni GROUP BY doc_id),
+tl AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+       FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1]))
+           AS bg
+  FROM tl
+),
+b AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT bg) AS d_bg
+      FROM bg GROUP BY doc_id)
+SELECT u.doc_id,
+       CAST(u.n_tokens AS INT) AS n_tokens,
+       u.top_cnt / CAST(u.n_tokens AS DOUBLE) AS top_unigram_frac,
+       1.0 - b.d_bg / CAST(b.n_bg AS DOUBLE) AS dup_bigram_frac
+FROM u JOIN b USING (doc_id)
+"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE, tags=["llm-curation"])
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: top-unigram token share + duplicate
+    word-bigram fraction per doc (llm/curation.repetition_stats).
+    Two-level partial aggregation — shuffle carries per-doc-distinct
+    tokens only."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    return cu.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE lang WHEN 'en' THEN '80000000'
+                  WHEN 'zh' THEN 'g'
+                  ELSE '4ccccccd' END
+"""
+
+
+@register("stratified_sample", _SAMPLE_ORACLE, tags=["llm-curation"])
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-threshold stratified sampling (domain-mixing
+    weights: en 50%, zh 100%, rest 30%) — no RNG state, no count pass,
+    byte-identical resamples at any scale (llm/curation.stratified_sample)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    return cu.stratified_sample(
+        docs, rates={"en": 0.5, "zh": 1.0}, default_rate=0.3
+    ).select("doc_id", "lang", "source")
+
+
+_SHARDS_ORACLE = r"""
+SELECT source, doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS token_cnt,
+       CAST(floor(COALESCE(SUM(len(string_split_regex(trim(text), '\s+')))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / 256.0) AS INT) AS shard_id
+FROM documents
+"""
+
+
+@register("token_shards", _SHARDS_ORACLE, tags=["llm-curation"])
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: prefix-sum binning per source (one
+    shuffle on the source key; no global sort) assigning docs to
+    ~256-token training shards (llm/curation.token_shards)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cu.token_shards(docs, budget_tokens=256)
+    return out.select(
+        "source", "doc_id", F.col("token_cnt").cast("int").alias("token_cnt"),
+        "shard_id",
+    )
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - 12 + 1, 1) + 1),
+                               i -> md5(substr(t, CAST(i AS INT), 12)))) AS gh
+  FROM norm
+),
+dg AS (SELECT DISTINCT doc_id, gh FROM g),
+bench AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM dg WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM corp GROUP BY doc_id),
+ov AS (SELECT c.doc_id, COUNT(*) AS overlap_cnt
+       FROM corp c JOIN bench b USING (gh) GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(ov.overlap_cnt, 0) AS overlap_cnt,
+       COALESCE(ov.overlap_cnt, 0) / CAST(t.n_grams AS DOUBLE)
+         AS contamination
+FROM tot t LEFT JOIN ov USING (doc_id)
+"""
+
+
+@register("contamination_check", _CONTAMINATION_ORACLE, tags=["llm-curation"])
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the share of its
+    distinct 12-char-gram md5 fingerprints occurring anywhere in the
+    held-out benchmark slice (doc_id % 97 = 0). Shuffles digests only;
+    the benchmark gram set broadcasts (llm/curation.contamination_check)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    return cu.contamination_check(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=12,
+    )
+
+
+_LINE_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         string_split(replace(text, ' value ', chr(10)), chr(10)) AS ls
+  FROM documents
+),
+l AS (
+  SELECT doc_id, i AS ord, ls[CAST(i AS INT)] AS line
+  FROM d, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t
+),
+ne AS (SELECT * FROM l WHERE trim(line) <> ''),
+boiler AS (
+  SELECT md5(line) AS lh FROM ne
+  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT ne.doc_id, ne.ord, ne.line, b.lh IS NOT NULL AS dropped
+  FROM ne LEFT JOIN boiler b ON md5(ne.line) = b.lh
+)
+SELECT doc_id,
+       string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY ord)
+         AS clean_text,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS n_removed
+FROM kept
+GROUP BY doc_id
+HAVING length(string_agg(CASE WHEN NOT dropped THEN line END,
+                         chr(10) ORDER BY ord)) > 0
+"""
+
+
+@register("line_dedup", _LINE_DEDUP_ORACLE, tags=["llm-curation"])
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-corpus line dedup: drop lines occurring in ≥5
+    distinct docs (boilerplate), preserve remaining order. Testdata
+    has no newlines, so lines are synthesized deterministically on
+    both sides by splitting at ' value ' (llm/curation.line_dedup)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text"),
+    )
+    return cu.line_dedup(docs, min_docs=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -126,6 +126,16 @@ def get_spark(
     confs = dict(_DEFAULT_CONFS)
     if master.startswith("local"):
         confs.setdefault("spark.driver.memory", "24g")
+        # Long-lived local sessions compile one generated class per
+        # (query, stage); past ~240 MB (the JVM default) the code cache
+        # fills, the JIT shuts off, and codegen-heavy queries late in
+        # the session run interpreted at 5-10x cost. In local mode the
+        # driver IS the executor, so size its cache for a whole
+        # bench/test session worth of generated code.
+        confs.setdefault(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     confs = _merge_confs(confs, s3, jdbc, extra_confs)
     for k, v in confs.items():
         builder = builder.config(k, v)

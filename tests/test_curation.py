@@ -1,0 +1,114 @@
+"""Corpus-curation operators (llm/curation.py): PII, Gopher filter,
+stratified sampling, shard packing, contamination, line dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or alice@test.org thanks"),
+            (2, "server 192.168.1.100 went down, call +1 555-010-9999"),
+            (3, "clean text with no pii at all"),
+        ],
+        "id long, text string",
+    )
+    out = cu.with_pii_scan(df).orderBy("id").collect()
+    assert out[0]["email_cnt"] == 2
+    assert out[0]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[1]["ipv4_cnt"] == 1
+    assert out[1]["phone_cnt"] == 1
+    assert out[1]["redacted"] == "server <IP> went down, call <PHONE>"
+    assert out[2]["email_cnt"] == out[2]["ipv4_cnt"] == out[2]["phone_cnt"] == 0
+    assert out[2]["redacted"] == out[2]["text"]
+
+
+def test_gopher_filter_thresholds(spark):
+    long_ok = " ".join(["word"] * 60)
+    bullets = "\n".join(["- item"] * 10)
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, "too short"), (3, bullets)],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in cu.with_gopher_filter(df, min_words=50).collect()
+    }
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False  # word_cnt below minimum
+    assert rows[3]["bullet_ratio"] == 1.0
+    assert rows[3]["keep"] is False
+
+
+def test_stratified_sample_deterministic_and_rated(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = cu.stratified_sample(docs, {"en": 0.5}, 0.3)
+    s2 = cu.stratified_sample(docs, {"en": 0.5}, 0.3)
+    ids1 = sorted(r[0] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r[0] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # byte-identical resample, no RNG state
+    n_en_total = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = s1.filter(F.col("lang") == "en").count()
+    assert 0.35 < n_en_kept / n_en_total < 0.65
+
+
+def test_token_shards_budget_and_monotonic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 256
+    out = cu.token_shards(docs, budget_tokens=budget).toPandas()
+    for _, grp in out.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        assert grp["shard_id"].is_monotonic_increasing
+        sums = grp.groupby("shard_id")["token_cnt"].sum()
+        # prefix-sum binning: a shard overshoots by at most one doc
+        assert (sums <= budget + grp["token_cnt"].max()).all()
+
+
+def test_repetition_stats_flags_degenerate_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all these words are fully distinct here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in cu.repetition_stats(df).collect()}
+    assert rows[1]["top_unigram_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.8  # 5 bigrams, 1 distinct
+    assert rows[2]["top_unigram_frac"] == 1.0 / 7
+    assert rows[2]["dup_bigram_frac"] == 0.0
+
+
+def test_contamination_exact_copy_scores_one(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated sentence about spark aggregation"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cu.contamination_check(corpus, bench, k=12).collect()
+    }
+    assert rows[1]["contamination"] == 1.0
+    assert rows[2]["contamination"] == 0.0
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    boiler = "subscribe to our newsletter"
+    docs = [(i, f"{boiler}\nunique line {i}\nmore {i}") for i in range(1, 6)]
+    docs.append((6, boiler))  # all-boilerplate doc drops out entirely
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cu.line_dedup(df, min_docs=5).collect()}
+    assert 6 not in out
+    assert out[3]["clean_text"] == "unique line 3\nmore 3"
+    assert out[3]["n_removed"] == 1
