@@ -886,11 +886,48 @@ GROUP BY 1, 2, 3, 4
 """
 
 
-@register("iqr_outliers", _IQR_ORACLE, tags=["Q5", "A7"])
+@register("iqr_outliers", None, tags=["Q5", "A7"])
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — IQR fences + outlier count (anomaly_detection.py:139-205),
+    registered as the 100 TB path: `percentile_approx` (Greenwald-Khanna
+    sketch — single-pass, mergeable, bounded-memory aggregation buffer)
+    instead of exact `percentile`, which materializes every value in one
+    buffer. Fences agree with the exact twin within the sketch's rank
+    error (asserted in tests/test_quality.py); `iqr_outliers_exact`
+    below is the hash-checked oracle twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)), F.lit(10000)
+    )
+    fences = li.agg(q.alias("q")).select(
+        F.col("q")[0].alias("q1"),
+        F.col("q")[1].alias("q3"),
+    ).select(
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("upper_fence"),
+    )
+    return (
+        li.crossJoin(F.broadcast(fences))
+        .groupBy("q1", "q3", "lower_fence", "upper_fence")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lower_fence"))
+                    | (F.col("l_extendedprice") > F.col("upper_fence")),
+                    1,
+                )
+            ).alias("outlier_cnt")
+        )
+    )
+
+
+@register("iqr_outliers_exact", _IQR_ORACLE, tags=["Q5", "A7"])
+def q_iqr_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 — IQR fences + outlier count (anomaly_detection.py:139-205).
-    Exact percentile here for oracle parity; quality/anomaly.py uses the
-    mergeable approxQuantile sketch for the 100 TB path."""
+    Exact-percentile oracle twin of `iqr_outliers` (hash-checked against
+    DuckDB `quantile_cont`); the registered default is the sketch form."""
     li = _t(spark, sf_dir, "lineitem")
     q1 = F.expr("percentile(l_extendedprice, 0.25)")
     q3 = F.expr("percentile(l_extendedprice, 0.75)")

@@ -277,3 +277,18 @@ def test_metrics_store_roundtrip_and_history(dirty, tmp_path):
     assert {"row_count", "null_rate", "quality_score", "passed"} <= metrics_present
     # two runs appended
     assert read_metrics(spark, store, metric="quality_score").count() == 2
+
+
+def test_iqr_sketch_vs_exact_registry(spark, sf_dir):
+    """The registered `iqr_outliers` (percentile_approx sketch) must
+    agree with `iqr_outliers_exact` within the sketch's rank error."""
+    from nyc_taxi_data_ingestion_spark.queries import REGISTRY
+
+    approx = REGISTRY["iqr_outliers"].fn(spark, sf_dir).collect()[0]
+    exact = REGISTRY["iqr_outliers_exact"].fn(spark, sf_dir).collect()[0]
+    for f in ("q1", "q3", "lower_fence", "upper_fence"):
+        assert approx[f] == pytest.approx(exact[f], rel=0.01)
+    # outlier counts within 5% of each other (fence shift is tiny)
+    assert abs(approx["outlier_cnt"] - exact["outlier_cnt"]) <= max(
+        5, 0.05 * exact["outlier_cnt"]
+    )
