@@ -48,10 +48,6 @@ class ConfigError(ValueError):
 
 # -- validation --------------------------------------------------------------
 
-_ALLOWED_SOURCE_FORMATS = {"parquet", "csv", "jdbc", "http"}
-_ALLOWED_MATERIALIZATIONS = {"full", "incremental"}
-
-
 def _require(cond: bool, msg: str) -> None:
     if not cond:
         raise ConfigError(msg)
@@ -60,56 +56,31 @@ def _require(cond: bool, msg: str) -> None:
 def validate_config(cfg: dict) -> dict:
     """Validate a pipeline config dict; returns it unchanged on success.
 
-    Mirrors the reference's draft-07 schema checks (required fields,
-    enums, type shapes — ``config/schemas/lakehouse_config_schema_v1.json``)
-    without the jsonschema dependency.
+    Two passes, mirroring the reference's validator stack
+    (``src/config_validator.py:68-108`` against
+    ``config/schemas/lakehouse_config_schema_v1.json``):
+
+    1. declarative JSON-Schema (draft-07 subset) validation —
+       ``plans/schema.py`` (types, required, enums, patterns, ranges);
+    2. cross-field checks the schema language can't express (exactly one
+       of table|path, incremental needs lookback + partition_by).
     """
     _require(isinstance(cfg, dict), "config must be a mapping")
-    _require("pipeline" in cfg, "missing required section: pipeline")
-    _require(
-        isinstance(cfg["pipeline"], dict) and cfg["pipeline"].get("name"),
-        "pipeline.name is required",
-    )
-    _require("source" in cfg, "missing required section: source")
+
+    from nyc_taxi_data_ingestion_spark.plans.schema import SchemaValidator
+
+    errors = SchemaValidator().get_validation_errors(cfg)
+    if errors:
+        raise ConfigError("; ".join(errors))
+
     src = cfg["source"]
-    _require(isinstance(src, dict), "source must be a mapping")
     _require(
         bool(src.get("table")) ^ bool(src.get("path")),
         "source needs exactly one of table|path",
     )
-    fmt = src.get("format", "parquet")
-    _require(
-        fmt in _ALLOWED_SOURCE_FORMATS,
-        f"source.format {fmt!r} not in {sorted(_ALLOWED_SOURCE_FORMATS)}",
-    )
-
-    silver = cfg.get("silver", {})
-    _require(isinstance(silver, dict), "silver must be a mapping")
-    for key, typ in (
-        ("renames", dict), ("casts", dict), ("derived", dict), ("filters", list),
-    ):
-        if key in silver:
-            _require(isinstance(silver[key], typ), f"silver.{key} must be {typ.__name__}")
-    if "dedupe" in silver:
-        _require(
-            isinstance(silver["dedupe"], dict) and silver["dedupe"].get("keys"),
-            "silver.dedupe.keys is required when dedupe is configured",
-        )
 
     for i, mart in enumerate(cfg.get("gold", [])):
-        _require(isinstance(mart, dict) and mart.get("name"), f"gold[{i}].name required")
-        _require(bool(mart.get("group_by")), f"gold[{i}].group_by required")
-        _require(bool(mart.get("measures")), f"gold[{i}].measures required")
-        for j, m in enumerate(mart["measures"]):
-            _require(
-                isinstance(m, dict) and m.get("name") and m.get("expr"),
-                f"gold[{i}].measures[{j}] needs name+expr",
-            )
         mat = mart.get("materialization", "full")
-        _require(
-            mat in _ALLOWED_MATERIALIZATIONS,
-            f"gold[{i}].materialization {mat!r} not in {sorted(_ALLOWED_MATERIALIZATIONS)}",
-        )
         if mat == "incremental":
             lb = mart.get("lookback")
             _require(

@@ -231,3 +231,89 @@ def test_impact_bfs_and_event_query(spark):
     hits = query_events(df, "silver.t")
     assert hits.count() == 3  # as source twice + as target once
     assert tr.events[1]["row_delta"] == -10
+
+
+# -- JSON-Schema validation (plans/schema.py) --------------------------------
+
+
+def test_schema_rejects_bad_source_format():
+    cfg = {"pipeline": {"name": "p"}, "source": {"path": "x", "format": "xml"}}
+    with pytest.raises(ConfigError, match="is not one of"):
+        validate_config(cfg)
+
+
+def test_schema_rejects_wrong_types_with_paths():
+    from nyc_taxi_data_ingestion_spark.plans.schema import SchemaValidator
+
+    errs = SchemaValidator().get_validation_errors(
+        {
+            "pipeline": {"name": ""},
+            "source": {"path": "x"},
+            "silver": {"filters": "amount > 0"},
+            "gold": [{"name": "g", "group_by": [], "measures": [{"name": "c"}]}],
+        }
+    )
+    msgs = "\n".join(errs)
+    assert "root -> pipeline -> name" in msgs  # minLength 1
+    assert "root -> silver -> filters" in msgs  # not an array
+    assert "root -> gold -> 0 -> group_by" in msgs  # minItems 1
+    assert "'expr' is a required property" in msgs
+
+
+def test_schema_enum_and_range_checks():
+    from nyc_taxi_data_ingestion_spark.plans.schema import SchemaValidator
+
+    v = SchemaValidator()
+    assert not v.validate(
+        {
+            "pipeline": {"name": "p"},
+            "source": {"table": "t"},
+            "quality": {"min_quality_score": 140},
+        }
+    )
+    assert not v.validate(
+        {
+            "pipeline": {"name": "p"},
+            "source": {"table": "t"},
+            "gold": [
+                {
+                    "name": "g",
+                    "group_by": ["a"],
+                    "measures": [{"name": "c", "expr": "COUNT(*)"}],
+                    "materialization": "merge",
+                }
+            ],
+        }
+    )
+    # booleans are not integers (JSON Schema semantics)
+    assert not v.validate(
+        {
+            "pipeline": {"name": "p"},
+            "source": {"table": "t"},
+            "performance": {"shuffle_partitions": True},
+        }
+    )
+
+
+def test_schema_version_normalization():
+    from nyc_taxi_data_ingestion_spark.plans.schema import SchemaValidator
+
+    v = SchemaValidator()
+    ok = {"pipeline": {"name": "p"}, "source": {"table": "t"}}
+    assert v.validate(ok)
+    assert v.validate({**ok, "version": "2.0"})
+    assert v.validate({**ok, "version": "v2.1.3"})
+    assert v.get_validation_errors({**ok, "version": "9.0"}) == [
+        "No schema found for version v9"
+    ]
+    assert v.list_available_versions() == ["v2"]
+
+
+def test_schema_format_checks():
+    from nyc_taxi_data_ingestion_spark.plans.schema import iter_schema_errors
+
+    assert iter_schema_errors("a@b.co", {"type": "string", "format": "email"}) == []
+    assert iter_schema_errors("not-an-email", {"type": "string", "format": "email"})
+    assert iter_schema_errors(
+        {"x": 1}, {"type": "object", "additionalProperties": False}
+    ) == ["root: additional property 'x' is not allowed"]
