@@ -47,18 +47,26 @@ def main() -> None:
             except Exception as exc:  # never let warmup break the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
-    # best-of-2 per query: this box is a shared VM with transient
-    # neighbor CPU steal (observed 5-10x inflation windows); the min of
-    # two runs measures the engine, not the neighbors
+    # adaptive best-of-N per query: this box is a shared VM with
+    # transient neighbor CPU steal (observed 5-10x inflation windows
+    # lasting minutes — e.g. the same query measuring 2.6 s and 9.8 s
+    # within the hour). Two runs, then keep re-running while the two
+    # fastest disagree by >25% (up to 4), and report the min: that
+    # measures the engine, not the neighbors.
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
-        best, n = float("inf"), 0
-        for _ in range(2):
+        runs: list[float] = []
+        n = 0
+        while len(runs) < 4:
             t0 = time.time()
             df = q.fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+            if len(runs) >= 2:
+                a, b = sorted(runs)[:2]
+                if b <= a * 1.25:
+                    break
+        timings[name] = round(min(runs), 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
 
