@@ -53,19 +53,28 @@ def main() -> None:
     # within the hour). Two runs, then keep re-running while the two
     # fastest disagree by >25% (up to 4), and report the min: that
     # measures the engine, not the neighbors.
+    # fault-isolated per query: one broken query must never zero the
+    # whole artifact (round 2 lost all bench evidence to a single
+    # streaming failure) — record the error string and keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
         runs: list[float] = []
         n = 0
-        while len(runs) < 4:
-            t0 = time.time()
-            df = q.fn(spark, sf_dir)
-            n = df.count()
-            runs.append(time.time() - t0)
-            if len(runs) >= 2:
-                a, b = sorted(runs)[:2]
-                if b <= a * 1.25:
-                    break
+        try:
+            while len(runs) < 4:
+                t0 = time.time()
+                df = q.fn(spark, sf_dir)
+                n = df.count()
+                runs.append(time.time() - t0)
+                if len(runs) >= 2:
+                    a, b = sorted(runs)[:2]
+                    if b <= a * 1.25:
+                        break
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
@@ -77,9 +86,7 @@ def main() -> None:
     # lineitem ≈ 600 K rows); the other 44 queries are additional
     # surface the reference doesn't time.
     medallion = ["silver_transform", "daily_stats", "hourly_analysis", "revenue_by_group"]
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "registry_queries_total_wall",
                 "value": total,
                 "unit": "sec",
@@ -89,9 +96,10 @@ def main() -> None:
                     sum(timings.get(q, 0.0) for q in medallion), 3
                 ),
                 "baseline_reference_pipeline_sec": 42.9,
-            }
-        )
-    )
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -1553,13 +1553,26 @@ def q_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
-    """Stage `events` as normal-μs-timestamp parquet (streaming schemas
-    can't express the raw TIMESTAMP(NANOS)); cached per (session, sf)."""
+    """Stage `events` as normal-μs-TIMESTAMP parquet (streaming schemas
+    can't express the raw TIMESTAMP(NANOS)/NTZ forms); cached per sf.
+
+    The cache key is a content-stable digest of the sf dir — Python's
+    ``hash()`` is per-process salted, which silently defeated cross-
+    process reuse and littered /tmp with orphan stagings. Legacy
+    ``spark_graft_events_*`` dirs from that scheme are swept here.
+    """
+    import hashlib
     import os
+    import shutil
     import tempfile
 
-    key = f"spark_graft_events_{abs(hash(sf_dir))}"
-    path = os.path.join(tempfile.gettempdir(), key)
+    tmp = tempfile.gettempdir()
+    for stale in os.listdir(tmp):
+        if stale.startswith("spark_graft_events_"):
+            shutil.rmtree(os.path.join(tmp, stale), ignore_errors=True)
+
+    key = f"spark_graft_evstage_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
+    path = os.path.join(tmp, key)
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         _t(spark, sf_dir, "events").write.mode("overwrite").parquet(path)

@@ -113,18 +113,25 @@ _NANO_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a synthetic testdata table, normalizing nanosecond parquet
-    timestamps (which Spark 4 rejects by default) to TIMESTAMP.
+    """Read a synthetic testdata table, normalizing the event-time column
+    to plain TIMESTAMP regardless of how the generator wrote it.
 
-    The testdata generator writes ``events.ts`` as TIMESTAMP(NANOS);
-    values are microsecond-aligned, so reading nanos as long and integer-
-    dividing by 1000 is lossless.
+    Two generator variants exist: TIMESTAMP(NANOS) (Spark 4 rejects it
+    unless read as long; values are microsecond-aligned so ``div 1000``
+    is lossless) and plain ``timestamp[us]`` with isAdjustedToUTC=false,
+    which Spark 4 infers as TIMESTAMP_NTZ — a type the streaming
+    watermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session
+    timezone is pinned UTC (session.py), so casting NTZ → TIMESTAMP
+    preserves every value.
     """
     nano_cols = _NANO_TS_COLS.get(name, [])
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nano_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df

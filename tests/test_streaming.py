@@ -34,6 +34,15 @@ def events_schema(spark, events_dir):
     return spark.read.parquet(events_dir).schema
 
 
+def test_staged_events_ts_is_watermarkable(spark, events_dir):
+    """Regression gate for the round-2 outage: the testdata generator
+    switched events.ts from TIMESTAMP(NANOS) to naive timestamp[us],
+    which Spark 4 infers as TIMESTAMP_NTZ — a type withWatermark
+    rejects. read_table must normalize BOTH forms to plain TIMESTAMP."""
+    schema = spark.read.parquet(events_dir).schema
+    assert schema["ts"].dataType.typeName() == "timestamp", schema["ts"].dataType
+
+
 def test_tumbling_aggregate_matches_batch(spark, events_dir, events_schema):
     stream = read_parquet_stream(spark, events_dir, events_schema)
     agg = tumbling_aggregate(
