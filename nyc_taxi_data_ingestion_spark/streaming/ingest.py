@@ -153,6 +153,7 @@ def run_available_now(
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    state_partitions: int | None = 32,
 ) -> DataFrame:
     """Execute a streaming plan to completion with Trigger.AvailableNow
     into an in-memory sink, returning the result as a batch DataFrame.
@@ -161,6 +162,15 @@ def run_available_now(
     then stop — so a streaming aggregate can be compared 1:1 against
     its batch/oracle equivalent. Production code would writeStream to
     parquet/Kafka with a processingTime trigger instead.
+
+    ``state_partitions`` pins the state-store partition count for this
+    run. Streaming state partitioning is frozen at checkpoint creation
+    and must be sized deliberately (per-partition state-store/task
+    overhead dominates small runs; inheriting a batch-tuned
+    ``spark.sql.shuffle.partitions`` of 200+ made these runs ~10×
+    slower under a default session). The conf is restored afterwards —
+    each AvailableNow run uses a fresh checkpoint, so the pin cannot
+    conflict with an existing state layout. Pass None to inherit.
     """
     import uuid
 
@@ -168,22 +178,30 @@ def run_available_now(
     # same named query don't collide
     qname = f"{query_name}_{uuid.uuid4().hex[:8]}"
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    session = stream_df.sparkSession
+    prev_parts = session.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"streaming query {qname} did not finish in {timeout_sec}s"
-            )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"streaming query {qname} did not finish in {timeout_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if state_partitions is not None:
+            session.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark = stream_df.sparkSession
     # copy the result out of the memory sink and drop its temp view —
     # memory-sink tables are session-global and would otherwise pin

@@ -86,6 +86,26 @@ def test_simhash_identical_texts(spark):
     assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
 
 
+def test_simhash_striped_signatures_match_per_row_form(spark, docs):
+    """The striped-lane aggregate (16 packed counters) must be
+    bit-identical to the per-row ±1 reference expression — the
+    optimization is algebraic (sum±1 = 2·ones − n), not approximate."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import simhash, simhash_signatures
+
+    sample = docs.limit(200)
+    fast = simhash_signatures(sample)
+    slow = sample.select(
+        F.col("doc_id").alias("__id"), simhash(F.col("text")).alias("__ref")
+    )
+    diffs = (
+        fast.join(slow, "__id")
+        .filter(F.col("__sh") != F.col("__ref"))
+        .count()
+    )
+    assert diffs == 0
+    assert fast.count() == 200
+
+
 def test_lsh_topk_recall(emb):
     q = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(q, emb, k=5)
