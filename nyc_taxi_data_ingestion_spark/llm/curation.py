@@ -239,19 +239,18 @@ def token_shards(
     shuffle on the source key only — the within-source prefix sum is a
     window, not a global sort. (Exact greedy bin-packing is inherently
     sequential; prefix-sum binning is the standard distributed
-    relaxation — shards overshoot by at most one document.)"""
-    toks = token_count(text_col)
+    relaxation — shards overshoot by at most one document.)
+
+    All input columns pass through; ``token_cnt`` and ``shard_id`` are
+    appended — so the packer composes with upstream curation stages."""
     w = (
         Window.partitionBy(source_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("token_cnt").over(w), F.lit(0))
-    return (
-        df.select(source_col, id_col, toks.alias("token_cnt"))
-        .withColumn(
-            "shard_id", F.floor(before / F.lit(budget_tokens)).cast("int")
-        )
+    return df.withColumn("token_cnt", token_count(text_col)).withColumn(
+        "shard_id", F.floor(before / F.lit(budget_tokens)).cast("int")
     )
 
 
@@ -330,6 +329,7 @@ def line_dedup(
     min_docs: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Remove boilerplate lines that appear in ≥ ``min_docs`` distinct
     documents (nav bars, cookie banners, license headers), preserving
@@ -338,11 +338,15 @@ def line_dedup(
     Scale shape: lines are counted by md5 digest (shuffle carries
     (digest, doc_id), not line text); reassembly partitions by doc.
     Docs whose lines were ALL removed drop out — the caller left-joins
-    if empty docs must be retained.
+    if empty docs must be retained. ``carry_cols`` are per-doc
+    attributes (lang, source, …) threaded through the reassembly via
+    ``any_value`` so downstream stages don't need a second scan/join.
 
-    Returns (id_col, clean_text, n_removed)."""
+    Returns (id_col, *carry_cols, clean_text, n_removed)."""
+    carry_cols = carry_cols or []
     lines = df.select(
         F.col(id_col),
+        *carry_cols,
         F.posexplode(F.split(_c(text_col), "\n")).alias("ord", "line"),
     )
     nonempty = lines.filter(F.trim("line") != "")
@@ -358,6 +362,7 @@ def line_dedup(
     return (
         marked.groupBy(id_col)
         .agg(
+            *[F.any_value(c).alias(c) for c in carry_cols],
             F.array_join(
                 F.transform(
                     F.array_sort(

@@ -64,6 +64,108 @@ def _read_source(spark: SparkSession, source: dict) -> DataFrame:
     raise ValueError(f"unsupported source format for compile: {fmt!r}")
 
 
+def read_stream_source(spark: SparkSession, source: dict) -> DataFrame:
+    """Streaming dispatch for the config surface (SURVEY §2.12).
+
+    The reference's config schema enumerates ``kafka`` as a source type
+    (``lakehouse_config_schema_v1.json:53``) but its ingestor raises
+    NotImplementedError for every non-http type
+    (``ingest_to_iceberg.py:305-308``). Here ``format: kafka`` compiles
+    to a real streaming plan:
+
+    - with ``bootstrap_servers``: the genuine Kafka connector (needs
+      the spark-sql-kafka package on the cluster classpath — standard
+      on any streaming deployment);
+    - with ``local_substitute``: a rate- or file-backed stream reshaped
+      to the Kafka wire schema (key/value/topic/partition/offset/
+      timestamp/timestampType), so downstream operators see identical
+      columns in local tests and in production. Substitute offsets are
+      synthetic (rate: the rate counter; files: a payload hash) —
+      unique per record but not a log position.
+
+    Plain file formats return a schema-pinned file stream.
+    """
+    fmt = source.get("format", "parquet")
+    if fmt == "rate":
+        reader = spark.readStream.format("rate")
+        for k, v in (source.get("options") or {}).items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+    if fmt == "kafka":
+        sub = source.get("local_substitute")
+        if not sub:
+            reader = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", source["bootstrap_servers"])
+                .option("subscribe", source["topic"])
+                .option(
+                    "startingOffsets", source.get("starting_offsets", "earliest")
+                )
+            )
+            for k, v in (source.get("options") or {}).items():
+                reader = reader.option(k, str(v))
+            return reader.load()
+        topic = source.get("topic", "local-substitute")
+        if sub.get("format", "rate") == "rate":
+            raw = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", str(sub.get("rows_per_second", 100)))
+                .load()
+            )
+            value = F.to_json(F.struct("timestamp", "value"))
+            key = F.col("value").cast("string")
+            ts = F.col("timestamp")
+            offset = F.col("value")
+        else:
+            schema = spark.read.format(sub.get("format", "parquet")).load(
+                sub["path"]
+            ).schema
+            raw = (
+                spark.readStream.schema(schema)
+                .format(sub.get("format", "parquet"))
+                .load(sub["path"])
+            )
+            value = F.to_json(F.struct(*raw.columns))
+            key = (
+                F.col(sub["key_column"]).cast("string")
+                if sub.get("key_column")
+                else F.lit(None).cast("string")
+            )
+            ts = (
+                F.col(sub["timestamp_column"])
+                if sub.get("timestamp_column")
+                else F.current_timestamp()
+            )
+            offset = F.xxhash64(value)
+        return raw.select(
+            key.cast("binary").alias("key"),
+            value.cast("binary").alias("value"),
+            F.lit(topic).alias("topic"),
+            F.lit(0).alias("partition"),
+            offset.alias("offset"),
+            ts.cast("timestamp").alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+    path = source["path"]
+    schema = source.get("schema") or spark.read.format(fmt).options(
+        **{k: str(v) for k, v in (source.get("options") or {}).items()}
+    ).load(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in (source.get("options") or {}).items():
+        reader = reader.option(k, str(v))
+    return reader.format(fmt).load(path)
+
+
+def parse_kafka_json(df: DataFrame, schema) -> DataFrame:
+    """Decode a Kafka wire-schema stream's JSON ``value`` payload into
+    typed columns (the standard first step after ``format: kafka``),
+    keeping the event timestamp for watermarking."""
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("__p"),
+        F.col("timestamp").alias("_kafka_timestamp"),
+    ).select("__p.*", "_kafka_timestamp")
+
+
 def build_gold_frame(silver: DataFrame, mart: dict) -> DataFrame:
     """One gold mart: groupBy(grain).agg(measures), each measure an
     arbitrary SQL aggregate expression (parity with the CTAS bodies in

@@ -74,10 +74,21 @@ def validate_config(cfg: dict) -> dict:
         raise ConfigError("; ".join(errors))
 
     src = cfg["source"]
-    _require(
-        bool(src.get("table")) ^ bool(src.get("path")),
-        "source needs exactly one of table|path",
-    )
+    if src.get("format") == "kafka":
+        # streaming source: addressed by topic, not table/path
+        _require(
+            bool(src.get("topic")),
+            "kafka source needs a topic",
+        )
+        _require(
+            bool(src.get("bootstrap_servers")) or bool(src.get("local_substitute")),
+            "kafka source needs bootstrap_servers or a local_substitute",
+        )
+    else:
+        _require(
+            bool(src.get("table")) ^ bool(src.get("path")),
+            "source needs exactly one of table|path",
+        )
 
     for i, mart in enumerate(cfg.get("gold", [])):
         mat = mart.get("materialization", "full")

@@ -135,8 +135,25 @@ PIPELINE_SCHEMA_V2: dict = {
             "properties": {
                 "table": {"type": "string"},
                 "path": {"type": "string"},
-                "format": {"type": "string", "enum": ["parquet", "csv", "jdbc", "http", "json", "orc"]},
+                "format": {"type": "string", "enum": ["parquet", "csv", "jdbc", "http", "json", "orc", "kafka", "rate"]},
                 "options": {"type": "object", "additionalProperties": {"type": ["string", "number", "boolean"]}},
+                # streaming (kafka) source surface — the reference's
+                # schema enumerates `kafka` but its ingestor never
+                # implements it; here it compiles (see plans/compiler.
+                # read_stream_source)
+                "topic": {"type": "string"},
+                "bootstrap_servers": {"type": "string"},
+                "starting_offsets": {"type": "string", "enum": ["earliest", "latest"]},
+                "local_substitute": {
+                    "type": "object",
+                    "properties": {
+                        "format": {"type": "string", "enum": ["rate", "parquet", "json"]},
+                        "path": {"type": "string"},
+                        "rows_per_second": {"type": "integer", "minimum": 1},
+                        "key_column": {"type": "string"},
+                        "timestamp_column": {"type": "string"},
+                    },
+                },
             },
         },
         "silver": {

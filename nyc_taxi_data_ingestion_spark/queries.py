@@ -2142,6 +2142,112 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.line_dedup(docs, min_docs=5)
 
 
+_PIPELINE_CURATION_ORACLE = r"""
+WITH g AS (
+  SELECT doc_id, lang, source,
+         replace(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g'),
+             '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+           ' value ', chr(10)) AS rtext
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 50 AND 100000
+    AND (length(regexp_replace(text, '\s+', '', 'g'))
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE))
+        BETWEEN 3.0 AND 10.0
+    AND ((length(text) - length(replace(text, '#', ''))
+          + len(regexp_extract_all(text, '\.\.\.')))
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) <= 0.1
+    AND (len(list_filter(string_split(text, chr(10)),
+                         x -> regexp_matches(x, '^\s*[-*•]')))
+         / CAST(len(string_split(text, chr(10))) AS DOUBLE)) <= 0.9
+),
+d AS (SELECT doc_id, lang, source, string_split(rtext, chr(10)) AS ls FROM g),
+l AS (
+  SELECT doc_id, lang, source, i AS ord, ls[CAST(i AS INT)] AS line
+  FROM d, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t
+),
+ne AS (SELECT * FROM l WHERE trim(line) <> ''),
+boiler AS (
+  SELECT md5(line) AS lh FROM ne
+  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT ne.doc_id, ne.lang, ne.source, ne.ord, ne.line,
+         b.lh IS NOT NULL AS dropped
+  FROM ne LEFT JOIN boiler b ON md5(ne.line) = b.lh
+),
+clean AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         string_agg(CASE WHEN NOT dropped THEN line END, chr(10) ORDER BY ord)
+           AS clean_text,
+         CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS INT) AS n_removed
+  FROM kept
+  GROUP BY doc_id
+  HAVING length(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY ord)) > 0
+),
+samp AS (
+  SELECT * FROM clean
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        < CASE lang WHEN 'en' THEN '80000000'
+                    WHEN 'zh' THEN 'g'
+                    ELSE '4ccccccd' END
+)
+SELECT doc_id, lang, source,
+       CAST(len(string_split_regex(trim(clean_text), '\s+')) AS INT)
+         AS token_cnt,
+       CAST(floor(COALESCE(
+             SUM(len(string_split_regex(trim(clean_text), '\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) / 256.0) AS INT) AS shard_id,
+       n_removed
+FROM samp
+"""
+
+
+@register("pipeline_curation", _PIPELINE_CURATION_ORACLE, tags=["llm-curation"])
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE lazy Catalyst plan (the
+    curation-side mirror of ``pipeline_gold``): Gopher quality gate →
+    PII redaction → cross-corpus line dedup → deterministic stratified
+    sampling → token-budget shard packing.
+
+    The stages chain without materialization: the Gopher filter and
+    redaction are narrow maps fused into the scan; line dedup is the
+    only stage that references the staged frame twice (boilerplate
+    census + reassembly — inherent to cross-corpus counting), so the
+    whole pipeline costs exactly two scans of `documents`, asserted by
+    ``test_plan_quality.py``. Lines are synthesized by splitting at
+    ' value ' (testdata has no newlines), as in ``line_dedup``."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.filter(cu.gopher_keep("text")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.replace(
+            cu.redact_pii(F.col("text")), F.lit(" value "), F.lit("\n")
+        ).alias("text"),
+    )
+    clean = cu.line_dedup(staged, min_docs=5, carry_cols=["lang", "source"])
+    sampled = cu.stratified_sample(
+        clean, rates={"en": 0.5, "zh": 1.0}, default_rate=0.3
+    )
+    shards = cu.token_shards(sampled, budget_tokens=256, text_col="clean_text")
+    return shards.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("token_cnt").cast("int").alias("token_cnt"),
+        "shard_id",
+        "n_removed",
+    )
+
+
 def _export_order() -> list[str]:
     """Oracle-backed queries first (in registration order), rows-only
     queries last. Round 2's correctness run evaluated exactly the first

@@ -92,3 +92,28 @@ def test_no_python_eval_in_relational_queries(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_pipeline_curation_scan_count(spark, sf_dir):
+    # the five curation stages must compose into one lazy plan: the
+    # Gopher filter + redaction fuse into the scan; sampling and shard
+    # packing add NO extra scan. Only line dedup's boilerplate census
+    # legitimately references the staged frame a second time — so the
+    # whole pipeline reads `documents` exactly twice, never more.
+    plan = plan_of(spark, "pipeline_curation", sf_dir)
+    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_simhash_packed_aggregate_count(spark, sf_dir):
+    # the striped-lane rewrite must keep the aggregate narrow: 16
+    # packed counters + 1 count, not 64 CASE sums (a regression here
+    # quadruples the agg arithmetic on every token at 100 TB)
+    plan = plan_of(spark, "simhash_near_dup", sf_dir)
+    import re
+
+    agg_lines = [l for l in plan.splitlines() if "Functions [" in l]
+    assert agg_lines, "no aggregate in simhash plan"
+    n_funcs = max(len(re.findall(r"partial_sum|sum\(", l)) for l in agg_lines)
+    assert n_funcs <= 20, f"simhash aggregate widened to {n_funcs} functions"
