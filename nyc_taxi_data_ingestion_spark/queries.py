@@ -1661,6 +1661,47 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(sess, "q_stream_sessions", output_mode="complete")
 
 
+_STREAM_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS cnt,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event,
+       CAST(COUNT(DISTINCT event_type) AS INT) AS n_event_types
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("stream_stateful_profile", _STREAM_STATEFUL_ORACLE, tags=["streaming"])
+def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-user profile state — count, first/last event time, distinct
+    event-type set — maintained across micro-batches in Arrow-batched
+    pandas state. The state transition is a commutative monoid, so the
+    converged profile equals the batch GROUP BY exactly and the
+    operator is hash-verified cross-engine; ``maxFilesPerTrigger``
+    forces multiple micro-batches so cross-batch state restore is
+    actually exercised. Update-mode emits one row per key per batch;
+    the final profile is the max-count row per key."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_profile,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema, max_files_per_trigger=2)
+    prof = stateful_profile(stream)
+    updates = run_available_now(
+        prof, "q_stream_stateful", output_mode="update"
+    )
+    final = F.max(
+        F.struct("cnt", "first_event", "last_event", "n_event_types")
+    ).alias("s")
+    return updates.groupBy("user_id").agg(final).select("user_id", "s.*")
+
+
 # ---------------------------------------------------------------------------
 # Batch 7 — error capture + DQ orchestration (Q15/Q16)
 # ---------------------------------------------------------------------------
@@ -2140,6 +2181,64 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text"),
     )
     return cu.line_dedup(docs, min_docs=5)
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+  FROM documents
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+        >= 0.5
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       src = LEAST(src, MIN(dst)) AS is_canonical
+FROM reach
+GROUP BY src
+"""
+
+
+@register("dedup_clusters", _DEDUP_CLUSTERS_ORACLE, tags=["llm-dedup"])
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact Jaccard near-dup edges →
+    connected components → (doc_id, cluster_id, is_canonical) — the
+    keep-one-per-cluster decision a dedup pipeline actually needs, not
+    just the pairwise edge list. Spark side is iterative min-label
+    propagation (llm/dedup.connected_components); the oracle computes
+    the same components with a recursive transitive-closure CTE —
+    cross-engine verification of an iterative distributed algorithm."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        blocked_jaccard_pairs,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = blocked_jaccard_pairs(
+        docs, block_cols=["lang", "source"], k=1, threshold=0.5
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
 
 
 _PIPELINE_CURATION_ORACLE = r"""

@@ -16,6 +16,7 @@ from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     silver_stream,
     sliding_counts,
     session_windows,
+    stateful_profile,
     stream_dedupe,
     tumbling_aggregate,
 )

@@ -210,3 +210,72 @@ def run_available_now(
     result = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     return result
+
+
+def stateful_profile(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2.12 extension): maintains a per-key profile — event
+    count, first/last event time, distinct event-type count — across
+    micro-batches in Arrow-batched pandas state.
+
+    The state is deliberately ORDER-INDEPENDENT (count/min/max/set
+    union are commutative monoids), so the converged result equals the
+    batch GROUP BY regardless of how the file source slices
+    micro-batches — which makes a custom stateful op cross-engine
+    oracle-checkable, the same batch-parity contract the window
+    aggregates use. Emits the updated profile each batch ("update"
+    mode); the caller keeps each key's final row (max event count).
+
+    Scale shape: state is O(keys × event-type-cardinality); per batch
+    one shuffle on the key. This is the template for operators the
+    built-in windows can't express (per-entity ML feature state,
+    CUSUM detectors, dynamic sessionization with business rules).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, cnt long, first_event timestamp, "
+        "last_event timestamp, n_event_types int"
+    )
+    state_schema = "cnt long, first_us long, last_us long, types array<string>"
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cnt, first_us, last_us, types = state.get
+            types = set(types)
+        else:
+            cnt, first_us, last_us, types = 0, None, None, set()
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            cnt += len(pdf)
+            ts = pdf[ts_col]
+            mn = int(ts.min().value // 1000)
+            mx = int(ts.max().value // 1000)
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+            types |= set(pdf[type_col].dropna())
+        state.update((cnt, first_us, last_us, sorted(types)))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "cnt": [cnt],
+                "first_event": [pd.Timestamp(first_us * 1000)],
+                "last_event": [pd.Timestamp(last_us * 1000)],
+                "n_event_types": [len(types)],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

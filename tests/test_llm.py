@@ -320,3 +320,22 @@ def test_blocked_jaccard_stopword_df_cut(spark):
     # no stopword survives any prefix → candidate join degenerates
     surviving = {r["__tok"] for r in prefix.select("__tok").distinct().collect()}
     assert not (surviving & set(stop.split()))
+
+
+def test_connected_components_known_graph(spark):
+    """Two components with a chain (diameter 3) + a triangle + an
+    isolated edge — labels must be each component's min id."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.node, r.label) for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }

@@ -109,3 +109,43 @@ def test_stream_dedupe_and_silver_chain(spark, tmp_path):
     got = run_available_now(sil, "dedupe_test", output_mode="append")
     assert got.count() == 2
     assert set(got.columns) == {"k", "val", "ts", "k2"}
+
+
+def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState must restore + merge state across
+    micro-batches: three single-file batches for one user, final
+    profile covers all three events."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_profile,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-02 11:00:00", "view"),
+        (1, "2024-01-03 12:00:00", "click"),
+        (2, "2024-01-02 09:00:00", "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.repartition(4).write.parquet(src)  # several files → several batches
+
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    updates = run_available_now(
+        stateful_profile(stream), "stateful_test", output_mode="update"
+    )
+    # multiple batches must actually have been emitted for user 1
+    assert updates.filter(F.col("user_id") == 1).count() >= 2
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("cnt", "first_event", "last_event", "n_event_types")).alias("s"))
+        .select("user_id", "s.*")
+    )
+    got = {r.user_id: (r.cnt, r.n_event_types) for r in final.collect()}
+    assert got == {1: (3, 2), 2: (1, 1)}
+    f1 = final.filter(F.col("user_id") == 1).collect()[0]
+    assert f1.first_event.day == 1 and f1.last_event.day == 3
