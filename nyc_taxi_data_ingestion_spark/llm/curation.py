@@ -299,25 +299,19 @@ def contamination_check(
             F.col(id_col), F.explode(gs).alias("__g")
         ).select(id_col, F.xxhash64("__g").alias("gh")).distinct()
 
+    # single-pass reduction: left-broadcast-join the benchmark digests
+    # onto the corpus grams and count totals + hits in ONE aggregate —
+    # referencing the (explode + distinct) subtree from two separate
+    # aggregations re-executed it end-to-end (measured 2x the query)
     corpus_g = grams(df)
     bench_g = grams(benchmark).select("gh").distinct()
-    totals = corpus_g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    overlaps = (
-        corpus_g.join(bench_g, "gh")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("overlap_cnt"))
+    marked = corpus_g.join(
+        F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "gh", "left"
     )
-    return (
-        totals.join(overlaps, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("overlap_cnt", F.lit(0)).alias("overlap_cnt"),
-            (
-                F.coalesce("overlap_cnt", F.lit(0))
-                / F.col("n_grams").cast("double")
-            ).alias("contamination"),
-        )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("__hit").alias("overlap_cnt"),
+        (F.count("__hit") / F.count("*").cast("double")).alias("contamination"),
     )
 
 

@@ -460,11 +460,17 @@ def blocked_jaccard_pairs(
                 F.col("__rank")
                 <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
             )
-            .select(*block_cols, "__id", "__tok")
+            .select(*block_cols, "__id", "__n", "__tok")
         )
         a, b = prefix.alias("a"), prefix.alias("b")
-        cond = (F.col("a.__id") < F.col("b.__id")) & (
-            F.col("a.__tok") == F.col("b.__tok")
+        # length filter (lossless, AllPairs): J(A,B) ≥ τ forces
+        # τ·|B| ≤ |A| — pairs with incompatible set sizes are cut
+        # before the verify join ever fetches their shingle arrays
+        cond = (
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n"))
+            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
         )
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
