@@ -377,3 +377,69 @@ def line_dedup(
         )
         .filter(F.length("clean_text") > 0)
     )
+
+
+# -- corpus-statistics novelty scoring ----------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 2,
+    rare_ppm: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-statistics quality signal: the share of a document's
+    character k-gram OCCURRENCES whose corpus-wide frequency is below
+    ``rare_ppm`` parts-per-million of all occurrences. Gibberish,
+    mojibake, and binary-in-text score high; normal prose in the
+    corpus's languages scores near zero. This is the integer-space,
+    exactly-verifiable analogue of CCNet's LM-perplexity filter — the
+    model "training" is one count aggregate over the corpus itself.
+
+    Scale shape: the k-gram frequency table collapses to ~charset^k
+    rows (thousands), so the "model" broadcasts; the rare test is an
+    integer cross-multiply (cnt * 1e6 < rare_ppm * total — no float
+    division, no log), keeping the whole operator bit-exact across
+    engines. Corpus text is scanned twice (count pass + score pass) —
+    same inherent shape as any train-then-apply statistic.
+
+    Returns (id_col, n_grams, rare_cnt, rare_frac).
+    """
+    def grams(frame: DataFrame) -> DataFrame:
+        pre = frame.select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.lower(F.trim(_c(text_col))), r"\s+", " "
+            ).alias("__norm"),
+        )
+        n = F.greatest(F.length("__norm") - k + 1, F.lit(1))
+        return pre.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.substr(F.col("__norm"), i, F.lit(k)),
+                )
+            ).alias("__g"),
+        )
+    g = grams(df)
+    freq = g.groupBy("__g").agg(F.count("*").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__tot"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "__g",
+        (F.col("__cnt") * F.lit(1_000_000) < F.lit(rare_ppm) * F.col("__tot"))
+        .alias("__rare"),
+    )
+    return (
+        g.join(F.broadcast(model), "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("__rare"), 1)).alias("rare_cnt"),
+            (
+                F.count(F.when(F.col("__rare"), 1))
+                / F.count("*").cast("double")
+            ).alias("rare_frac"),
+        )
+    )

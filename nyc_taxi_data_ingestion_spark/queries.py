@@ -2183,6 +2183,46 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.line_dedup(docs, min_docs=5)
 
 
+_NGRAM_NOVELTY_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - 2 + 1, 1) + 1),
+                               i -> substr(t, CAST(i AS INT), 2))) AS gm
+  FROM norm
+),
+freq AS (SELECT gm, COUNT(*) AS cnt FROM g GROUP BY gm),
+tot AS (SELECT SUM(cnt) AS tot FROM freq),
+model AS (SELECT gm, cnt * 1000000 < 2000 * tot AS rare FROM freq, tot)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN rare THEN 1 END) AS rare_cnt,
+       COUNT(CASE WHEN rare THEN 1 END) / CAST(COUNT(*) AS DOUBLE)
+         AS rare_frac
+FROM g JOIN model USING (gm)
+GROUP BY doc_id
+"""
+
+
+@register("ngram_novelty", _NGRAM_NOVELTY_ORACLE, tags=["llm-curation"])
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics novelty score: share of each doc's char-bigram
+    occurrences that are rare corpus-wide (< 2000 ppm of all
+    occurrences) — the exactly-verifiable integer-space analogue of
+    CCNet's LM-perplexity quality filter; gibberish and mojibake score
+    high (llm/curation.ngram_novelty). The frequency "model" is one
+    count aggregate that broadcasts; the rare test is an integer
+    cross-multiply, so results are bit-exact across engines."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    return cu.ngram_novelty(
+        _t(spark, sf_dir, "documents"), k=2, rare_ppm=2000
+    )
+
+
 _DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE sh AS (
   SELECT lang, source, doc_id,

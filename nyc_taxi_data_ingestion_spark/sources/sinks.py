@@ -126,3 +126,36 @@ def create_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(name)
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed CTAS: co-locate a table on its join/aggregation key so
+    downstream equi-joins and groupBys on ``bucket_cols`` read
+    pre-shuffled data — NO Exchange in the plan (asserted by
+    ``test_plan_quality``). The 100 TB pattern for repeated fact-fact
+    joins (e.g. lineitem ⋈ orders on orderkey every run): pay the
+    shuffle once at write time, never again at read time. Sorted
+    buckets additionally enable merge-join without a sort step.
+
+    Spark buckets are hash(key) mod n files per partition; both sides
+    of a join must be bucketed into the SAME number of buckets for the
+    exchange to be elided."""
+    if "." in name:
+        db = name.rsplit(".", 1)[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

@@ -112,3 +112,15 @@ def test_line_dedup_removes_boilerplate_preserves_order(spark):
     assert 6 not in out
     assert out[3]["clean_text"] == "unique line 3\nmore 3"
     assert out[3]["n_removed"] == 1
+
+
+def test_ngram_novelty_flags_gibberish(spark):
+    from nyc_taxi_data_ingestion_spark.llm.curation import ngram_novelty
+
+    normal = "the quick brown fox jumps over the lazy dog and runs on "
+    rows = [(i, normal * 4) for i in range(20)]
+    rows.append((99, "zq9x!7@jw#kv$8%mp^3&qz*4(xj)7"))  # gibberish
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.rare_frac for r in ngram_novelty(df, rare_ppm=10000).collect()}
+    assert out[99] > 0.8            # gibberish bigrams are corpus-rare
+    assert all(v == 0.0 for k, v in out.items() if k != 99)

@@ -117,3 +117,41 @@ def test_simhash_packed_aggregate_count(spark, sf_dir):
     assert agg_lines, "no aggregate in simhash plan"
     n_funcs = max(len(re.findall(r"partial_sum|sum\(", l)) for l in agg_lines)
     assert n_funcs <= 20, f"simhash aggregate widened to {n_funcs} functions"
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir):
+    # the co-located fact-fact join pattern: bucket lineitem and orders
+    # on the join key at write time; the join plan must then contain NO
+    # Exchange on either side — at 100 TB this is the difference
+    # between a one-time write cost and a full shuffle every run
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.sources.sinks import create_bucketed_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    create_bucketed_table(
+        spark, li, "bkt_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    create_bucketed_table(
+        spark, orders, "bkt_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    try:
+        a = spark.table("bkt_lineitem")
+        b = spark.table("bkt_orders")
+        joined = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = joined._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sorted buckets: no extra Sort needed beyond the join's own
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
