@@ -197,9 +197,15 @@ def rate_to_hex_threshold(rate: float) -> str:
     Lowercase-hex string comparison IS numeric comparison here (equal
     length, '0'-'9' < 'a'-'f'), and md5 hex is identical in every
     engine — the sample is reproducible anywhere."""
-    if rate >= 1.0:
+    v = max(0, round(rate * 16**8))
+    if v >= 16**8:
+        # covers rate >= 1.0 AND rates within half an ulp of 1.0 whose
+        # rounded threshold would spill to 9 hex digits — a 9-char
+        # string compares LOWER than most 8-char prefixes ('ffffffff'
+        # > '100000000'), silently dropping ~94% of keys (found by
+        # hypothesis)
         return "g"  # > every hex digit → keep all
-    return format(max(0, round(rate * 16**8)), "08x")
+    return format(v, "08x")
 
 
 def stratified_sample(

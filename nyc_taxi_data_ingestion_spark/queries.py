@@ -434,11 +434,27 @@ FROM lineitem
 def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 — exact distinct counts (great_expectations.py:352-362). At
     100 TB prefer approx_count_distinct (HLL, no expand+dedup shuffle);
-    the exact form is what's oracle-checkable."""
+    the exact form is what's oracle-checkable. ``distinct_count_sketch``
+    is the registered scale path."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
         F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@register("distinct_count_sketch", None, tags=["A9"])
+def q_distinct_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 sketch path — HyperLogLog++ distinct counts
+    (``approx_count_distinct``, rsd 2%): one mergeable fixed-size
+    sketch per partition instead of the exact form's per-key dedup
+    shuffle; the right default at 100 TB. Rows-only (HLL estimates are
+    engine-specific); the error bound vs the exact twin is asserted in
+    ``test_quality.py`` — same twin pattern as iqr_outliers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("distinct_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("distinct_supps"),
     )
 
 

@@ -292,3 +292,15 @@ def test_iqr_sketch_vs_exact_registry(spark, sf_dir):
     assert abs(approx["outlier_cnt"] - exact["outlier_cnt"]) <= max(
         5, 0.05 * exact["outlier_cnt"]
     )
+
+
+def test_distinct_sketch_within_rsd_of_exact(spark, sf_dir):
+    """HLL++ twin must land within ~3x the configured 2% rsd of the
+    exact distinct counts (same sketch/exact twin contract as IQR)."""
+    from nyc_taxi_data_ingestion_spark.queries import REGISTRY
+
+    exact = REGISTRY["distinct_count"].fn(spark, sf_dir).collect()[0]
+    approx = REGISTRY["distinct_count_sketch"].fn(spark, sf_dir).collect()[0]
+    for col in ("distinct_parts", "distinct_supps"):
+        e, a = exact[col], approx[col]
+        assert abs(a - e) / e <= 0.06, (col, e, a)
