@@ -155,3 +155,103 @@ def apply_transformations(
     if dedupe_keys:
         df = dedupe_keep_first(df, dedupe_keys, dedupe_order_by, dedupe_tie_breakers)
     return df
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (extension — Spark has no native ASOF JOIN): attach
+    to each left row the most recent right row with
+    ``right_ts <= left_ts`` per key, left-join semantics (no prior
+    right row → NULL values).
+
+    Spark-first plan: tag-and-union both sides, then one carry-forward
+    window per key (``last(value, ignorenulls=True)`` over rows
+    preceding) and keep the left rows. Right rows sort BEFORE left rows
+    at equal timestamps, giving inclusive (<=) semantics. Cost: one
+    shuffle per side on the key + one window sort — no range explode,
+    no per-row subquery, no broadcast of either side; this is the
+    standard distributed as-of shape (pandas ``merge_asof`` is the
+    single-node analogue). For heavily-skewed keys the same caveat as
+    ``dedupe_keep_first`` applies: AQE does not split window exchanges.
+
+    The right side must be unique per (key, ts) — pre-reduce duplicates
+    (e.g. ``max_by``) or the carried row is nondeterministic.
+    """
+    if direction != "backward":
+        raise ValueError("only backward (<=) as-of is implemented")
+    lcols = left.columns
+    rvals = {c: right.schema[c].dataType for c in value_cols}
+    l_tagged = left.select(
+        F.col(left_on).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(t).alias(f"__r_{c}") for c, t in rvals.items()],
+    )
+    r_tagged = right.filter(F.col(right_on).isNotNull()).select(
+        F.col(right_on).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).withColumns(
+        {f"__r_{c}": F.last(f"__r_{c}", ignorenulls=True).over(w) for c in rvals}
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__r_{c}").alias(c) for c in rvals]
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    salt_col: str | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k rows per group (T2). ``order_cols`` are ready-made
+    ascending/descending Columns and MUST form a total order (append a
+    unique tie-breaker) for deterministic output.
+
+    ``salt_col`` enables the SKEW-RESISTANT two-phase plan — the
+    answer to "AQE skew handling does not split window exchanges": a
+    hot group's rows are first spread over ``salt_buckets`` sub-
+    partitions by hashing ``salt_col``, local top-k runs per
+    (group, salt), and only ≤ buckets·k survivors per group reach the
+    final per-group window. The hot partition shrinks from |group| to
+    |group|/buckets rows at the cost of one extra (cheap, pre-pruned)
+    window pass; output is IDENTICAL to the unsalted plan — top-k is
+    a selection, so pruning non-candidates locally is lossless.
+    """
+    w_final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    drop = ["__rn"]
+    if salt_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+        w_local = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__lrn", F.row_number().over(w_local))
+            .filter(F.col("__lrn") <= k)
+            .drop("__lrn")
+        )
+        drop.append("__salt")
+    return (
+        df.withColumn("__rn", F.row_number().over(w_final))
+        .filter(F.col("__rn") <= k)
+        .drop(*drop)
+    )

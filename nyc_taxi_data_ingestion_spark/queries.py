@@ -665,6 +665,28 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("topk_per_group_salted", _TOPK_PER_GROUP_ORACLE, tags=["T2", "W1"])
+def q_topk_per_group_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 skew path — the SAME top-k per group through the two-phase
+    salted plan (operators/transform.topk_per_group with salt_col):
+    local top-k per (group, hash-salt bucket) prunes each hot group to
+    ≤ buckets·k rows before the per-group window. Shares
+    topk_per_group's oracle — the skew-resistant plan is hash-verified
+    to produce identical output."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import topk_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    out = topk_per_group(
+        o,
+        group_cols=["o_orderpriority"],
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_col="o_orderkey",
+        salt_buckets=16,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
 _RANGE_CHECK_ORACLE = """
 SELECT COUNT(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS value_out_of_range,
        COUNT(CASE WHEN user_id < 0 THEN 1 END) AS user_id_out_of_range,
@@ -2197,6 +2219,63 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" value "), F.lit("\n")).alias("text"),
     )
     return cu.line_dedup(docs, min_docs=5)
+
+
+_ASOF_JOIN_ORACLE = """
+WITH od AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS TIMESTAMP) AS ots,
+         MAX(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_order_price
+FROM events e ASOF LEFT JOIN od o
+  ON e.user_id = o.o_custkey AND e.ts >= o.ots
+"""
+
+
+@register("asof_join", _ASOF_JOIN_ORACLE, tags=["J1", "W1"])
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): each event gets the customer's most
+    recent order at or before the event time — the temporal-join
+    primitive (feature lookups, slowly-changing dims, market data)
+    Spark lacks natively. Implemented as tag-union + carry-forward
+    window (operators/transform.asof_join); the oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN, so the semantics are cross-checked against
+    an independent first-class implementation. The right side is
+    pre-reduced to one row per (customer, date) with max_by so the
+    carried row is deterministic on both engines."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders_d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    joined = asof_join(
+        events,
+        orders_d,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_order_price"),
+    )
 
 
 _NGRAM_NOVELTY_ORACLE = r"""

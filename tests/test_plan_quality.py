@@ -155,3 +155,14 @@ def test_bucketed_join_elides_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_salted_topk_two_phase_plan(spark, sf_dir):
+    # the skew path must actually plan TWO window stages — the local
+    # (group, salt) pruning pass and the final per-group pass — and
+    # match the unsalted output exactly
+    plan = plan_of(spark, "topk_per_group_salted", sf_dir)
+    assert plan.count("Window") >= 2, plan
+    a = REGISTRY["topk_per_group"].fn(spark, sf_dir).collect()
+    b = REGISTRY["topk_per_group_salted"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -379,3 +379,32 @@ def test_kafka_source_config_rejects_incomplete():
         validate_config(
             {"pipeline": {"name": "p"}, "source": {"format": "kafka"}}
         )
+
+
+def test_asof_join_edge_semantics(spark):
+    """Inclusive (<=) at equal timestamps, NULL before any right row,
+    carry resets per key."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 10:00:00"),   # before any right row
+            (2, 10, "2024-01-02 00:00:00"),   # EQUAL ts → inclusive
+            (3, 10, "2024-01-05 00:00:00"),   # after both → latest
+            (4, 20, "2024-01-04 00:00:00"),   # other key, one match
+        ],
+        "event_id long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-01-02 00:00:00", 100.0),
+            (10, "2024-01-03 00:00:00", 200.0),
+            (20, "2024-01-01 00:00:00", 900.0),
+        ],
+        "k long, rts string, price double",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", value_cols=["price"]
+    )
+    got = {r.event_id: r.price for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: 900.0}
