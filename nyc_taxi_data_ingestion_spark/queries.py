@@ -2278,6 +2278,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_JOIN_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+       CAST(o.o_orderdate AS TIMESTAMP) AS w_start,
+       CAST(o.o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS w_end
+FROM events e JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+ AND e.ts < CAST(o.o_orderdate + INTERVAL 7 DAY AS TIMESTAMP)
+"""
+
+
+@register("interval_join", _INTERVAL_JOIN_ORACLE, tags=["J2", "P7"])
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (extension): events matched into each
+    customer's 7-day post-order windows. A raw BETWEEN join plans as a
+    nested loop in Spark; operators/transform.interval_join bins both
+    sides to coarse day-buckets and EQUI-joins on (key, bin) + exact
+    filter — hash join, full shuffle pruning. The oracle is the plain
+    inequality join, so the bucketed rewrite is hash-verified
+    lossless."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import interval_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    windows = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("w_start"),
+        F.date_add("o_orderdate", 7).cast("timestamp").alias("w_end"),
+    )
+    return interval_join(
+        events,
+        windows,
+        point_key="user_id",
+        interval_key="o_custkey",
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bin_width_days=7,
+    )
+
+
 _NGRAM_NOVELTY_ORACLE = r"""
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t

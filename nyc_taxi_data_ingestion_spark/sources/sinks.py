@@ -159,3 +159,64 @@ def create_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Row-level MERGE (upsert) on plain parquet — the semantics the
+    reference DECLARES via dbt ``incremental_strategy='merge'`` +
+    ``unique_key`` (``daily_trip_stats.sql:1-11``) but delegates to
+    Iceberg. Without a transactional table format, MERGE becomes:
+    read target ∪ updates → keep the highest-``order_col`` row per key
+    (updates win ties) → rewrite via the same crash-recoverable
+    directory swap compaction uses.
+
+    Scale notes: this rewrites the WHOLE table — correct and simple,
+    and the right call when updates touch most partitions. When they
+    don't, ``overwrite_partitions`` (M1) already restricts the rewrite
+    to touched partitions; and at real 100 TB scale row-level MERGE
+    belongs to Iceberg/Delta's transactional MERGE INTO (copy-on-write
+    planning prunes untouched files), which this function's contract
+    mirrors 1:1 — same keys, same last-writer-wins. LOCAL-FILESYSTEM
+    ONLY for the same reason as ``compact_parquet_dir``.
+    """
+    import os
+    import shutil
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        dedupe_keep_first,
+    )
+
+    # tie-breakers are ascending: updates carry the LOWER marker so
+    # they win against existing rows at equal order values
+    upd = updates.withColumn("__upd", F.lit(0))
+    if os.path.exists(target_path):
+        tgt = spark.read.parquet(target_path).withColumn("__upd", F.lit(1))
+        merged_src = tgt.unionByName(upd)
+    else:
+        merged_src = upd
+    merged = dedupe_keep_first(
+        merged_src, keys, order_by=f"{order_col} DESC", tie_breakers=["__upd"]
+    ).drop("__upd")
+
+    base = target_path.rstrip("/")
+    tmp, old = base + "__merge_tmp", base + "__merge_old"
+    write_partitioned(merged, tmp, partition_by or [])
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    try:
+        os.rename(tmp, target_path)
+    except OSError:
+        if os.path.exists(old):
+            os.rename(old, target_path)
+        raise
+    if os.path.exists(old):
+        shutil.rmtree(old)

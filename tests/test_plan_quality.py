@@ -166,3 +166,15 @@ def test_salted_topk_two_phase_plan(spark, sf_dir):
     a = REGISTRY["topk_per_group"].fn(spark, sf_dir).collect()
     b = REGISTRY["topk_per_group_salted"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    # the bucketed-bin rewrite must give Catalyst an equi-join: a raw
+    # BETWEEN predicate would plan BroadcastNestedLoop/Cartesian —
+    # O(n*m) row comparisons at scale
+    plan = plan_of(spark, "interval_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
