@@ -2278,6 +2278,60 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_ORACLE = f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS lvl,
+       COUNT(*) AS order_cnt,
+       {dsum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("rollup_agg", _ROLLUP_ORACLE, tags=["A1", "A11"])
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP (extension): per-(priority, status) measures plus
+    priority subtotals and the grand total in ONE pass — Spark plans
+    rollup as a single Expand + aggregate, not three scans.
+    grouping_id disambiguates subtotal NULLs from data NULLs; decimal
+    accumulation keeps the double sums hash-comparable."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count("*").alias("order_cnt"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select("o_orderpriority", "o_orderstatus", "lvl", "order_cnt", "revenue")
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS rev_f,
+       {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS rev_o,
+       {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS rev_p
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("pivot_agg", _PIVOT_ORACLE, tags=["A2", "A12"])
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (extension): order-status revenue columns by year.
+    Explicit pivot values keep the plan a single pass (no distinct-
+    values pre-query) and the schema deterministic — the rule at scale:
+    NEVER let pivot infer its columns from the data."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+        .withColumnsRenamed({"F": "rev_f", "O": "rev_o", "P": "rev_p"})
+    )
+
+
 _INTERVAL_JOIN_ORACLE = """
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
        CAST(o.o_orderdate AS TIMESTAMP) AS w_start,
