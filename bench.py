@@ -83,7 +83,7 @@ def main() -> None:
     # BASELINE.md comparability: the reference's 42.9 s "total pipeline"
     # covers ONE silver transform + 3 gold aggregates on ~1.4 M rows.
     # These four registry queries are the equivalent workload (sf0.1
-    # lineitem ≈ 600 K rows); the other 44 queries are additional
+    # lineitem ≈ 600 K rows); the remaining queries are additional
     # surface the reference doesn't time.
     medallion = ["silver_transform", "daily_stats", "hourly_analysis", "revenue_by_group"]
     payload = {

@@ -537,13 +537,18 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence detector: per-node labels are monotonically
+    # non-increasing, so the exact integer SUM of labels strictly
+    # decreases while anything changes — one cheap aggregate per round
+    # instead of an old⋈new comparison join (halves per-round cost)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
         nbr = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
@@ -553,15 +558,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        converged = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if converged:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds — "
         "component diameter exceeds the bound; raise max_iterations or switch "

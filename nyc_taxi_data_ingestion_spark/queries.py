@@ -2278,6 +2278,62 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GROUP_QUANTILES_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("group_quantiles", _GROUP_QUANTILES_ORACLE, tags=["A7", "A2"])
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact interpolated percentiles (p50/p90/p99 of order
+    value by priority) — the grouped form of A7. Exact `percentile`
+    for oracle parity; at scale swap to approx_percentile per group
+    (mergeable GK sketch, same call shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+@register("sessionize_batch", _STREAM_SESSION_ORACLE, tags=["W1", "W2", "A12"])
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands windows (LAG → break
+    flag → running break-sum → per-session aggregate) — the batch twin
+    of stream_session_windows, sharing its oracle: three engines
+    (Spark windows, Spark session_window streaming state, DuckDB SQL)
+    agree on identical session boundaries. Two window passes over one
+    key shuffle; no state store needed in batch."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap test (casting ts to long truncates to
+    # seconds and mis-classifies gaps within 1s of the boundary)
+    brk = F.when(
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        >= 30 * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("__brk", brk).withColumn("__sid", F.sum("__brk").over(ws))
+    return sess.groupBy("user_id", "__sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        F.count("*").alias("event_cnt"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    ).drop("__sid")
+
+
 _ROLLUP_ORACLE = f"""
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS lvl,
