@@ -147,3 +147,98 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.length("payload").alias("byte_len"),
         F.md5("payload").alias("payload_md5"),
     )
+
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms int, frame_len int, frame_hex string"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    chunk_bytes: int = 512,
+    every_ms: int = 1000,
+    frame_fn=None,
+    batch_hint: int | None = 64,
+) -> DataFrame:
+    """Frame sampling — the 1:N multimodal plumbing shape (one video in,
+    many frames out) via ``mapInPandas``, which a groupBy/explode can't
+    express for a Python codec. ``frame_fn(payload) -> list[bytes]`` is
+    the real-decoder hook (pyav keyframe extraction); the default STUB
+    slices fixed ``chunk_bytes`` windows as fake frames. Frames are
+    hex-encoded so the stub's output is cross-engine verifiable (the
+    oracle reproduces the slices with substr over hex(payload)).
+
+    Empty/NULL payloads produce no frames (a real demuxer's behavior).
+    """
+
+    def frames_of(p: bytes) -> list[bytes]:
+        n = max(1, -(-len(p) // chunk_bytes))
+        return [
+            bytes(p[k * chunk_bytes : (k + 1) * chunk_bytes]) for k in range(n)
+        ]
+
+    cut = frame_fn or frames_of
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        step = batch_hint or 1024
+        for pdf in batches:
+            for lo in range(0, len(pdf), step):
+                chunk = pdf.iloc[lo : lo + step]
+                out: dict[str, list] = {
+                    "media_id": [], "frame_idx": [], "ts_ms": [],
+                    "frame_len": [], "frame_hex": [],
+                }
+                for mid, p in zip(chunk["media_id"], chunk["payload"]):
+                    if p is None or len(p) == 0:
+                        continue
+                    for k, fr in enumerate(cut(p)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(k)
+                        out["ts_ms"].append(k * every_ms)
+                        out["frame_len"].append(len(fr))
+                        out["frame_hex"].append(fr.hex().upper())
+                if out["media_id"]:
+                    yield pd.DataFrame(out)
+
+    spark = media.sparkSession
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    target_bytes: int = 256,
+    target_width: int = 224,
+    target_height: int = 224,
+    resize_fn=None,
+) -> DataFrame:
+    """Resize — binary-in/binary-out mapInPandas plumbing with updated
+    typed metadata. ``resize_fn(payload) -> bytes`` is the real-codec
+    hook (PIL thumbnail + re-encode); the default STUB truncates or
+    zero-pads to ``target_bytes``. Schema is preserved (MEDIA_SCHEMA),
+    so resized output feeds every downstream media operator unchanged.
+    """
+
+    def shrink(p: bytes) -> bytes:
+        return bytes(p[:target_bytes]) + b"\x00" * max(0, target_bytes - len(p))
+
+    fn = resize_fn or shrink
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                fn(p) if p is not None else None for p in pdf["payload"]
+            ]
+            pdf["width"] = pd.array(
+                [target_width if p is not None else None for p in pdf["payload"]],
+                dtype="Int32",
+            )
+            pdf["height"] = pd.array(
+                [target_height if p is not None else None for p in pdf["payload"]],
+                dtype="Int32",
+            )
+            yield pdf
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)

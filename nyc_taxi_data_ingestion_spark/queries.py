@@ -2278,6 +2278,45 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULTIMODAL_FRAMES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h
+  FROM documents
+  WHERE length(text) > 0
+),
+f AS (
+  SELECT media_id, h,
+         unnest(range(0, greatest(CAST(ceil(length(h) / 1024.0) AS INT), 1)))
+           AS k
+  FROM m
+)
+SELECT media_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(k * 1000 AS INT) AS ts_ms,
+       CAST(length(substr(h, CAST(k * 1024 + 1 AS INT), 1024)) / 2 AS INT)
+         AS frame_len,
+       substr(h, CAST(k * 1024 + 1 AS INT), 1024) AS frame_hex
+FROM f
+"""
+
+
+@register("multimodal_frames", _MULTIMODAL_FRAMES_ORACLE, tags=["llm-multimodal"])
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame sampling over binary media (llm/multimodal.
+    sample_frames): one row per sampled frame with typed metadata —
+    the mapInPandas shape a real video demuxer needs. The stub cutter
+    slices 512-byte windows hex-encoded, so even the Python-side 1:N
+    path is HASH-VERIFIED cross-engine (oracle reproduces the slices
+    with substr over hex(payload))."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, chunk_bytes=512, every_ms=1000)
+
+
 _GROUP_QUANTILES_ORACLE = """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.5) AS p50,

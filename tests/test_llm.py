@@ -339,3 +339,43 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_sample_frames_one_to_many(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 1200), (2, "y" * 100), (3, "")], "doc_id long, text string"
+    )
+    frames = sample_frames(documents_as_media(df), chunk_bytes=512).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media[1]) == 3          # 1200 bytes → 3 frames
+    assert len(by_media[2]) == 1
+    assert 3 not in by_media              # empty payload → no frames
+    f = sorted(by_media[1], key=lambda r: r.frame_idx)
+    assert [r.frame_len for r in f] == [512, 512, 176]
+    assert [r.ts_ms for r in f] == [0, 1000, 2000]
+    assert f[0].frame_hex == ("78" * 512).upper()
+
+
+def test_resize_media_schema_and_padding(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        MEDIA_SCHEMA,
+        documents_as_media,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 10)], "doc_id long, text string"
+    )
+    out = resize_media(documents_as_media(df), target_bytes=64)
+    assert out.schema == MEDIA_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows[1].payload) == 64 and len(rows[2].payload) == 64
+    assert rows[2].payload[10:] == b"\x00" * 54   # zero-padded
+    assert rows[1].width == 224 and rows[1].height == 224
