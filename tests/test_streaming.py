@@ -149,3 +149,51 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert got == {1: (3, 2), 2: (1, 1)}
     f1 = final.filter(F.col("user_id") == 1).collect()[0]
     assert f1.first_event.day == 1 and f1.last_event.day == 3
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event arriving AFTER its window's state
+    was evicted must be dropped (numRowsDroppedByWatermark), and the
+    finalized window must never be re-emitted. Eviction happens at the
+    end of the first batch that RUNS with a watermark past window end —
+    the watermark is a lateness bound, so a late row landing in the
+    same batch as finalization may still legally count; the drop is
+    guaranteed only one batch later. Four single-file batches, mtime-
+    ordered so the file source replays them deterministically."""
+    import time
+
+    src = tmp_path / "late"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+        time.sleep(1.1)  # file-source ordering is mtime-second-granular
+
+    write_batch("b1", [(1, "2024-01-01 10:00:00", "a"),
+                       (2, "2024-01-01 10:04:00", "a")])
+    # advances the watermark past window [10:00, 10:10)...
+    write_batch("b2", [(3, "2024-01-01 11:00:00", "a")])
+    # ...and this batch RUNS with that watermark → 10:00 state evicted
+    write_batch("b3", [(5, "2024-01-01 11:05:00", "a")])
+    # LATE: belongs to the already-finalized window → dropped
+    write_batch("b4", [(4, "2024-01-01 10:05:00", "a")])
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = read_parquet_stream(spark, str(src), schema, max_files_per_trigger=1)
+    agg = tumbling_aggregate(
+        stream, "ts", "10 minutes", ["event_type"],
+        [F.count("*").alias("cnt")],
+        watermark_delay="0 seconds",
+    )
+    got = run_available_now(agg, "late_test", output_mode="append")
+    rows = [r for r in got.collect() if r.window_start.strftime("%H:%M") == "10:00"]
+    # exactly one emission of the 10:00 window, with the on-time count
+    assert len(rows) == 1 and rows[0].cnt == 2, rows
