@@ -2672,6 +2672,283 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 12 — window-function surface (lag/lead/ntile), CUBE, set ops,
+# stream-stream join. Extensions past the reference's inventory (§2.5
+# notes it has no rank/lag/lead/ntile; §2.7 notes UNION/INTERSECT
+# unimplemented; §2.12 notes no streaming) — rounding out the engine so
+# a reference user never hits a missing relational primitive.
+# ---------------------------------------------------------------------------
+
+_WINDOW_DELTAS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+         CAST(l_shipdate AS DATE) AS ship_day,
+         {dsum_sql('l_extendedprice')} AS revenue
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT ship_year, ship_day, revenue,
+       revenue - LAG(revenue) OVER w AS delta_prev,
+       LEAD(revenue) OVER w - revenue AS delta_next
+FROM daily
+WINDOW w AS (PARTITION BY ship_year ORDER BY ship_day)
+"""
+
+
+@register("window_deltas", _WINDOW_DELTAS_ORACLE, tags=["W2", "A12"])
+def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas via LAG/LEAD. The window is
+    PARTITIONED BY year — an unpartitioned ORDER BY window collapses the
+    whole dataset into one task, the classic window-function scale
+    killer; partitioning by a coarse time key keeps every partition
+    bounded while preserving in-partition deltas (year boundaries
+    surface as NULL deltas, which is also the honest answer). ship_day
+    is unique per partition, so lag/lead are deterministic without
+    tie-breakers."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    ).agg(dsum("l_extendedprice").alias("revenue"))
+    w = Window.partitionBy("ship_year").orderBy("ship_day")
+    return daily.select(
+        "ship_year",
+        "ship_day",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta_prev"),
+        (F.lead("revenue").over(w) - F.col("revenue")).alias("delta_next"),
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS lvl,
+       COUNT(*) AS row_cnt,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("cube_agg", _CUBE_ORACLE, tags=["A1", "A11"])
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in ONE Expand+aggregate
+    pass (completes rollup_agg/pivot_agg's OLAP trio). grouping_id
+    disambiguates subtotal NULLs from data NULLs. At scale the Expand
+    multiplies rows 4x before the partial aggregate — acceptable for
+    low-cardinality dimensions like these two flags; high-cardinality
+    cube dimensions are an anti-pattern regardless of engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count("*").alias("row_cnt"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "lvl", "row_cnt", "sum_qty")
+    )
+
+
+_UNION_ORACLE = """
+SELECT CAST(c_custkey AS BIGINT) AS party_id, c_name AS party_name,
+       c_nationkey AS nation_key, 'customer' AS party_kind
+FROM customer
+UNION ALL
+SELECT CAST(s_suppkey AS BIGINT) AS party_id, s_name AS party_name,
+       s_nationkey AS nation_key, 'supplier' AS party_kind
+FROM supplier
+"""
+
+
+@register("union_all_tagged", _UNION_ORACLE, tags=["U1"])
+def q_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous tables into one tagged party
+    dimension (SURVEY §2.7: the reference never implemented UNION).
+    ``unionByName`` aligns by column NAME, not position — positional
+    union is the classic silent-corruption bug when schemas drift.
+    Union is shuffle-free (both inputs stream straight through)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("party_id"),
+        F.col("c_name").alias("party_name"),
+        F.col("c_nationkey").alias("nation_key"),
+        F.lit("customer").alias("party_kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("party_id"),
+        F.col("s_name").alias("party_name"),
+        F.col("s_nationkey").alias("nation_key"),
+        F.lit("supplier").alias("party_kind"),
+    )
+    return cust.unionByName(supp)
+
+
+_INTERSECT_ORACLE = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+INTERSECT
+SELECT CAST(c_custkey AS BIGINT) AS custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+@register("intersect_keys", _INTERSECT_ORACLE, tags=["U1"])
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers with negative balances
+    who actually placed orders. Spark plans intersect as a left-semi
+    join over distinct keys — same shuffle shape as the anti-join
+    integrity check (J4), completing the set-op family."""
+    ordered = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"))
+    )
+    negative = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").cast("bigint").alias("custkey"))
+    )
+    return ordered.intersect(negative)
+
+
+_NTILE_ORACLE = """
+SELECT o_orderpriority, bin,
+       COUNT(*) AS cnt,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+
+@register("ntile_binning", _NTILE_ORACLE, tags=["W1", "A8"])
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count quartile binning per group via NTILE + per-bin
+    profile (count/min/max). The total order (price, orderkey) makes
+    tile assignment deterministic — NTILE over a non-total order is
+    nondeterministic at ties, same trap as W1's row_number. Window
+    partitions by priority, so no global sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("bin")
+    )
+    return binned.groupBy("o_orderpriority", "bin").agg(
+        F.count("*").alias("cnt"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts < c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+@register("stream_stream_join", _STREAM_JOIN_ORACLE, tags=["streaming", "J2"])
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM join: clicks matched to same-user purchases within
+    30 minutes, both sides unbounded streams. The time-bounded join
+    condition + watermarks let Spark evict buffered rows (state is
+    O(events in the 30-min + delay horizon), not O(stream)); inner
+    joins emit matches immediately, so the AvailableNow run equals the
+    batch interval join the oracle runs — streaming attribution
+    verified cross-engine against batch SQL."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    clicks = (
+        read_parquet_stream(spark, path, schema)
+        .filter(F.col("event_type") == "click")
+    )
+    purchases = (
+        read_parquet_stream(spark, path, schema)
+        .filter(F.col("event_type") == "purchase")
+    )
+    joined = stream_stream_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        max_gap="30 MINUTE",
+        watermark_delay="1 minute",
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    return run_available_now(out, "q_stream_join", output_mode="append")
+
+
+_STREAM_SLIDING_ORACLE = """
+SELECT ws AS window_start,
+       ws + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS cnt
+FROM (
+  SELECT event_type,
+         unnest(generate_series(
+           time_bucket(INTERVAL '6 hours', ts) - INTERVAL '18 hours',
+           time_bucket(INTERVAL '6 hours', ts),
+           INTERVAL '6 hours')) AS ws
+  FROM events
+)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_sliding_counts", _STREAM_SLIDING_ORACLE, tags=["streaming"])
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1-day window, 6-hour slide): each event lands in
+    4 overlapping epoch-aligned windows. The oracle expands the same
+    window membership with generate_series — every covering start is in
+    (ts - 1 day, ts], i.e. the 4 consecutive 6-hour buckets ending at
+    the event's own bucket. Overlap factor = window/slide multiplies
+    state 4x; watermark eviction is what keeps that affordable
+    unboundedly."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema)
+    slid = sliding_counts(
+        stream, "ts", "1 day", "6 hours", ["event_type"],
+        watermark_delay="1 minute",
+    )
+    return run_available_now(slid, "q_stream_sliding", output_mode="complete")
+
+
 def _export_order() -> list[str]:
     """Oracle-backed queries first (in registration order), rows-only
     queries last. Round 2's correctness run evaluated exactly the first

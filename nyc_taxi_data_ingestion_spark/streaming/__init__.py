@@ -18,5 +18,6 @@ from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     session_windows,
     stateful_profile,
     stream_dedupe,
+    stream_stream_join,
     tumbling_aggregate,
 )

@@ -147,6 +147,40 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap: str,
+    watermark_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a bounded event-time range:
+    right rows match left rows with the same key and
+    ``left_ts <= right_ts < left_ts + max_gap``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions — that is what lets Spark evict join state: a
+    buffered left row can be dropped once the right watermark passes
+    ``left_ts + max_gap`` (and vice versa). An unbounded condition would
+    buffer both streams forever; at 100 TB the time bound IS the
+    operator. Inner joins emit matches as both sides arrive, so an
+    AvailableNow run produces exactly the batch join result —
+    cross-engine oracle-checkable. Outer variants additionally emit
+    NULL-padded rows only after watermark expiry.
+    """
+    l = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, how)
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,
