@@ -19,5 +19,6 @@ from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     stateful_profile,
     stream_dedupe,
     stream_stream_join,
+    stream_upsert_sink,
     tumbling_aggregate,
 )

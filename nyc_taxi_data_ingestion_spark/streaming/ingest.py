@@ -246,6 +246,61 @@ def run_available_now(
     return result
 
 
+def stream_upsert_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_col: str,
+    query_name: str = "stream_upsert",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,  # noqa: ARG001 (doc parity)
+) -> None:
+    """Streaming MERGE sink via ``foreachBatch``: each micro-batch is
+    upserted into the parquet target with last-writer-wins per key —
+    the streaming twin of the batch ``merge_upsert`` (M1's dbt
+    incremental-merge semantics, continuously applied).
+
+    ``foreachBatch`` is THE escape hatch for sinks Structured Streaming
+    lacks natively (JDBC, MERGE, multi-table fan-out): the batch
+    DataFrame it hands over supports every batch writer. Exactly-once
+    comes from checkpointed batch IDs + an idempotent merge — replaying
+    a batch after crash recovery converges to the same table state
+    (upsert is idempotent), the standard contract for non-transactional
+    sinks. On Iceberg/Delta the body becomes a transactional
+    ``MERGE INTO`` with no other change.
+
+    Runs with AvailableNow (drain-then-stop) for deterministic tests;
+    a production deployment swaps the trigger.
+    """
+    from nyc_taxi_data_ingestion_spark.sources.sinks import merge_upsert
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+        prefix=f"ckpt_{query_name}_"
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:  # noqa: ARG001
+        merge_upsert(
+            batch_df.sparkSession, target_path, batch_df, keys, order_col
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {query_name} did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def stateful_profile(
     stream: DataFrame,
     key_col: str = "user_id",

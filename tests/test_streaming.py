@@ -197,3 +197,70 @@ def test_watermark_drops_late_data(spark, tmp_path):
     rows = [r for r in got.collect() if r.window_start.strftime("%H:%M") == "10:00"]
     # exactly one emission of the 10:00 window, with the on-time count
     assert len(rows) == 1 and rows[0].cnt == 2, rows
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, events_schema):
+    """Stream-stream time-bounded join across several micro-batches must
+    equal the batch interval join — matches where the two sides arrive
+    in DIFFERENT batches are exactly what the join state buffer exists
+    for."""
+    from nyc_taxi_data_ingestion_spark.streaming import stream_stream_join
+
+    clicks = read_parquet_stream(
+        spark, events_dir, events_schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "click")
+    purchases = read_parquet_stream(
+        spark, events_dir, events_schema, max_files_per_trigger=1
+    ).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        max_gap="30 MINUTE", watermark_delay="1 minute",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    got = run_available_now(joined, "ssjoin_test", output_mode="append")
+
+    ev = spark.read.parquet(events_dir)
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    want = c.join(
+        p,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("c.ts"))
+        & (F.col("p.ts") < F.col("c.ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+    g = {(r.click_id, r.purchase_id) for r in got.collect()}
+    w = {(r.click_id, r.purchase_id) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
+    """foreachBatch MERGE sink: late micro-batches upsert over earlier
+    rows per key; the final table is one row per key with the highest
+    order value, regardless of batch slicing."""
+    from nyc_taxi_data_ingestion_spark.streaming import stream_upsert_sink
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2024-01-01 10:00:00", 10.0),
+        (1, "2024-01-02 10:00:00", 20.0),   # later → wins
+        (2, "2024-01-01 09:00:00", 5.0),
+        (3, "2024-01-03 08:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.repartition(4).write.parquet(src)  # several files → several batches
+
+    target = str(tmp_path / "tgt")
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    stream_upsert_sink(stream, target, keys=["k"], order_col="ts",
+                       query_name="upsert_test")
+
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {1: 20.0, 2: 5.0, 3: 7.0}
