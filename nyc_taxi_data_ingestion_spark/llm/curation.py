@@ -407,45 +407,59 @@ def ngram_novelty(
     rows (thousands), so the "model" broadcasts; the rare test is an
     integer cross-multiply (cnt * 1e6 < rare_ppm * total — no float
     division, no log), keeping the whole operator bit-exact across
-    engines. Corpus text is scanned twice (count pass + score pass) —
-    same inherent shape as any train-then-apply statistic.
+    engines. The text is exploded ONCE into per-doc gram counts (the
+    expensive narrow map), which are cached; both the corpus model and
+    the per-doc scores derive from that frame, so the shuffles move
+    distinct (doc, gram) pairs — several times fewer rows than raw
+    occurrences for natural text.
 
     Returns (id_col, n_grams, rare_cnt, rare_frac).
     """
-    def grams(frame: DataFrame) -> DataFrame:
-        pre = frame.select(
-            F.col(id_col),
-            F.regexp_replace(
-                F.lower(F.trim(_c(text_col))), r"\s+", " "
-            ).alias("__norm"),
-        )
-        n = F.greatest(F.length("__norm") - k + 1, F.lit(1))
-        return pre.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.substr(F.col("__norm"), i, F.lit(k)),
-                )
-            ).alias("__g"),
-        )
-    g = grams(df)
-    freq = g.groupBy("__g").agg(F.count("*").alias("__cnt"))
-    total = freq.agg(F.sum("__cnt").alias("__tot"))
-    model = freq.crossJoin(F.broadcast(total)).select(
-        "__g",
-        (F.col("__cnt") * F.lit(1_000_000) < F.lit(rare_ppm) * F.col("__tot"))
-        .alias("__rare"),
+    pre = df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.lower(F.trim(_c(text_col))), r"\s+", " "
+        ).alias("__norm"),
     )
-    return (
-        g.join(F.broadcast(model), "__g")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count(F.when(F.col("__rare"), 1)).alias("rare_cnt"),
+    n = F.greatest(F.length("__norm") - k + 1, F.lit(1))
+    g = pre.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substr(F.col("__norm"), i, F.lit(k)),
+            )
+        ).alias("__g"),
+    )
+    # per-doc gram counts: the only pass over raw occurrences, combined
+    # map-side; everything downstream works on (doc, gram) pairs
+    gc = g.groupBy(id_col, "__g").agg(F.count("*").alias("__c")).persist()
+    try:
+        freq = gc.groupBy("__g").agg(F.sum("__c").alias("__cnt"))
+        total = freq.agg(F.sum("__cnt").alias("__tot"))
+        model = freq.crossJoin(F.broadcast(total)).select(
+            "__g",
             (
-                F.count(F.when(F.col("__rare"), 1))
-                / F.count("*").cast("double")
-            ).alias("rare_frac"),
+                F.col("__cnt") * F.lit(1_000_000)
+                < F.lit(rare_ppm) * F.col("__tot")
+            ).alias("__rare"),
         )
-    )
+        result = (
+            gc.join(F.broadcast(model), "__g")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__c").alias("n_grams"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__rare"), F.col("__c"))), F.lit(0)
+                ).alias("rare_cnt"),
+                (
+                    F.coalesce(
+                        F.sum(F.when(F.col("__rare"), F.col("__c"))), F.lit(0)
+                    )
+                    / F.sum("__c").cast("double")
+                ).alias("rare_frac"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        gc.unpersist()
