@@ -2949,6 +2949,128 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(slid, "q_stream_sliding", output_mode="complete")
 
 
+_JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("json_extract_agg", _JSON_EXTRACT_ORACLE, tags=["P3", "A5"])
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction (extension — SURVEY §2.8: the reference
+    has NO json scalar functions; its lineage JSON stays an opaque
+    string). ``from_json`` with an explicit schema is the scale path:
+    one vectorized JVM parse per row into a typed struct — versus
+    ``get_json_object``, which re-parses the document per extracted
+    field and returns strings. Integer sums stay exact without decimal
+    accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket,
+       CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) * 50000.0
+         AS bucket_lo,
+       COUNT(*) AS cnt,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("histogram_fixed", _HISTOGRAM_ORACLE, tags=["A8", "Q4"])
+def q_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equal-width histogram (distribution profiling for
+    DQ dashboards): bucket = floor(x / width), clamped to the last
+    bucket. Fixed bounds make it ONE pass — deriving bounds from
+    min/max costs a second scan and makes bucket edges data-dependent
+    (non-reproducible across runs as data grows). Same float division
+    expression on both engines → bit-identical bucketing."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .select("bucket", "bucket_lo", "cnt", "lo", "hi")
+    )
+
+
+_CORR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS DOUBLE) AS n,
+       (CAST(COUNT(*) AS DOUBLE)
+          * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE))
+       / (sqrt(CAST(COUNT(*) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE))
+          * sqrt(CAST(COUNT(*) AS DOUBLE)
+                 * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               - CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+                 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)))
+         AS qty_price_corr
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("corr_stats", _CORR_ORACLE, tags=["A6", "Q4"])
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group, built from DETERMINISTIC moments:
+    the five sums accumulate in exact decimal (order-independent), and
+    the closing formula is the same IEEE expression on both engines —
+    so even a cross-column statistic is bit-reproducible under any
+    partitioning. Built-in ``corr()`` is a running-covariance aggregate
+    whose result depends on merge order; fine for exploration, wrong
+    for a determinism-contract engine. One pass, partial-agg friendly."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count("*").cast("double")
+    sx = F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast("double")
+    sxx = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,4)")
+    ).cast("double")
+    syy = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,4)")
+    ).cast("double")
+    sxy = F.sum(
+        (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,4)")
+    ).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), corr.alias("qty_price_corr")
+    )
+
+
 def _export_order() -> list[str]:
     """Oracle-backed queries first (in registration order), rows-only
     queries last. Round 2's correctness run evaluated exactly the first
