@@ -525,45 +525,58 @@ def connected_components(
     ``localCheckpoint``-ed — iterative lineage otherwise grows a plan
     Catalyst re-optimizes from scratch every round.
     """
+    # The edge list is STATIC across rounds — hash-partition it on the
+    # probe key once and cache it. Cached partitioning is visible to
+    # Catalyst (InMemoryRelation reports outputPartitioning), and
+    # localCheckpoint preserves the labels' partitioning likewise, so
+    # each round's two joins are exchange-free on the cached/label
+    # sides; the only per-round shuffle left is the min-label groupBy —
+    # the propagation itself. At a billion edges that is the difference
+    # between 1 and 3 full-edge shuffles per round.
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition(F.col("dst"))
+        .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    # convergence detector: per-node labels are monotonically
-    # non-increasing, so the exact integer SUM of labels strictly
-    # decreases while anything changes — one cheap aggregate per round
-    # instead of an old⋈new comparison join (halves per-round cost)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iterations):
-        nbr = (
-            sym.join(labels, sym["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+    try:
         labels = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds — "
-        "component diameter exceeds the bound; raise max_iterations or switch "
-        "to large-star/small-star"
-    )
+        # convergence detector: per-node labels are monotonically
+        # non-increasing, so the exact integer SUM of labels strictly
+        # decreases while anything changes — one cheap aggregate per
+        # round instead of an old⋈new comparison join
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        for _ in range(max_iterations):
+            nbr = (
+                sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = (
+                labels.join(nbr, labels["node"] == nbr["src"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+            " — component diameter exceeds the bound; raise max_iterations or"
+            " switch to large-star/small-star"
+        )
+    finally:
+        sym.unpersist()
