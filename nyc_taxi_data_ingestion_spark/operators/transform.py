@@ -307,3 +307,49 @@ def interval_join(
             ],
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    tie_breakers: list[str] | None = None,
+) -> DataFrame:
+    """Build SCD Type-2 history from an event/snapshot log: collapse
+    consecutive rows with unchanged ``attr_cols`` per key into one
+    validity interval — (keys, attrs, valid_from, valid_to, is_current),
+    ``valid_to`` = next version's start, NULL while current.
+
+    Gaps-and-islands: a change flag (null-safe ``<=>`` comparison vs
+    the LAG of each attribute) cumulatively summed into a version id,
+    then one group-agg per version and a LEAD for the closing
+    timestamp. Three window passes over the SAME (key × time)
+    partitioning — Catalyst plans one Exchange reused by all of them,
+    so the operator costs a single shuffle. Partitioning is per-key,
+    never global; ``tie_breakers`` make the order total so version
+    boundaries are deterministic under concurrent equal timestamps.
+    """
+    tb = tie_breakers or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tb)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    ver = (
+        df.withColumn(
+            "__chg",
+            F.when(F.lag(ts_col).over(w).isNull() | changed, 1).otherwise(0),
+        )
+        .withColumn("__ver", F.sum("__chg").over(w))
+    )
+    versions = ver.groupBy(*key_cols, "__ver", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from")
+    )
+    # __ver breaks valid_from ties (adjacent versions can share a
+    # timestamp when the change happens within one tick)
+    w_ver = Window.partitionBy(*key_cols).orderBy("valid_from", "__ver")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(w_ver))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__ver")
+    )

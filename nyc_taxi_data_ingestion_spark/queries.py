@@ -3071,6 +3071,56 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE = """
+WITH m AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+v AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM m
+),
+runs AS (
+  SELECT user_id, ver, event_type, MIN(ts) AS valid_from
+  FROM v GROUP BY user_id, ver, event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to,
+       LEAD(valid_from) OVER wv IS NULL AS is_current
+FROM runs
+WINDOW wv AS (PARTITION BY user_id ORDER BY valid_from, ver)
+"""
+
+
+@register("scd2_history", _SCD2_ORACLE, tags=["W1", "M1"])
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the event log (extension —
+    the warehouse-maintenance twin of merge_upsert's last-writer-wins):
+    consecutive same-attribute events per user collapse into validity
+    intervals with valid_from/valid_to/is_current. Gaps-and-islands in
+    three window passes sharing ONE per-key Exchange; deterministic
+    via the (ts, event_id) total order. The oracle replays the same
+    island construction in SQL."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tie_breakers=["event_id"],
+    )
+
+
 def _export_order() -> list[str]:
     """Oracle-backed queries first (in registration order), rows-only
     queries last. Round 2's correctness run evaluated exactly the first
