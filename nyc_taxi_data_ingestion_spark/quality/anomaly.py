@@ -200,3 +200,71 @@ def moving_average_bands(
             ).otherwise(False),
         )
     )
+
+
+def chi_square_drift(
+    old: DataFrame,
+    new: DataFrame,
+    bucket_expr,
+    alias_old: str = "old",
+    alias_new: str = "new",
+) -> DataFrame:
+    """Distribution-drift detection between two table versions via the
+    chi-square statistic over a shared bucketing (extension of the
+    Q4-Q8 anomaly family to DISTRIBUTION shape — null_spike and zscore
+    catch moment shifts, not reshuffled mass).
+
+    Returns one row per bucket: observed counts on both sides, expected
+    counts under the no-drift hypothesis (row-total x col-total /
+    grand-total), and the bucket's chi-square contribution; the global
+    statistic is the sum of ``contrib`` (dof = buckets - 1). Integer
+    counts + identical rational arithmetic make the result bit-exact
+    across engines — deliberately NOT PSI/KL, whose ln() is libm-
+    dependent and can differ in the last ulp between JVM and C
+    engines. Cost: one partial-agg pass per side, then arithmetic on
+    ~|buckets| rows (the two scalar totals broadcast).
+    """
+    oc = (
+        old.select(bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("old_cnt"))
+    )
+    nc = (
+        new.select(bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_cnt"))
+    )
+    per = (
+        oc.join(nc, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("old_cnt", F.lit(0)).alias("old_cnt"),
+            F.coalesce("new_cnt", F.lit(0)).alias("new_cnt"),
+        )
+    )
+    tot = per.agg(
+        F.sum("old_cnt").alias("tot_old"), F.sum("new_cnt").alias("tot_new")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    grand = (F.col("tot_old") + F.col("tot_new")).cast("double")
+    row_tot = (F.col("old_cnt") + F.col("new_cnt")).cast("double")
+    exp_old = row_tot * F.col("tot_old").cast("double") / grand
+    exp_new = row_tot * F.col("tot_new").cast("double") / grand
+    # squares via explicit multiply, not pow(): libm pow(x, 2.0) is not
+    # guaranteed bit-equal to x*x across engines
+    d_old = F.col("old_cnt").cast("double") - exp_old
+    d_new = F.col("new_cnt").cast("double") - exp_new
+    # an all-empty side yields exp == 0 (and d == 0): define the
+    # contribution as 0 instead of 0/0, mirrored in oracle SQL
+    contrib = (
+        F.when(exp_old > 0, d_old * d_old / exp_old).otherwise(F.lit(0.0))
+        + F.when(exp_new > 0, d_new * d_new / exp_new).otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "bucket",
+        "old_cnt",
+        "new_cnt",
+        exp_old.alias("exp_old"),
+        exp_new.alias("exp_new"),
+        contrib.alias("contrib"),
+    )

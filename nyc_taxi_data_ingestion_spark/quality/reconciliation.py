@@ -12,6 +12,8 @@ key-integrity check moves only distinct keys through the shuffle.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -144,3 +146,43 @@ def check_column_completeness(
         "tolerance_pct": tolerance_pct,
         "passed": max_diff <= tolerance_pct,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a table: one row per key
+    with status ∈ {added, removed, changed, unchanged} — the changelog
+    a transactional table format derives from metadata, computed here
+    directly (extension of Q10-Q12: reconciliation that says WHICH rows
+    moved, not just how far the totals drifted).
+
+    One full-outer join on the key; change detection is null-safe
+    column comparison (NOT a concat-string hash — numeric formatting
+    differs across engines and a hash hides which column moved). At
+    scale this is a single co-shuffle of both snapshots on the key —
+    the minimum possible for row-level diffing; callers needing only
+    counts aggregate the result, Catalyst prunes the untouched
+    columns."""
+    o = old.alias("o")
+    n = new.alias("n")
+    on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
+    cond = functools.reduce(lambda a, b: a & b, on)
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(F.col(f"o.{keys[0]}").isNull(), "added")
+        .when(F.col(f"n.{keys[0]}").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return o.join(n, cond, "full_outer").select(
+        *out_keys, status.alias("status")
+    )

@@ -3121,6 +3121,118 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHI_DRIFT_ORACLE = """
+WITH ob AS (
+  SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket
+  FROM orders WHERE o_orderdate < DATE '1998-01-01'
+),
+nb AS (
+  SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS INT) AS bucket
+  FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+),
+oc AS (SELECT bucket, COUNT(*) AS old_cnt FROM ob GROUP BY bucket),
+nc AS (SELECT bucket, COUNT(*) AS new_cnt FROM nb GROUP BY bucket),
+per AS (
+  SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+         COALESCE(old_cnt, 0) AS old_cnt,
+         COALESCE(new_cnt, 0) AS new_cnt
+  FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket
+),
+tot AS (SELECT SUM(old_cnt) AS tot_old, SUM(new_cnt) AS tot_new FROM per),
+ex AS (
+  SELECT bucket, old_cnt, new_cnt,
+         CAST(old_cnt + new_cnt AS DOUBLE) * CAST(tot_old AS DOUBLE)
+           / CAST(tot_old + tot_new AS DOUBLE) AS exp_old,
+         CAST(old_cnt + new_cnt AS DOUBLE) * CAST(tot_new AS DOUBLE)
+           / CAST(tot_old + tot_new AS DOUBLE) AS exp_new
+  FROM per, tot
+)
+SELECT bucket, old_cnt, new_cnt, exp_old, exp_new,
+       CASE WHEN exp_old > 0 THEN
+         (CAST(old_cnt AS DOUBLE) - exp_old) * (CAST(old_cnt AS DOUBLE) - exp_old)
+           / exp_old ELSE 0.0 END
+       + CASE WHEN exp_new > 0 THEN
+         (CAST(new_cnt AS DOUBLE) - exp_new) * (CAST(new_cnt AS DOUBLE) - exp_new)
+           / exp_new ELSE 0.0 END AS contrib
+FROM ex
+"""
+
+
+@register("chi_square_drift", _CHI_DRIFT_ORACLE, tags=["Q4", "Q7"])
+def q_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two snapshot eras of `orders` (pre-
+    vs post-1998) via per-bucket chi-square contributions — catches
+    reshaped distributions that moment checks (zscore/null_spike)
+    miss. Bit-exact across engines: integer counts + identical
+    rational arithmetic, deliberately no ln()/pow() (libm-dependent).
+    quality/anomaly.chi_square_drift."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import chi_square_drift
+
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)
+    ).cast("int")
+    split = F.to_date(F.lit("1998-01-01"))
+    return chi_square_drift(
+        o.filter(F.col("o_orderdate") < split),
+        o.filter(F.col("o_orderdate") >= split),
+        bucket_expr=bucket,
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+              OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+            THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS cnt
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+GROUP BY 1
+"""
+
+
+@register("snapshot_diff", _SNAPSHOT_DIFF_ORACLE, tags=["Q10", "Q12"])
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot changelog (added/removed/changed/unchanged
+    counts) between two deterministically-derived versions of `orders`
+    — the reconciliation family upgraded from "how far did totals
+    drift" to "which rows moved". One co-shuffle full-outer join;
+    null-safe per-column comparison, no cross-engine-fragile row
+    hashing. quality/reconciliation.snapshot_diff."""
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old_snap = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(
+        old_snap, new_snap,
+        keys=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+    return diff.groupBy("status").agg(F.count("*").alias("cnt"))
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford
