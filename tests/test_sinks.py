@@ -70,3 +70,61 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     # idempotent re-run: applying the same updates changes nothing
     merge_upsert(spark, path, tie, keys=["k"], order_col="ver")
     assert spark.read.parquet(path).count() == 4
+
+
+def test_write_clustered_enables_row_group_skipping(spark, sf_dir, tmp_path):
+    """Clustered layout must shrink per-row-group key ranges so that a
+    selective predicate intersects only a few row groups — measured
+    directly from the parquet footers a reader would prune with."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.sources.sinks import write_clustered
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+
+    def rg_ranges(path, col):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for i in range(meta.num_row_groups):
+                rg = meta.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        out.append((c.statistics.min, c.statistics.max))
+        return out
+
+    base = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(base)  # hash layout: every file spans all
+    lin = str(tmp_path / "linear")
+    write_clustered(ev, lin, sort_cols=["user_id"], target_files=8)
+    zod = str(tmp_path / "zorder")
+    lo, hi = 0.0, 200.0
+    write_clustered(
+        ev, zod,
+        zorder=(["user_id", "value"], {"user_id": (0, 2000), "value": (lo, hi)}),
+        target_files=8,
+    )
+
+    users = [u for (u, _v) in rg_ranges(base, "user_id")]
+    probe = sorted(users)[0]  # any real user id
+
+    def touched(path, col, point):
+        return sum(1 for (mn, mx) in rg_ranges(path, col) if mn <= point <= mx)
+
+    # a point predicate on user_id touches every hash-layout row group,
+    # but only a sliver of the clustered layouts
+    n_base = touched(base, "user_id", probe)
+    n_lin = touched(lin, "user_id", probe)
+    n_zod = touched(zod, "user_id", probe)
+    assert n_base >= 8, n_base
+    assert n_lin <= 2, n_lin
+    assert n_zod < n_base, (n_zod, n_base)
+    # z-order also narrows the SECOND dimension, which linear can't
+    v_spans_zod = [mx - mn for (mn, mx) in rg_ranges(zod, "value")]
+    v_spans_lin = [mx - mn for (mn, mx) in rg_ranges(lin, "value")]
+    assert sorted(v_spans_zod)[len(v_spans_zod) // 2] < sorted(v_spans_lin)[
+        len(v_spans_lin) // 2
+    ]
