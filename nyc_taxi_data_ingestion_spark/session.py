@@ -28,6 +28,13 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),  # 100 MB
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # runtime bloom-filter join pruning: for a selective join, the small
+    # side's keys build a bloom filter that is pushed into the large
+    # side's scan — at 100 TB this skips row groups the join would
+    # discard anyway (complements static pushdown + DPP)
+    # (runtimeFilter.semiJoinReduction.enabled hangs Spark 4.1 session
+    # startup on this build — bloom pruning alone carries the benefit)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
