@@ -178,3 +178,62 @@ def test_interval_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_cube_rollup_single_expand_pass(spark, sf_dir):
+    # CUBE/ROLLUP must plan as ONE Expand + aggregate, never a union of
+    # per-grouping-set scans (k scans of the fact table at scale)
+    for name, table in [("cube_agg", "lineitem"), ("rollup_agg", "orders")]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "Expand" in plan, name
+        assert plan.count(f"{table}.parquet") == 1, name
+
+
+def test_window_deltas_no_global_sort(spark, sf_dir):
+    # the lag/lead window partitions by year — a global-order window
+    # would plan Exchange SinglePartition (one task holds everything)
+    plan = plan_of(spark, "window_deltas", sf_dir)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_stream_join_condition_bounds_state(spark, sf_dir):
+    # the stream-stream join's analyzed condition must bound right.ts
+    # in BOTH directions relative to left.ts — that bound is what lets
+    # the state store evict buffered rows; an unbounded condition
+    # buffers the stream forever
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        stream_stream_join,
+    )
+    from nyc_taxi_data_ingestion_spark.queries import _staged_events
+    from pyspark.sql import functions as F
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    l = read_parquet_stream(spark, path, schema).filter(
+        F.col("event_type") == "click"
+    )
+    r = read_parquet_stream(spark, path, schema).filter(
+        F.col("event_type") == "purchase"
+    )
+    j = stream_stream_join(
+        l, r, key="user_id", left_ts="ts", right_ts="ts",
+        max_gap="30 MINUTE", watermark_delay="1 minute",
+    )
+    analyzed = j._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in analyzed.lower()
+    assert ">=" in analyzed and "<" in analyzed
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    # row-level diff = ONE full-outer co-shuffle join, and the orders
+    # scan appears exactly twice (old + new snapshot derivations)
+    import re
+
+    plan = plan_of(spark, "snapshot_diff", sf_dir)
+    # exactly one join node: formatted explain assigns each node one id
+    join_nodes = set(re.findall(r"\((\d+)\)\s+(\w*Join\w*)", plan))
+    assert len(join_nodes) == 1, join_nodes
+    assert "FullOuter" in plan
+    assert "NestedLoop" not in plan
+    assert plan.count("orders.parquet") == 2
