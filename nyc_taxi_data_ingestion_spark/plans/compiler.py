@@ -169,13 +169,30 @@ def parse_kafka_json(df: DataFrame, schema) -> DataFrame:
 def build_gold_frame(silver: DataFrame, mart: dict) -> DataFrame:
     """One gold mart: groupBy(grain).agg(measures), each measure an
     arbitrary SQL aggregate expression (parity with the CTAS bodies in
-    ``build_gold_layer.py:62-184``, minus the second engine)."""
+    ``build_gold_layer.py:62-184``, minus the second engine).
+
+    ``grouping: rollup|cube`` switches the grain to subtotal grouping
+    sets (one Expand pass, not k scans); ``grouping_id_as`` optionally
+    materializes the grouping level so consumers can tell subtotal
+    NULLs from data NULLs — without it, rollup/cube marts are
+    ambiguous for any nullable grain column."""
     keys = [
         F.expr(k["expr"]).alias(k["name"]) if isinstance(k, dict) else F.col(k)
         for k in mart["group_by"]
     ]
     aggs = [F.expr(m["expr"]).alias(m["name"]) for m in mart["measures"]]
-    out = silver.groupBy(*keys).agg(*aggs)
+    mode = mart.get("grouping", "groupby")
+    if mode == "rollup":
+        grouped = silver.rollup(*keys)
+    elif mode == "cube":
+        grouped = silver.cube(*keys)
+    else:
+        grouped = silver.groupBy(*keys)
+    if mode != "groupby" and mart.get("grouping_id_as"):
+        aggs = [
+            F.grouping_id().cast("int").alias(mart["grouping_id_as"])
+        ] + aggs
+    out = grouped.agg(*aggs)
     if mart.get("having"):
         out = out.filter(mart["having"])
     if mart.get("order_by"):

@@ -202,6 +202,11 @@ PIPELINE_SCHEMA_V2: dict = {
                             },
                         },
                     },
+                    "grouping": {
+                        "type": "string",
+                        "enum": ["groupby", "rollup", "cube"],
+                    },
+                    "grouping_id_as": {"type": "string"},
                     "materialization": {"type": "string", "enum": ["full", "incremental"]},
                     "lookback": {
                         "type": "object",

@@ -408,3 +408,34 @@ def test_asof_join_edge_semantics(spark):
     )
     got = {r.event_id: r.price for r in out.collect()}
     assert got == {1: None, 2: 100.0, 3: 200.0, 4: 900.0}
+
+
+def test_gold_mart_rollup_grouping(spark, sf_dir):
+    """A mart declared with grouping: rollup must produce subtotal rows
+    (one Expand pass) identical to a direct DataFrame rollup, with the
+    grouping level materialized."""
+    cfg = events_config(sf_dir)
+    cfg["gold"] = [{
+        "name": "status_rollup",
+        "group_by": ["o_orderstatus"],
+        "grouping": "rollup",
+        "grouping_id_as": "lvl",
+        "measures": [{"name": "order_cnt", "expr": "COUNT(*)"}],
+    }]
+    plan = compile_pipeline(spark, cfg)
+    got = {
+        (r.o_orderstatus, r.lvl): r.order_cnt
+        for r in plan.gold["status_rollup"].collect()
+    }
+    silver = plan.silver
+    want_df = silver.rollup("o_orderstatus").agg(
+        F.grouping_id().cast("int").alias("lvl"),
+        F.count("*").alias("cnt"),
+    )
+    want = {(r.o_orderstatus, r.lvl): r.cnt for r in want_df.collect()}
+    assert got == want
+    # grand-total row present exactly once
+    assert sum(1 for (_s, lvl) in got if lvl == 1) == 1
+    # one Expand pass, single scan
+    plan_str = plan.gold["status_rollup"]._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan_str
