@@ -63,6 +63,50 @@ def read_http(
     return add_ingestion_metadata(df, source=url)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines source (extension): the interchange format every
+    LLM-corpus pipeline ingests (one JSON document per line — WebText,
+    Dolma, FineWeb all ship this way). Schema is REQUIRED: on a 100 TB
+    corpus, inference means one full extra read just to guess types —
+    and a wrong guess on a sparse field. ``PERMISSIVE`` mode lands
+    malformed lines in ``corrupt_col`` instead of failing the job
+    (route them to the Q15 error sink); pass mode="FAILFAST" for
+    strict ingestion. JSONL splits by line, so Spark parallelizes a
+    single huge file fine — unlike multiline JSON, which is
+    one-task-per-file (never ship multiline at scale)."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col and mode.upper() == "PERMISSIVE":
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = schema.add(corrupt_col, T.StringType())
+    reader = spark.read.schema(schema).option("mode", mode)
+    if corrupt_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-Lines sink (extension): export a curated corpus in the
+    format training loaders consume. Compressed shards; one file per
+    partition — pair with ``repartition(n)``/``token_shards`` upstream
+    to control shard count and size."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, properties: dict | None = None
 ) -> DataFrame:

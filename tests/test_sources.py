@@ -192,3 +192,50 @@ def test_compact_swap_preserves_data(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == 999 * 1000
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, sf_dir, tmp_path):
+    """JSONL sink → source round-trip preserves the corpus exactly;
+    malformed lines land in _corrupt_record instead of failing the
+    read (PERMISSIVE), and FAILFAST raises."""
+    import glob
+    import gzip
+
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.sources.readers import (
+        read_jsonl,
+        read_table,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import write_jsonl
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs.repartition(4), out)
+    files = glob.glob(out + "/*.json.gz")
+    assert len(files) == 4  # shard count follows partitioning
+
+    schema = "doc_id BIGINT, lang STRING, source STRING, text STRING"
+    back = read_jsonl(spark, out, schema)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    b = {(r.doc_id, r.lang, r.source, r.text) for r in back.collect()}
+    assert a == b
+
+    # corrupt line handling
+    bad = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(bad)
+    with open(bad + "/part-0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "lang": "en", "source": "s", "text": "ok"}\n')
+        f.write("{not json at all\n")
+    perm = read_jsonl(spark, bad, schema)
+    rows = perm.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and r"{not json" in corrupt[0]._corrupt_record
+    with _pytest.raises(Exception):
+        read_jsonl(spark, bad, schema, mode="FAILFAST").collect()
