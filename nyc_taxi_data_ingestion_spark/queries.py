@@ -3233,6 +3233,43 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("status").agg(F.count("*").alias("cnt"))
 
 
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v) AS centroid
+FROM ex
+GROUP BY label, pos
+"""
+
+
+@register("embedding_centroids", _CENTROID_ORACLE, tags=["llm-similarity"])
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the array-typed aggregation a
+    feature pipeline runs constantly (class prototypes, IVF cell seeds,
+    drift baselines). posexplode → (label, dim) partial-agg groupBy:
+    dimension sums combine map-side, so the shuffle carries
+    |labels|x|dims| partial rows, never raw vectors. Per-dimension
+    decimal accumulation makes even FLOAT-input centroids
+    bit-reproducible — the centroid a 1000-executor run publishes
+    equals the one this test computes. Output as (label, pos, centroid)
+    rows; zip_with/array_agg reassembly is a narrow follow-up when an
+    array shape is needed."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "__v")
+    ).select("label", "pos", F.col("__v").cast("double").alias("__v"))
+    return ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("__v").cast("decimal(38,8)")).cast("double")
+            / F.count("__v")
+        ).alias("centroid")
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford
