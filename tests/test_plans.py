@@ -439,3 +439,53 @@ def test_gold_mart_rollup_grouping(spark, sf_dir):
     # one Expand pass, single scan
     plan_str = plan.gold["status_rollup"]._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan_str
+
+
+# -- medallion task-graph runner ---------------------------------------------
+
+
+def test_run_medallion_happy_path(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.plans.runner import run_medallion
+
+    res = run_medallion(spark, events_config(sf_dir), str(tmp_path / "wh"))
+    by = {r.name: r for r in res}
+    assert by["health"].status == "ok"
+    assert by["compile"].status == "ok"
+    assert by["silver"].status == "ok"
+    assert by["gold:monthly_order_stats"].status == "ok"
+    assert by["quality"].status == "ok"
+    assert spark.read.parquet(
+        str(tmp_path / "wh" / "gold" / "monthly_order_stats")
+    ).count() > 0
+
+
+def test_run_medallion_failure_isolation_and_skip(spark, sf_dir, tmp_path):
+    """A broken mart fails its OWN task (after retries) while silver,
+    the healthy mart, and quality still complete; a broken source fails
+    health and skips the entire downstream graph."""
+    from nyc_taxi_data_ingestion_spark.plans.runner import run_medallion
+
+    cfg = events_config(sf_dir)
+    cfg["gold"].append({
+        "name": "broken_mart",
+        "group_by": ["order_year"],
+        "measures": [{"name": "x", "expr": "SUM(no_such_column)"}],
+    })
+    res = run_medallion(
+        spark, cfg, str(tmp_path / "wh2"), max_retries=1
+    )
+    by = {r.name: r for r in res}
+    assert by["gold:monthly_order_stats"].status == "ok"
+    assert by["gold:broken_mart"].status == "failed"
+    assert by["gold:broken_mart"].attempts == 2  # retried once
+    assert "no_such_column" in by["gold:broken_mart"].error
+    assert by["quality"].status == "ok"  # depends on silver, not marts
+
+    cfg2 = events_config(sf_dir)
+    cfg2["source"]["path"] = "/nonexistent/nowhere.parquet"
+    res2 = run_medallion(spark, cfg2, str(tmp_path / "wh3"))
+    by2 = {r.name: r for r in res2}
+    assert by2["health"].status == "failed"
+    assert all(
+        r.status == "skipped" for r in res2 if r.name != "health"
+    ), res2
