@@ -211,6 +211,7 @@ def run_available_now(
     # memory-sink tables are session-global; suffix so reruns of the
     # same named query don't collide
     qname = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    own_checkpoint = checkpoint_dir is None
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{qname}_")
     session = stream_df.sparkSession
     prev_parts = session.conf.get("spark.sql.shuffle.partitions")
@@ -243,6 +244,14 @@ def run_available_now(
     # queries in one session; leaked sinks inflate later queries)
     result = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
+    if own_checkpoint:
+        # a drain-then-stop run never restarts from this checkpoint;
+        # leaving it would leak one dir per run (bench/test sessions run
+        # hundreds). Caller-provided checkpoints are preserved — those
+        # carry real resume semantics.
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return result
 
 
