@@ -2904,7 +2904,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ts").alias("purchase_ts"),
         F.col("r.value").alias("purchase_value"),
     )
-    return run_available_now(out, "q_stream_join", output_mode="append")
+    # stream-stream joins keep FOUR state stores per partition (left/
+    # right x keyWithIndex/keyToNumValues), so per-partition overhead is
+    # 4x an aggregation's — size partitions to buffered-state volume,
+    # not to the batch-compute default (8 vs 32 is 2.7x wall here;
+    # production sizes this to keys-in-horizon / target-store-size)
+    return run_available_now(
+        out, "q_stream_join", output_mode="append", state_partitions=8
+    )
 
 
 _STREAM_SLIDING_ORACLE = """
