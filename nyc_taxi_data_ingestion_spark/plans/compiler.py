@@ -200,6 +200,77 @@ def build_gold_frame(silver: DataFrame, mart: dict) -> DataFrame:
     return out
 
 
+def compile_stream_pipeline(
+    spark: SparkSession,
+    cfg: dict,
+    env_overlay: dict | None = None,
+    env: dict[str, str] | None = None,
+) -> dict:
+    """Compile the SAME pipeline config into a streaming plan: one
+    declarative spec, two execution modes (the lakehouse-architecture
+    ideal the reference gestures at with its dead ``kafka`` enum).
+
+    ``streaming.watermark`` bounds state; the Silver chain reuses the
+    batch transform spec verbatim (stateless plan builders), with
+    ``dedupe_within_watermark: true`` swapping W1's row_number for the
+    bounded-state streaming dedupe. Gold marts gain a ``window``
+    duration and compile to watermarked tumbling aggregates — grouping
+    keys must be plain columns, measures the same SQL aggregate
+    expressions as batch. Kafka sources declare ``value_schema`` (DDL)
+    for the wire-payload decode.
+
+    Returns {"bronze": stream, "silver": stream, "gold": {name: stream}}
+    — lazy streaming DataFrames; the caller picks triggers and sinks
+    (run_available_now for deterministic tests, writeStream/
+    stream_upsert_sink in production).
+    """
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        silver_stream,
+        tumbling_aggregate,
+    )
+
+    cfg = prepare_config(cfg, env_overlay, env)
+    st = cfg.get("streaming") or {}
+    wm = st.get("watermark") or {}
+    wm_col, wm_delay = wm.get("column"), wm.get("delay", "1 hour")
+
+    raw = read_stream_source(spark, cfg["source"])
+    if cfg["source"].get("format") == "kafka":
+        if not st.get("value_schema"):
+            raise ValueError("kafka streaming pipeline requires streaming.value_schema")
+        raw = parse_kafka_json(raw, st["value_schema"])
+
+    s = cfg.get("silver", {})
+    dedupe = s.get("dedupe", {})
+    silver = silver_stream(
+        raw,
+        renames=s.get("renames"),
+        casts=s.get("casts"),
+        derived=s.get("derived"),
+        filters=s.get("filters"),
+        watermark=(wm_col, wm_delay) if wm_col else None,
+        dedupe_keys=(
+            dedupe.get("keys") if st.get("dedupe_within_watermark") else None
+        ),
+    )
+
+    gold: dict[str, DataFrame] = {}
+    for mart in cfg.get("gold", []):
+        win = mart.get("window")
+        if not win:
+            continue  # batch-only mart; streaming compiles windowed marts
+        if not wm_col:
+            raise ValueError(f"mart {mart['name']}: windowed gold needs a watermark")
+        keys = [k if isinstance(k, str) else k["name"] for k in mart["group_by"]]
+        aggs = [F.expr(m["expr"]).alias(m["name"]) for m in mart["measures"]]
+        gold[mart["name"]] = tumbling_aggregate(
+            # silver already carries the watermark; None avoids the
+            # disallowed mid-plan redefinition
+            silver, wm_col, win["duration"], keys, aggs, watermark_delay=None
+        )
+    return {"bronze": raw, "silver": silver, "gold": gold}
+
+
 def compile_pipeline(
     spark: SparkSession,
     cfg: dict,

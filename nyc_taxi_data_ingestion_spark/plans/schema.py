@@ -202,6 +202,11 @@ PIPELINE_SCHEMA_V2: dict = {
                             },
                         },
                     },
+                    "window": {
+                        "type": "object",
+                        "required": ["duration"],
+                        "properties": {"duration": {"type": "string"}},
+                    },
                     "grouping": {
                         "type": "string",
                         "enum": ["groupby", "rollup", "cube"],
@@ -218,6 +223,21 @@ PIPELINE_SCHEMA_V2: dict = {
                     },
                     "partition_by": {"type": "array", "items": {"type": "string"}},
                 },
+            },
+        },
+        "streaming": {
+            "type": "object",
+            "properties": {
+                "watermark": {
+                    "type": "object",
+                    "required": ["column", "delay"],
+                    "properties": {
+                        "column": {"type": "string"},
+                        "delay": {"type": "string"},
+                    },
+                },
+                "value_schema": {"type": "string"},
+                "dedupe_within_watermark": {"type": "boolean"},
             },
         },
         "quality": {

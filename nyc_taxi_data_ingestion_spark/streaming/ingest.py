@@ -77,13 +77,16 @@ def tumbling_aggregate(
     window_duration: str,
     keys: list[str],
     aggs: list,
-    watermark_delay: str = "1 hour",
+    watermark_delay: str | None = "1 hour",
 ) -> DataFrame:
     """Tumbling event-time window aggregate with watermark. Output
-    columns: window_start, window_end, *keys, *aggs."""
+    columns: window_start, window_end, *keys, *aggs.
+    ``watermark_delay=None`` keeps an upstream watermark instead of
+    redefining it (Spark disallows redefinition mid-plan)."""
+    if watermark_delay is not None:
+        df = df.withWatermark(ts_col, watermark_delay)
     out = (
-        df.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        df.groupBy(F.window(F.col(ts_col), window_duration), *keys)
         .agg(*aggs)
     )
     return out.select(

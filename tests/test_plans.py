@@ -489,3 +489,56 @@ def test_run_medallion_failure_isolation_and_skip(spark, sf_dir, tmp_path):
     assert all(
         r.status == "skipped" for r in res2 if r.name != "health"
     ), res2
+
+
+def test_compile_stream_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    """One config, two engines: the streaming compilation of a pipeline
+    (file source → silver chain → windowed gold) drained with
+    AvailableNow must equal the batch computation of the same spec."""
+    from nyc_taxi_data_ingestion_spark.plans.compiler import (
+        compile_stream_pipeline,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.streaming import run_available_now
+
+    src = str(tmp_path / "events")
+    read_table(spark, sf_dir, "events").write.parquet(src)
+
+    cfg = {
+        "version": "2.0",
+        "pipeline": {"name": "events_stream"},
+        "source": {"path": src, "format": "parquet"},
+        "streaming": {"watermark": {"column": "ts", "delay": "1 minute"}},
+        "silver": {
+            "renames": {"value": "amount"},
+            "filters": ["amount IS NOT NULL", "amount > 0"],
+        },
+        "gold": [{
+            "name": "daily_type_stats",
+            "group_by": ["event_type"],
+            "window": {"duration": "1 day"},
+            "measures": [
+                {"name": "cnt", "expr": "COUNT(*)"},
+                {"name": "total",
+                 "expr": "CAST(SUM(CAST(amount AS DECIMAL(30,4))) AS DOUBLE)"},
+            ],
+        }],
+    }
+    plans = compile_stream_pipeline(spark, cfg)
+    assert set(plans["gold"]) == {"daily_type_stats"}
+    got_df = run_available_now(
+        plans["gold"]["daily_type_stats"], "cfg_stream", output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.total)
+        for r in got_df.collect()
+    }
+    ev = spark.read.parquet(src).filter("value IS NOT NULL AND value > 0")
+    want_df = ev.groupBy(
+        F.date_trunc("day", "ts").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(30,4)")).cast("double").alias("total"),
+    )
+    want = {(r.w, r.event_type): (r.cnt, r.total) for r in want_df.collect()}
+    assert got == want and len(got) > 0
