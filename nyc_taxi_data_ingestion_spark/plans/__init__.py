@@ -13,7 +13,12 @@ over the compiled plan (``lineage.py``).
 from nyc_taxi_data_ingestion_spark.plans.compiler import (  # noqa: F401
     PipelinePlan,
     compile_pipeline,
+    compile_stream_pipeline,
     run_pipeline,
+)
+from nyc_taxi_data_ingestion_spark.plans.runner import (  # noqa: F401
+    TaskResult,
+    run_medallion,
 )
 from nyc_taxi_data_ingestion_spark.plans.config import (  # noqa: F401
     ConfigError,
