@@ -206,8 +206,6 @@ def chi_square_drift(
     old: DataFrame,
     new: DataFrame,
     bucket_expr,
-    alias_old: str = "old",
-    alias_new: str = "new",
 ) -> DataFrame:
     """Distribution-drift detection between two table versions via the
     chi-square statistic over a shared bucketing (extension of the

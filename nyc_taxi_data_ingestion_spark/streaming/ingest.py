@@ -266,7 +266,6 @@ def stream_upsert_sink(
     query_name: str = "stream_upsert",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
-    max_files_per_trigger: int | None = None,  # noqa: ARG001 (doc parity)
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: each micro-batch is
     upserted into the parquet target with last-writer-wins per key —
