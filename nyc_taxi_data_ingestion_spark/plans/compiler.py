@@ -271,6 +271,70 @@ def compile_stream_pipeline(
     return {"bronze": raw, "silver": silver, "gold": gold}
 
 
+def run_stream_pipeline(
+    spark: SparkSession,
+    cfg: dict,
+    warehouse: str,
+    timeout_sec: int = 300,
+) -> dict[str, str]:
+    """Drain-and-materialize the streaming compilation of a pipeline:
+    silver appends to parquet, each windowed gold mart MERGEs into its
+    table keyed by (window_start, *grain) — update-mode re-emissions of
+    a still-open window overwrite the previous row, so the mart always
+    holds the latest state per window.
+
+    Checkpoints live under ``warehouse/_checkpoints`` and are KEPT:
+    calling this again after new source files arrive resumes from the
+    recorded offsets and processes only the new data — incremental
+    streaming materialization with exactly-once table state (verified
+    by the resume test against a full batch recompute). AvailableNow
+    drains everything pending then stops; a production deployment swaps
+    the trigger and leaves the queries running.
+    """
+    from nyc_taxi_data_ingestion_spark.streaming import stream_upsert_sink
+
+    plans = compile_stream_pipeline(spark, cfg)
+    out: dict[str, str] = {}
+    name = cfg["pipeline"]["name"]
+
+    silver_path = os.path.join(warehouse, "silver", name)
+    ck_silver = os.path.join(warehouse, "_checkpoints", "silver")
+    q = (
+        plans["silver"].writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", ck_silver)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError("silver stream did not drain")
+    finally:
+        if q.isActive:
+            q.stop()
+    out[f"silver/{name}"] = silver_path
+
+    for mart_name, gold_df in plans["gold"].items():
+        mart = next(m for m in cfg["gold"] if m["name"] == mart_name)
+        keys = ["window_start"] + [
+            k if isinstance(k, str) else k["name"] for k in mart["group_by"]
+        ]
+        path = os.path.join(warehouse, "gold", mart_name)
+        stream_upsert_sink(
+            gold_df.withColumn("_updated_at", F.current_timestamp()),
+            path,
+            keys=keys,
+            order_col="_updated_at",
+            query_name=f"gold_{mart_name}",
+            checkpoint_dir=os.path.join(warehouse, "_checkpoints", mart_name),
+            timeout_sec=timeout_sec,
+            output_mode="update",
+        )
+        out[f"gold/{mart_name}"] = path
+    return out
+
+
 def compile_pipeline(
     spark: SparkSession,
     cfg: dict,

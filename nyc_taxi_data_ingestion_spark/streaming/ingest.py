@@ -266,6 +266,7 @@ def stream_upsert_sink(
     query_name: str = "stream_upsert",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
+    output_mode: str | None = None,
 ) -> None:
     """Streaming MERGE sink via ``foreachBatch``: each micro-batch is
     upserted into the parquet target with last-writer-wins per key —
@@ -295,13 +296,18 @@ def stream_upsert_sink(
             batch_df.sparkSession, target_path, batch_df, keys, order_col
         )
 
-    q = (
+    writer = (
         stream_df.writeStream.foreachBatch(_merge)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if output_mode:
+        # streaming aggregates need "update" here: append-mode windows
+        # emit only after the watermark passes them, so a drain of a
+        # bounded input would never flush its final windows
+        writer = writer.outputMode(output_mode)
+    q = writer.start()
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(

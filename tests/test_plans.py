@@ -542,3 +542,71 @@ def test_compile_stream_pipeline_matches_batch(spark, sf_dir, tmp_path):
     )
     want = {(r.w, r.event_type): (r.cnt, r.total) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_run_stream_pipeline_incremental_resume(spark, sf_dir, tmp_path):
+    """Checkpointed streaming materialization: drain, add new source
+    files, drain again — the second run processes ONLY the new data
+    (offsets resume), yet the gold table equals a full batch recompute
+    over everything. That equivalence is the exactly-once contract."""
+    import glob
+    import shutil
+
+    from nyc_taxi_data_ingestion_spark.plans.compiler import (
+        run_stream_pipeline,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    src = tmp_path / "events_src"
+    stage = tmp_path / "stage"
+    ev = read_table(spark, sf_dir, "events").orderBy("event_id")
+    # split by TIME, not by id: resuming a watermarked stream with
+    # events older than the checkpointed watermark would (correctly)
+    # drop them as late — arrival order must respect event time
+    split = "2024-01-16"
+    first = ev.filter(F.col("ts") < split)
+    second = ev.filter(F.col("ts") >= split)
+    first.coalesce(1).write.parquet(str(stage / "a"))
+    src.mkdir()
+    for f in glob.glob(str(stage / "a" / "part-*.parquet")):
+        shutil.copy(f, str(src / "batch_a.parquet"))
+
+    cfg = {
+        "version": "2.0",
+        "pipeline": {"name": "ev_stream"},
+        "source": {"path": str(src), "format": "parquet"},
+        "streaming": {"watermark": {"column": "ts", "delay": "1 minute"}},
+        "silver": {"filters": ["value IS NOT NULL"]},
+        "gold": [{
+            "name": "daily_counts",
+            "group_by": ["event_type"],
+            "window": {"duration": "1 day"},
+            "measures": [{"name": "cnt", "expr": "COUNT(*)"}],
+        }],
+    }
+    wh = str(tmp_path / "wh")
+    run_stream_pipeline(spark, cfg, wh)
+    n_first = spark.read.parquet(f"{wh}/silver/ev_stream").count()
+    assert n_first == first.filter("value IS NOT NULL").count()
+
+    # new data arrives; resume from checkpoints
+    second.coalesce(1).write.parquet(str(stage / "b"))
+    for f in glob.glob(str(stage / "b" / "part-*.parquet")):
+        shutil.copy(f, str(src / "batch_b.parquet"))
+    run_stream_pipeline(spark, cfg, wh)
+
+    silver = spark.read.parquet(f"{wh}/silver/ev_stream")
+    assert silver.count() == ev.filter("value IS NOT NULL").count()
+
+    gold = spark.read.parquet(f"{wh}/gold/daily_counts")
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in gold.select("window_start", "event_type", "cnt").collect()
+    }
+    want_df = (
+        ev.filter("value IS NOT NULL")
+        .groupBy(F.date_trunc("day", "ts").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    want = {(r.w, r.event_type): r.cnt for r in want_df.collect()}
+    assert got == want
