@@ -127,24 +127,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs: documents sharing ≥1 band bucket.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct. Only
-    (band_key, id) tuples shuffle; the bucket self-join is on a
-    composite (band_index, band_hash) key so hot buckets are the only
-    skew risk — AQE skew-join handles them.
-    """
+def band_signatures(sig: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Expand (__id, __sig) signatures into the banded key table
+    ``(__id, band, sig)`` — one row per (doc, band), where ``sig`` is a
+    64-bit hash of that band's signature slice. This table IS the LSH
+    index: candidate pairs are an equi-join on (band, sig). Only
+    (band_key, id) tuples ever shuffle; at rest, store it bucketed by
+    (band, sig) so incremental probes join exchange-free."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = sig.select(
+    return sig.select(
         "__id",
         F.explode(
             F.transform(
@@ -164,6 +155,25 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing ≥1 band bucket.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. Only
+    (band_key, id) tuples shuffle; the bucket self-join is on a
+    composite (band_index, band_hash) key so hot buckets are the only
+    skew risk — AQE skew-join handles them.
+    """
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    banded = band_signatures(sig, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -580,3 +590,113 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+# -- incremental dedup (batch vs persistent index) ---------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Build the persistent dedup index for a corpus: (__id, __sig)
+    MinHash signatures. A recurring ingestion pipeline writes this once
+    per corpus snapshot (bucketed by __id) and probes it with every new
+    batch — the 100 TB corpus is never re-shingled. The banded key
+    table is derived per probe via ``band_signatures`` (a narrow map,
+    cheap relative to re-reading text)."""
+    return minhash_signatures(df, id_col, text_col, k, num_hashes)
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard similarity = fraction of agreeing MinHash
+    lanes. Standard deviation ~ sqrt(J(1-J)/num_hashes) (~0.06 at 64
+    lanes) — the estimator the index-only verify path uses when the
+    corpus text is too expensive to re-read."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x))
+    return agree / F.size(sig_a).cast("double")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch of documents against an existing corpus index
+    (and against itself) WITHOUT touching corpus text — the recurring-
+    ingestion pattern: each crawl snapshot probes the index, survivors
+    are appended to both the corpus and the index.
+
+    Verification is signature-estimated Jaccard (``signature_jaccard``
+    ≥ threshold): index-only, no corpus re-read. Within the batch the
+    keep rule is greedy keep-first by id — a new doc is dropped iff it
+    matches an index doc or ANY lower-id batch doc (matching a dropped
+    doc still drops you: duplicate-of-duplicate chains collapse to the
+    first representative, same contract as ``connected_components``
+    keep-min).
+
+    Returns ``(survivors, updated_index)`` — survivors is the batch
+    rows that were kept; updated_index = index ∪ survivor signatures.
+
+    Scale shape: batch signatures are a narrow map over the batch only;
+    the probe joins banded keys — (band, sig, id) tuples, never text.
+    With the index stored bucketed on (band, sig) the probe side alone
+    shuffles. Both returned frames are lazy plans; the caller persists
+    the updated index (that write is the pipeline's commit point).
+    """
+    # lazy checkpoint: the signature table is referenced five times below
+    # (banding twice, two verify joins, the index update) — truncate its
+    # lineage on first materialization so the shingle pass runs once, not
+    # per reference, while keeping the return values lazy plans
+    sig_new = minhash_signatures(batch, id_col, text_col, k, num_hashes).localCheckpoint(
+        eager=False
+    )
+    banded_new = band_signatures(sig_new, num_hashes, bands)
+    b_new = banded_new.alias("n")
+    b_idx = band_signatures(index, num_hashes, bands).alias("i")
+
+    # candidates vs the existing index
+    cand_idx = (
+        b_new.join(b_idx, (F.col("n.band") == F.col("i.band")) & (F.col("n.sig") == F.col("i.sig")))
+        .select(F.col("n.__id").alias("new_id"), F.col("i.__id").alias("old_id"))
+        .distinct()
+    )
+    # candidates within the batch (greedy: only lower-id docs can kill)
+    b2 = banded_new.alias("m")
+    cand_self = (
+        b_new.join(
+            b2,
+            (F.col("n.band") == F.col("m.band"))
+            & (F.col("n.sig") == F.col("m.sig"))
+            & (F.col("n.__id") > F.col("m.__id")),
+        )
+        .select(F.col("n.__id").alias("new_id"), F.col("m.__id").alias("old_id"))
+        .distinct()
+    )
+
+    def _verified(cands: DataFrame, other_sig: DataFrame) -> DataFrame:
+        j = (
+            cands.join(sig_new.withColumnsRenamed({"__id": "new_id", "__sig": "sig_n"}), "new_id")
+            .join(other_sig.withColumnsRenamed({"__id": "old_id", "__sig": "sig_o"}), "old_id")
+        )
+        est = signature_jaccard(F.col("sig_n"), F.col("sig_o"))
+        return j.select("new_id").where(est >= threshold)
+
+    killed = _verified(cand_idx, index).union(_verified(cand_self, sig_new)).distinct()
+    survivors = batch.join(
+        killed.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+    )
+    updated_index = index.unionByName(
+        sig_new.join(
+            killed, sig_new["__id"] == killed["new_id"], "left_anti"
+        ).select("__id", "__sig")
+    )
+    return survivors, updated_index

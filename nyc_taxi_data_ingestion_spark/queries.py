@@ -2566,6 +2566,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_dedup", None, tags=["llm-dedup"])
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the recurring-ingestion pattern: docs
+    with doc_id % 5 == 0 arrive as a NEW batch and are deduped against
+    a MinHash index built from the other 80% (and against themselves,
+    greedy keep-first) WITHOUT re-reading corpus text. Not
+    SQL-expressible (xxhash64 signatures) → rows-only; kill/survive
+    semantics are pytest-verified with planted duplicates
+    (tests/test_llm.py)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = minhash_index(corpus)
+    survivors, _ = incremental_minhash_dedup(batch, idx, threshold=0.5)
+    return survivors.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 _PIPELINE_CURATION_ORACLE = r"""
 WITH g AS (
   SELECT doc_id, lang, source,

@@ -379,3 +379,78 @@ def test_resize_media_schema_and_padding(spark):
     assert len(rows[1].payload) == 64 and len(rows[2].payload) == 64
     assert rows[2].payload[10:] == b"\x00" * 54   # zero-padded
     assert rows[1].width == 224 and rows[1].height == 224
+
+
+def test_incremental_dedup_kills_index_and_self_dups(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 5
+    base_b = "completely unrelated content about spark query engines " * 6
+    corpus = spark.createDataFrame(
+        [(1, base_a), (2, base_b)], "doc_id long, text string"
+    )
+    idx = minhash_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, base_a),                       # dup of corpus doc 1 → killed
+            (11, "a genuinely novel document about distributed joins " * 6),
+            (12, "a genuinely novel document about distributed joins " * 6),
+            # 12 dups 11 (both new) → greedy keep-first kills 12 only
+            (13, "another novel text regarding watermark semantics " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, updated = incremental_minhash_dedup(batch, idx, threshold=0.5)
+    kept = sorted(r.doc_id for r in survivors.collect())
+    assert kept == [11, 13]
+    # updated index = corpus signatures + survivor signatures
+    assert sorted(r["__id"] for r in updated.collect()) == [1, 2, 11, 13]
+
+
+def test_incremental_dedup_empty_index_is_self_dedup(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    text = "repeated payload for self dedup checks in the batch " * 6
+    batch = spark.createDataFrame(
+        [(5, text), (6, text), (7, "different material entirely " * 8)],
+        "doc_id long, text string",
+    )
+    empty = minhash_index(batch.limit(0))
+    survivors, updated = incremental_minhash_dedup(batch, empty, threshold=0.5)
+    assert sorted(r.doc_id for r in survivors.collect()) == [5, 7]
+    assert updated.count() == 2
+
+
+def test_signature_jaccard_estimator_bounds(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        minhash_signatures,
+        signature_jaccard,
+    )
+
+    text = "identical documents must estimate jaccard one exactly " * 5
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "nothing in common with those others " * 7)],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    est = (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("ia"),
+            F.col("b.__id").alias("ib"),
+            signature_jaccard(F.col("a.__sig"), F.col("b.__sig")).alias("j"),
+        )
+        .collect()
+    )
+    by_pair = {(r.ia, r.ib): r.j for r in est}
+    assert by_pair[(1, 2)] == 1.0
+    assert by_pair[(1, 3)] < 0.3
+    assert by_pair[(2, 3)] < 0.3
