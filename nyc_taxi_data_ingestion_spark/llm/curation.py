@@ -463,3 +463,141 @@ def ngram_novelty(
         return result.localCheckpoint(eager=True)
     finally:
         gc.unpersist()
+
+
+# -- hashed linear quality classifier ----------------------------------------
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fasttext-style hashed linear text classifier: each token maps to
+    one of ``dim`` feature buckets (md5 feature hashing — the standard
+    hashing trick, engine-portable), each bucket carries a weight, and
+    the document score is the mean bucket weight, squashed to [-1, 1].
+
+    The weight table here is a deterministic placeholder derived from
+    the bucket id with Knuth's multiplicative constant —
+    ``w(b) = (b·2654435761) mod 2001 − 1000`` — standing in for trained
+    weights (production drops in a broadcast ``MapType`` literal or a
+    joined weight table of ``dim`` rows; the plan shape is identical).
+    All arithmetic is integer until one final division, so scores are
+    bit-identical across engines and partitionings.
+
+    Scale shape: explode(tokens) → narrow bucket/weight expressions →
+    one map-side-combined groupBy(id). The shuffle carries (id, partial
+    int sum, partial count) — never tokens. Returns (id, n_tokens,
+    score, keep) plus ``keep_cols``.
+    """
+    keep_cols = keep_cols or []
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(_c(text_col))), "\\s+", " "), " "
+    )
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.explode(toks).alias("__tok")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("__tok")), 1, 4), 16, 10).cast(
+        "long"
+    ) % F.lit(dim)
+    w = (bucket * F.lit(2654435761)) % F.lit(2001) - F.lit(1000)
+    return (
+        ex.select(F.col(id_col), *keep_cols, w.alias("__w"))
+        .groupBy(id_col, *keep_cols)
+        .agg(F.sum("__w").alias("__sw"), F.count("*").alias("n_tokens"))
+        .select(
+            id_col,
+            *keep_cols,
+            "n_tokens",
+            (
+                F.col("__sw").cast("double")
+                / (F.lit(1000) * F.col("n_tokens")).cast("double")
+            ).alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )
+
+
+def classifier_oracle_sql(dim: int = 1024) -> str:
+    """DuckDB twin of :func:`quality_classifier` (same md5 bucketing,
+    same integer weight formula) — exact cross-engine verification of
+    the feature-hashing trick."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % {dim})
+           * 2654435761 % 2001 - 1000 AS w
+  FROM tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(w) AS DOUBLE) / CAST(1000 * COUNT(*) AS DOUBLE) AS score,
+       CAST(SUM(w) AS DOUBLE) / CAST(1000 * COUNT(*) AS DOUBLE) > 0 AS keep
+FROM feat
+GROUP BY doc_id
+"""
+
+
+# -- domain mixture weights --------------------------------------------------
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the data-mixing
+    step (Gopher/LLaMA style): weight each domain by
+    ``share^α / Σ share^α`` with α = 1/2, where share is the domain's
+    fraction of corpus tokens. Upweights small domains relative to
+    proportional sampling.
+
+    Determinism contract: α = 1/2 uses ``sqrt`` (correctly rounded in
+    IEEE-754 — bit-identical in every engine, unlike ``pow``/``ln``);
+    the sqrt weight is then quantized to an integer at 10^-15 (the
+    multiply and floor are both exact, and sqrt(share) ≤ 1 keeps the
+    product under 2^53) so the cross-domain normalizer is an exact
+    integer sum — order-independent, engine-independent. DECIMAL would
+    also be order-independent but double→DECIMAL casts round
+    differently across engines (measured: 1 ulp vs DuckDB). Returns
+    (domain, token_cnt, token_share, weight).
+
+    Scale shape: one map-side-combined count per domain (domain
+    cardinality is tiny), one broadcast total; everything after the
+    first agg is driver-trivial arithmetic on a handful of rows.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(token_count(_c(text_col))).alias("token_cnt")
+    )
+    tot = per.agg(
+        F.sum("token_cnt").alias("__tot"),
+    )
+    shared = per.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "token_cnt",
+        (F.col("token_cnt").cast("double") / F.col("__tot").cast("double")).alias(
+            "token_share"
+        ),
+    )
+    wq = F.floor(F.sqrt(F.col("token_share")) * F.lit(1e15)).cast("long")
+    scored = shared.withColumn("__wq", wq)
+    denom = scored.agg(F.sum("__wq").alias("__denom"))
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "domain",
+            "token_cnt",
+            "token_share",
+            (
+                F.col("__wq").cast("double") / F.col("__denom").cast("double")
+            ).alias("weight"),
+        )
+    )

@@ -2694,6 +2694,59 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOMAIN_MIXTURE_ORACLE = r"""
+WITH per AS (
+  SELECT source AS domain,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS token_cnt
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(token_cnt) AS tot FROM per),
+shared AS (
+  SELECT domain, token_cnt,
+         CAST(token_cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS token_share,
+         CAST(floor(sqrt(CAST(token_cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1e15) AS BIGINT) AS wq
+  FROM per, tot
+),
+den AS (SELECT SUM(wq) AS denom FROM shared)
+SELECT domain, token_cnt, token_share,
+       CAST(wq AS DOUBLE) / CAST(denom AS DOUBLE) AS weight
+FROM shared, den
+"""
+
+
+@register("domain_mixture", _DOMAIN_MIXTURE_ORACLE, tags=["llm-curation"])
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (α = 1/2) — the
+    Gopher/LLaMA data-mixing step: weight ∝ sqrt(token share),
+    normalized. sqrt is IEEE-correctly-rounded (bit-identical across
+    engines, unlike pow/ln) and the normalizer sums integer-quantized
+    weights exactly, so weights hash-match the oracle
+    (llm/curation.domain_mixture)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    return cu.domain_mixture(_t(spark, sf_dir, "documents"))
+
+
+from nyc_taxi_data_ingestion_spark.llm.curation import (  # noqa: E402
+    classifier_oracle_sql as _classifier_oracle_sql,
+)
+
+_QUALITY_CLASSIFIER_ORACLE = _classifier_oracle_sql(dim=1024)
+
+
+@register("quality_classifier", _QUALITY_CLASSIFIER_ORACLE, tags=["llm-curation"])
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style hashed linear classifier score per document:
+    md5 feature-hash each token into 1024 buckets, sum deterministic
+    placeholder bucket weights, divide once — integer-exact until the
+    final division, so scores hash-match the oracle
+    (llm/curation.quality_classifier)."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    return cu.quality_classifier(_t(spark, sf_dir, "documents"), dim=1024)
+
+
 # ---------------------------------------------------------------------------
 # Batch 12 — window-function surface (lag/lead/ntile), CUBE, set ops,
 # stream-stream join. Extensions past the reference's inventory (§2.5

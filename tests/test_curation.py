@@ -124,3 +124,37 @@ def test_ngram_novelty_flags_gibberish(spark):
     out = {r.doc_id: r.rare_frac for r in ngram_novelty(df, rare_ppm=10000).collect()}
     assert out[99] > 0.8            # gibberish bigrams are corpus-rare
     assert all(v == 0.0 for k, v in out.items() if k != 99)
+
+
+def test_quality_classifier_deterministic_and_integer_exact(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # same text
+        (3, "completely different material about distributed joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in cu.quality_classifier(df).collect()}
+    # identical text → identical score, bit-for-bit
+    assert out[1].score == out[2].score
+    assert out[1].n_tokens == 9
+    assert all(-1.0 <= r.score <= 1.0 for r in out.values())
+    assert all(r.keep == (r.score > 0) for r in out.values())
+    # rerun → identical (no RNG, no order dependence)
+    again = {r.doc_id: r.score for r in cu.quality_classifier(df).collect()}
+    assert {k: v.score for k, v in out.items()} == again
+
+
+def test_domain_mixture_upweights_small_domains(spark):
+    rows = (
+        [(i, "big domain doc with several tokens here", "web") for i in range(90)]
+        + [(100 + i, "small domain doc tokens", "books") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in cu.domain_mixture(df).collect()}
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-12
+    # α=1/2 moves weight from the big domain toward the small one,
+    # but keeps the ordering
+    assert out["books"].weight > out["books"].token_share
+    assert out["web"].weight < out["web"].token_share
+    assert out["web"].weight > out["books"].weight
