@@ -237,3 +237,40 @@ def test_snapshot_diff_single_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "NestedLoop" not in plan
     assert plan.count("orders.parquet") == 2
+
+
+def test_quality_classifier_single_shuffle_partial_agg(spark, sf_dir):
+    # feature hashing must aggregate with a map-side partial stage and
+    # shuffle only (doc_id, partial sums) — one Exchange total; tokens
+    # never cross the wire. And the whole path stays JVM-side.
+    plan = plan_of(spark, "quality_classifier", sf_dir)
+    import re
+
+    # formatted explain lists each node in the tree AND a detail block —
+    # count detail headers, one per physical node
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, n_exchanges
+    assert "partial_sum" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_domain_mixture_broadcasts_scalars(spark, sf_dir):
+    # the corpus total and the normalizer are single-row frames — they
+    # must broadcast to the per-domain rows, never shuffle them
+    plan = plan_of(spark, "domain_mixture", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # per-domain token count keeps its map-side partial stage
+    assert "partial_sum" in plan
+
+
+def test_incremental_dedup_never_shuffles_corpus_text(spark, sf_dir):
+    # the probe joins banded signature keys; document text appears in
+    # narrow map stages only. No Exchange's partitioning key may be the
+    # text column, and the final survivor join is id-keyed.
+    plan = plan_of(spark, "incremental_dedup", sf_dir)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line.split("hashpartitioning", 1)[1].split(")")[0], line
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
