@@ -405,17 +405,30 @@ def run_pipeline(
     plan: PipelinePlan,
     warehouse: str,
     incremental: bool = False,
+    metrics_out: dict[str, dict] | None = None,
 ) -> dict[str, str]:
     """Materialize silver + all gold marts under ``warehouse``.
 
     Full refresh (M2) overwrites; ``incremental=True`` runs marts
     declared ``materialization: incremental`` as M1 partition-overwrite
     of the lookback slice only. Returns {layer/table: path}.
-    """
+
+    Pass ``metrics_out={}`` to harvest the reference's between-step
+    logging metrics (row count + per-column null tallies) from the
+    write jobs themselves via ``observe`` — zero extra scans, filled
+    as {layer/table: {metric: value}} (quality/observe.py; replaces
+    the reference's ~10 eager ``.count()`` jobs per run)."""
     out: dict[str, str] = {}
     s = plan.config.get("silver", {})
     silver_path = os.path.join(warehouse, "silver", plan.name)
-    write_partitioned(plan.silver, silver_path, s.get("partition_by") or [])
+    if metrics_out is not None:
+        from nyc_taxi_data_ingestion_spark.quality.observe import write_observed
+
+        metrics_out[f"silver/{plan.name}"] = write_observed(
+            plan.silver, silver_path, partition_by=s.get("partition_by") or []
+        )
+    else:
+        write_partitioned(plan.silver, silver_path, s.get("partition_by") or [])
     out[f"silver/{plan.name}"] = silver_path
 
     # gold reads the materialized silver so each mart scans parquet once
@@ -431,6 +444,15 @@ def run_pipeline(
             overwrite_partitions(spark, gold_df, path, parts)
         else:
             gold_df = build_gold_frame(silver_df, mart)
-            write_partitioned(gold_df, path, parts)
+            if metrics_out is not None:
+                from nyc_taxi_data_ingestion_spark.quality.observe import (
+                    write_observed,
+                )
+
+                metrics_out[f"gold/{name}"] = write_observed(
+                    gold_df, path, partition_by=parts
+                )
+            else:
+                write_partitioned(gold_df, path, parts)
         out[f"gold/{name}"] = path
     return out

@@ -11,6 +11,11 @@ from nyc_taxi_data_ingestion_spark.quality.expectations import (
     run_expectations,
 )
 from nyc_taxi_data_ingestion_spark.quality.metrics import quality_score
+from nyc_taxi_data_ingestion_spark.quality.observe import (
+    attach,
+    standard_metrics,
+    write_observed,
+)
 
 __all__ = [
     "Check",
@@ -19,7 +24,10 @@ __all__ = [
     "PositiveCheck",
     "RangeCheck",
     "SetCheck",
+    "attach",
     "quality_score",
+    "standard_metrics",
+    "write_observed",
     "run_checks",
     "run_expectations",
 ]

@@ -610,3 +610,30 @@ def test_run_stream_pipeline_incremental_resume(spark, sf_dir, tmp_path):
     )
     want = {(r.w, r.event_type): r.cnt for r in want_df.collect()}
     assert got == want
+
+
+def test_observed_write_matches_eager_counts(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.quality.observe import (
+        standard_metrics,
+        write_observed,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "obs_out")
+    got = write_observed(df, path, metrics=standard_metrics(df, ["o_orderpriority"]))
+    # observed metrics equal what eager jobs would have computed —
+    # but they rode the write action instead of extra scans
+    assert got["row_count"] == df.count()
+    assert got["null_o_orderpriority"] == df.filter(F.col("o_orderpriority").isNull()).count()
+    assert spark.read.parquet(path).count() == got["row_count"]
+
+
+def test_run_pipeline_observed_metrics(spark, sf_dir, tmp_path):
+    cfg = events_config(sf_dir)
+    plan = compile_pipeline(spark, cfg)
+    wh = str(tmp_path / "wh_obs")
+    metrics: dict[str, dict] = {}
+    out = run_pipeline(spark, plan, wh, metrics_out=metrics)
+    assert set(metrics) == set(out)
+    for layer, path in out.items():
+        assert metrics[layer]["row_count"] == spark.read.parquet(path).count()
