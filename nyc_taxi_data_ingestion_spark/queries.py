@@ -1617,6 +1617,24 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _staged_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Stage any testdata table as a parquet DIRECTORY for file-source
+    streaming (the raw testdata is single files; Spark's file stream
+    source requires a directory basePath). Same content-stable cache
+    key scheme as ``_staged_events``."""
+    import hashlib
+    import os
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    digest = hashlib.md5(f"{sf_dir}/{name}".encode()).hexdigest()[:16]
+    path = os.path.join(tmp, f"spark_graft_tstage_{digest}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        _t(spark, sf_dir, name).write.mode("overwrite").parquet(path)
+    return path
+
+
 _STREAM_TUMBLING_ORACLE = f"""
 SELECT date_trunc('day', ts) AS window_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
@@ -3029,6 +3047,53 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 minute",
     )
     return run_available_now(slid, "q_stream_sliding", output_mode="complete")
+
+
+_STREAM_DEDUP_ORACLE = r"""
+WITH s AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 5 = 0
+),
+c AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT DISTINCT fp FROM s
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = s.fp)
+"""
+
+
+@register("stream_dedup", _STREAM_DEDUP_ORACLE, tags=["streaming", "llm-dedup"])
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact corpus dedup: documents with doc_id % 5 == 0
+    arrive as a STREAM and are deduped against the static corpus (the
+    other 80%) via a stream-static anti join on the md5 content
+    fingerprint, plus stateful first-wins dedup within the stream.
+    The oracle computes the surviving fingerprint set in batch SQL —
+    first-wins makes the set (not the winning ids) the deterministic
+    contract (streaming/ingest.stream_corpus_dedup)."""
+    from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        run_available_now,
+        stream_corpus_dedup,
+    )
+
+    batch_docs = _t(spark, sf_dir, "documents")
+    corpus_fp = (
+        batch_docs.filter(F.col("doc_id") % 5 != 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    staged = _staged_table(spark, sf_dir, "documents")
+    schema = batch_docs.schema
+    stream = spark.readStream.schema(schema).parquet(staged).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    survivors = stream_corpus_dedup(stream, corpus_fp)
+    out = run_available_now(
+        survivors.select(F.col("__fp").alias("fp")), "q_stream_dedup"
+    )
+    return out.distinct()
 
 
 _JSON_EXTRACT_ORACLE = """

@@ -17,7 +17,9 @@ from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     sliding_counts,
     session_windows,
     stateful_profile,
+    stream_corpus_dedup,
     stream_dedupe,
+    stream_incremental_dedup,
     stream_stream_join,
     stream_upsert_sink,
     tumbling_aggregate,

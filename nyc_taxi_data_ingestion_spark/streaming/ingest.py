@@ -385,3 +385,112 @@ def stateful_profile(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_corpus_dedup(
+    stream_df: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact-dedup a document STREAM against a static corpus and within
+    itself: fingerprint (md5 of normalized text, same function as batch
+    ``exact_dedup``) → stream-static LEFT ANTI join against the corpus
+    fingerprint set → stateful first-wins dedup on the fingerprint.
+
+    ``corpus_fingerprints`` is a static frame with one column ``fp``
+    (build it once: ``docs.select(fingerprint("text").alias("fp"))
+    .distinct()``). Stream-static anti joins are stateless on the
+    stream side — the static side is (re)broadcast or shuffled per
+    micro-batch, never stored in state. The within-stream dedup is the
+    only stateful piece: pass ``ts_col`` to bound its state with
+    ``dropDuplicatesWithinWatermark`` (dupes arriving farther apart
+    than ``delay`` are then NOT caught — the corpus probe still
+    catches re-crawls of anything already accepted); without a
+    timestamp the state grows with distinct fingerprints, acceptable
+    for AvailableNow backfills only.
+
+    Emits the surviving rows with their ``__fp`` fingerprint column.
+    """
+    from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
+
+    withfp = stream_df.withColumn("__fp", fingerprint(text_col))
+    fresh = withfp.join(
+        corpus_fingerprints.withColumnRenamed("fp", "__fp"), "__fp", "left_anti"
+    )
+    if ts_col is not None:
+        return fresh.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["__fp"]
+        )
+    return fresh.dropDuplicates(["__fp"])
+
+
+def stream_incremental_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    timeout_sec: int = 300,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """NEAR-dup dedup of a document stream against an evolving MinHash
+    index — the streaming form of ``llm.dedup.incremental_minhash_dedup``,
+    via ``foreachBatch``: each micro-batch probes the index as a batch
+    frame, appends its survivors to ``survivors_path``, and commits the
+    updated index (old index ∪ survivor signatures) back to
+    ``index_path``. Sequential-greedy semantics: a doc is dropped iff it
+    matches anything accepted before it (earlier batch, the seed corpus,
+    or a lower-id doc in its own batch).
+
+    The index update is eagerly materialized (``localCheckpoint``)
+    BEFORE the overwrite — its plan reads the very files the overwrite
+    replaces. foreachBatch is at-least-once: a retried batch re-appends
+    survivors (dedupe downstream on id, or diff epoch ids); the index
+    update itself is idempotent because re-probing against the already-
+    updated index kills every doc of the replayed batch's duplicates.
+
+    Runs with ``Trigger.AvailableNow`` to completion; production swaps
+    in a processing-time trigger and a transactional table format for
+    the index commit."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import incremental_minhash_dedup
+
+    def _batch(bdf: DataFrame, _epoch: int) -> None:
+        spark = bdf.sparkSession
+        try:
+            idx = spark.read.parquet(index_path)
+        except Exception:
+            idx = spark.createDataFrame(
+                [], "__id long, __sig array<bigint>"
+            )
+        survivors, updated = incremental_minhash_dedup(
+            bdf,
+            idx,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        updated = updated.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(survivors_path)
+        updated.write.mode("overwrite").parquet(index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream_incremental_dedup did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

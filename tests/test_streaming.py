@@ -264,3 +264,99 @@ def test_stream_upsert_sink_last_writer_wins(spark, tmp_path):
 
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got == {1: 20.0, 2: 5.0, 3: 7.0}
+
+
+def test_stream_corpus_dedup_watermarked_state(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        run_available_now,
+        stream_corpus_dedup,
+    )
+
+    src = str(tmp_path / "docs_in")
+    rows = [
+        (1, "corpus known text", "2024-01-01 00:00:00"),
+        (2, "fresh text one", "2024-01-01 00:01:00"),
+        (3, "fresh text one", "2024-01-01 00:02:00"),   # in-stream dup of 2
+        (4, "fresh text two", "2024-01-01 00:03:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("overwrite").parquet(src)
+
+    corpus = spark.createDataFrame([(99, "corpus  KNOWN text")], "doc_id long, text string")
+    corpus_fp = corpus.select(fingerprint("text").alias("fp")).distinct()
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = run_available_now(
+        stream_corpus_dedup(stream, corpus_fp, ts_col="ts", delay="10 minutes"),
+        "t_corpus_dedup",
+    )
+    kept_fps = {r["__fp"] for r in out.collect()}
+    # doc 1 is killed by the corpus (normalization folds case/spacing);
+    # docs 2/3 collapse to one winner; doc 4 survives → 2 fingerprints
+    assert len(kept_fps) == 2
+    texts = {r["text"] for r in out.collect()}
+    assert "corpus known text" not in texts
+    assert "fresh text two" in texts
+
+
+def test_stream_incremental_dedup_matches_sequential_batches(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_minhash_dedup,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming import stream_incremental_dedup
+
+    novel = [
+        "a genuinely novel document about distributed joins " * 6,
+        "another novel text regarding watermark semantics " * 6,
+        "third unique payload concerning shuffle partitioning " * 6,
+    ]
+    # batch files written separately → maxFilesPerTrigger=1 gives one
+    # micro-batch per file, in mtime order
+    import time as _time
+
+    src = str(tmp_path / "stream_src")
+    b1 = spark.createDataFrame(
+        [(10, novel[0]), (11, novel[1])], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, novel[0]), (21, novel[2]), (22, novel[2])],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    idx_path = str(tmp_path / "mh_index")
+    surv_path = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    seed = spark.createDataFrame([], "__id long, __sig array<bigint>")
+    seed.write.parquet(idx_path)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream_incremental_dedup(
+        stream, idx_path, surv_path, ckpt, threshold=0.5
+    )
+
+    got = sorted(r.doc_id for r in spark.read.parquet(surv_path).collect())
+    # 10, 11 survive batch 1; 20 dups 10 (cross-batch via the index),
+    # 21 survives, 22 dups 21 within its own batch
+    assert got == [10, 11, 21]
+    idx_ids = sorted(r["__id"] for r in spark.read.parquet(idx_path).collect())
+    assert idx_ids == [10, 11, 21]
+
+    # equivalence: sequential batch application of the batch operator
+    seed2 = spark.createDataFrame([], "__id long, __sig array<bigint>")
+    s1, i1 = incremental_minhash_dedup(b1, seed2, threshold=0.5)
+    i1 = i1.localCheckpoint(eager=True)
+    s2, _ = incremental_minhash_dedup(b2, i1, threshold=0.5)
+    batch_ids = sorted(
+        [r.doc_id for r in s1.collect()] + [r.doc_id for r in s2.collect()]
+    )
+    assert batch_ids == got
