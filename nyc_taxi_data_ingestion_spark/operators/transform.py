@@ -353,3 +353,95 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__ver")
     )
+
+
+# -- schema evolution --------------------------------------------------------
+
+# Safe (lossless) widenings for schema drift — anything else is either
+# identity or a narrowing that silently corrupts at scale.
+_WIDENINGS: dict[str, set[str]] = {
+    "tinyint": {"smallint", "int", "bigint", "double", "decimal"},
+    "smallint": {"int", "bigint", "double", "decimal"},
+    "int": {"bigint", "double", "decimal"},
+    "bigint": {"decimal"},
+    "float": {"double"},
+    "date": {"timestamp"},
+}
+
+
+def conform_schema(
+    df: DataFrame,
+    target: T.StructType | str,
+    strict: bool = False,
+    allow_narrowing: bool = False,
+) -> DataFrame:
+    """Align a frame to a target schema — the engine's schema-evolution
+    contract (the reference evolves by permissiveness: unknown columns
+    pass through, checks skip missing ones — SURVEY §1.4; Iceberg would
+    do this in the table format. Without a table format the rule must
+    live in an operator).
+
+    - missing target columns are added as typed NULLs (the reference
+      declares every field nullable — ``helpers.py:50``);
+    - present columns are cast when the cast is a documented lossless
+      widening (int→bigint, float→double, date→timestamp, …);
+      narrowing/lossy casts raise unless ``allow_narrowing=True`` —
+      a silent long→int at 100 TB is data corruption, not evolution;
+    - extra columns are dropped (``strict=True`` raises instead —
+      use strict for Gold, permissive for Bronze);
+    - output column order = target order (positional consumers and
+      UNION by position stay stable).
+
+    Pure plan-builder: projections only, no action, fuses into the scan.
+    """
+    if isinstance(target, str):
+        target = T.StructType.fromDDL(target)
+    have = {f.name: f for f in df.schema.fields}
+    extras = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    if strict and extras:
+        raise ValueError(f"extra columns not in target schema: {extras}")
+    out = []
+    for f in target.fields:
+        if f.name not in have:
+            out.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        cur = have[f.name].dataType
+        if cur == f.dataType:
+            out.append(F.col(f.name))
+            continue
+        cur_base = cur.simpleString().split("(")[0]
+        tgt_base = f.dataType.simpleString().split("(")[0]
+        widening = tgt_base in _WIDENINGS.get(cur_base, set()) or (
+            cur_base == tgt_base and cur_base in ("decimal", "varchar", "char")
+        )
+        if not widening and not allow_narrowing:
+            raise ValueError(
+                f"column {f.name}: {cur.simpleString()} → "
+                f"{f.dataType.simpleString()} is not a lossless widening; "
+                "pass allow_narrowing=True to force"
+            )
+        out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return df.select(*out)
+
+
+def union_conformed(
+    dfs: list[DataFrame],
+    target: T.StructType | str | None = None,
+    allow_narrowing: bool = False,
+) -> DataFrame:
+    """Union frames with drifting schemas by conforming each to a
+    shared target first (default: the first frame's schema, the
+    "current" table schema). The month-over-month ingestion case:
+    upstream added/dropped/widened columns across snapshots; reading
+    them as one corpus must not depend on which file Spark lists
+    first."""
+    if not dfs:
+        raise ValueError("union_conformed needs at least one frame")
+    target = target or dfs[0].schema
+    conformed = [
+        conform_schema(d, target, allow_narrowing=allow_narrowing) for d in dfs
+    ]
+    out = conformed[0]
+    for d in conformed[1:]:
+        out = out.unionByName(d)
+    return out

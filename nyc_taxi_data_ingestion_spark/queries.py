@@ -2879,6 +2879,53 @@ def q_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(supp)
 
 
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT 'v1' AS snapshot, CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       CAST(NULL AS VARCHAR) AS c_mktsegment
+FROM customer
+UNION ALL
+SELECT 'v2' AS snapshot, CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+@register("schema_evolution", _SCHEMA_EVOLUTION_ORACLE, tags=["schema"])
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two simulated snapshots of `customer` —
+    v1 predates c_mktsegment and carries the old INT nation key; v2
+    added a loyalty_tier column the current table doesn't declare.
+    ``conform_schema`` pins both to the declared table schema (missing
+    → typed NULL, int→bigint widened, undeclared column dropped) so
+    the union is stable regardless of file listing order — the
+    reference evolves by permissiveness (SURVEY §1.4); here the rule
+    is an explicit, narrowing-rejecting operator
+    (operators/transform.conform_schema)."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        conform_schema,
+        union_conformed,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    target = (
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    v1 = cust.drop("c_mktsegment")  # old snapshot: column didn't exist yet
+    v2 = cust.withColumn("loyalty_tier", F.lit("gold"))  # newer than the table
+    out = union_conformed(
+        [
+            conform_schema(v1, target).withColumn("snapshot", F.lit("v1")),
+            conform_schema(v2, target).withColumn("snapshot", F.lit("v2")),
+        ]
+    )
+    return out.select(
+        "snapshot", "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment",
+    )
+
+
 _INTERSECT_ORACLE = """
 SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
 INTERSECT

@@ -63,6 +63,17 @@ def read_http(
     return add_ingestion_metadata(df, source=url)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across files with DRIFTED schemas
+    (``mergeSchema=true``): the union of all file schemas, missing
+    columns NULL per file — how a month-partitioned Bronze table whose
+    upstream added columns over time reads as one frame. Costs a
+    footer read per file at planning (why it is not the default);
+    pair with ``operators.transform.conform_schema`` to pin the result
+    to the declared table schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

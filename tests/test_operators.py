@@ -58,3 +58,62 @@ def test_scd2_single_shuffle_plan(spark):
     out = _scd2_fixture(spark)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall("Exchange", plan)) == 1, plan
+
+
+def test_conform_schema_widen_null_and_drop(spark):
+    from nyc_taxi_data_ingestion_spark.operators.transform import conform_schema
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "id int, name string, extra int"
+    )
+    out = conform_schema(df, "id bigint, name string, added double")
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint", "name:string", "added:double",
+    ]
+    row = out.first()
+    assert row.id == 1 and row.added is None
+    assert "extra" not in out.columns
+
+
+def test_conform_schema_rejects_narrowing_and_strict_extras(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import conform_schema
+
+    df = spark.createDataFrame([(2**40, "x")], "id bigint, name string")
+    with _pytest.raises(ValueError, match="not a lossless widening"):
+        conform_schema(df, "id int, name string")
+    # forced narrowing is explicit
+    forced = conform_schema(df, "id int, name string", allow_narrowing=True)
+    assert dict(forced.dtypes)["id"] == "int"
+    with _pytest.raises(ValueError, match="extra columns"):
+        conform_schema(df, "id bigint", strict=True)
+
+
+def test_union_conformed_drifting_snapshots(spark):
+    from nyc_taxi_data_ingestion_spark.operators.transform import union_conformed
+
+    old = spark.createDataFrame([(1, "a")], "id int, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 3.5)], "id bigint, name string, score double"
+    )
+    # target defaults to the FIRST frame's schema — new's extra column
+    # drops, its bigint id narrows only if forced; use new as target
+    out = union_conformed([new, old])
+    assert sorted(out.columns) == ["id", "name", "score"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[2].score == 3.5
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(p)
+    out = read_parquet_evolving(spark, p)
+    assert sorted(out.columns) == ["id", "name", "score"]
+    assert out.count() == 2
+    assert out.filter(F.col("score").isNull()).count() == 1
