@@ -178,3 +178,70 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_fingerprint": fingerprint(text_col),
         }
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Corpus-wide top-k frequent tokens via Misra-Gries candidate
+    generation + exact recount — the heavy-hitters sketch completing
+    the engine's mergeable-sketch family (HLL distinct counts, GK
+    quantiles, MG frequency).
+
+    Why not plain groupBy(token).count(): that shuffles EVERY distinct
+    token. At 100 TB the token dictionary is billions of keys; the
+    top-50 answer does not need them. Two passes instead:
+
+    1. per-partition Misra-Gries with ``capacity`` counters
+       (Arrow-batched ``mapInPandas`` — sequential counter state is
+       the one thing Catalyst can't express). Any token with global
+       count > n/capacity survives in ≥1 partition (pigeonhole over
+       the per-partition guarantee), so the candidate union is a
+       lossless superset of every sufficiently-frequent token. The
+       shuffle carries ≤ capacity rows per partition.
+    2. exact recount of candidates only: broadcast-semi-join the token
+       stream against the candidate set, count, top-k with a total
+       order (count desc, token asc).
+
+    The recount makes the result EXACT and deterministic (the sketch
+    only prunes), so it oracle-checks against plain SQL top-k —
+    provided the k-th true count exceeds n/capacity (asserted in
+    tests; size ``capacity`` to the corpus). Returns (token, cnt).
+    """
+    import pandas as pd
+
+    tok = df.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+        ).alias("token")
+    )
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tok.mapInPandas(_mg, "token string").distinct()
+    counted = (
+        tok.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counted.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)

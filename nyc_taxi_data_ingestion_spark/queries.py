@@ -2765,6 +2765,29 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.quality_classifier(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+_HEAVY_HITTERS_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+ORDER BY cnt DESC, token LIMIT 50
+"""
+
+
+@register("heavy_hitters", _HEAVY_HITTERS_ORACLE, tags=["llm-text", "sketch"])
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus tokens via Misra-Gries candidates + exact recount
+    (llm/text.heavy_hitters). The sketch only PRUNES — the recount
+    makes the answer exact, so it hash-matches plain SQL top-k while
+    shuffling candidate tokens only (the full token dictionary never
+    crosses the wire; at 100 TB that dictionary is billions of
+    keys)."""
+    from nyc_taxi_data_ingestion_spark.llm.text import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), k=50, capacity=4096)
+
+
 # ---------------------------------------------------------------------------
 # Batch 12 — window-function surface (lag/lead/ntile), CUBE, set ops,
 # stream-stream join. Extensions past the reference's inventory (§2.5

@@ -454,3 +454,42 @@ def test_signature_jaccard_estimator_bounds(spark):
     assert by_pair[(1, 2)] == 1.0
     assert by_pair[(1, 3)] < 0.3
     assert by_pair[(2, 3)] < 0.3
+
+
+def test_heavy_hitters_exact_and_guaranteed(spark, docs):
+    from nyc_taxi_data_ingestion_spark.llm.text import heavy_hitters
+
+    k = 20
+    capacity = 4096
+    got = heavy_hitters(docs, k=k, capacity=capacity).collect()
+    assert len(got) == k
+
+    # exact reference: full groupBy top-k with the same total order
+    tok = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "), " ")
+        ).alias("token")
+    )
+    exact = (
+        tok.groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+        .collect()
+    )
+    assert [(r.token, r.cnt) for r in got] == [(r.token, r.cnt) for r in exact]
+
+    # the MG guarantee that makes the prune lossless: the k-th true
+    # count must exceed n/capacity (else capacity is undersized)
+    n = tok.count()
+    assert exact[-1].cnt > n / capacity
+
+
+def test_heavy_hitters_small_capacity_still_superset_of_top(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import heavy_hitters
+
+    # one dominant token must survive even a tiny sketch
+    rows = [(i, "dominant " * 50 + f"rare{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = heavy_hitters(df, k=1, capacity=8).collect()
+    assert got[0].token == "dominant"
+    assert got[0].cnt == 2000
