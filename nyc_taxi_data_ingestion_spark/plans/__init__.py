@@ -12,6 +12,7 @@ over the compiled plan (``lineage.py``).
 
 from nyc_taxi_data_ingestion_spark.plans.compiler import (  # noqa: F401
     PipelinePlan,
+    compile_curation,
     compile_pipeline,
     compile_stream_pipeline,
     run_pipeline,

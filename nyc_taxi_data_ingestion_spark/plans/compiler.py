@@ -456,3 +456,84 @@ def run_pipeline(
                 write_partitioned(gold_df, path, parts)
         out[f"gold/{name}"] = path
     return out
+
+
+# -- curation pipeline compilation -------------------------------------------
+
+
+def compile_curation(spark: SparkSession, cfg: dict) -> DataFrame:
+    """Compile a config-declared CURATION pipeline into one lazy plan —
+    the reference's config-first philosophy (YAML → jobs) applied to
+    the corpus-curation chain. Stage vocabulary mirrors `llm/curation`:
+
+        curation:
+          id_column: doc_id
+          text_column: text
+          stages:
+            - {type: gopher_filter, options: {min_words: 50}}
+            - {type: pii_redact}
+            - {type: quality_classifier, options: {dim: 1024}}
+            - {type: exact_dedup}
+            - {type: line_dedup, options: {min_docs: 5, carry_cols: [lang]}}
+            - {type: stratified_sample,
+               options: {rates: {en: 0.5}, default_rate: 0.3}}
+            - {type: token_shards, options: {budget_tokens: 256}}
+
+    Stages compose lazily — narrow-map stages (gopher, PII, classifier
+    scoring) fuse into the scan exactly as in the hand-built
+    ``pipeline_curation``. ``line_dedup`` rewrites the text column to
+    its ``clean_text`` output; later stages read the rewritten column
+    automatically. Declaration order is execution order — the config
+    author owns the (semantically meaningful) stage ordering.
+    """
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+    from nyc_taxi_data_ingestion_spark.llm import dedup as dd
+
+    c = cfg.get("curation", {})
+    id_col = c.get("id_column", "doc_id")
+    text_col = c.get("text_column", "text")
+    df = _read_source(spark, cfg["source"])
+
+    for stage in c.get("stages", []):
+        kind = stage["type"]
+        o = dict(stage.get("options") or {})
+        if kind == "gopher_filter":
+            df = df.filter(cu.gopher_keep(text_col, **o))
+        elif kind == "pii_redact":
+            df = df.withColumn(text_col, cu.redact_pii(F.col(text_col)))
+        elif kind == "quality_classifier":
+            keep_above = float(o.pop("keep_above", 0.0))
+            scores = cu.quality_classifier(
+                df.select(id_col, text_col), id_col=id_col, text_col=text_col, **o
+            )
+            df = df.join(
+                scores.filter(F.col("score") > keep_above).select(id_col),
+                id_col,
+                "left_semi",
+            )
+        elif kind == "exact_dedup":
+            df = dd.exact_dedup(df, text_col=text_col, id_col=id_col)
+        elif kind == "line_dedup":
+            df = cu.line_dedup(df, id_col=id_col, text_col=text_col, **o)
+            df = df.withColumnRenamed("clean_text", text_col)
+            # line_dedup carries only (id, carry_cols, text, n_removed)
+        elif kind == "stratified_sample":
+            rates = {str(k): float(v) for k, v in (o.get("rates") or {}).items()}
+            df = cu.stratified_sample(
+                df,
+                rates=rates,
+                default_rate=float(o.get("default_rate", 1.0)),
+                stratum_col=o.get("stratum_col", "lang"),
+                id_col=id_col,
+            )
+        elif kind == "token_shards":
+            df = cu.token_shards(
+                df,
+                budget_tokens=int(o["budget_tokens"]),
+                source_col=o.get("source_col", "source"),
+                id_col=id_col,
+                text_col=text_col,
+            )
+        else:
+            raise ValueError(f"unknown curation stage type: {kind}")
+    return df

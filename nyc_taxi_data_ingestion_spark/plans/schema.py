@@ -182,6 +182,35 @@ PIPELINE_SCHEMA_V2: dict = {
                 },
             },
         },
+        "curation": {
+            "type": "object",
+            "properties": {
+                "id_column": {"type": "string"},
+                "text_column": {"type": "string"},
+                "stages": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "required": ["type"],
+                        "properties": {
+                            "type": {
+                                "type": "string",
+                                "enum": [
+                                    "gopher_filter",
+                                    "pii_redact",
+                                    "quality_classifier",
+                                    "exact_dedup",
+                                    "line_dedup",
+                                    "stratified_sample",
+                                    "token_shards",
+                                ],
+                            },
+                            "options": {"type": "object"},
+                        },
+                    },
+                },
+            },
+        },
         "gold": {
             "type": "array",
             "items": {

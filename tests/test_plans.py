@@ -637,3 +637,55 @@ def test_run_pipeline_observed_metrics(spark, sf_dir, tmp_path):
     assert set(metrics) == set(out)
     for layer, path in out.items():
         assert metrics[layer]["row_count"] == spark.read.parquet(path).count()
+
+
+def test_compile_curation_matches_handbuilt_chain(spark, sf_dir):
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+    from nyc_taxi_data_ingestion_spark.llm import dedup as dd
+    from nyc_taxi_data_ingestion_spark.plans import compile_curation, validate_config
+
+    cfg = {
+        "pipeline": {"name": "curate_docs"},
+        "source": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+        "curation": {
+            "id_column": "doc_id",
+            "text_column": "text",
+            "stages": [
+                {"type": "gopher_filter", "options": {"min_words": 10}},
+                {"type": "pii_redact"},
+                {"type": "exact_dedup"},
+                {
+                    "type": "stratified_sample",
+                    "options": {"rates": {"en": 0.5}, "default_rate": 0.3},
+                },
+                {"type": "token_shards", "options": {"budget_tokens": 256}},
+            ],
+        },
+    }
+    assert validate_config(cfg)
+    got = compile_curation(spark, cfg)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.filter(cu.gopher_keep("text", min_words=10)).withColumn(
+        "text", cu.redact_pii(F.col("text"))
+    )
+    staged = dd.exact_dedup(staged)
+    staged = cu.stratified_sample(staged, rates={"en": 0.5}, default_rate=0.3)
+    want = cu.token_shards(staged, budget_tokens=256)
+
+    g = got.select("doc_id", "shard_id").toPandas().sort_values("doc_id")
+    w = want.select("doc_id", "shard_id").toPandas().sort_values("doc_id")
+    assert g.values.tolist() == w.values.tolist()
+    assert len(g) > 0
+
+
+def test_compile_curation_rejects_unknown_stage(spark, sf_dir):
+    from nyc_taxi_data_ingestion_spark.plans import compile_curation
+
+    cfg = {
+        "pipeline": {"name": "bad"},
+        "source": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+        "curation": {"stages": [{"type": "nonsense"}]},
+    }
+    with pytest.raises(ValueError, match="unknown curation stage"):
+        compile_curation(spark, cfg)
