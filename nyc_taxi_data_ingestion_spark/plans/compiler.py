@@ -486,13 +486,17 @@ def compile_curation(spark: SparkSession, cfg: dict) -> DataFrame:
     automatically. Declaration order is execution order — the config
     author owns the (semantically meaningful) stage ordering.
     """
+    c = cfg.get("curation", {})
+    df = _read_source(spark, cfg["source"])
+    return _apply_curation_stages(spark, df, c)
+
+
+def _apply_curation_stages(spark: SparkSession, df: DataFrame, c: dict) -> DataFrame:
     from nyc_taxi_data_ingestion_spark.llm import curation as cu
     from nyc_taxi_data_ingestion_spark.llm import dedup as dd
 
-    c = cfg.get("curation", {})
     id_col = c.get("id_column", "doc_id")
     text_col = c.get("text_column", "text")
-    df = _read_source(spark, cfg["source"])
 
     for stage in c.get("stages", []):
         kind = stage["type"]
@@ -537,3 +541,51 @@ def compile_curation(spark: SparkSession, cfg: dict) -> DataFrame:
         else:
             raise ValueError(f"unknown curation stage type: {kind}")
     return df
+
+
+def run_curation(
+    spark: SparkSession,
+    cfg: dict,
+    out_path: str,
+    tracker=None,
+) -> dict[str, object]:
+    """Materialize a config-declared curation pipeline (one lazy plan →
+    one partitioned write) with the full operational envelope the
+    medallion side gets: row-count/null metrics observed from the write
+    job itself (zero extra scans — quality/observe.py) and a lineage
+    event recording source → output with the stage list as the
+    transform spec (plans/lineage.py, L1).
+
+    Returns the observed metric dict. Input row count deliberately
+    rides a second observation on the SOURCE scan of the same job —
+    still zero extra actions."""
+    from nyc_taxi_data_ingestion_spark.quality.observe import (
+        attach,
+        standard_metrics,
+        write_observed,
+    )
+
+    c = cfg.get("curation", {})
+    src = _read_source(spark, cfg["source"])
+    src_observed, src_obs = attach(
+        src, {"rows_in": F.count(F.lit(1))}, name="curation_in"
+    )
+    # recompile over the observed source so both observations ride the
+    # single write action
+    cfg_df = _apply_curation_stages(spark, src_observed, c)
+    parts = c.get("partition_by") or []
+    metrics = write_observed(
+        cfg_df, out_path, metrics=standard_metrics(cfg_df, []), partition_by=parts
+    )
+    metrics["rows_in"] = src_obs.get["rows_in"]
+    if tracker is not None:
+        tracker.record(
+            "curation_run",
+            layer="curated",
+            source_table=cfg["source"].get("path") or cfg["source"].get("table"),
+            target_table=out_path,
+            rows_in=int(metrics["rows_in"]),
+            rows_out=int(metrics["row_count"]),
+            transforms={"stages": [s["type"] for s in c.get("stages", [])]},
+        )
+    return metrics

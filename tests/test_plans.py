@@ -689,3 +689,31 @@ def test_compile_curation_rejects_unknown_stage(spark, sf_dir):
     }
     with pytest.raises(ValueError, match="unknown curation stage"):
         compile_curation(spark, cfg)
+
+
+def test_run_curation_metrics_and_lineage(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.plans.compiler import run_curation
+    from nyc_taxi_data_ingestion_spark.plans.lineage import LineageTracker
+
+    cfg = {
+        "pipeline": {"name": "curate_docs"},
+        "source": {"path": f"{sf_dir}/documents.parquet", "format": "parquet"},
+        "curation": {
+            "stages": [
+                {"type": "gopher_filter", "options": {"min_words": 10}},
+                {"type": "exact_dedup"},
+            ],
+        },
+    }
+    out = str(tmp_path / "curated")
+    tracker = LineageTracker(pipeline="curate_docs")
+    metrics = run_curation(spark, cfg, out, tracker=tracker)
+
+    written = spark.read.parquet(out)
+    assert metrics["row_count"] == written.count()
+    assert metrics["rows_in"] == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert metrics["rows_in"] >= metrics["row_count"]
+    evt = tracker.events[-1]
+    assert evt["event_type"] == "curation_run"
+    assert evt["rows_out"] == metrics["row_count"]
+    assert "gopher_filter" in evt["transforms_json"]
