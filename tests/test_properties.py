@@ -98,3 +98,73 @@ def test_simhash_lane_width_invariance(spark, sf_dir):
     )
     diffs = a.join(b, "__id").filter(F.col("__sh") != F.col("__sh32")).count()
     assert diffs == 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["alpha beta gamma " * 4, "delta epsilon zeta " * 4,
+                             "eta theta iota kappa " * 4]),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_incremental_dedup_survivor_invariants(spark, rows):
+    """On arbitrary batches drawn from a small text pool: (1) survivors
+    carry pairwise-distinct texts, (2) each text pool member present in
+    the batch has exactly its min-id doc surviving, (3) the updated
+    index = seed ∪ survivor signatures."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    seed = minhash_index(batch.limit(0))
+    survivors, updated = incremental_minhash_dedup(batch, seed, threshold=0.9)
+    got = [(r.doc_id, r.text) for r in survivors.collect()]
+    texts = [t for _, t in got]
+    assert len(texts) == len(set(texts))
+    expected = {}
+    for i, t in rows:
+        expected[t] = min(expected.get(t, i), i)
+    assert sorted(i for i, _ in got) == sorted(expected.values())
+    assert updated.count() == len(got)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["tok%d" % i for i in range(12)]
+        ),
+        min_size=5,
+        max_size=200,
+    )
+)
+def test_heavy_hitters_exact_on_random_streams(spark, toks):
+    """MG candidates + recount must equal exact top-k on arbitrary
+    token streams whenever capacity exceeds the distinct count (the
+    sketch can then never evict a true heavy hitter)."""
+    from collections import Counter
+
+    from nyc_taxi_data_ingestion_spark.llm.text import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, text string"
+    )
+    got = [(r.token, r.cnt) for r in heavy_hitters(df, k=5, capacity=64).collect()]
+    want = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
