@@ -445,3 +445,53 @@ def union_conformed(
     for d in conformed[1:]:
         out = out.unionByName(d)
     return out
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: per-key count distribution
+    in ONE pass over the keys — the measurement you take BEFORE
+    deciding to salt a join or enable AQE skew handling at scale
+    (`topk_per_group_salted` is the fix; this is the detector).
+
+    Returns one row: n_rows, n_keys, avg_cnt, p50/p90/p99_cnt, max_cnt,
+    skew_ratio (max/avg — ~1 means uniform; the AQE skew-join default
+    fires at 5x median), and hot_key (heaviest key, ties broken by key
+    value so the report is deterministic).
+
+    Scale shape: one partial-agg shuffle keyed by the key (the same
+    shuffle the join under diagnosis would do — run it on a sample if
+    even that is too hot), then a single-row reduce. The hot key rides
+    the same reduce via an order-embedding string (zero-padded count |
+    key) so no second pass or join is needed."""
+    key = (
+        F.col(key_cols[0]).cast("string")
+        if len(key_cols) == 1
+        else F.concat_ws("§", *[F.col(c).cast("string") for c in key_cols])
+    )
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count("*").alias("cnt")
+    )
+    packed = F.format_string("%020d|%s", F.col("cnt"), F.col("key"))
+    agg = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("percentile(cnt, 0.50)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.90)").alias("p90_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        F.max(packed).alias("__top"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        avg.alias("avg_cnt"),
+        "p50_cnt",
+        "p90_cnt",
+        "p99_cnt",
+        "max_cnt",
+        (F.col("max_cnt").cast("double") / avg).alias("skew_ratio"),
+        # fixed offset (20-digit count + "|"), NOT substring_index —
+        # a key containing the delimiter must not truncate
+        F.substring("__top", 22, 2_000_000).alias("hot_key"),
+    )

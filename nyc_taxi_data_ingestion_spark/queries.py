@@ -2765,6 +2765,40 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.quality_classifier(_t(spark, sf_dir, "documents"), dim=1024)
 
 
+_SKEW_REPORT_ORACLE = """
+WITH c AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+         quantile_cont(cnt, 0.50) AS p50_cnt,
+         quantile_cont(cnt, 0.90) AS p90_cnt,
+         quantile_cont(cnt, 0.99) AS p99_cnt,
+         MAX(printf('%020d|%s', cnt, key)) AS top_packed
+  FROM c
+)
+SELECT n_rows, n_keys,
+       CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_cnt,
+       p50_cnt, p90_cnt, p99_cnt, max_cnt,
+       CAST(max_cnt AS DOUBLE)
+         / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio,
+       substr(top_packed, 22) AS hot_key
+FROM agg
+"""
+
+
+@register("skew_report", _SKEW_REPORT_ORACLE, tags=["diagnostic"])
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on lineitem.l_suppkey: per-key count
+    quantiles, max, skew ratio, and the (deterministic) hottest key in
+    one keyed shuffle + one single-row reduce — the measurement taken
+    before salting a join (operators/transform.skew_report)."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), ["l_suppkey"])
+
+
 _HEAVY_HITTERS_ORACLE = r"""
 WITH tok AS (
   SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token

@@ -117,3 +117,26 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert sorted(out.columns) == ["id", "name", "score"]
     assert out.count() == 2
     assert out.filter(F.col("score").isNull()).count() == 1
+
+
+def test_skew_report_known_distribution(spark):
+    from nyc_taxi_data_ingestion_spark.operators.transform import skew_report
+
+    rows = [(i, "hot") for i in range(90)] + [(100 + i, f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    r = skew_report(df, ["key"]).first()
+    assert r.n_rows == 100 and r.n_keys == 11
+    assert r.max_cnt == 90 and r.hot_key == "hot"
+    assert abs(r.avg_cnt - 100 / 11) < 1e-12
+    assert abs(r.skew_ratio - 90 / (100 / 11)) < 1e-9
+    assert r.p50_cnt == 1.0
+
+
+def test_skew_report_multi_col_and_delimiter_safe(spark):
+    from nyc_taxi_data_ingestion_spark.operators.transform import skew_report
+
+    rows = [(1, "a|b", "x")] * 3 + [(2, "c", "y")]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+    r = skew_report(df, ["k1", "k2"]).first()
+    assert r.hot_key == "a|b§x"   # pipes in keys must not truncate
+    assert r.n_keys == 2 and r.max_cnt == 3
