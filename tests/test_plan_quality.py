@@ -274,3 +274,31 @@ def test_incremental_dedup_never_shuffles_corpus_text(spark, sf_dir):
             assert "text#" not in line.split("hashpartitioning", 1)[1].split(")")[0], line
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_plan_summary_api(spark, sf_dir):
+    # the public introspection API must agree with the raw explain
+    # parsing these gates use
+    from nyc_taxi_data_ingestion_spark.plans import plan_summary
+
+    # AQE's AdaptiveSparkPlan wrapper hides codegen-id tags in the
+    # static plan — disable it for introspection only
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["quality_classifier"].fn(spark, sf_dir)
+        s = plan_summary(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert s["n_exchanges"] == 1
+    assert s["partial_aggregate"] is True
+    assert s["python_eval"] is False
+    assert s["n_scans"] >= 1 and s["read_schemas"]
+    assert s["codegen_ids"], "no whole-stage codegen spans"
+
+    hh = REGISTRY["heavy_hitters"].fn(spark, sf_dir)
+    s2 = plan_summary(hh)
+    # the MG sketch is a deliberate Arrow stage, NOT a per-expression
+    # Python eval — the API tells them apart
+    assert s2["python_eval"] is False
+    assert s2["n_arrow_stages"] == 1
