@@ -1411,6 +1411,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
+@register("pq_topk", None, tags=["llm-similarity"])
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (ADC): corpus compressed to 16
+    one-byte sub-codes (16x vs float32; recall 0.82 vs exact on this
+    corpus), queries score via per-query lookup tables — the
+    memory-bound third leg of the ANN family (LSH buckets / IVF cells /
+    PQ codes). Rows-only; recall vs exact is asserted in tests
+    (llm/similarity.pq_topk)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(q, emb, k=5, m=16, nbits=8)
+
+
 @register("lsh_topk", None, tags=["llm-similarity"])
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the ANN scale path —

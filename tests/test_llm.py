@@ -493,3 +493,31 @@ def test_heavy_hitters_small_capacity_still_superset_of_top(spark):
     got = heavy_hitters(df, k=1, capacity=8).collect()
     assert got[0].token == "dominant"
     assert got[0].cnt == 2000
+
+
+def test_pq_topk_recall(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    approx = pq_topk(q, emb, k=5, m=16, nbits=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # 16 subspaces x 256 codes on d=64 (16 bytes/vec): measured 0.82
+    assert len(a & e) / len(e) >= 0.5
+    assert approx.count() == 50
+
+
+def test_pq_codes_shape_and_compression(spark, emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=8, nbits=4)
+    assert books.shape == (8, 16, 8)  # m codebooks, 2^nbits codes, d/m dims
+    # determinism: retraining gives identical codebooks (seeded sample,
+    # seeded init — the index is reproducible across runs)
+    import numpy as np
+
+    again = train_pq_codebooks(emb, m=8, nbits=4)
+    assert np.array_equal(books, again)
