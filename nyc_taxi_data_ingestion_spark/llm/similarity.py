@@ -450,6 +450,36 @@ def train_pq_codebooks(
     return books
 
 
+def _pq_encode_udf(books: "np.ndarray"):
+    """pandas_udf: vector -> its m PQ sub-codes (nearest codebook entry
+    per subspace, on the L2-normalized vector). Arrow-batched; the
+    codes are the persisted index at scale (m bytes/vector)."""
+    m, _, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.zeros((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_lut(queries_np: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """ADC lookup tensor: LUT[qi, j, c] = dot(q_sub_j, codebook[j][c])
+    over L2-normalized queries."""
+    m, _, sub = books.shape
+    qx = queries_np / np.linalg.norm(queries_np, axis=1, keepdims=True)
+    return np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -482,28 +512,13 @@ def pq_topk(
     books = train_pq_codebooks(
         corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
     )
-    sub = books.shape[2]
-
-    @F.pandas_udf("array<int>")
-    def encode(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-        x = x / np.linalg.norm(x, axis=1, keepdims=True)
-        codes = np.zeros((len(x), m), dtype=np.int32)
-        for j in range(m):
-            xs = x[:, j * sub : (j + 1) * sub]
-            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+    encode = _pq_encode_udf(books)
 
     q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).collect()
-    q_ids = [r.qid for r in q_rows]
-    qx = np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows])
-    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
-    # LUT[qi, j, c] = dot(q_sub_j, codebook[j][c])
-    lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
-    q_id_arr = np.asarray(q_ids)
+    lut = _pq_lut(
+        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]), books
+    )
+    q_id_arr = np.asarray([r.qid for r in q_rows])
 
     coded = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
@@ -532,6 +547,93 @@ def pq_topk(
     scored = coded.mapInPandas(
         _score, "query_id long, neighbor_id long, cosine_sim double"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    nbits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ composed — the standard billion-scale ANN index (FAISS
+    IVFADC): the IVF coarse quantizer prunes the CANDIDATE SET
+    (|corpus|·nprobe/num_cells rows reach scoring), PQ compresses the
+    candidates' MEMORY (m bytes/vector), and ADC lookup tables make
+    each score m adds. Neither half alone gives both properties.
+
+    Corpus side is one narrow Arrow pass producing (id, cell, codes) —
+    at rest this IS the persisted index, partitioned by cell. The only
+    wide op is the cell-keyed candidate join. Output schema matches the
+    other *_topk operators.
+    """
+    from pyspark.sql import Window
+
+    cent = train_centroids(
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    assign1 = _nearest_cells_udf(cent, 1)
+    probe = _nearest_cells_udf(cent, nprobe)
+    encode = _pq_encode_udf(books)
+
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+        encode(F.col(vec_col)).alias("codes"),
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
+    ).collect()
+    lut = _pq_lut(
+        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]), books
+    )
+    q_index = {r.qid: i for i, r in enumerate(q_rows)}
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = c.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf["query_id"].map(q_index).to_numpy()
+            scores = np.zeros(len(pdf))
+            for j in range(books.shape[0]):
+                scores += lut[qi, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine_sim": scores,
+                }
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
+        _score, "query_id long, neighbor_id long, cosine_sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -1426,6 +1426,20 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, emb, k=5, m=16, nbits=8)
 
 
+@register("ivfpq_topk", None, tags=["llm-similarity"])
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer + PQ codes composed (FAISS IVFADC — the
+    billion-scale default): cell pruning bounds the candidate count,
+    16-byte codes bound the memory, ADC tables bound the arithmetic.
+    Rows-only; recall vs exact asserted in tests
+    (llm/similarity.ivfpq_topk)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(q, emb, k=5, num_cells=16, nprobe=8, m=16, nbits=8)
+
+
 @register("lsh_topk", None, tags=["llm-similarity"])
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the ANN scale path —

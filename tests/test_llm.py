@@ -521,3 +521,20 @@ def test_pq_codes_shape_and_compression(spark, emb):
 
     again = train_pq_codebooks(emb, m=8, nbits=4)
     assert np.array_equal(books, again)
+
+
+def test_ivfpq_topk_recall_and_composition(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivfpq_topk, pq_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(q, emb, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    comp = ivfpq_topk(q, emb, k=5, num_cells=16, nprobe=8, m=16, nbits=8)
+    a = {(r.query_id, r.neighbor_id) for r in comp.collect()}
+    assert len(a & e) / len(e) >= 0.4
+    # full probe degenerates to plain PQ — the IVF stage only prunes
+    full = ivfpq_topk(q, emb, k=5, num_cells=8, nprobe=8, m=16, nbits=8)
+    pq = pq_topk(q, emb, k=5, m=16, nbits=8)
+    fa = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    pa = {(r.query_id, r.neighbor_id, r.rank) for r in pq.collect()}
+    assert fa == pa
