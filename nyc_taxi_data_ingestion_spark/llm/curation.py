@@ -601,3 +601,53 @@ def domain_mixture(
             ).alias("weight"),
         )
     )
+
+
+# -- deterministic train/val/test assignment ---------------------------------
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by md5
+    bucket of its id: cumulative hex thresholds partition the hash
+    space in ``weights`` proportion. The same id lands in the same
+    split on every engine, every run, every scale — the property an
+    eval holdout actually requires (RNG-based splits leak rows across
+    splits when partitioning changes).
+
+    Narrow map, no shuffle. Weights are normalized; the last split
+    absorbs rounding remainder so the assignment is total.
+    """
+    names = list(weights)
+    total = sum(weights.values())
+    u = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    acc = 0.0
+    expr = F.lit(names[-1])
+    # build reversed: when u < threshold_i -> names[i], checked in order
+    conds = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        conds.append((rate_to_hex_threshold(acc), name))
+    for threshold, name in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def split_thresholds_sql(weights: dict[str, float], id_expr: str) -> str:
+    """The oracle-SQL twin of :func:`dataset_split`'s assignment
+    expression — same cumulative thresholds, same md5 bucketing."""
+    names = list(weights)
+    total = sum(weights.values())
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cases.append(
+            f"WHEN substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+            f" < '{rate_to_hex_threshold(acc)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"

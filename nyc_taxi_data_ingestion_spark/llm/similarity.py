@@ -640,3 +640,59 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# -- SemDeDup-style semantic deduplication -----------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas et al. 2023): k-means
+    the embedding space, then within each cluster drop every vector
+    that has a LOWER-id cluster-mate with cosine similarity above
+    ``threshold``. Returns the surviving rows (all input columns).
+
+    Why clustering first: exact all-pairs cosine is O(N²) over the
+    corpus; restricting comparisons to same-cluster pairs makes the
+    cost Σ|cell|² — the operator's accuracy/cost dial is num_cells
+    (more cells → cheaper, may miss cross-cell near-dups; SemDeDup's
+    published finding is that dups overwhelmingly co-cluster).
+
+    Scale shape: centroid training is sample-bounded driver-side (the
+    FAISS contract, shared with IVF); cell assignment is a narrow
+    Arrow-batched matmul; the pairwise stage shuffles (cell, id,
+    vec) once and joins cell-to-cell; the survivor filter is a
+    broadcast-able anti-join on dropped ids (dup ids ≪ corpus at any
+    reasonable threshold). The survivor rule (lowest id in each dup
+    neighborhood wins) is deterministic and order-independent.
+    """
+    cent = train_centroids(
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    assign1 = _nearest_cells_udf(cent, 1)
+    sided = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        _norm(F.col(vec_col)).alias("__norm"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
+    )
+    a = sided.alias("a")
+    b = sided.alias("b")
+    dropped = (
+        a.join(b, F.col("a.__cell") == F.col("b.__cell"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(
+            _dot(F.col("a.__vec"), F.col("b.__vec"))
+            / (F.col("a.__norm") * F.col("b.__norm"))
+            > threshold
+        )
+        .select(F.col("b.__id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dropped, id_col, "left_anti")

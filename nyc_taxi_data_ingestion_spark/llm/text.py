@@ -245,3 +245,51 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
     )
     return counted.orderBy(F.col("cnt").desc(), F.col("token")).limit(k)
+
+
+def keyword_extract(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document distinctive keywords: top-k tokens ranked by
+    (term frequency DESC, document frequency ASC, token ASC), with
+    corpus-stopword suppression (tokens appearing in more than
+    ``max_df_ratio`` of documents are excluded).
+
+    This is TF-IDF's ranking with integer-only keys — dropping the
+    logarithm keeps the order deterministic and bit-identical across
+    engines (no libm in compared output), which matters because rank
+    boundaries are exactly where float error flips results.
+
+    Plan shape for 100 TB: one explode → (doc, token) partial-count
+    (map-side combine collapses repeats before the shuffle), a
+    token-keyed aggregate for document frequency whose output is
+    vocabulary-sized (≪ corpus) and BROADCAST back, then a doc-key
+    window for the top-k. Text never shuffles — only (doc_id, token,
+    cnt) triples.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.col("token") != "")
+    tc = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    keep = dfreq.join(F.broadcast(n_docs)).filter(
+        F.col("doc_freq") <= F.col("__n") * max_df_ratio
+    ).select("token", "doc_freq")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("tf").desc(), F.col("doc_freq").asc(), F.col("token").asc())
+    )
+    return (
+        tc.join(F.broadcast(keep), "token")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "rnk", "token", "tf", "doc_freq")
+    )

@@ -1,0 +1,141 @@
+"""Event-analytics operators: ordered funnels and cohort retention.
+
+The reference's event surface stops at sessionization-style grouping;
+these are the two remaining classic event-table analyses a warehouse
+user expects (funnel conversion, cohort retention), built shuffle-lean:
+
+- ``funnel_stages``: ONE shuffle on the user key. Per-user event
+  sequences are sorted arrays walked by a Catalyst ``aggregate``
+  (higher-order function) — greedy sequential stage matching with no
+  Python, no window, no per-stage join. An alternative k-1-join
+  formulation exists for pathological per-user volumes; the array walk
+  is right whenever per-user funnel-relevant events are bounded (the
+  normal case — irrelevant event types are filtered before the
+  shuffle).
+- ``cohort_retention``: two partial-aggregations sharing one user-key
+  shuffle layout + a user-key join. Output is the cohort/offset
+  matrix, exact distinct counts.
+
+Semantics doc for cross-engine parity: stage matching is greedy over
+the total event order ``(ts, event_id)`` — stage i+1 must occur
+STRICTLY AFTER the event that satisfied stage i in that order (equal
+timestamps are broken by event_id). The SQL-oracle twin expresses the
+same thing with ``row_number`` ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_depth(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-user greedy funnel depth: how many of ``stages`` the user
+    completed in order. Returns (user, depth) with depth in [1, k]
+    for users having at least one stage-relevant event.
+
+    One shuffle (user key); the sort + walk happen inside the hash
+    aggregate's output expressions, never in Python.
+    """
+    k = len(stages)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"),
+                                F.col(order_col).alias("o"),
+                                F.col(type_col).alias("e")))
+    )
+    # Greedy walk: depth advances when the next event matches the
+    # (depth+1)-th stage. element_at is 1-indexed.
+    walk = F.aggregate(
+        seq,
+        F.lit(0),
+        lambda acc, ev: F.when(
+            (acc < k) & (ev["e"] == F.element_at(stage_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return (
+        df.filter(F.col(type_col).isin(stages))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(walk.alias("depth"))
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Funnel conversion table: one row per stage with the number of
+    users whose greedy depth reaches it. Monotone non-increasing by
+    construction."""
+    depth = funnel_depth(df, stages, user_col, ts_col, type_col, order_col)
+    counts = depth.groupBy().agg(
+        *[
+            F.count(F.when(F.col("depth") >= i + 1, 1)).alias(f"__s{i}")
+            for i in range(len(stages))
+        ]
+    )
+    # unpivot to (stage_idx, stage, users) — stack is a no-shuffle Expand
+    pairs: list[Column] = []
+    for i, s in enumerate(stages):
+        pairs += [F.lit(i + 1), F.lit(s), F.col(f"__s{i}")]
+    n = len(stages)
+    return counts.select(
+        F.expr(
+            "stack({n}, {args}) AS (stage_idx, stage, users)".format(
+                n=n,
+                args=", ".join(
+                    f"{i + 1}, '{s}', __s{i}" for i, s in enumerate(stages)
+                ),
+            )
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("users").cast("long").alias("users"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity date
+    (their cohort), counted distinct per (cohort_date, period offset).
+
+    Plan shape: both the first-activity aggregate and the distinct
+    (user, day) set shuffle on the user key, so AQE can reuse one
+    exchange layout; the join is user-key co-partitioned. The final
+    matrix aggregate shuffles the (cohort, offset) pairs — tiny.
+    """
+    firsts = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_date")
+    )
+    active = df.select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    return (
+        active.join(firsts, "user")
+        .select(
+            "cohort_date",
+            F.floor(
+                F.datediff("day", "cohort_date") / period_days
+            ).cast("int").alias("period_offset"),
+            "user",
+        )
+        .groupBy("cohort_date", "period_offset")
+        .agg(F.count_distinct("user").alias("active_users"))
+    )

@@ -3550,6 +3550,166 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Event analytics: ordered funnel + cohort retention (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(rn) AS rn1 FROM r
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT r.user_id, min(r.rn) AS rn2 FROM r
+       JOIN s1 ON r.user_id = s1.user_id AND r.rn > s1.rn1
+       WHERE r.event_type = 'click' GROUP BY r.user_id),
+s3 AS (SELECT r.user_id, min(r.rn) AS rn3 FROM r
+       JOIN s2 ON r.user_id = s2.user_id AND r.rn > s2.rn2
+       WHERE r.event_type = 'purchase' GROUP BY r.user_id)
+SELECT CAST(1 AS INT) AS stage_idx, 'view' AS stage,
+       (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+@register("funnel_counts", _FUNNEL_ORACLE, tags=["events", "A10", "W1"])
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase): users whose
+    event sequence reaches each stage IN ORDER, matched greedily over
+    the total order (ts, event_id). ONE shuffle on the user key — the
+    per-user sequence is a sorted array walked by a Catalyst
+    ``aggregate`` higher-order function, no per-stage join, no window.
+    The oracle expresses the identical greedy semantics with
+    row_number ranks (operators/analytics.funnel_counts)."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), stages=["view", "click", "purchase"]
+    )
+
+
+_COHORT_ORACLE = """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+SELECT f.cohort_date,
+       CAST(floor(date_diff('day', f.cohort_date, a.active_day) / 7.0) AS INT)
+         AS period_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_date, period_offset
+"""
+
+
+@register("cohort_retention", _COHORT_ORACLE, tags=["events", "A12"])
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-activity
+    date, distinct-counted per (cohort, week offset). First-activity
+    agg and the distinct (user, day) set share one user-key shuffle
+    layout; the matrix aggregate shuffles only (cohort, offset) pairs
+    (operators/analytics.cohort_retention)."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_days=7)
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction + deterministic dataset split + semantic dedup
+# ---------------------------------------------------------------------------
+
+_KEYWORD_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       WHERE token <> '' GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tc GROUP BY token),
+n AS (SELECT count(*) AS nd FROM documents),
+ranked AS (
+  SELECT tc.doc_id, tc.token, tc.tf, dfreq.doc_freq,
+         CAST(row_number() OVER (
+           PARTITION BY tc.doc_id
+           ORDER BY tc.tf DESC, dfreq.doc_freq ASC, tc.token ASC
+         ) AS INT) AS rnk
+  FROM tc JOIN dfreq USING (token), n
+  WHERE dfreq.doc_freq <= n.nd * 0.5
+)
+SELECT doc_id, rnk, token, tf, doc_freq FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("keyword_extract", _KEYWORD_ORACLE, tags=["llm-text"])
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive keywords: top-3 tokens by (tf DESC,
+    df ASC, token ASC) with >50%-df corpus stopwords suppressed —
+    TF-IDF's ranking with integer-only keys, so the order is
+    bit-identical across engines (no log in compared output). Document
+    frequency is vocabulary-sized and broadcasts back; text never
+    shuffles (llm/text.keyword_extract)."""
+    from nyc_taxi_data_ingestion_spark.llm.text import keyword_extract
+
+    return keyword_extract(_t(spark, sf_dir, "documents"), top_k=3)
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_oracle() -> str:
+    from nyc_taxi_data_ingestion_spark.llm.curation import split_thresholds_sql
+
+    case = split_thresholds_sql(_SPLIT_WEIGHTS, "doc_id")
+    return (
+        f"SELECT source, {case} AS split, count(*) AS n_docs\n"
+        "FROM documents GROUP BY source, split"
+    )
+
+
+@register("dataset_split", None, tags=["llm-curation"])
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 bucket
+    of doc_id — the same id lands in the same split on every engine,
+    run, and scale (an eval holdout's actual requirement; RNG splits
+    leak when partitioning changes). Narrow map + count rollup per
+    (source, split) (llm/curation.dataset_split)."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dataset_split(docs, _SPLIT_WEIGHTS)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+REGISTRY["dataset_split"].oracle = _split_oracle()
+
+
+@register("semantic_dedup", None, tags=["llm-similarity"])
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means the embedding
+    space (sample-bounded driver training, the FAISS/IVF contract),
+    drop every vector with a lower-id cluster-mate above 0.95 cosine,
+    keep the rest. Pairwise comparison is cluster-scoped — Σ|cell|²
+    instead of N² — and the survivor rule is deterministic and
+    order-independent. Rows-only: the clustering step is not
+    SQL-expressible; survivor invariants are pytest-verified against
+    exact all-pairs near-dups (llm/similarity.semantic_dedup)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.95, num_cells=16).select(
+        "vec_id", "label"
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

@@ -158,3 +158,38 @@ def test_domain_mixture_upweights_small_domains(spark):
     assert out["books"].weight > out["books"].token_share
     assert out["web"].weight < out["web"].token_share
     assert out["web"].weight > out["books"].weight
+
+
+def test_dataset_split_total_deterministic_and_proportional(spark, sf_dir):
+    import duckdb
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        dataset_split,
+        split_thresholds_sql,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = read_table(spark, sf_dir, "documents")
+    out = dataset_split(docs, w).select("doc_id", "split")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    n = len(rows)
+    assert n == docs.count()  # total assignment
+    # deterministic across runs
+    rows2 = {r["doc_id"]: r["split"] for r in dataset_split(docs, w)
+             .select("doc_id", "split").collect()}
+    assert rows == rows2
+    # proportions within loose binomial bounds
+    frac_train = sum(1 for s in rows.values() if s == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert set(rows.values()) == {"train", "val", "test"}
+    # cross-engine: the SQL CASE twin agrees id-for-id
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    case = split_thresholds_sql(w, "doc_id")
+    oracle = dict(
+        con.execute(f"SELECT doc_id, {case} FROM documents").fetchall()
+    )
+    assert rows == oracle

@@ -538,3 +538,90 @@ def test_ivfpq_topk_recall_and_composition(emb):
     fa = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
     pa = {(r.query_id, r.neighbor_id, r.rank) for r in pq.collect()}
     assert fa == pa
+
+
+def test_keyword_extract_ranking_and_stopword_suppression(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import keyword_extract
+
+    docs = spark.createDataFrame(
+        [
+            # 'the' appears in all 6 docs (df=6 > 50%) → suppressed;
+            # content tokens have df ≤ 3 = 50% → kept
+            (1, "the apple apple banana the"),
+            (2, "the banana banana banana cherry"),
+            (3, "the cherry apple"),
+            (4, "the dates"),
+            (5, "the elder"),
+            (6, "the fig"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_extract(docs, top_k=2)
+    rows = {(r["doc_id"], r["rnk"]): (r["token"], r["tf"]) for r in out.collect()}
+    # doc 1: apple tf=2 wins; banana tf=1
+    assert rows[(1, 1)] == ("apple", 2)
+    assert rows[(1, 2)] == ("banana", 1)
+    # doc 2: banana tf=3; cherry tf=1
+    assert rows[(2, 1)] == ("banana", 3)
+    assert rows[(2, 2)] == ("cherry", 1)
+    # doc 3: tf tie apple/cherry=1 → lower df first; both df=2 → token asc
+    assert rows[(3, 1)] == ("apple", 1)
+    assert rows[(3, 2)] == ("cherry", 1)
+    # 'the' never appears
+    assert all(t != "the" for t, _ in rows.values())
+
+
+def test_semantic_dedup_invariants(spark, emb):
+    """Survivors + witnesses: every dropped vector has a lower-id
+    corpus mate above the threshold (necessary condition — cluster-
+    blind), survivors keep all near-unique vectors, and the obvious
+    exact-duplicate pairs collapse."""
+    import math
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import semantic_dedup
+
+    tau = 0.95
+    corpus = emb
+    surv = semantic_dedup(corpus, threshold=tau, num_cells=8)
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    all_rows = corpus.select("vec_id", "embedding").collect()
+    all_ids = {r["vec_id"] for r in all_rows}
+    dropped = all_ids - surv_ids
+    assert surv_ids <= all_ids
+
+    vecs = {r["vec_id"]: r["embedding"] for r in all_rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    # every dropped id has a lower-id witness above tau somewhere
+    for d in sorted(dropped):
+        assert any(
+            i < d and cos(vecs[i], vecs[d]) > tau for i in all_ids
+        ), f"dropped {d} has no lower-id near-dup witness"
+
+
+def test_semantic_dedup_collapses_exact_duplicates(spark):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import semantic_dedup
+
+    base = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),       # exact dup of 1 → dropped
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.001, 1.0, 0.0]),     # near-dup of 3 → dropped
+        (5, [0.0, 0.0, 1.0]),       # unique → kept
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id long, embedding array<float>",
+    )
+    surv = semantic_dedup(df, threshold=0.95, num_cells=2)
+    ids = sorted(r["vec_id"] for r in surv.collect())
+    assert 5 in ids and 1 in ids and 3 in ids
+    assert 2 not in ids
+    # 4 may survive only if k-means separated it from 3 — with 2 cells
+    # over 3 axis clusters they can split; assert the exact-dup pair
+    # (identical vectors ALWAYS co-cluster) collapsed and nothing
+    # near-unique was lost
+    assert len(ids) <= 4

@@ -140,3 +140,103 @@ def test_skew_report_multi_col_and_delimiter_safe(spark):
     r = skew_report(df, ["k1", "k2"]).first()
     assert r.hot_key == "a|b§x"   # pipes in keys must not truncate
     assert r.n_keys == 2 and r.max_cnt == 3
+
+
+# -- event analytics: funnel + cohort ----------------------------------------
+
+
+def _events_frame(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type)"""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t, u, e) for (i, t, u, e) in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_funnel_greedy_order_semantics(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        funnel_counts,
+        funnel_depth,
+    )
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),
+        (3, "2024-01-01 00:02:00", 1, "purchase"),
+        # u2 purchases BEFORE viewing — depth must stop at view
+        (4, "2024-01-01 00:00:00", 2, "purchase"),
+        (5, "2024-01-01 00:01:00", 2, "view"),
+        # u3 views then clicks, never purchases
+        (6, "2024-01-01 00:00:00", 3, "view"),
+        (7, "2024-01-01 00:05:00", 3, "click"),
+        # u4 only irrelevant events
+        (8, "2024-01-01 00:00:00", 4, "error"),
+    ]
+    ev = _events_frame(spark, rows)
+    stages = ["view", "click", "purchase"]
+    depth = {
+        r["user"]: r["depth"]
+        for r in funnel_depth(ev, stages).collect()
+    }
+    assert depth == {1: 3, 2: 1, 3: 2}
+    out = {
+        r["stage"]: r["users"] for r in funnel_counts(ev, stages).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_breaks_by_event_id(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import funnel_depth
+
+    # click shares the view's timestamp but has a LARGER event_id →
+    # ordered after it → funnel advances
+    ev = _events_frame(
+        spark,
+        [
+            (10, "2024-01-01 00:00:00", 7, "view"),
+            (11, "2024-01-01 00:00:00", 7, "click"),
+        ],
+    )
+    d = funnel_depth(ev, ["view", "click"]).collect()
+    assert d[0]["depth"] == 2
+    # reversed ids → click orders BEFORE the view → depth stays 1
+    ev2 = _events_frame(
+        spark,
+        [
+            (11, "2024-01-01 00:00:00", 7, "view"),
+            (10, "2024-01-01 00:00:00", 7, "click"),
+        ],
+    )
+    d2 = funnel_depth(ev2, ["view", "click"]).collect()
+    assert d2[0]["depth"] == 1
+
+
+def test_cohort_retention_matrix(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import cohort_retention
+
+    rows = [
+        # u1 first active Jan 1, returns Jan 9 (offset 1) and Jan 16 (offset 2)
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-09 10:00:00", 1, "view"),
+        (3, "2024-01-16 10:00:00", 1, "view"),
+        # u2 same cohort day, active only week 0 (twice on one day → 1 distinct)
+        (4, "2024-01-01 11:00:00", 2, "view"),
+        (5, "2024-01-01 12:00:00", 2, "view"),
+        # u3 cohort Jan 2
+        (6, "2024-01-02 09:00:00", 3, "view"),
+    ]
+    ev = _events_frame(spark, rows)
+    out = {
+        (str(r["cohort_date"]), r["period_offset"]): r["active_users"]
+        for r in cohort_retention(ev, period_days=7).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
