@@ -543,9 +543,25 @@ def connected_components(
     # sides; the only per-round shuffle left is the min-label groupBy —
     # the propagation itself. At a billion edges that is the difference
     # between 1 and 3 full-edge shuffles per round.
+    # Symmetrize with ONE explode, not a union of two selects — a union
+    # duplicates the upstream edge-producing subtree in the plan
+    # (Catalyst does not common-subexpression-eliminate across union
+    # branches), so an expensive edge source (e.g. blocked Jaccard)
+    # would run twice.
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .repartition(F.col("dst"))
         .persist()
