@@ -651,3 +651,76 @@ def split_thresholds_sql(weights: dict[str, float], id_expr: str) -> str:
             f" < '{rate_to_hex_threshold(acc)}' THEN '{name}'"
         )
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+# -- CCNet-style score bucketing (head / middle / tail) ----------------------
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str = "score",
+    head_frac: float = 0.1,
+    middle_frac: float = 0.4,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Partition a scored corpus into head/middle/tail quality tiers
+    (CCNet's percentile bucketing): head = best ``head_frac`` of rows,
+    middle = next ``middle_frac``, tail = the rest — computed EXACTLY
+    from a bounded histogram, never a global sort.
+
+    Scores are quantized to ``floor(score·quant)`` bins (≤ 2·quant+1
+    distinct values for scores in [-1,1]); the bin histogram is one
+    map-side-combined aggregate whose output is histogram-sized, the
+    cumulative-from-top walk is a window over that tiny frame, and
+    thresholds broadcast back. Tier boundaries land on bin edges, so
+    ties share a tier deterministically (head may overshoot its
+    fraction by at most one bin's population — the resolution/exactness
+    trade every percentile-bucketing pipeline makes). floor() of an
+    identical double is identical in every engine — no float
+    comparison ambiguity crosses the engine boundary.
+
+    Appends ``qscore`` (the bin) and ``bucket`` ('head'|'middle'|'tail').
+    """
+    from pyspark.sql import Window
+
+    q = scored.withColumn(
+        "qscore", F.floor(F.col(score_col) * F.lit(quant)).cast("long")
+    )
+    hist = q.groupBy("qscore").agg(F.count("*").alias("__c"))
+    # cumulative count of rows at-or-above each bin, walked top-down
+    # over the histogram (bounded rows — the single-partition window
+    # is on the histogram, never the corpus)
+    w = Window.orderBy(F.desc("qscore")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "qscore",
+        F.sum("__c").over(w).alias("__cum"),
+        F.sum("__c").over(wt).alias("__n"),
+    )
+    thresholds = cum.agg(
+        # largest bin whose at-or-above population reaches the tier size
+        F.max(
+            F.when(
+                F.col("__cum") >= F.ceil(F.col("__n") * F.lit(head_frac)),
+                F.col("qscore"),
+            )
+        ).alias("__t_head"),
+        F.max(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.col("__n") * F.lit(head_frac + middle_frac)),
+                F.col("qscore"),
+            )
+        ).alias("__t_mid"),
+    )
+    out = q.join(F.broadcast(thresholds))
+    bucket = (
+        F.when(F.col("qscore") >= F.col("__t_head"), F.lit("head"))
+        .when(F.col("qscore") >= F.col("__t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.withColumn("bucket", bucket).drop("__t_head", "__t_mid")

@@ -139,3 +139,59 @@ def cohort_retention(
         .groupBy("cohort_date", "period_offset")
         .agg(F.count_distinct("user").alias("active_users"))
     )
+
+
+def trend_slopes(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch_offset_us: int = 1_704_067_200_000_000,  # 2024-01-01 UTC
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend slope of value over time:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), x in whole HOURS since
+    a fixed offset.
+
+    Bit-reproducible across engines and partitionings: every moment
+    (Σx, Σy, Σxy, Σx²) accumulates in exact DECIMAL (associative) and
+    the closing combination is a fixed-shape IEEE expression. The
+    hour quantization of x is the part that makes the CROSS-ENGINE
+    claim hold: it keeps each moment's magnitude under 2⁵³ at test
+    scales, so the one decimal→double cast is exactly representable —
+    engines disagree on correctly-rounding wide (>15 significant
+    digit) decimals to double (DuckDB double-rounds int128·10⁻ˢ;
+    Java's BigDecimal.doubleValue rounds once), and an exact cast
+    sidesteps the discrepancy entirely. Across-partitioning
+    determinism needs no such bound — decimal accumulation alone
+    guarantees it at any scale. One map-side-combined shuffle on the
+    group key; output is |groups| rows.
+    """
+    # floor((µs diff)/3.6e9): operands < 2^52 so the double division is
+    # correctly rounded, and integer-µs remainders keep the true
+    # quotient ≥ 0.4 µs away from floor boundaries — floor is stable.
+    x = F.floor(
+        (F.unix_micros(F.col(ts_col)) - F.lit(epoch_offset_us))
+        / F.lit(3.6e9)
+    ).cast("decimal(9,0)")
+    y = F.col(value_col).cast("decimal(14,4)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(x.cast("decimal(38,0)")).alias("__sx"),
+        F.sum(y.cast("decimal(38,4)")).alias("__sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (n * sxy - sx * sy) / den
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n_obs"),
+        slope.alias("slope_per_hour"),
+    )

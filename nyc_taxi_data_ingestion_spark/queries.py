@@ -3710,6 +3710,101 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_ORACLE = """
+WITH b AS (
+  SELECT event_type, value,
+         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0)
+              AS DECIMAL(9,0)) AS x
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(CAST(value AS DECIMAL(14,4)) AS DECIMAL(38,4))) AS sy,
+         SUM(CAST(x * CAST(value AS DECIMAL(14,4)) AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n AS n_obs,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope_per_hour
+FROM m
+"""
+
+
+@register("trend_slopes", _TREND_ORACLE, tags=["events", "A6"])
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend slope of value over time — drift
+    detection as one map-side-combined aggregate. Every moment
+    accumulates in tight exact DECIMAL (products stay under the
+    38-digit cap, so no engine-specific precision loss), cast once to
+    double, combined in a fixed-shape IEEE expression: the slope is
+    bit-identical at any parallelism, on any engine
+    (operators/analytics.trend_slopes)."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import trend_slopes
+
+    return trend_slopes(_t(spark, sf_dir, "events"), group_cols=["event_type"])
+
+
+def _score_buckets_oracle() -> str:
+    from nyc_taxi_data_ingestion_spark.llm.curation import classifier_oracle_sql
+
+    return f"""
+WITH scored AS ({classifier_oracle_sql(dim=1024)}),
+q AS (
+  SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS qscore FROM scored
+),
+hist AS (SELECT qscore, count(*) AS c FROM q GROUP BY qscore),
+cum AS (
+  SELECT qscore,
+         SUM(c) OVER (ORDER BY qscore DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+t AS (
+  SELECT max(CASE WHEN cumc >= ceil(n * 0.1) THEN qscore END) AS t_head,
+         max(CASE WHEN cumc >= ceil(n * 0.5) THEN qscore END) AS t_mid
+  FROM cum
+)
+SELECT q.doc_id, q.qscore,
+       CASE WHEN q.qscore >= t.t_head THEN 'head'
+            WHEN q.qscore >= t.t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM q, t
+"""
+
+
+@register("score_buckets", None, tags=["llm-curation"])
+def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers: classifier scores
+    quantized to bins, tier thresholds derived EXACTLY from a bounded
+    histogram (cumulative-from-top window over ≤20k histogram rows,
+    broadcast back) — no global sort at any scale. Ties share a tier
+    deterministically on bin edges (llm/curation.score_buckets over
+    llm/curation.quality_classifier)."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        quality_classifier,
+        score_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs, dim=1024)
+    return score_buckets(
+        scored, head_frac=0.1, middle_frac=0.4, quant=10_000
+    ).select("doc_id", "qscore", "bucket")
+
+
+REGISTRY["score_buckets"].oracle = _score_buckets_oracle()
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

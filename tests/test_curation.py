@@ -193,3 +193,40 @@ def test_dataset_split_total_deterministic_and_proportional(spark, sf_dir):
         con.execute(f"SELECT doc_id, {case} FROM documents").fetchall()
     )
     assert rows == oracle
+
+
+def test_score_buckets_fractions_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import score_buckets
+
+    # 100 docs with distinct scores 0.00..0.99 → exact 10/40/50 split
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") / 100.0).alias("score")
+    )
+    out = score_buckets(df, head_frac=0.1, middle_frac=0.4)
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert counts == {"head": 10, "middle": 40, "tail": 50}
+    # head is exactly the top scores
+    head_ids = {
+        r["doc_id"] for r in out.filter(F.col("bucket") == "head").collect()
+    }
+    assert head_ids == set(range(90, 100))
+
+
+def test_score_buckets_ties_share_a_tier(spark):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import score_buckets
+
+    # every doc has the same score → one bin; the head threshold lands
+    # on it, so ALL docs are head (deterministic overshoot, never a
+    # partitioning-dependent split)
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit(0.5).alias("score")
+    )
+    out = score_buckets(df, head_frac=0.1, middle_frac=0.4)
+    assert all(r["bucket"] == "head" for r in out.collect())

@@ -240,3 +240,38 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_trend_slopes_recovers_known_slope(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import trend_slopes
+
+    # y = 2·x_hours + 5 exactly, for hours 0..9 → slope 2.0
+    rows = [
+        (i, f"2024-01-01 {i:02d}:00:00", 1, "m", 5.0 + 2.0 * i)
+        for i in range(10)
+    ]
+    ev = _events_frame_with_value(spark, rows)
+    out = trend_slopes(ev, group_cols=["event_type"]).collect()
+    assert len(out) == 1
+    assert out[0]["n_obs"] == 10
+    assert abs(out[0]["slope_per_hour"] - 2.0) < 1e-12
+
+
+def test_trend_slopes_degenerate_single_hour_is_null(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import trend_slopes
+
+    # all events inside one hour → zero x-variance → NULL slope
+    rows = [(i, "2024-01-01 00:10:00", 1, "m", float(i)) for i in range(5)]
+    ev = _events_frame_with_value(spark, rows)
+    out = trend_slopes(ev, group_cols=["event_type"]).collect()
+    assert out[0]["slope_per_hour"] is None
+
+
+def _events_frame_with_value(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
