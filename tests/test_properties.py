@@ -168,3 +168,64 @@ def test_heavy_hitters_exact_on_random_streams(spark, toks):
     got = [(r.token, r.cnt) for r in heavy_hitters(df, k=5, capacity=64).collect()]
     want = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == want
+
+
+def _greedy_depth_py(events, stages):
+    """Reference implementation: greedy stage matching over the total
+    (ts, event_id) order, per user."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, ts, user, etype in events:
+        if etype in stages:
+            by_user[user].append((ts, eid, etype))
+    depths = {}
+    for user, evs in by_user.items():
+        d = 0
+        for _, _, etype in sorted(evs):
+            if d < len(stages) and etype == stages[d]:
+                d += 1
+        depths[user] = d
+    return depths
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),    # ts second
+            st.integers(min_value=1, max_value=5),     # user
+            st.sampled_from(["a", "b", "c", "x"]),     # event type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_depth_matches_greedy_reference(spark, evs):
+    """The Catalyst array-walk must equal the sequential greedy
+    reference on random event streams — including duplicate
+    timestamps (broken by event_id) and out-of-order stage noise."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.operators.analytics import funnel_depth
+
+    stages = ["a", "b", "c"]
+    rows = [
+        (i, f"2024-01-01 00:00:{s:02d}", u, t)
+        for i, (s, u, t) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user"]: r["depth"] for r in funnel_depth(df, stages).collect()}
+    want = {
+        u: d
+        for u, d in _greedy_depth_py(
+            [(i, s, u, t) for i, (s, u, t) in enumerate(evs)], stages
+        ).items()
+    }
+    assert got == want
