@@ -302,3 +302,39 @@ def test_plan_summary_api(spark, sf_dir):
     # Python eval — the API tells them apart
     assert s2["python_eval"] is False
     assert s2["n_arrow_stages"] == 1
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    # the funnel must be ONE user-key shuffle: the greedy walk runs as
+    # Catalyst expressions over the collected array (ObjectHashAggregate
+    # for collect_list), never as per-stage joins or windows
+    plan = plan_of(spark, "funnel_counts", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # event filter is pushed into the parquet scan
+    assert "In(event_type" in plan
+
+
+def test_keyword_extract_broadcasts_vocabulary(spark, sf_dir):
+    # the df table (vocabulary-sized) broadcasts back onto the
+    # (doc, token) counts — the corpus side must not sort-merge
+    plan = plan_of(spark, "keyword_extract", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_score_buckets_histogram_not_global_sort(spark, sf_dir):
+    # tier thresholds come from the bounded histogram: the corpus is
+    # never globally sorted or range-partitioned, and the thresholds
+    # broadcast back
+    plan = plan_of(spark, "score_buckets", sf_dir)
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_trend_slopes_partial_agg_no_python(spark, sf_dir):
+    # decimal moments combine map-side; nothing drops to Python
+    plan = plan_of(spark, "trend_slopes", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
