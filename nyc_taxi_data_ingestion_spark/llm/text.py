@@ -180,6 +180,44 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity signals for degenerate-text
+    screening: type-token ratio, hapax-legomenon fraction, and the
+    Gini–Simpson index ``1 − Σ(cᵢ/N)²`` (the probability two random
+    tokens differ). Low diversity flags keyword stuffing and template
+    spam that length/stopword thresholds (Gopher) miss. Simpson is the
+    log-free diversity measure ON PURPOSE: Shannon entropy needs a
+    transcendental per distinct token whose last-ulp value differs
+    across libm implementations, while every figure here is a ratio of
+    exact integer sums — one IEEE division each, bit-identical in any
+    engine (the determinism contract oracles rely on).
+
+    Scale shape: one explode, then (doc, token) partial aggregation —
+    the shuffle carries per-doc-distinct tokens — then a doc-keyed
+    rollup; AQE reuses the first aggregation's hash partitioning for
+    the second (same leading key), so the rollup is shuffle-free."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    per = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    n_tok = F.sum("c")
+    n_typ = F.count("*")
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    ssq = F.sum(F.col("c") * F.col("c"))
+    return per.groupBy(id_col).agg(
+        n_tok.cast("int").alias("n_tokens"),
+        n_typ.cast("int").alias("n_types"),
+        (n_typ / n_tok.cast("double")).alias("type_token_ratio"),
+        (hapax / n_typ.cast("double")).alias("hapax_frac"),
+        (F.lit(1) - ssq / (n_tok * n_tok).cast("double")).alias(
+            "simpson_diversity"
+        ),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     text_col: str = "text",

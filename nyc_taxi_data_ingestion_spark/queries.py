@@ -2133,6 +2133,72 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+_WINDOW_DEDUP_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS w
+  FROM tok, LATERAL (
+    SELECT unnest(range(1, greatest(len(ts) - 8 + 1, 1) + 1)) AS i
+  ) g
+),
+per AS (SELECT doc_id, w, COUNT(*) AS c FROM win GROUP BY doc_id, w),
+tot AS (SELECT w, SUM(c) AS tot FROM per GROUP BY w)
+SELECT per.doc_id,
+       CAST(SUM(c) AS INT) AS n_windows,
+       CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS INT) AS dup_windows,
+       SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END)
+         / CAST(SUM(c) AS DOUBLE) AS dup_frac
+FROM per JOIN tot USING (w)
+GROUP BY per.doc_id
+"""
+
+
+@register("window_dedup", _WINDOW_DEDUP_ORACLE, tags=["llm-dedup"])
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 8-token-window substring-duplication stats per document
+    (llm/dedup.window_dup_stats) — the hash-bucketed ExactSubstr
+    relaxation (Lee et al. 2022). Every shuffle carries 8-byte window
+    hashes; the count-back join reuses the aggregation partitioning."""
+    from nyc_taxi_data_ingestion_spark.llm import dedup as dd
+
+    return dd.window_dup_stats(_t(spark, sf_dir, "documents"), k=8)
+
+
+_DIVERSITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+per AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(c) AS INT) AS n_tokens,
+       CAST(COUNT(*) AS INT) AS n_types,
+       COUNT(*) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_frac,
+       1 - SUM(c * c) / CAST(SUM(c) * SUM(c) AS DOUBLE) AS simpson_diversity
+FROM per
+GROUP BY doc_id
+"""
+
+
+@register("token_diversity", _DIVERSITY_ORACLE, tags=["llm-text"])
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity screening per doc: type-token ratio, hapax
+    fraction, Gini–Simpson index (llm/text.token_diversity). Log-free
+    by design — every measure is a ratio of exact integer sums, so the
+    oracle match is bit-exact (no transcendental libm drift)."""
+    from nyc_taxi_data_ingestion_spark.llm import text as tx
+
+    return tx.token_diversity(_t(spark, sf_dir, "documents"))
+
+
 _SAMPLE_ORACLE = """
 SELECT doc_id, lang, source
 FROM documents

@@ -625,3 +625,48 @@ def test_semantic_dedup_collapses_exact_duplicates(spark):
     # (identical vectors ALWAYS co-cluster) collapsed and nothing
     # near-unique was lost
     assert len(ids) <= 4
+
+
+def test_window_dup_stats_planted_duplicates(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import window_dup_stats
+
+    shared = "a b c d e f g h"  # exactly one 8-token window
+    rows = [
+        (1, shared + " unique1 tail1 x1 y1 z1 w1 v1 u1"),
+        (2, shared + " unique2 tail2 x2 y2 z2 w2 v2 u2"),
+        (3, "totally different words q r s t u v w x y z"),
+        (4, "short doc"),  # < k tokens → one whole-doc window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in window_dup_stats(df, k=8).collect()}
+    # 16 tokens → 9 windows; only the leading shared window is duplicated
+    assert out[1].n_windows == 9 and out[2].n_windows == 9
+    assert out[1].dup_windows == 1 and out[2].dup_windows == 1
+    assert abs(out[1].dup_frac - 1 / 9) < 1e-15
+    assert out[3].dup_windows == 0
+    assert out[4].n_windows == 1 and out[4].dup_windows == 0
+
+
+def test_window_dup_stats_intra_doc_repeat(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import window_dup_stats
+
+    # the same 8-token window occurs twice WITHIN one document
+    rows = [(1, "a b c d e f g h " * 2 + "tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = window_dup_stats(df, k=8).collect()[0]
+    assert r.dup_windows >= 2  # both positions of the repeated window count
+
+
+def test_token_diversity_known_values(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import token_diversity
+
+    rows = [
+        (1, "a a a a"),          # one type, zero hapax, simpson 0
+        (2, "a b c d"),          # all hapax, simpson 1 - 4/16
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_diversity(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_types == 1
+    assert out[1].hapax_frac == 0.0 and out[1].simpson_diversity == 0.0
+    assert out[2].type_token_ratio == 1.0 and out[2].hapax_frac == 1.0
+    assert out[2].simpson_diversity == 1 - 4 / 16

@@ -338,3 +338,26 @@ def test_trend_slopes_partial_agg_no_python(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_window_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    # every exchange after the scan must carry the 8-byte window hash
+    # (and doc_id), never the window strings or the document text — at
+    # 100 TB the difference is the whole job
+    plan = plan_of(spark, "window_dedup", sf_dir)
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # partial aggregation survives on both groupBys
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_diversity_partial_agg_no_python(spark, sf_dir):
+    plan = plan_of(spark, "token_diversity", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the rollup keys are a prefix of the first aggregation's keys —
+    # no third shuffle materializes beyond the two aggregations
+    assert plan.count("Exchange hashpartitioning") <= 2
