@@ -151,6 +151,55 @@ def get_spark(
     return spark
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable by Python workers regardless of the
+    driver's cwd/sys.path: zip the package tree once and ``addPyFile``
+    it to the running context.
+
+    The driver contract hands us a VANILLA session built by an external
+    harness — its worker processes inherit neither our sys.path edit
+    nor the repo cwd, so any Arrow/Pandas UDF whose closure references
+    a module function would die with ModuleNotFoundError on unpickle.
+    This is also exactly how the package ships to a real cluster
+    (spark-submit --py-files equivalent, done programmatically). The
+    zip is content-addressed (md5 of file names+mtimes+sizes) and
+    cached in the system tempdir; shipping is once per SparkContext
+    (attribute guard) and a no-op re-add is tolerated."""
+    sc = spark.sparkContext
+    if getattr(sc, "_nyc_pkg_shipped", False):
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(f"{os.path.relpath(p, pkg_dir)}:{st.st_mtime_ns}:{st.st_size}")
+    digest = hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"nyc_taxi_data_ingestion_spark_{digest}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        p = os.path.join(root, f)
+                        arc = os.path.join(
+                            os.path.basename(pkg_dir), os.path.relpath(p, pkg_dir)
+                        )
+                        z.write(p, arc)
+        os.replace(tmp, zpath)  # atomic vs concurrent test processes
+    sc.addPyFile(zpath)
+    sc._nyc_pkg_shipped = True
+
+
 TESTDATA_TABLES = (
     "region",
     "nation",

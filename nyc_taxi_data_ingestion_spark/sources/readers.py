@@ -179,6 +179,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timezone is pinned UTC (session.py), so casting NTZ → TIMESTAMP
     preserves every value.
     """
+    from nyc_taxi_data_ingestion_spark.session import ensure_package_shipped
+
+    # every registry query reads through here — ship the package to the
+    # workers once so UDF closures unpickle under ANY driver cwd
+    ensure_package_shipped(spark)
     nano_cols = _NANO_TS_COLS.get(name, [])
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
