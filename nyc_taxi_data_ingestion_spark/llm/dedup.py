@@ -507,6 +507,89 @@ def blocked_jaccard_pairs(
         sh.unpersist()
 
 
+def containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+) -> DataFrame:
+    """Asymmetric set containment C(A,B) = |A∩B| / |A| over k-gram
+    shingle sets, within a blocking key: detects documents EMBEDDED in
+    larger ones (quotes, mirrored boilerplate, page-in-crawl) that
+    symmetric Jaccard misses — a long B dilutes J(A,B) below any
+    useful threshold while C(A,B) stays ≈ 1 (Broder's containment,
+    "On the resemblance and containment of documents", 1997).
+    Returns (id_a, id_b, containment ≥ τ): id_a's shingles are ≥ τ
+    covered by id_b's. Both directions are reported independently.
+
+    Scale shape mirrors ``blocked_jaccard_pairs`` with the prefix rule
+    adapted to asymmetry: only the CONTAINED side (A) can prune — it
+    exposes its ⌊(1−τ)·|A|⌋ + 1 rarest tokens (pigeonhole: a pair with
+    C ≥ τ shares a token inside A's first misses+1 under any shared
+    total order) — while the containing side (B) must stay fully
+    indexed, plus the size cut |B| ≥ τ·|A|. High-df tokens fall out of
+    every A-prefix, so posting lists still never self-join at O(df²).
+    Verification fetches shingle arrays for candidate ids only;
+    ``containment`` is an exact-integer ratio (bit-identical across
+    engines)."""
+    assert threshold > 0.0, "prefix filtering requires threshold > 0"
+    from pyspark.sql import Window
+
+    sh = spread(df).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        shingles(text_col, k).alias("__sh"),
+    ).persist()
+    try:
+        tok = sh.select(
+            *block_cols,
+            "__id",
+            F.size("__sh").alias("__n"),
+            F.explode("__sh").alias("__tok"),
+        )
+        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+        ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
+        w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+        # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
+        prefix = (
+            ranked.withColumn("__rank", F.row_number().over(w))
+            .filter(
+                F.col("__rank")
+                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            )
+            .select(*block_cols, "__id", "__n", "__tok")
+        )
+        full = ranked.select(*block_cols, "__id", "__n", "__tok")
+        a, b = prefix.alias("a"), full.alias("b")
+        cond = (
+            (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+        )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sh.select("__id", "__sh")
+        withs = cand.join(
+            sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
+        ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        cont = inter / F.size("__sa").cast("double")
+        result = (
+            withs.select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= F.lit(threshold))
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
 # -- sliding-window substring duplication (Lee et al. 2022) ------------------
 
 

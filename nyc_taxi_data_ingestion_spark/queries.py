@@ -2133,6 +2133,56 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+_CONTAINMENT_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(
+           CASE WHEN len(ts) < 2 THEN [array_to_string(ts, ' ')]
+                ELSE list_transform(range(1, len(ts)),
+                       i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1])
+           END) AS gs
+  FROM base
+),
+tok AS (
+  SELECT doc_id, lang, source, len(gs) AS n, unnest(gs) AS tok FROM sh
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, COUNT(*) AS c
+  FROM tok a
+  JOIN tok b ON a.lang = b.lang AND a.source = b.source
+            AND a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, c / CAST(na AS DOUBLE) AS containment
+FROM inter
+WHERE c / CAST(na AS DOUBLE) >= 0.9
+"""
+
+
+@register("containment_pairs", _CONTAINMENT_ORACLE, tags=["llm-dedup"])
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B)=|A∩B|/|A| ≥ 0.9 over bigram
+    shingles within (lang, source) blocks — doc-embedded-in-doc
+    detection symmetric Jaccard dilutes away (llm/dedup.
+    containment_pairs). Spark side prunes with an asymmetric prefix
+    filter (only the contained side exposes rare tokens); the oracle
+    verifies with the full exact inverted-index join."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        threshold=0.9,
+        k=2,
+    )
+
+
 _WINDOW_DEDUP_ORACLE = r"""
 WITH tok AS (
   SELECT doc_id,

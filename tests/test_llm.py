@@ -670,3 +670,25 @@ def test_token_diversity_known_values(spark):
     assert out[1].hapax_frac == 0.0 and out[1].simpson_diversity == 0.0
     assert out[2].type_token_ratio == 1.0 and out[2].hapax_frac == 1.0
     assert out[2].simpson_diversity == 1 - 4 / 16
+
+
+def test_containment_pairs_finds_embedded_doc(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = "prefix words here " + small + " and a long suffix tail " + \
+        "with many extra unrelated tokens stretching the document out " * 3
+    rows = [
+        (1, small, "en", "s"),
+        (2, big, "en", "s"),
+        (3, "unrelated content entirely different words", "en", "s"),
+        (4, small, "fr", "s"),  # other block — must not pair with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = containment_pairs(df, block_cols=["lang", "source"], threshold=0.9, k=2)
+    pairs = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+    # 1 is fully contained in 2; Jaccard(1,2) is far below 0.9
+    assert pairs[(1, 2)] == 1.0
+    assert (2, 1) not in pairs          # asymmetric: big not contained in small
+    assert all(a != 3 and b != 3 for a, b in pairs)
+    assert (1, 4) not in pairs and (4, 1) not in pairs

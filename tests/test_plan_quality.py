@@ -361,3 +361,15 @@ def test_token_diversity_partial_agg_no_python(spark, sf_dir):
     # the rollup keys are a prefix of the first aggregation's keys —
     # no third shuffle materializes beyond the two aggregations
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_containment_pairs_shuffles_scalars_not_arrays(spark, sf_dir):
+    # candidate generation must move (block, token) scalars; full
+    # shingle arrays are only fetched for verified-candidate ids
+    plan = plan_of(spark, "containment_pairs", sf_dir)
+    import re
+
+    # no exchange carries the raw text column
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text#" not in m.group(1), m.group(0)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
