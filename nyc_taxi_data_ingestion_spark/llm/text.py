@@ -9,6 +9,7 @@ speed as a narrow map stage.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -331,3 +332,132 @@ def keyword_extract(
         .filter(F.col("rnk") <= top_k)
         .select(id_col, "rnk", "token", "tf", "doc_freq")
     )
+
+
+# -- BPE tokenizer training (Sennrich et al. 2016) ---------------------------
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_vocab: int = 50_000
+) -> DataFrame:
+    """Corpus word-frequency table (word, cnt), truncated to the
+    ``max_vocab`` most frequent words (ties broken by word). This is
+    the sufficient statistic for BPE training: the corpus can be 100 TB
+    but its word-type dictionary is bounded (~millions), and the merge
+    algorithm only ever sees (word, count) — one shuffle keyed by word,
+    partial-aggregated map-side."""
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return wc.orderBy(F.desc("cnt"), F.asc("w")).limit(max_vocab)
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    max_vocab: int = 50_000,
+    end_of_word: str = "</w>",
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016, "Neural
+    Machine Translation of Rare Words with Subword Units", the
+    algorithm in its Fig. 1) on the corpus word-frequency table.
+
+    Scale shape: the distributed part is ONE word-count aggregate
+    (``word_frequencies``); training then runs driver-side over the
+    bounded (word, count) dict with incremental pair-count updates —
+    the standard contract (HuggingFace/SentencePiece train from a
+    word-frequency file, not from raw text). Deterministic: ties on
+    pair frequency break lexicographically, so the merge list is
+    byte-identical across partitionings and runs.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    rows = word_frequencies(df, text_col, max_vocab).collect()
+    # symbol sequences per word; </w> marks word end (Sennrich's scheme)
+    words: list[tuple[list[str], int]] = [
+        (list(r.w) + [end_of_word], int(r.cnt)) for r in rows if r.w
+    ]
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += cnt
+            where[(a, b)].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # max count, ties to the lexicographically smallest pair — a
+        # total order, so the merge list is run- and partition-stable
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wi in list(where[best]):
+            syms, cnt = words[wi]
+            # remove old pair contributions for this word
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= cnt
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                where[(a, b)].discard(wi)
+            # apply the merge left-to-right
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = (out, cnt)
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += cnt
+                where[(a, b)].add(wi)
+    return merges
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]], end_of_word: str = "</w>"):
+    """mapInPandas-ready encoder: text -> subword token count under the
+    trained merges. The merge table broadcasts in-closure (it is
+    num_merges entries — KBs); encoding is pure Python over Arrow
+    batches, linear in text length with a rank dict (no per-merge
+    scan)."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + [end_of_word]
+        while len(syms) >= 2:
+            pairs = list(zip(syms, syms[1:]))
+            cand = min(
+                ((rank.get(p, 1 << 30), j) for j, p in enumerate(pairs)),
+                key=lambda t: t,
+            )
+            if cand[0] == 1 << 30:
+                break
+            j = cand[1]
+            syms = syms[:j] + [syms[j] + syms[j + 1]] + syms[j + 2 :]
+        return syms
+
+    @F.pandas_udf("int")
+    def n_bpe_tokens(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t or not t.strip():
+                out.append(0)
+                continue
+            n = 0
+            for w in t.strip().split():
+                n += len(encode_word(w))
+            out.append(n)
+        return pd.Series(out, dtype="int32")
+
+    return n_bpe_tokens

@@ -2133,6 +2133,64 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("bpe_tokenize", None, tags=["llm-text"])
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE subword vocabulary on the corpus word-frequency
+    table (Sennrich et al. 2016) and count each document's subword
+    tokens under it (llm/text.bpe_train + bpe_encode_udf). The
+    distributed part is one word-count aggregate (the sufficient
+    statistic — vocab is bounded no matter the corpus size) plus an
+    Arrow-batched encode; training is deterministic driver work.
+    Rows-only: the merge loop is iterative, not SQL-expressible; merge
+    correctness is pytest-checked against an independent naive
+    implementation."""
+    from nyc_taxi_data_ingestion_spark.llm.text import bpe_encode_udf, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100)
+    enc = bpe_encode_udf(merges)
+    from nyc_taxi_data_ingestion_spark.llm.dedup import spread
+
+    return spread(docs).select(
+        "doc_id",
+        enc(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_EDIT_NEAR_DUP_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS tt,
+         length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS l
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.tt, b.tt) AS distance,
+       1 - levenshtein(a.tt, b.tt)
+             / CAST(greatest(a.l, b.l) AS DOUBLE) AS edit_sim
+FROM t a
+JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE abs(a.l - b.l) <= 0.15 * greatest(a.l, b.l)
+  AND levenshtein(a.tt, b.tt) <= 0.15 * greatest(a.l, b.l)
+"""
+
+
+@register("edit_near_dup", _EDIT_NEAR_DUP_ORACLE, tags=["llm-dedup"])
+def q_edit_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Levenshtein near-dup pairs within (lang, source)
+    blocks at τ=0.15 (llm/dedup.edit_near_dups) — the OCR-noise/small-
+    edit modality. Char-bag lower bound prunes pairs losslessly before
+    any DP; survivors run the banded thresholded levenshtein. Oracle is
+    the unpruned exact join (byte==char on this ASCII corpus)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import edit_near_dups
+
+    return edit_near_dups(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        rel_threshold=0.15,
+    )
+
+
 _CONTAINMENT_ORACLE = r"""
 WITH base AS (
   SELECT doc_id, lang, source,

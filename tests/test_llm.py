@@ -692,3 +692,85 @@ def test_containment_pairs_finds_embedded_doc(spark):
     assert (2, 1) not in pairs          # asymmetric: big not contained in small
     assert all(a != 3 and b != 3 for a, b in pairs)
     assert (1, 4) not in pairs and (4, 1) not in pairs
+
+
+def test_edit_near_dups_planted_and_bag_prune_lossless(spark):
+    from nyc_taxi_data_ingestion_spark.llm.dedup import edit_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base, "en", "s"),
+        (2, base.replace("lazy", "hazy", 1), "en", "s"),   # 1 substitution
+        (3, "entirely different text with other words " * 4, "en", "s"),
+        (4, base, "fr", "s"),                               # other block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r.id_a, r.id_b): r for r in edit_near_dups(
+        df, block_cols=["lang", "source"], rel_threshold=0.15).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].distance == 1
+    assert all(3 not in p and 4 not in p for p in out)
+    # edit_sim is the exact integer ratio
+    r = out[(1, 2)]
+    assert r.edit_sim == 1 - 1 / len(base.strip())
+
+
+def _naive_bpe(word_counts, num_merges):
+    """Independent reference: textbook BPE (Sennrich Fig. 1) — full
+    pair recount every iteration, no incremental bookkeeping."""
+    words = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for syms, c in words.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 2:
+            break
+        merges.append(best)
+        new = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import bpe_train
+
+    rows = [(i, t) for i, t in enumerate([
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wider wide widest wide wide",
+        "low new wide low new",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_train(df, num_merges=30)
+    wc = {}
+    for _, t in rows:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _naive_bpe(wc, 30)
+    assert got == want
+
+
+def test_bpe_encode_counts(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import bpe_encode_udf, bpe_train
+
+    rows = [(0, "aaab aaab aaab"), (1, "ab"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=10)
+    enc = bpe_encode_udf(merges)
+    out = {r.doc_id: r.n for r in df.select("doc_id", enc("text").alias("n")).collect()}
+    # "aaab</w>" fully merges (freq 3 dominates): few tokens; empty text -> 0
+    assert out[2] == 0
+    assert 0 < out[0] <= 12 and 0 < out[1] <= 3
