@@ -2133,6 +2133,71 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+_GROUP_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source, rnk FROM (
+  SELECT doc_id, lang, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INT) AS rnk
+  FROM documents
+) WHERE rnk <= 5
+"""
+
+
+@register("group_sample", _GROUP_SAMPLE_ORACLE, tags=["llm-curation"])
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (eval-set construction): the 5
+    docs per (lang, source) with the smallest md5(doc_id) — a seedless,
+    engine-portable reservoir substitute. Unlike rate-based
+    ``stratified_sample``, this guarantees EXACTLY min(k, n) rows per
+    group. One window over the group key; md5 hex order is identical
+    in every engine, id tie-break total-orders collisions."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_PCTRANK_ORACLE = """
+SELECT doc_id, source, n_chars,
+       PERCENT_RANK() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id
+       ) AS length_pct
+FROM documents
+"""
+
+
+@register("length_percentile", _PCTRANK_ORACLE, tags=["llm-curation"])
+def q_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (CCNet-style score mixing):
+    percent_rank of document length within its source, so thresholds
+    compare across sources with incomparable raw scales. percent_rank
+    is (rank−1)/(n−1) — a ratio of exact integers, bit-identical in
+    any engine; the doc_id tie-break makes ranks total-ordered."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w).alias("length_pct"),
+    )
+
+
 @register("bpe_tokenize", None, tags=["llm-text"])
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE subword vocabulary on the corpus word-frequency

@@ -102,6 +102,29 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (extension; Spark-native — same pushdown/pruning
+    contract as parquet: predicate pushdown into stripe/row-group
+    stats, column projection into the reader schema). Interchange
+    format for Hive-era lakes a migration would ingest from."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink (extension). zstd default — best size/speed on modern
+    Spark; partitioning mirrors the parquet sinks."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

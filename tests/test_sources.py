@@ -239,3 +239,26 @@ def test_jsonl_roundtrip_and_corrupt_capture(spark, sf_dir, tmp_path):
     assert len(corrupt) == 1 and r"{not json" in corrupt[0]._corrupt_record
     with _pytest.raises(Exception):
         read_jsonl(spark, bad, schema, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_partitioned_with_pushdown(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.readers import (
+        read_orc,
+        read_table,
+        write_orc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    # partition pruning: a lang filter must reach PartitionFilters
+    plan = (
+        back.filter(back.lang == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "lang" in plan
