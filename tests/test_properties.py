@@ -229,3 +229,96 @@ def test_funnel_depth_matches_greedy_reference(spark, evs):
         ).items()
     }
     assert got == want
+
+
+def _naive_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.15, 0.3, 0.5]),
+)
+def test_edit_near_dups_matches_naive_all_pairs(spark, texts, tau):
+    """Bag prune + banded DP must be LOSSLESS vs the naive O(n²)
+    exact join, on adversarial short strings (repeats, shared chars,
+    whitespace runs) at several thresholds."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import edit_near_dups
+    import re as _re
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in edit_near_dups(
+            df, block_cols=["lang", "source"], rel_threshold=tau
+        ).collect()
+    }
+    norm = lambda t: _re.sub(r"\s+", " ", t.strip().lower())
+    want = {}
+    for i, a, *_ in rows:
+        for j, b, *_ in rows:
+            if i >= j:
+                continue
+            na, nb = norm(a), norm(b)
+            mx = max(len(na), len(nb))
+            d = _naive_lev(na, nb)
+            if abs(len(na) - len(nb)) <= tau * mx and d <= tau * mx:
+                want[(i, j)] = d
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=30
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_window_dup_stats_matches_naive(spark, texts):
+    """Hash-bucketed window stats must equal the naive string-keyed
+    count on random token streams (k=3 to exercise short docs too)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import window_dup_stats
+    from collections import Counter
+
+    k = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_windows, r.dup_windows)
+        for r in window_dup_stats(df, k=k).collect()
+    }
+    wins = {}
+    for i, t in rows:
+        toks = t.strip().lower().split()
+        n = max(len(toks) - k, 0)
+        wins[i] = [" ".join(toks[j : j + k]) for j in range(n + 1)]
+    tot = Counter(w for ws in wins.values() for w in ws)
+    want = {
+        i: (len(ws), sum(1 for w in ws if tot[w] >= 2)) for i, ws in wins.items()
+    }
+    assert got == want
