@@ -266,3 +266,66 @@ def chi_square_drift(
         exp_new.alias("exp_new"),
         contrib.alias("contrib"),
     )
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic between two
+    table versions of a numeric column: D = max over observed values of
+    |ecdf_old(x) − ecdf_new(x)|. Complements ``chi_square_drift``:
+    bucket-free, so it sees shifts chi-square's bucketing washes out,
+    and it is the standard continuous-distribution drift test.
+
+    Exactness contract: counts are exact integers, each ecdf is ONE
+    IEEE division (cum/n), the difference and abs are exact IEEE ops,
+    and max() is order-independent — bit-identical in any engine, no
+    p-value approximation (threshold the D statistic directly; the
+    α=0.05 critical value is c(α)·√((n+m)/nm), c=1.358, computable by
+    the caller).
+
+    Scale shape: one partial-agg per side on the value, a full-outer
+    merge of per-value counts, then a window cumulative sum ordered by
+    value — a range-partitioned sort over DISTINCT values (bounded by
+    cardinality, not row count). Returns one row: (d_stat, n_old,
+    n_new, at_value) with the arg-max value as the drift location
+    (ties to the smallest value)."""
+    from pyspark.sql import Window
+
+    oc = old.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).groupBy("v").agg(F.count("*").alias("oc"))
+    nc = new.select(F.col(value_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).groupBy("v").agg(F.count("*").alias("nc"))
+    per = oc.join(nc, "v", "full_outer").select(
+        "v",
+        F.coalesce("oc", F.lit(0)).alias("oc"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("oc").alias("n_old"), F.sum("nc").alias("n_new"))
+    cum = per.select(
+        "v",
+        F.sum("oc").over(w).alias("co"),
+        F.sum("nc").over(w).alias("cn"),
+    ).crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("co") / F.col("n_old").cast("double")
+        - F.col("cn") / F.col("n_new").cast("double")
+    )
+    return (
+        cum.select(
+            gap.alias("gap"), "v", "n_old", "n_new"
+        )
+        .orderBy(F.desc("gap"), F.asc("v"))
+        .limit(1)
+        .select(
+            F.col("gap").alias("d_stat"),
+            F.col("v").alias("at_value"),
+            "n_old",
+            "n_new",
+        )
+    )

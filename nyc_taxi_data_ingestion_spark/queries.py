@@ -3677,6 +3677,56 @@ FROM ex
 """
 
 
+_KS_DRIFT_ORACLE = """
+WITH o AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate < DATE '1998-01-01' AND o_totalprice IS NOT NULL
+),
+n AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderdate >= DATE '1998-01-01' AND o_totalprice IS NOT NULL
+),
+oc AS (SELECT v, COUNT(*) AS oc FROM o GROUP BY v),
+nc AS (SELECT v, COUNT(*) AS nc FROM n GROUP BY v),
+per AS (
+  SELECT COALESCE(oc.v, nc.v) AS v,
+         COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+  FROM oc FULL OUTER JOIN nc ON oc.v = nc.v
+),
+tot AS (SELECT SUM(oc) AS n_old, SUM(nc) AS n_new FROM per),
+cum AS (
+  SELECT v,
+         SUM(oc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS co,
+         SUM(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cn
+  FROM per
+)
+SELECT ABS(co / CAST(n_old AS DOUBLE) - cn / CAST(n_new AS DOUBLE)) AS d_stat,
+       v AS at_value, n_old, n_new
+FROM cum, tot
+ORDER BY d_stat DESC, v ASC
+LIMIT 1
+"""
+
+
+@register("ks_drift", _KS_DRIFT_ORACLE, tags=["Q4", "Q7"])
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift between the pre- and
+    post-1998 eras of orders.o_totalprice — the bucket-free companion
+    to chi_square_drift (quality/anomaly.ks_drift). D-stat and its
+    arg-max location; exact integer cumulative counts, one IEEE
+    division per side, no p-value libm dependence."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import ks_drift
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.to_date(F.lit("1998-01-01"))
+    v = F.col("o_totalprice").cast("double").alias("v")
+    return ks_drift(
+        o.filter(F.col("o_orderdate") < split).select(v),
+        o.filter(F.col("o_orderdate") >= split).select(v),
+        "v",
+    )
+
+
 @register("chi_square_drift", _CHI_DRIFT_ORACLE, tags=["Q4", "Q7"])
 def q_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two snapshot eras of `orders` (pre-

@@ -304,3 +304,18 @@ def test_distinct_sketch_within_rsd_of_exact(spark, sf_dir):
     for col in ("distinct_parts", "distinct_supps"):
         e, a = exact[col], approx[col]
         assert abs(a - e) / e <= 0.06, (col, e, a)
+
+
+def test_ks_drift_known_distributions(spark):
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import ks_drift
+
+    old = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4, 5]], "v double")
+    new = spark.createDataFrame([(float(x),) for x in [3, 4, 5, 6, 7]], "v double")
+    r = ks_drift(old, new, "v").collect()[0]
+    # ecdfs diverge most at v=2: old 2/5, new 0/5 -> D = 0.4
+    assert r.d_stat == 0.4
+    assert r.at_value == 2.0
+    assert r.n_old == 5 and r.n_new == 5
+    # identical samples -> D = 0
+    same = ks_drift(old, old, "v").collect()[0]
+    assert same.d_stat == 0.0
