@@ -547,53 +547,53 @@ def containment_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
         shingles(text_col, k).alias("__sh"),
-    ).persist()
-    try:
-        tok = sh.select(
-            *block_cols,
-            "__id",
-            F.size("__sh").alias("__n"),
-            F.explode("__sh").alias("__tok"),
+    )
+    # no persist of the corpus-sized shingle table (see
+    # blocked_jaccard_pairs): narrow re-computation beats caching a
+    # second copy of the corpus at every scale
+    tok = sh.select(
+        *block_cols,
+        "__id",
+        F.size("__sh").alias("__n"),
+        F.explode("__sh").alias("__tok"),
+    )
+    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+    ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
+    w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+    # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
+    prefix = (
+        ranked.withColumn("__rank", F.row_number().over(w))
+        .filter(
+            F.col("__rank")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         )
-        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
-        ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
-        w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
-        # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
-        prefix = (
-            ranked.withColumn("__rank", F.row_number().over(w))
-            .filter(
-                F.col("__rank")
-                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-            )
-            .select(*block_cols, "__id", "__n", "__tok")
-        )
-        full = ranked.select(*block_cols, "__id", "__n", "__tok")
-        a, b = prefix.alias("a"), full.alias("b")
-        cond = (
-            (F.col("a.__id") != F.col("b.__id"))
-            & (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
-        )
-        for c in block_cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        cand = (
-            a.join(b, cond)
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-        sets = sh.select("__id", "__sh")
-        withs = cand.join(
-            sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
-        ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
-        inter = F.size(F.array_intersect("__sa", "__sb"))
-        cont = inter / F.size("__sa").cast("double")
-        result = (
-            withs.select("id_a", "id_b", cont.alias("containment"))
-            .filter(F.col("containment") >= F.lit(threshold))
-        )
-        return result.localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+        .select(*block_cols, "__id", "__n", "__tok")
+    )
+    full = ranked.select(*block_cols, "__id", "__n", "__tok")
+    a, b = prefix.alias("a"), full.alias("b")
+    cond = (
+        (F.col("a.__id") != F.col("b.__id"))
+        & (F.col("a.__tok") == F.col("b.__tok"))
+        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sh.select("__id", "__sh")
+    withs = cand.join(
+        sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
+    ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    cont = inter / F.size("__sa").cast("double")
+    result = (
+        withs.select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= F.lit(threshold))
+    )
+    return result.localCheckpoint(eager=True)
 
 
 _BAG_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
