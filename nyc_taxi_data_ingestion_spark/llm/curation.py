@@ -403,15 +403,17 @@ def ngram_novelty(
     exactly-verifiable analogue of CCNet's LM-perplexity filter — the
     model "training" is one count aggregate over the corpus itself.
 
-    Scale shape: the k-gram frequency table collapses to ~charset^k
-    rows (thousands), so the "model" broadcasts; the rare test is an
-    integer cross-multiply (cnt * 1e6 < rare_ppm * total — no float
+    Scale shape: TWO narrow explode passes, ZERO corpus-sized state.
+    Pass 1 aggregates gram occurrences into the frequency model —
+    bounded at ~charset^k rows (thousands) no matter the corpus size,
+    so it broadcasts. Pass 2 re-explodes, joins the broadcast model,
+    and partial-aggregates per doc. An earlier version cached the
+    per-(doc, gram) counts to share between the passes — at 100 TB
+    that cache is itself corpus-sized (guaranteed spill); re-running
+    the scan-speed explode is cheaper at every scale. The rare test is
+    an integer cross-multiply (cnt · 1e6 < rare_ppm · total — no float
     division, no log), keeping the whole operator bit-exact across
-    engines. The text is exploded ONCE into per-doc gram counts (the
-    expensive narrow map), which are cached; both the corpus model and
-    the per-doc scores derive from that frame, so the shuffles move
-    distinct (doc, gram) pairs — several times fewer rows than raw
-    occurrences for natural text.
+    engines.
 
     Returns (id_col, n_grams, rare_cnt, rare_frac).
     """
@@ -431,38 +433,27 @@ def ngram_novelty(
             )
         ).alias("__g"),
     )
-    # per-doc gram counts: the only pass over raw occurrences, combined
-    # map-side; everything downstream works on (doc, gram) pairs
-    gc = g.groupBy(id_col, "__g").agg(F.count("*").alias("__c")).persist()
-    try:
-        freq = gc.groupBy("__g").agg(F.sum("__c").alias("__cnt"))
-        total = freq.agg(F.sum("__cnt").alias("__tot"))
-        model = freq.crossJoin(F.broadcast(total)).select(
-            "__g",
-            (
-                F.col("__cnt") * F.lit(1_000_000)
-                < F.lit(rare_ppm) * F.col("__tot")
-            ).alias("__rare"),
+    # pass 1: the bounded frequency model (map-side combined on gram)
+    freq = g.groupBy("__g").agg(F.count("*").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__tot"))
+    model = freq.crossJoin(F.broadcast(total)).select(
+        "__g",
+        (
+            F.col("__cnt") * F.lit(1_000_000)
+            < F.lit(rare_ppm) * F.col("__tot")
+        ).alias("__rare"),
+    )
+    # pass 2: re-explode, broadcast-join the model, one doc-keyed agg
+    rare_occ = F.sum(F.when(F.col("__rare"), 1).otherwise(0))
+    return (
+        g.join(F.broadcast(model), "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            rare_occ.alias("rare_cnt"),
+            (rare_occ / F.count("*").cast("double")).alias("rare_frac"),
         )
-        result = (
-            gc.join(F.broadcast(model), "__g")
-            .groupBy(id_col)
-            .agg(
-                F.sum("__c").alias("n_grams"),
-                F.coalesce(
-                    F.sum(F.when(F.col("__rare"), F.col("__c"))), F.lit(0)
-                ).alias("rare_cnt"),
-                (
-                    F.coalesce(
-                        F.sum(F.when(F.col("__rare"), F.col("__c"))), F.lit(0)
-                    )
-                    / F.sum("__c").cast("double")
-                ).alias("rare_frac"),
-            )
-        )
-        return result.localCheckpoint(eager=True)
-    finally:
-        gc.unpersist()
+    )
 
 
 # -- hashed linear quality classifier ----------------------------------------
