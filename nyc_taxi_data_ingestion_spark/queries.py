@@ -2133,6 +2133,63 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+_SQL_MART_ORACLE = f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       event_type,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       {dsum_sql('value')} AS total_value,
+       {davg_sql('value')} AS avg_value
+FROM events
+WHERE value IS NOT NULL AND value > 0
+GROUP BY CAST(ts AS DATE), event_type
+"""
+
+
+@register("sql_model_mart", _SQL_MART_ORACLE, tags=["M1", "A1"])
+def q_sql_model_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt twin in Spark SQL (plans/sqlmodels.py): a two-model
+    chain — a silver view model feeding a gold mart model — written as
+    dbt-style SQL strings with {{{{ source() }}}}/{{{{ ref() }}}}
+    templating, dependency-ordered and executed by spark.sql. Parity:
+    the reference's gold/models/analytics/*.sql run by Trino as a
+    second engine; here the same SQL surface compiles onto the same
+    Catalyst plans as the native queries (decimal-exact aggregates via
+    the shared dsum/davg SQL forms)."""
+    from nyc_taxi_data_ingestion_spark.plans.sqlmodels import (
+        SqlModel,
+        run_sql_models,
+    )
+
+    models = [
+        SqlModel(
+            name="daily_mart",
+            sql=f"""
+                SELECT CAST(ts AS DATE) AS event_date,
+                       event_type,
+                       COUNT(*) AS total_events,
+                       COUNT(DISTINCT user_id) AS unique_users,
+                       {dsum_sql('value')} AS total_value,
+                       {davg_sql('value')} AS avg_value
+                FROM {{{{ ref('silver_events') }}}}
+                GROUP BY CAST(ts AS DATE), event_type
+            """,
+        ),
+        SqlModel(
+            name="silver_events",
+            sql="""
+                SELECT event_id, ts, user_id, event_type, value
+                FROM {{ source('silver', 'events') }}
+                WHERE value IS NOT NULL AND value > 0
+            """,
+        ),
+    ]
+    out = run_sql_models(
+        spark, models, sources={("silver", "events"): _t(spark, sf_dir, "events")}
+    )
+    return out["daily_mart"]
+
+
 _GROUP_SAMPLE_ORACLE = """
 SELECT doc_id, lang, source, rnk FROM (
   SELECT doc_id, lang, source,

@@ -717,3 +717,63 @@ def test_run_curation_metrics_and_lineage(spark, sf_dir, tmp_path):
     assert evt["event_type"] == "curation_run"
     assert evt["rows_out"] == metrics["row_count"]
     assert "gopher_filter" in evt["transforms_json"]
+
+
+def test_sql_models_topo_order_and_render(spark):
+    from nyc_taxi_data_ingestion_spark.plans.sqlmodels import (
+        SqlModel,
+        model_refs,
+        run_sql_models,
+        topo_order,
+    )
+    import pytest as _pt
+
+    a = SqlModel("a", "SELECT 1 AS x FROM {{ source('s','t') }}")
+    b = SqlModel("b", "SELECT x + 1 AS x FROM {{ ref('a') }}")
+    c = SqlModel("c", "SELECT x + 1 AS x FROM {{ ref('b') }}")
+    assert model_refs(c) == {"b"}
+    # order is by dependency, not list position
+    assert [m.name for m in topo_order([c, b, a])] == ["a", "b", "c"]
+
+    src = spark.range(1).selectExpr("1 AS y")
+    out = run_sql_models(spark, [c, a, b], sources={("s", "t"): src})
+    assert out["c"].collect()[0].x == 3
+
+    # cycles and unknown refs are build errors, not runtime surprises
+    x = SqlModel("x", "SELECT * FROM {{ ref('y') }}")
+    y = SqlModel("y", "SELECT * FROM {{ ref('x') }}")
+    with _pt.raises(ValueError, match="cycle"):
+        topo_order([x, y])
+    with _pt.raises(KeyError, match="unknown"):
+        topo_order([x])
+
+
+def test_sql_models_incremental_merge_equals_full(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.plans.sqlmodels import (
+        SqlModel,
+        run_sql_models,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    mart = SqlModel(
+        name="mart",
+        sql="""
+            SELECT event_type, COUNT(*) AS n, MAX(event_id) AS max_id
+            FROM {{ source('silver', 'events') }}
+            GROUP BY event_type
+        """,
+        materialized="incremental",
+        unique_key=["event_type"],
+        order_col="max_id",
+    )
+    tgt = str(tmp_path / "marts")
+    # first run materializes, second run (same input) must be a no-op merge
+    run_sql_models(spark, [mart], {("silver", "events"): events}, target_dir=tgt)
+    first = {r.event_type: (r.n, r.max_id) for r in spark.read.parquet(f"{tgt}/mart").collect()}
+    run_sql_models(spark, [mart], {("silver", "events"): events}, target_dir=tgt)
+    second = {r.event_type: (r.n, r.max_id) for r in spark.read.parquet(f"{tgt}/mart").collect()}
+    assert first == second
+    full = {r.event_type: (r.n, r.max_id) for r in
+            events.groupBy("event_type").agg(F.count("*").alias("n"), F.max("event_id").alias("max_id")).collect()}
+    assert second == full
