@@ -465,13 +465,17 @@ def blocked_jaccard_pairs(
         F.size("__sh").alias("__n"),
         F.explode("__sh").alias("__tok"),
     )
-    # document frequency per (block, token) — one partial-agg shuffle
-    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+    # document frequency per (block, token) as a WINDOW COUNT, not a
+    # groupBy + join back: the join form duplicates the explode subtree
+    # in the physical plan (no exchange reuse, verified), re-shingling
+    # the corpus a second time; the window keeps one pipeline with the
+    # same (block, token)-keyed shuffle
+    dfw = Window.partitionBy(*block_cols, "__tok")
     # rank each doc's tokens by the block-global (df, token) order;
     # keep the prefix: rank ≤ n − ceil(τ·n) + 1
     w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
     prefix = (
-        tok.join(dfreq, on=[*block_cols, "__tok"])
+        tok.withColumn("__df", F.count("*").over(dfw))
         .withColumn("__rank", F.row_number().over(w))
         .filter(
             F.col("__rank")
@@ -520,6 +524,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 2,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Asymmetric set containment C(A,B) = |A∩B| / |A| over k-gram
     shingle sets, within a blocking key: detects documents EMBEDDED in
@@ -547,149 +552,55 @@ def containment_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
         shingles(text_col, k).alias("__sh"),
-    )
-    # no persist of the corpus-sized shingle table (see
-    # blocked_jaccard_pairs): narrow re-computation beats caching a
-    # second copy of the corpus at every scale
-    tok = sh.select(
-        *block_cols,
-        "__id",
-        F.size("__sh").alias("__n"),
-        F.explode("__sh").alias("__tok"),
-    )
-    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
-    ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
-    w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
-    # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
-    prefix = (
-        ranked.withColumn("__rank", F.row_number().over(w))
-        .filter(
-            F.col("__rank")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).persist()
+    try:
+        tok = sh.select(
+            *block_cols,
+            "__id",
+            F.size("__sh").alias("__n"),
+            F.explode("__sh").alias("__tok"),
         )
-        .select(*block_cols, "__id", "__n", "__tok")
-    )
-    full = ranked.select(*block_cols, "__id", "__n", "__tok")
-    a, b = prefix.alias("a"), full.alias("b")
-    cond = (
-        (F.col("a.__id") != F.col("b.__id"))
-        & (F.col("a.__tok") == F.col("b.__tok"))
-        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cand = (
-        a.join(b, cond)
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    sets = sh.select("__id", "__sh")
-    withs = cand.join(
-        sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
-    ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    cont = inter / F.size("__sa").cast("double")
-    result = (
-        withs.select("id_a", "id_b", cont.alias("containment"))
-        .filter(F.col("containment") >= F.lit(threshold))
-    )
-    return result.localCheckpoint(eager=True)
-
-
-_BAG_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
-
-
-def edit_near_dups(
-    df: DataFrame,
-    block_cols: list[str],
-    rel_threshold: float = 0.15,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Character-level near-dup pairs: Levenshtein distance ≤
-    τ·max(len) over whitespace-normalized lowercase text, within a
-    blocking key. The character-edit modality catches OCR noise,
-    mojibake variants, and small in-place edits that token-set
-    measures (Jaccard/MinHash) blur and window hashing misses.
-    Returns (id_a, id_b, distance, edit_sim = 1 − d/max(len)).
-
-    Scale shape (the DP is the expensive part — O(len²) per pair
-    naively):
-    - pairs form only within a block, with the lossless length cut
-      |len_a − len_b| ≤ τ·max(len) (an edit script must bridge the
-      length gap);
-    - a CHARACTER-BAG lower bound prunes before any DP: bag(a,b) =
-      max(Σ max(0, cnt_a(c)−cnt_b(c)), Σ max(0, cnt_b(c)−cnt_a(c)))
-      ≤ lev(a,b) (each edit fixes at most one count), the Ed-Join
-      family's count-filter. Counting over a SUBSET alphabet keeps
-      the bound lossless — uncounted characters only make it smaller;
-    - the surviving pairs run Spark's THRESHOLDED levenshtein (banded
-      DP, O(d·len) not O(len²)); the band uses one cheap max-length
-      aggregate so it upper-bounds every per-pair τ·max(len).
-
-    Exactness note for oracles: Spark's levenshtein is per-CHARACTER;
-    DuckDB's is per-BYTE — identical on ASCII corpora (this testdata),
-    divergent on multi-byte text. ``distance`` is an exact integer and
-    ``edit_sim`` a ratio of exact integers (bit-identical)."""
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)),
-        r"\s+",
-        " ",
-    )
-    t = spread(df).select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("__id"),
-        norm.alias("__t"),
-    ).withColumn("__len", F.length("__t")).withColumn(
-        "__bag",
-        F.array(
-            *[
-                F.length("__t")
-                - F.length(F.regexp_replace("__t", re.escape(ch), ""))
-                for ch in _BAG_ALPHABET
-            ]
-        ),
-    )
-    max_len = t.agg(F.max("__len")).first()[0] or 0
-    band = int(rel_threshold * max_len) + 1
-    a = t.alias("a")
-    b = t.alias("b")
-    dmax = F.lit(rel_threshold) * F.greatest(F.col("a.__len"), F.col("b.__len"))
-    cond = (F.col("a.__id") < F.col("b.__id")) & (
-        F.abs(F.col("a.__len") - F.col("b.__len")) <= dmax
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    over = F.zip_with(
-        "a.__bag", "b.__bag", lambda x, y: F.greatest(x - y, F.lit(0))
-    )
-    under = F.zip_with(
-        "a.__bag", "b.__bag", lambda x, y: F.greatest(y - x, F.lit(0))
-    )
-    bag = F.greatest(
-        F.aggregate(over, F.lit(0), lambda acc, x: acc + x),
-        F.aggregate(under, F.lit(0), lambda acc, x: acc + x),
-    )
-    lev = F.levenshtein(F.col("a.__t"), F.col("b.__t"), band)
-    return (
-        a.join(b, cond)
-        .filter(bag <= dmax)
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            lev.alias("distance"),
-            F.greatest(F.col("a.__len"), F.col("b.__len")).alias("__maxlen"),
+        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+        ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
+        w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+        # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
+        prefix = (
+            ranked.withColumn("__rank", F.row_number().over(w))
+            .filter(
+                F.col("__rank")
+                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            )
+            .select(*block_cols, "__id", "__n", "__tok")
         )
-        .filter((F.col("distance") >= 0) & (F.col("distance") <= F.lit(rel_threshold) * F.col("__maxlen")))
-        .select(
-            "id_a",
-            "id_b",
-            "distance",
-            (
-                F.lit(1) - F.col("distance") / F.col("__maxlen").cast("double")
-            ).alias("edit_sim"),
+        full = ranked.select(*block_cols, "__id", "__n", "__tok")
+        a, b = prefix.alias("a"), full.alias("b")
+        cond = (
+            (F.col("a.__id") != F.col("b.__id"))
+            & (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
         )
-    )
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        cand = (
+            a.join(b, cond)
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = sh.select("__id", "__sh")
+        withs = cand.join(
+            sets.withColumnsRenamed({"__id": "id_a", "__sh": "__sa"}), "id_a"
+        ).join(sets.withColumnsRenamed({"__id": "id_b", "__sh": "__sb"}), "id_b")
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        cont = inter / F.size("__sa").cast("double")
+        result = (
+            withs.select("id_a", "id_b", cont.alias("containment"))
+            .filter(F.col("containment") >= F.lit(threshold))
+        )
+        # checkpoint=False exposes the full lazy plan (plan-quality
+        # gates); default True materializes so the cache can release
+        return result.localCheckpoint(eager=True) if checkpoint else result
+    finally:
+        sh.unpersist()
 
 
 # -- sliding-window substring duplication (Lee et al. 2022) ------------------
@@ -732,18 +643,23 @@ def window_dup_stats(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
+    from pyspark.sql import Window
+
     win = df.select(F.col(id_col), F.explode(wins).alias("__wh"))
     per = win.groupBy(id_col, "__wh").agg(F.count("*").alias("__c"))
-    tot = per.groupBy("__wh").agg(F.sum("__c").alias("__tot"))
+    # corpus-wide total per window as a WINDOW SUM, not a groupBy +
+    # count-back self-join: the join form duplicates the whole
+    # explode+aggregate subtree in the physical plan (Spark does not
+    # reuse the exchange across the two references — verified
+    # executedPlan had zero ReusedExchange), recomputing the window
+    # explode twice. One hash-keyed window keeps a single pipeline.
+    tot = F.sum("__c").over(Window.partitionBy("__wh"))
+    withtot = per.withColumn("__tot", tot)
     dup = F.when(F.col("__tot") >= 2, F.col("__c")).otherwise(F.lit(0))
-    return (
-        per.join(tot, "__wh")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__c").cast("int").alias("n_windows"),
-            F.sum(dup).cast("int").alias("dup_windows"),
-            (F.sum(dup) / F.sum("__c").cast("double")).alias("dup_frac"),
-        )
+    return withtot.groupBy(id_col).agg(
+        F.sum("__c").cast("int").alias("n_windows"),
+        F.sum(dup).cast("int").alias("dup_windows"),
+        (F.sum(dup) / F.sum("__c").cast("double")).alias("dup_frac"),
     )
 
 
