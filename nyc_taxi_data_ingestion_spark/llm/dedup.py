@@ -175,7 +175,13 @@ def lsh_candidate_pairs(
     skew risk — AQE skew-join handles them.
     """
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
-    banded = band_signatures(sig, num_hashes, bands)
+    # materialize the banded index before the self-join: the two join
+    # legs otherwise each re-run the whole shingle+signature pipeline
+    # (verified: zero ReusedExchange — one leg broadcasts, so the
+    # exchanges differ and Spark cannot share them). The index is
+    # (id, band, sig) — bands·|docs| rows of three scalars, exactly
+    # the table the at-rest contract says to store bucketed anyway.
+    banded = band_signatures(sig, num_hashes, bands).localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -375,7 +381,10 @@ def simhash_near_dups(
     """
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
-    sh = simhash_signatures(df, id_col, text_col)
+    # materialize signatures before the self-join (see
+    # lsh_candidate_pairs): both legs otherwise re-run the striped
+    # signature aggregation; the table is (id, 64-bit hash) — tiny.
+    sh = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     banded = sh.select(
         "__id",
         "__sh",
@@ -601,6 +610,102 @@ def containment_pairs(
         return result.localCheckpoint(eager=True) if checkpoint else result
     finally:
         sh.unpersist()
+
+
+_BAG_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def edit_near_dups(
+    df: DataFrame,
+    block_cols: list[str],
+    rel_threshold: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level near-dup pairs: Levenshtein distance ≤
+    τ·max(len) over whitespace-normalized lowercase text, within a
+    blocking key. The character-edit modality catches OCR noise,
+    mojibake variants, and small in-place edits that token-set
+    measures (Jaccard/MinHash) blur and window hashing misses.
+    Returns (id_a, id_b, distance, edit_sim = 1 − d/max(len)).
+
+    Scale shape (the DP is the expensive part — O(len²) per pair
+    naively):
+    - pairs form only within a block, with the lossless length cut
+      |len_a − len_b| ≤ τ·max(len) (an edit script must bridge the
+      length gap);
+    - a CHARACTER-BAG lower bound prunes before any DP: bag(a,b) =
+      max(Σ max(0, cnt_a(c)−cnt_b(c)), Σ max(0, cnt_b(c)−cnt_a(c)))
+      ≤ lev(a,b) (each edit fixes at most one count), the Ed-Join
+      family's count-filter. Counting over a SUBSET alphabet keeps
+      the bound lossless — uncounted characters only make it smaller;
+    - the surviving pairs run Spark's THRESHOLDED levenshtein (banded
+      DP, O(d·len) not O(len²)); the band uses one cheap max-length
+      aggregate so it upper-bounds every per-pair τ·max(len).
+
+    Exactness note for oracles: Spark's levenshtein is per-CHARACTER;
+    DuckDB's is per-BYTE — identical on ASCII corpora (this testdata),
+    divergent on multi-byte text. ``distance`` is an exact integer and
+    ``edit_sim`` a ratio of exact integers (bit-identical)."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)),
+        r"\s+",
+        " ",
+    )
+    t = spread(df).select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        norm.alias("__t"),
+    ).withColumn("__len", F.length("__t")).withColumn(
+        "__bag",
+        F.array(
+            *[
+                F.length("__t")
+                - F.length(F.regexp_replace("__t", re.escape(ch), ""))
+                for ch in _BAG_ALPHABET
+            ]
+        ),
+    )
+    max_len = t.agg(F.max("__len")).first()[0] or 0
+    band = int(rel_threshold * max_len) + 1
+    a = t.alias("a")
+    b = t.alias("b")
+    dmax = F.lit(rel_threshold) * F.greatest(F.col("a.__len"), F.col("b.__len"))
+    cond = (F.col("a.__id") < F.col("b.__id")) & (
+        F.abs(F.col("a.__len") - F.col("b.__len")) <= dmax
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    over = F.zip_with(
+        "a.__bag", "b.__bag", lambda x, y: F.greatest(x - y, F.lit(0))
+    )
+    under = F.zip_with(
+        "a.__bag", "b.__bag", lambda x, y: F.greatest(y - x, F.lit(0))
+    )
+    bag = F.greatest(
+        F.aggregate(over, F.lit(0), lambda acc, x: acc + x),
+        F.aggregate(under, F.lit(0), lambda acc, x: acc + x),
+    )
+    lev = F.levenshtein(F.col("a.__t"), F.col("b.__t"), band)
+    return (
+        a.join(b, cond)
+        .filter(bag <= dmax)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            lev.alias("distance"),
+            F.greatest(F.col("a.__len"), F.col("b.__len")).alias("__maxlen"),
+        )
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= F.lit(rel_threshold) * F.col("__maxlen")))
+        .select(
+            "id_a",
+            "id_b",
+            "distance",
+            (
+                F.lit(1) - F.col("distance") / F.col("__maxlen").cast("double")
+            ).alias("edit_sim"),
+        )
+    )
 
 
 # -- sliding-window substring duplication (Lee et al. 2022) ------------------
