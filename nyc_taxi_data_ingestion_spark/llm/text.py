@@ -317,7 +317,16 @@ def keyword_extract(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).filter(F.col("token") != "")
     tc = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tc.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    # doc_freq from the RAW explode, not from tc: deriving it from tc
+    # duplicates tc's (doc, token) shuffle in the plan (the broadcast
+    # leg and the probe leg cannot share an exchange); count_distinct
+    # re-exploses the corpus (narrow, scan-speed) but shuffles the same
+    # (token, doc) volume once, keeping the probe side single-pass. A
+    # token-partitioned window would also work but puts every stopword
+    # in one partition — exactly the skew max_df suppression exists for.
+    dfreq = tok.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
     n_docs = df.select(F.count("*").alias("__n"))
     keep = dfreq.join(F.broadcast(n_docs)).filter(
         F.col("doc_freq") <= F.col("__n") * max_df_ratio

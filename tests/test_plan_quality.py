@@ -109,9 +109,20 @@ def test_pipeline_curation_scan_count(spark, sf_dir):
 def test_simhash_packed_aggregate_count(spark, sf_dir):
     # the striped-lane rewrite must keep the aggregate narrow: 16
     # packed counters + 1 count, not 64 CASE sums (a regression here
-    # quadruples the agg arithmetic on every token at 100 TB)
-    plan = plan_of(spark, "simhash_near_dup", sf_dir)
+    # quadruples the agg arithmetic on every token at 100 TB).
+    # Inspect simhash_signatures directly — the registry query
+    # checkpoints the signature table (self-join reuse), which hides
+    # the aggregate behind an opaque RDD scan.
     import re
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import simhash_signatures
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    df = simhash_signatures(read_table(spark, sf_dir, "documents"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
 
     agg_lines = [l for l in plan.splitlines() if "Functions [" in l]
     assert agg_lines, "no aggregate in simhash plan"
