@@ -715,3 +715,58 @@ def score_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.withColumn("bucket", bucket).drop("__t_head", "__t_mid")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMEDIATION half of substring dedup (Lee et al. 2022 /
+    Dolma's duplicate-span removal): drop every token covered by a
+    k-token window that occurs ≥ 2 times corpus-wide, keeping the rest
+    of the document. ``window_dup_stats`` measures; this cuts. Returns
+    (id_col, n_tokens, removed_tokens, cleaned).
+
+    Scale shape: window hashes explode once (positions ride along via
+    posexplode); corpus-wide totals are a window sum over the hash key
+    (single pipeline, no count-back join); only DUPLICATED (doc,
+    position) pairs shuffle back — for a mostly-clean corpus that is a
+    tiny fraction of windows. The final mask is a per-row HOF over the
+    token array (narrow); token indices are 0-based in Spark and
+    1-based in the DuckDB oracle, consistent within each engine, and
+    only cleaned text + exact counts cross the comparison."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    base = df.select(F.col(id_col), F.split(norm, " ").alias("__ts"))
+    n = F.size("__ts")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice("__ts", i + 1, k), " ")),
+    )
+    win = base.select(
+        F.col(id_col), F.posexplode(wins).alias("__pos", "__wh")
+    )
+    tot = F.count("*").over(Window.partitionBy("__wh"))
+    dup = (
+        win.withColumn("__tot", tot)
+        .filter(F.col("__tot") >= 2)
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__ps"))
+    )
+    joined = base.join(dup, id_col, "left")
+    covered = lambda i: F.exists(
+        "__ps", lambda s: (s <= i) & (i < s + F.lit(k))
+    )
+    kept = F.when(
+        F.col("__ps").isNull(), F.col("__ts")
+    ).otherwise(F.filter("__ts", lambda x, i: ~covered(i)))
+    return joined.select(
+        F.col(id_col),
+        F.size("__ts").cast("int").alias("n_tokens"),
+        (F.size("__ts") - F.size(kept)).cast("int").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

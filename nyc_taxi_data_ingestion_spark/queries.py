@@ -2400,6 +2400,54 @@ def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.window_dup_stats(_t(spark, sf_dir, "documents"), k=8)
 
 
+_SPAN_REMOVAL_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ts
+  FROM documents
+),
+win AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 7], ' ') AS w
+  FROM tok, LATERAL (
+    SELECT unnest(range(1, greatest(len(ts) - 8 + 1, 1) + 1)) AS i
+  ) g
+),
+tot AS (SELECT w, COUNT(*) AS tot FROM win GROUP BY w),
+dup AS (
+  SELECT doc_id, list(DISTINCT pos) AS ps
+  FROM win JOIN tot USING (w) WHERE tot >= 2
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(ts) - len(
+         list_filter(ts, (x, i) -> ps IS NULL OR
+           len(list_filter(ps, s -> s <= i AND i < s + 8)) = 0)
+       ) AS INT) AS removed_tokens,
+       COALESCE(array_to_string(
+         list_filter(ts, (x, i) -> ps IS NULL OR
+           len(list_filter(ps, s -> s <= i AND i < s + 8)) = 0), ' '),
+         '') AS cleaned
+FROM tok t LEFT JOIN dup USING (doc_id)
+"""
+
+
+@register("span_removal", _SPAN_REMOVAL_ORACLE, tags=["llm-dedup"])
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (the remediation half of window_dedup,
+    Lee et al. 2022 / Dolma span cutting): every token covered by a
+    corpus-duplicated 8-token window is dropped, the rest of the doc
+    survives (llm/curation.remove_duplicated_spans). Only duplicated
+    (doc, position) pairs shuffle back; the mask is a narrow HOF."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"), k=8)
+
+
 _DIVERSITY_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -230,3 +230,22 @@ def test_score_buckets_ties_share_a_tier(spark):
     )
     out = score_buckets(df, head_frac=0.1, middle_frac=0.4)
     assert all(r["bucket"] == "head" for r in out.collect())
+
+
+def test_remove_duplicated_spans_planted(spark):
+    from nyc_taxi_data_ingestion_spark.llm.curation import remove_duplicated_spans
+
+    shared = "a b c d e f g h"
+    rows = [
+        (1, shared + " u1 u2 u3 u4 u5 u6 u7 u8"),
+        (2, shared + " v1 v2 v3 v4 v5 v6 v7 v8"),
+        (3, "clean doc with no duplicated windows at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicated_spans(df, k=8).collect()}
+    # the shared window's 8 tokens are cut from both docs; tails survive
+    assert out[1].removed_tokens == 8 and out[2].removed_tokens == 8
+    assert out[1].cleaned == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert out[2].cleaned == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert out[3].removed_tokens == 0
+    assert out[3].cleaned == rows[2][1]
