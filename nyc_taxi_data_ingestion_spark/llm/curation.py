@@ -737,8 +737,6 @@ def remove_duplicated_spans(
     token array (narrow); token indices are 0-based in Spark and
     1-based in the DuckDB oracle, consistent within each engine, and
     only cleaned text + exact counts cross the comparison."""
-    from pyspark.sql import Window
-
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     base = df.select(F.col(id_col), F.split(norm, " ").alias("__ts"))
@@ -750,10 +748,13 @@ def remove_duplicated_spans(
     win = base.select(
         F.col(id_col), F.posexplode(wins).alias("__pos", "__wh")
     )
-    tot = F.count("*").over(Window.partitionBy("__wh"))
+    # totals from a narrow re-explode + join, not a window over __wh:
+    # hot boilerplate windows would single-partition under a window,
+    # while the groupBy partial-aggregates them map-side and AQE
+    # skew-splits the join (see window_dup_stats)
+    tot = win.groupBy("__wh").agg(F.count("*").alias("__tot"))
     dup = (
-        win.withColumn("__tot", tot)
-        .filter(F.col("__tot") >= 2)
+        win.join(tot.filter(F.col("__tot") >= 2), "__wh", "left_semi")
         .groupBy(id_col)
         .agg(F.collect_set("__pos").alias("__ps"))
     )

@@ -474,17 +474,19 @@ def blocked_jaccard_pairs(
         F.size("__sh").alias("__n"),
         F.explode("__sh").alias("__tok"),
     )
-    # document frequency per (block, token) as a WINDOW COUNT, not a
-    # groupBy + join back: the join form duplicates the explode subtree
-    # in the physical plan (no exchange reuse, verified), re-shingling
-    # the corpus a second time; the window keeps one pipeline with the
-    # same (block, token)-keyed shuffle
-    dfw = Window.partitionBy(*block_cols, "__tok")
+    # document frequency per (block, token): groupBy + join back, NOT a
+    # token-partitioned window. The join's count side partial-aggregates
+    # map-side (a stopword token with df=10^8 combines to one row per
+    # task) and AQE skew-splits the join; a window over the token key
+    # would put every occurrence of a hot token in ONE partition. The
+    # re-computed branch under the count side is only the narrow explode
+    # (scan-speed) — the acceptable class of subtree duplication.
+    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
     # rank each doc's tokens by the block-global (df, token) order;
     # keep the prefix: rank ≤ n − ceil(τ·n) + 1
     w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
     prefix = (
-        tok.withColumn("__df", F.count("*").over(dfw))
+        tok.join(dfreq, on=[*block_cols, "__tok"])
         .withColumn("__rank", F.row_number().over(w))
         .filter(
             F.col("__rank")
@@ -748,18 +750,16 @@ def window_dup_stats(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
-    from pyspark.sql import Window
-
     win = df.select(F.col(id_col), F.explode(wins).alias("__wh"))
     per = win.groupBy(id_col, "__wh").agg(F.count("*").alias("__c"))
-    # corpus-wide total per window as a WINDOW SUM, not a groupBy +
-    # count-back self-join: the join form duplicates the whole
-    # explode+aggregate subtree in the physical plan (Spark does not
-    # reuse the exchange across the two references — verified
-    # executedPlan had zero ReusedExchange), recomputing the window
-    # explode twice. One hash-keyed window keeps a single pipeline.
-    tot = F.sum("__c").over(Window.partitionBy("__wh"))
-    withtot = per.withColumn("__tot", tot)
+    # corpus-wide totals from the NARROW explode branch, joined back.
+    # Not from `per` (that re-executes per's shuffle — verified zero
+    # ReusedExchange) and not as a window over __wh (a boilerplate
+    # window duplicated across 10^8 docs would land in ONE partition;
+    # the groupBy partial-aggregates it map-side and AQE skew-splits
+    # the join). The duplicated subtree is scan-speed only.
+    tot = win.groupBy("__wh").agg(F.count("*").alias("__tot"))
+    withtot = per.join(tot, "__wh")
     dup = F.when(F.col("__tot") >= 2, F.col("__c")).otherwise(F.lit(0))
     return withtot.groupBy(id_col).agg(
         F.sum("__c").cast("int").alias("n_windows"),

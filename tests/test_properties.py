@@ -322,3 +322,51 @@ def test_window_dup_stats_matches_naive(spark, texts):
         i: (len(ws), sum(1 for w in ws if tot[w] >= 2)) for i, ws in wins.items()
     }
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=14).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.75, 0.9]),
+)
+def test_containment_pairs_matches_naive(spark, texts, tau):
+    """The asymmetric prefix filter must be LOSSLESS vs naive exact
+    containment over bigram shingle sets on random token streams."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import containment_pairs
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(
+            df, block_cols=["lang", "source"], threshold=tau, k=2
+        ).collect()
+    }
+
+    def sh2(t):
+        toks = " ".join(t.strip().lower().split()).split(" ")
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    want = set()
+    for i, a, *_ in rows:
+        for j, b, *_ in rows:
+            if i == j:
+                continue
+            A, B = sh2(a), sh2(b)
+            if len(A & B) / len(A) >= tau:
+                want.add((i, j))
+    assert got == want
