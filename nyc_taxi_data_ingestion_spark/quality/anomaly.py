@@ -329,3 +329,60 @@ def ks_drift(
             "n_new",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    values with |x − median| > k · 1.4826 · MAD (the normal-consistent
+    robust z-score). Unlike the mean/σ z-score (Q4), a few extreme
+    values cannot drag the fences — the median and MAD have a 50%
+    breakdown point; unlike IQR fences (Q5), the threshold scales like
+    σ under normality. Returns one row: (median, mad, lower_fence,
+    upper_fence, n_outliers, n_rows).
+
+    Exactness: exact percentiles both passes (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the same interpolation — the proven
+    iqr_outliers_exact parity); fences are products of exact doubles
+    with the same literals. Cost: two passes (median, then MAD over
+    |x − median|) — the exact-twin shape; at 100 TB swap in the GK
+    sketch the same way iqr_outliers does."""
+    v = F.col(value_col)
+    med_row = df.agg(F.expr(f"percentile({value_col}, 0.5)").alias("median"))
+    dev = df.crossJoin(F.broadcast(med_row)).select(
+        "median", F.abs(v - F.col("median")).alias("__ad"), v.alias("__v")
+    )
+    mad_row = dev.groupBy("median").agg(
+        F.expr("percentile(__ad, 0.5)").alias("mad"),
+        F.count("*").alias("n_rows"),
+    )
+    fenced = mad_row.select(
+        "median",
+        "mad",
+        (F.col("median") - F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "lower_fence"
+        ),
+        (F.col("median") + F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "upper_fence"
+        ),
+        "n_rows",
+    )
+    return (
+        df.crossJoin(F.broadcast(fenced))
+        .groupBy("median", "mad", "lower_fence", "upper_fence", "n_rows")
+        .agg(
+            F.count(
+                F.when(
+                    (v < F.col("lower_fence")) | (v > F.col("upper_fence")), 1
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            "median", "mad", "lower_fence", "upper_fence",
+            F.col("n_outliers").cast("int").alias("n_outliers"),
+            F.col("n_rows").cast("int").alias("n_rows"),
+        )
+    )

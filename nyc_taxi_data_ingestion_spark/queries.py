@@ -3782,6 +3782,47 @@ FROM ex
 """
 
 
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT quantile_cont(l_extendedprice, 0.5) AS median FROM lineitem
+),
+m AS (
+  SELECT median,
+         quantile_cont(ABS(l_extendedprice - median), 0.5) AS mad,
+         COUNT(*) AS n_rows
+  FROM lineitem, med GROUP BY median
+),
+f AS (
+  SELECT median, mad,
+         median - 3.0 * 1.4826 * mad AS lower_fence,
+         median + 3.0 * 1.4826 * mad AS upper_fence,
+         n_rows
+  FROM m
+)
+SELECT median, mad, lower_fence, upper_fence,
+       CAST(COUNT(CASE WHEN l_extendedprice < lower_fence
+                        OR l_extendedprice > upper_fence THEN 1 END) AS INT)
+         AS n_outliers,
+       CAST(n_rows AS INT) AS n_rows
+FROM lineitem, f
+GROUP BY median, mad, lower_fence, upper_fence, n_rows
+"""
+
+
+@register("mad_outliers", _MAD_ORACLE, tags=["Q4", "Q5"])
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier fences over lineitem.l_extendedprice
+    (quality/anomaly.mad_outliers) — the 50%-breakdown companion to
+    zscore (Q4) and IQR (Q5); exact two-pass percentiles, same
+    interpolation contract as iqr_outliers_exact."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
+    )
+    return mad_outliers(li, "l_extendedprice", k=3.0)
+
+
 _KS_DRIFT_ORACLE = """
 WITH o AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

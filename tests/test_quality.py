@@ -319,3 +319,16 @@ def test_ks_drift_known_distributions(spark):
     # identical samples -> D = 0
     same = ks_drift(old, old, "v").collect()[0]
     assert same.d_stat == 0.0
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import mad_outliers
+
+    vals = [float(x) for x in range(1, 101)] + [1e9, -1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = mad_outliers(df, "v", k=3.0).collect()[0]
+    # median/MAD ignore the two planted extremes entirely
+    assert r.median == 50.5
+    assert r.mad == 25.5
+    assert r.n_outliers == 2  # exactly the planted extremes
+    assert r.n_rows == 102
