@@ -2255,6 +2255,18 @@ def q_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dsir_weights", None, tags=["llm-curation"])
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for target domain
+    lang='en' against the whole corpus — hashed-bigram generative
+    selection (llm/curation.dsir_weights). Rows-only: log() is libm-
+    dependent; pytest checks against an independent numpy reference."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 @register("bpe_tokenize", None, tags=["llm-text"])
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE subword vocabulary on the corpus word-frequency

@@ -249,3 +249,54 @@ def test_remove_duplicated_spans_planted(spark):
     assert out[2].cleaned == "v1 v2 v3 v4 v5 v6 v7 v8"
     assert out[3].removed_tokens == 0
     assert out[3].cleaned == rows[2][1]
+
+
+def test_dsir_weights_match_numpy_reference(spark):
+    import math
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import dsir_weights
+
+    corpus = [
+        (0, "spark query engine shuffle join"),
+        (1, "medical patient clinical trial dose"),
+        (2, "spark shuffle partition skew join"),
+        (3, "one"),  # no bigrams -> weight 0
+    ]
+    target = [(10, "medical clinical dose patient care")]
+    B = 97
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    out = {r.doc_id: r for r in dsir_weights(cdf, tdf, num_buckets=B).collect()}
+
+    # independent reference with xxhash via Spark (hash fn must agree)
+    from pyspark.sql import functions as F
+    def buckets(text):
+        toks = text.strip().lower().split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            return []
+        row = spark.range(1).select(
+            *[F.pmod(F.xxhash64(F.lit(g)), F.lit(B)).alias(f"b{i}") for i, g in enumerate(grams)]
+        ).collect()[0]
+        return [row[f"b{i}"] for i in range(len(grams))]
+
+    cc, tc = {}, {}
+    for _, t in corpus:
+        for b in buckets(t):
+            cc[b] = cc.get(b, 0) + 1
+    for _, t in target:
+        for b in buckets(t):
+            tc[b] = tc.get(b, 0) + 1
+    ct, tt = sum(cc.values()), sum(tc.values())
+    def lw(text):
+        return sum(
+            math.log((tc.get(b, 0) + 1) / (tt + B))
+            - math.log((cc.get(b, 0) + 1) / (ct + B))
+            for b in buckets(text)
+        )
+    for did, text in corpus:
+        assert abs(out[did].log_weight - lw(text)) < 1e-9, did
+    assert out[3].n_feats == 0 and out[3].log_weight == 0.0
+    # the medical doc must outrank the spark docs for the medical target
+    assert out[1].log_weight > out[0].log_weight
+    assert out[1].log_weight > out[2].log_weight
