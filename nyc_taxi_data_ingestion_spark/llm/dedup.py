@@ -703,9 +703,14 @@ def edit_near_dups(
             "id_a",
             "id_b",
             "distance",
-            (
+            # both-empty normalized texts (maxlen 0) are identical:
+            # sim 1.0, not 0/0 (ANSI mode raises on the division —
+            # found by hypothesis)
+            F.when(F.col("__maxlen") == 0, F.lit(1.0))
+            .otherwise(
                 F.lit(1) - F.col("distance") / F.col("__maxlen").cast("double")
-            ).alias("edit_sim"),
+            )
+            .alias("edit_sim"),
         )
     )
 
