@@ -312,9 +312,14 @@ def ks_drift(
         F.sum("oc").over(w).alias("co"),
         F.sum("nc").over(w).alias("cn"),
     ).crossJoin(F.broadcast(tot))
-    gap = F.abs(
-        F.col("co") / F.col("n_old").cast("double")
-        - F.col("cn") / F.col("n_new").cast("double")
+    # an empty side has no ecdf: emit NULL gaps (one NULL result row)
+    # instead of an ANSI divide-by-zero
+    gap = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        F.abs(
+            F.col("co") / F.col("n_old").cast("double")
+            - F.col("cn") / F.col("n_new").cast("double")
+        ),
     )
     return (
         cum.select(

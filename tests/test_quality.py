@@ -332,3 +332,12 @@ def test_mad_outliers_robust_to_extremes(spark):
     assert r.mad == 25.5
     assert r.n_outliers == 2  # exactly the planted extremes
     assert r.n_rows == 102
+
+
+def test_ks_drift_empty_side_yields_null_not_error(spark):
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import ks_drift
+
+    old = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    empty = spark.createDataFrame([], "v double")
+    r = ks_drift(old, empty, "v").collect()[0]
+    assert r.d_stat is None
