@@ -431,3 +431,24 @@ def test_group_sample_single_window_exchange(spark, sf_dir):
     # one group-keyed exchange for the window; no extra shuffles
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_span_removal_no_python_partial_aggs(spark, sf_dir):
+    plan = plan_of(spark, "span_removal", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # both the (doc,window) agg and the corpus totals keep partial stages
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_mad_outliers_broadcasts_fences_no_python(spark, sf_dir):
+    plan = plan_of(spark, "mad_outliers", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    # the bucket-ratio model must broadcast onto the corpus features;
+    # the corpus side never sort-merges
+    plan = plan_of(spark, "dsir_weights", sf_dir)
+    assert "BroadcastHashJoin" in plan
