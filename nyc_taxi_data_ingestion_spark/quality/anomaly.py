@@ -391,3 +391,80 @@ def mad_outliers(
             F.col("n_rows").cast("int").alias("n_rows"),
         )
     )
+
+
+def ks_drift_grouped(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group two-sample KS drift: one (d_stat, at_value, n_old,
+    n_new) row per group key — the fleet form of :func:`ks_drift` for
+    monitoring many segments (per event type, per source, per tenant)
+    in one pass. Groups present on only one side report NULL d_stat
+    (no ecdf to compare), not an error.
+
+    Scale shape: per-side totals come from the NARROW inputs (not the
+    merged per-value frame — see the count-back-join rule in
+    docs/SCALE.md); cumulative sums window over (group, value) so each
+    group's distinct values sort within its partition slice; the
+    arg-max is a per-group window top-1. Exactness contract identical
+    to ks_drift."""
+    from pyspark.sql import Window
+
+    g = list(group_cols)
+
+    def counts(frame: DataFrame, alias: str) -> DataFrame:
+        return (
+            frame.select(*g, F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(*g, "v")
+            .agg(F.count("*").alias(alias))
+        )
+
+    def totals(frame: DataFrame, alias: str) -> DataFrame:
+        return (
+            frame.select(*g, F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(*g)
+            .agg(F.count("*").alias(alias))
+        )
+
+    oc, nc = counts(old, "oc"), counts(new, "nc")
+    per = oc.join(nc, [*g, "v"], "full_outer").select(
+        *g,
+        "v",
+        F.coalesce("oc", F.lit(0)).alias("oc"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    w = Window.partitionBy(*g).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        *g, "v", F.sum("oc").over(w).alias("co"), F.sum("nc").over(w).alias("cn")
+    )
+    tot = totals(old, "n_old").join(totals(new, "n_new"), g, "full_outer")
+    gap = F.when(
+        (F.col("n_old") > 0) & (F.col("n_new") > 0),
+        F.abs(
+            F.col("co") / F.col("n_old").cast("double")
+            - F.col("cn") / F.col("n_new").cast("double")
+        ),
+    )
+    pick = Window.partitionBy(*g).orderBy(
+        F.desc_nulls_last("gap"), F.asc("v")
+    )
+    return (
+        cum.join(tot, g, "left")
+        .select(*g, gap.alias("gap"), "v", "n_old", "n_new")
+        .withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *g,
+            F.col("gap").alias("d_stat"),
+            F.col("v").alias("at_value"),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )

@@ -3885,6 +3885,70 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_GROUPED_ORACLE = """
+WITH o AS (
+  SELECT event_type, value AS v FROM events
+  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+),
+n AS (
+  SELECT event_type, value AS v FROM events
+  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+),
+oc AS (SELECT event_type, v, COUNT(*) AS oc FROM o GROUP BY event_type, v),
+nc AS (SELECT event_type, v, COUNT(*) AS nc FROM n GROUP BY event_type, v),
+per AS (
+  SELECT COALESCE(oc.event_type, nc.event_type) AS event_type,
+         COALESCE(oc.v, nc.v) AS v,
+         COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
+  FROM oc FULL OUTER JOIN nc
+    ON oc.event_type = nc.event_type AND oc.v = nc.v
+),
+ot AS (SELECT event_type, COUNT(*) AS n_old FROM o GROUP BY event_type),
+nt AS (SELECT event_type, COUNT(*) AS n_new FROM n GROUP BY event_type),
+cum AS (
+  SELECT event_type, v,
+         SUM(oc) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS co,
+         SUM(nc) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cn
+  FROM per
+)
+SELECT event_type,
+       CASE WHEN n_old > 0 AND n_new > 0 THEN
+         ABS(co / CAST(n_old AS DOUBLE) - cn / CAST(n_new AS DOUBLE))
+       END AS d_stat,
+       v AS at_value,
+       COALESCE(n_old, 0) AS n_old,
+       COALESCE(n_new, 0) AS n_new
+FROM cum
+LEFT JOIN ot USING (event_type)
+LEFT JOIN nt USING (event_type)
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY event_type
+  ORDER BY d_stat DESC NULLS LAST, v ASC
+) = 1
+"""
+
+
+@register("ks_drift_grouped", _KS_GROUPED_ORACLE, tags=["Q4", "Q7"])
+def q_ks_drift_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KS drift between the first and second half of
+    January 2024 on events.value — the fleet form of ks_drift for
+    per-segment monitoring in one pass (quality/anomaly.
+    ks_drift_grouped). Per-side totals come from the narrow inputs;
+    grouped cumulative windows; per-group argmax top-1."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import ks_drift_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    return ks_drift_grouped(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        ["event_type"],
+    )
+
+
 @register("chi_square_drift", _CHI_DRIFT_ORACLE, tags=["Q4", "Q7"])
 def q_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between two snapshot eras of `orders` (pre-

@@ -341,3 +341,21 @@ def test_ks_drift_empty_side_yields_null_not_error(spark):
     empty = spark.createDataFrame([], "v double")
     r = ks_drift(old, empty, "v").collect()[0]
     assert r.d_stat is None
+
+
+def test_ks_drift_grouped_matches_single_and_handles_one_sided(spark):
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import ks_drift, ks_drift_grouped
+
+    rows_old = [("a", float(x)) for x in [1, 2, 3, 4, 5]] + [("only_old", 9.0)]
+    rows_new = [("a", float(x)) for x in [3, 4, 5, 6, 7]]
+    old = spark.createDataFrame(rows_old, "g string, v double")
+    new = spark.createDataFrame(rows_new, "g string, v double")
+    out = {r.g: r for r in ks_drift_grouped(old, new, "v", ["g"]).collect()}
+    single = ks_drift(
+        old.filter("g='a'"), new.filter("g='a'"), "v"
+    ).collect()[0]
+    assert out["a"].d_stat == single.d_stat
+    assert out["a"].at_value == single.at_value
+    # group on one side only: NULL d_stat, zero count on the other side
+    assert out["only_old"].d_stat is None
+    assert out["only_old"].n_new == 0 and out["only_old"].n_old == 1
