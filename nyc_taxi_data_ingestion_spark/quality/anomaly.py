@@ -468,3 +468,61 @@ def ks_drift_grouped(
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )
     )
+
+
+# log10(1 + 1/d) for d = 1..9, written out as double literals so both
+# engines parse the identical IEEE value — no libm call anywhere
+BENFORD_P = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_drift(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated/synthetic-data and unit-mixing detector for
+    financial-style columns (Nigrini's digit analysis). Returns one
+    row per digit 1-9: observed count, observed fraction, expected
+    Benford fraction, and the chi-square contribution
+    ``n·(obs−exp)²/exp``; Σ contrib vs χ²₈ thresholds is the test.
+
+    Exactness contract: the digit comes from the DECIMAL string form
+    (exact in both engines — never double formatting); expected
+    probabilities are hard double literals (no libm); contributions
+    are rational arithmetic over exact counts. Scale: one partial-agg
+    pass; output is 9 rows.
+
+    The column must be a DECIMAL type with values ≥ 1 (financial
+    amounts); rows ≤ 0 are excluded (no first significant digit)."""
+    v = F.col(value_col)
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.where(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
+    )
+    obs_frac = F.col("n_obs") / F.col("n_total").cast("double")
+    exp_frac = expected[F.col("digit")]
+    dev = obs_frac - exp_frac
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n_obs").cast("int").alias("n_obs"),
+            obs_frac.alias("obs_frac"),
+            exp_frac.alias("benford_frac"),
+            (F.col("n_total") * dev * dev / exp_frac).alias("chi2_contrib"),
+        )
+    )

@@ -3885,6 +3885,43 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENFORD_ORACLE = """
+WITH bp(digit, benford_frac) AS (VALUES
+  (1, 3.0102999566398120E-1), (2, 1.7609125905568124E-1),
+  (3, 1.2493873660829993E-1), (4, 9.691001300805642E-2),
+  (5, 7.918124604762482E-2),  (6, 6.694678963061322E-2),
+  (7, 5.799194697768673E-2),  (8, 5.115252244738129E-2),
+  (9, 4.575749056067514E-2)),
+c AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+t AS (SELECT SUM(n_obs) AS n_total FROM c)
+SELECT digit,
+       CAST(n_obs AS INT) AS n_obs,
+       n_obs / CAST(n_total AS DOUBLE) AS obs_frac,
+       benford_frac,
+       n_total * (n_obs / CAST(n_total AS DOUBLE) - benford_frac)
+               * (n_obs / CAST(n_total AS DOUBLE) - benford_frac)
+               / benford_frac AS chi2_contrib
+FROM c JOIN bp USING (digit), t
+"""
+
+
+@register("benford_drift", _BENFORD_ORACLE, tags=["Q4"])
+def q_benford_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford analysis of orders.o_totalprice (quality/
+    anomaly.benford_drift) — fabricated-data / unit-mixing detection
+    for financial columns. Digit from the exact DECIMAL string form,
+    Benford probabilities as shared double literals (libm-free),
+    chi-square contributions in rational arithmetic — bit-exact."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import benford_drift
+
+    return benford_drift(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 _KS_GROUPED_ORACLE = """
 WITH o AS (
   SELECT event_type, value AS v FROM events

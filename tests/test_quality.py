@@ -359,3 +359,33 @@ def test_ks_drift_grouped_matches_single_and_handles_one_sided(spark):
     # group on one side only: NULL d_stat, zero count on the other side
     assert out["only_old"].d_stat is None
     assert out["only_old"].n_new == 0 and out["only_old"].n_old == 1
+
+
+def test_benford_drift_conforming_and_uniform(spark):
+    import math
+
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        BENFORD_P,
+        benford_drift,
+    )
+    from decimal import Decimal
+
+    # Benford-conforming sample: {2^k} first digits follow the law
+    vals = [Decimal(2) ** k for k in range(1, 120)]
+    df = spark.createDataFrame([(v,) for v in vals], "v decimal(37,0)")
+    out = {r.digit: r for r in benford_drift(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    assert abs(sum(r.obs_frac for r in out.values()) - 1.0) < 1e-12
+    chi2 = sum(r.chi2_contrib for r in out.values())
+    assert chi2 < 20.1  # conforming: below the chi2_8 0.99 critical value
+
+    # uniform-first-digit data must light up the statistic
+    uni = spark.createDataFrame(
+        [(Decimal(d) * 100 + i,) for d in range(1, 10) for i in range(22)],
+        "v decimal(10,0)",
+    )
+    chi2_u = sum(r.chi2_contrib for r in benford_drift(uni, "v").collect())
+    assert chi2_u > 20.1
+    # expected fractions are the module constants
+    for d, r in out.items():
+        assert r.benford_frac == BENFORD_P[d]
