@@ -526,3 +526,57 @@ def benford_drift(df: DataFrame, value_col: str) -> DataFrame:
             (F.col("n_total") * dev * dev / exp_frac).alias("chi2_contrib"),
         )
     )
+
+
+def mad_outliers_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Fleet form of :func:`mad_outliers`: robust median/MAD fences and
+    outlier counts per group key, for monitoring many segments in one
+    job. Same exactness contract (grouped exact percentiles — Spark
+    ``percentile`` == DuckDB ``quantile_cont``); three grouped passes
+    (median, MAD, fence scan) with the small per-group stat tables
+    broadcast back onto the fact side."""
+    g = list(group_cols)
+    v = F.col(value_col)
+    med = df.groupBy(*g).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+    dev = df.join(F.broadcast(med), g).select(
+        *g, "median", F.abs(v - F.col("median")).alias("__ad")
+    )
+    stats = dev.groupBy(*g, "median").agg(
+        F.expr("percentile(__ad, 0.5)").alias("mad"),
+        F.count("*").alias("n_rows"),
+    )
+    fenced = stats.select(
+        *g,
+        "median",
+        "mad",
+        (F.col("median") - F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "lower_fence"
+        ),
+        (F.col("median") + F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "upper_fence"
+        ),
+        "n_rows",
+    )
+    return (
+        df.join(F.broadcast(fenced), g)
+        .groupBy(*g, "median", "mad", "lower_fence", "upper_fence", "n_rows")
+        .agg(
+            F.count(
+                F.when(
+                    (v < F.col("lower_fence")) | (v > F.col("upper_fence")), 1
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            *g, "median", "mad", "lower_fence", "upper_fence",
+            F.col("n_outliers").cast("int").alias("n_outliers"),
+            F.col("n_rows").cast("int").alias("n_rows"),
+        )
+    )

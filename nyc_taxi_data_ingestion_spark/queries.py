@@ -3835,6 +3835,49 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(li, "l_extendedprice", k=3.0)
 
 
+_MAD_GROUPED_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT e.event_type, median,
+         quantile_cont(ABS(value - median), 0.5) AS mad,
+         COUNT(*) AS n_rows
+  FROM events e JOIN med ON e.event_type = med.event_type
+  GROUP BY e.event_type, median
+),
+f AS (
+  SELECT event_type, median, mad,
+         median - 3.0 * 1.4826 * mad AS lower_fence,
+         median + 3.0 * 1.4826 * mad AS upper_fence,
+         n_rows
+  FROM m
+)
+SELECT e.event_type, median, mad, lower_fence, upper_fence,
+       CAST(COUNT(CASE WHEN value < lower_fence
+                        OR value > upper_fence THEN 1 END) AS INT)
+         AS n_outliers,
+       CAST(n_rows AS INT) AS n_rows
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type, median, mad, lower_fence, upper_fence, n_rows
+"""
+
+
+@register("mad_outliers_grouped", _MAD_GROUPED_ORACLE, tags=["Q4", "Q5"])
+def q_mad_outliers_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust median/MAD fences over events.value —
+    the fleet form of mad_outliers for per-segment monitoring
+    (quality/anomaly.mad_outliers_grouped)."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        mad_outliers_grouped,
+    )
+
+    return mad_outliers_grouped(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], k=3.0
+    )
+
+
 _KS_DRIFT_ORACLE = """
 WITH o AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders

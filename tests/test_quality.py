@@ -389,3 +389,20 @@ def test_benford_drift_conforming_and_uniform(spark):
     # expected fractions are the module constants
     for d, r in out.items():
         assert r.benford_frac == BENFORD_P[d]
+
+
+def test_mad_outliers_grouped_matches_single_per_group(spark):
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        mad_outliers,
+        mad_outliers_grouped,
+    )
+
+    rows = [("a", float(x)) for x in range(1, 51)] + [("a", 1e6)] + \
+           [("b", float(x)) for x in [10, 10, 10, 10, 500]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in mad_outliers_grouped(df, "v", ["g"]).collect()}
+    for g in ("a", "b"):
+        single = mad_outliers(df.filter(F.col("g") == g), "v").collect()[0]
+        assert out[g].median == single.median and out[g].mad == single.mad
+        assert out[g].n_outliers == single.n_outliers
+    assert out["a"].n_outliers == 1  # the planted 1e6
