@@ -69,6 +69,16 @@ def topo_order(models: list[SqlModel]) -> list[SqlModel]:
     """Kahn's algorithm over ref edges; raises on cycles and on refs
     to models that are not in the list."""
     by_name = {m.name: m for m in models}
+    if len(by_name) != len(models):
+        from collections import Counter
+
+        dupes = sorted(
+            n for n, c in Counter(m.name for m in models).items() if c > 1
+        )
+        # a silently-deduplicated list would drop one definition and
+        # bind downstream refs to whichever survived (r3 advice) —
+        # duplicate names are a build error like cycles / unknown refs
+        raise ValueError(f"duplicate model names {dupes}")
     deps = {}
     for m in models:
         refs = model_refs(m)

@@ -272,6 +272,7 @@ def ks_drift(
     old: DataFrame,
     new: DataFrame,
     value_col: str,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov drift statistic between two
     table versions of a numeric column: D = max over observed values of
@@ -287,11 +288,20 @@ def ks_drift(
     the caller).
 
     Scale shape: one partial-agg per side on the value, a full-outer
-    merge of per-value counts, then a window cumulative sum ordered by
-    value — a range-partitioned sort over DISTINCT values (bounded by
-    cardinality, not row count). Returns one row: (d_stat, n_old,
-    n_new, at_value) with the arg-max value as the drift location
-    (ties to the smallest value)."""
+    merge of per-value counts, then a DISTRIBUTED cumulative sum — a
+    global ``Window.orderBy(v)`` would plan Exchange SinglePartition
+    and put every distinct value in one task (for a continuous column,
+    distinct-count ~ row count: the r3-advice scale bug). Instead:
+    quantile boundaries over the distinct values (``percentile_approx``
+    sketch, kept in-plan as one broadcast row) deterministically bucket
+    values into ``n_buckets`` monotone ranges; the cumsum is a
+    per-bucket window plus broadcast prefix offsets from an
+    n_buckets-row subtotal table — the only single-partition window in
+    the plan is over those ≤n_buckets rows. Per-bucket integer sums +
+    exact offset adds keep the cumulative counts exact regardless of
+    where the sketch places boundaries. Returns one row: (d_stat,
+    n_old, n_new, at_value) with the arg-max value as the drift
+    location (ties to the smallest value)."""
     from pyspark.sql import Window
 
     oc = old.select(F.col(value_col).alias("v")).where(
@@ -305,13 +315,52 @@ def ks_drift(
         F.coalesce("oc", F.lit(0)).alias("oc"),
         F.coalesce("nc", F.lit(0)).alias("nc"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    tot = per.agg(F.sum("oc").alias("n_old"), F.sum("nc").alias("n_new"))
-    cum = per.select(
+    # deterministic monotone bucketing: bucket(v) = #boundaries <= v.
+    # Boundary placement only affects balance, never correctness.
+    fracs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    bounds = per.agg(
+        F.percentile_approx("v", fracs, F.lit(10000)).alias("__bs")
+    )
+    bucketed = per.crossJoin(F.broadcast(bounds)).select(
         "v",
-        F.sum("oc").over(w).alias("co"),
-        F.sum("nc").over(w).alias("cn"),
-    ).crossJoin(F.broadcast(tot))
+        "oc",
+        "nc",
+        F.size(
+            F.filter("__bs", lambda b: b <= F.col("v"))
+        ).alias("__b"),
+    )
+    sub = bucketed.groupBy("__b").agg(
+        F.sum("oc").alias("__so"), F.sum("nc").alias("__sn")
+    )
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sub.select(
+        "__b",
+        F.coalesce(F.sum("__so").over(wb), F.lit(0)).alias("__ooff"),
+        F.coalesce(F.sum("__sn").over(wb), F.lit(0)).alias("__noff"),
+    )
+    wv = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(F.sum("oc").alias("n_old"), F.sum("nc").alias("n_new"))
+    cum = (
+        bucketed.select(
+            "v",
+            "__b",
+            F.sum("oc").over(wv).alias("__cop"),
+            F.sum("nc").over(wv).alias("__cnp"),
+        )
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            "v",
+            (F.col("__cop") + F.col("__ooff")).alias("co"),
+            (F.col("__cnp") + F.col("__noff")).alias("cn"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     # an empty side has no ecdf: emit NULL gaps (one NULL result row)
     # instead of an ANSI divide-by-zero
     gap = F.when(
@@ -336,6 +385,65 @@ def ks_drift(
     )
 
 
+def mad_outliers_approx(
+    df: DataFrame,
+    value_col: str,
+    k: float = 3.0,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-backed twin of :func:`mad_outliers` — the registered
+    100 TB default. Both medians come from ``percentile_approx``
+    (Greenwald-Khanna: single-pass, mergeable, bounded-memory
+    aggregation buffer), so no value set ever concentrates in one
+    reducer; exact ``percentile`` buffers every value in a single
+    aggregation buffer, which is the scale-killer the exact twin keeps
+    only for oracle parity (mirror of the iqr_outliers /
+    iqr_outliers_exact resolution, quality/anomaly.iqr_anomalies).
+    Fences agree with the exact twin within the sketch's rank error
+    (asserted in tests/test_quality.py). Same output schema as the
+    exact form."""
+    v = F.col(value_col)
+    med_row = df.agg(
+        F.percentile_approx(value_col, F.lit(0.5), F.lit(accuracy)).alias(
+            "median"
+        )
+    )
+    dev = df.crossJoin(F.broadcast(med_row)).select(
+        "median", F.abs(v - F.col("median")).alias("__ad")
+    )
+    mad_row = dev.groupBy("median").agg(
+        F.percentile_approx("__ad", F.lit(0.5), F.lit(accuracy)).alias("mad"),
+        F.count("*").alias("n_rows"),
+    )
+    fenced = mad_row.select(
+        "median",
+        "mad",
+        (F.col("median") - F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "lower_fence"
+        ),
+        (F.col("median") + F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
+            "upper_fence"
+        ),
+        "n_rows",
+    )
+    return (
+        df.crossJoin(F.broadcast(fenced))
+        .groupBy("median", "mad", "lower_fence", "upper_fence", "n_rows")
+        .agg(
+            F.count(
+                F.when(
+                    (v < F.col("lower_fence")) | (v > F.col("upper_fence")), 1
+                )
+            ).alias("n_outliers")
+        )
+        .select(
+            "median", "mad", "lower_fence", "upper_fence",
+            F.col("n_outliers").cast("int").alias("n_outliers"),
+            F.col("n_rows").cast("int").alias("n_rows"),
+        )
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,
@@ -353,8 +461,9 @@ def mad_outliers(
     DuckDB ``quantile_cont``, the same interpolation — the proven
     iqr_outliers_exact parity); fences are products of exact doubles
     with the same literals. Cost: two passes (median, then MAD over
-    |x − median|) — the exact-twin shape; at 100 TB swap in the GK
-    sketch the same way iqr_outliers does."""
+    |x − median|) with exact `percentile` — an all-values-in-one-buffer
+    aggregate, kept ONLY as the oracle twin; the registered default is
+    :func:`mad_outliers_approx` (GK sketch, mergeable)."""
     v = F.col(value_col)
     med_row = df.agg(F.expr(f"percentile({value_col}, 0.5)").alias("median"))
     dev = df.crossJoin(F.broadcast(med_row)).select(
@@ -503,17 +612,31 @@ def benford_drift(df: DataFrame, value_col: str) -> DataFrame:
     amounts); rows ≤ 0 are excluded (no first significant digit)."""
     v = F.col(value_col)
     digit = F.substring(v.cast("string"), 1, 1).cast("int")
-    counts = (
+    observed = (
         df.where(v >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count("*").alias("n_obs"))
     )
+    # All nine digits always appear: a digit with ZERO occurrences is
+    # the strongest Benford deviation (its full n·p_d chi-square mass),
+    # so dropping absent digits understates the statistic exactly when
+    # it matters most (r3 advice). Left-join observed counts onto the
+    # 1-9 spine and coalesce to 0.
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(observed, "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
     total = counts.agg(F.sum("n_obs").alias("n_total"))
     expected = F.create_map(
         *[F.lit(x) for kv in BENFORD_P.items() for x in kv]
     )
-    obs_frac = F.col("n_obs") / F.col("n_total").cast("double")
+    # guard the all-excluded input (n_total = 0): NULL fractions, not
+    # an ANSI divide-by-zero
+    nz = F.col("n_total") > 0
+    obs_frac = F.when(nz, F.col("n_obs") / F.col("n_total").cast("double"))
     exp_frac = expected[F.col("digit")]
     dev = obs_frac - exp_frac
     return (
@@ -523,7 +646,9 @@ def benford_drift(df: DataFrame, value_col: str) -> DataFrame:
             F.col("n_obs").cast("int").alias("n_obs"),
             obs_frac.alias("obs_frac"),
             exp_frac.alias("benford_frac"),
-            (F.col("n_total") * dev * dev / exp_frac).alias("chi2_contrib"),
+            F.when(nz, F.col("n_total") * dev * dev / exp_frac).alias(
+                "chi2_contrib"
+            ),
         )
     )
 

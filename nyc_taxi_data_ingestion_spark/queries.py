@@ -2540,13 +2540,15 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTAMINATION_ORACLE = r"""
 WITH norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS ts
   FROM documents
 ),
 g AS (
   SELECT doc_id,
-         unnest(list_transform(range(1, greatest(length(t) - 12 + 1, 1) + 1),
-                               i -> md5(substr(t, CAST(i AS INT), 12)))) AS gh
+         unnest(list_transform(range(1, greatest(len(ts) - 8 + 1, 1) + 1),
+                i -> md5(array_to_string(ts[i:i + 8 - 1], ' ')))) AS gh
   FROM norm
 ),
 dg AS (SELECT DISTINCT doc_id, gh FROM g),
@@ -2566,16 +2568,21 @@ FROM tot t LEFT JOIN ov USING (doc_id)
 @register("contamination_check", _CONTAMINATION_ORACLE, tags=["llm-curation"])
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per corpus doc, the share of its
-    distinct 12-char-gram md5 fingerprints occurring anywhere in the
-    held-out benchmark slice (doc_id % 97 = 0). Shuffles digests only;
-    the benchmark gram set broadcasts (llm/curation.contamination_check)."""
+    distinct 8-TOKEN-gram fingerprints occurring anywhere in the
+    held-out benchmark slice (doc_id % 97 = 0) — the GPT-3-style
+    token-gram default (char-gram mode stays available via
+    ``unit="char"``; its explode factor is ~doc length in chars, ~5-6x
+    the token form, which at 100 TB dominates the operator's cost).
+    Shuffles digests only; the benchmark gram set broadcasts
+    (llm/curation.contamination_check)."""
     from nyc_taxi_data_ingestion_spark.llm import curation as cu
 
     docs = _t(spark, sf_dir, "documents")
     return cu.contamination_check(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
-        k=12,
+        k=8,
+        unit="token",
     )
 
 
@@ -3100,7 +3107,8 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DOMAIN_MIXTURE_ORACLE = r"""
 WITH per AS (
   SELECT source AS domain,
-         SUM(len(string_split_regex(trim(text), '\s+'))) AS token_cnt
+         CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) AS token_cnt
   FROM documents GROUP BY source
 ),
 tot AS (SELECT SUM(token_cnt) AS tot FROM per),
@@ -3156,7 +3164,8 @@ WITH c AS (
   FROM lineitem GROUP BY 1
 ),
 agg AS (
-  SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
          quantile_cont(cnt, 0.50) AS p50_cnt,
          quantile_cont(cnt, 0.90) AS p90_cnt,
          quantile_cont(cnt, 0.99) AS p99_cnt,
@@ -3588,7 +3597,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_EXTRACT_ORACLE = """
 SELECT event_type,
        COUNT(*) AS cnt,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events
@@ -3821,12 +3831,33 @@ GROUP BY median, mad, lower_fence, upper_fence, n_rows
 """
 
 
-@register("mad_outliers", _MAD_ORACLE, tags=["Q4", "Q5"])
+@register("mad_outliers", None, tags=["Q4", "Q5"])
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier fences over lineitem.l_extendedprice —
+    registered as the 100 TB path: both medians via percentile_approx
+    (GK sketch, mergeable partial aggregates) instead of exact
+    `percentile`, which buffers every value in one aggregation buffer
+    (quality/anomaly.mad_outliers_approx). Fences agree with the exact
+    twin within sketch rank error (tests/test_quality.py);
+    `mad_outliers_exact` below is the hash-checked oracle twin — the
+    same two-tier resolution as iqr_outliers/iqr_outliers_exact."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        mad_outliers_approx,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
+    )
+    return mad_outliers_approx(li, "l_extendedprice", k=3.0)
+
+
+@register("mad_outliers_exact", _MAD_ORACLE, tags=["Q4", "Q5"])
+def q_mad_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust median/MAD outlier fences over lineitem.l_extendedprice
     (quality/anomaly.mad_outliers) — the 50%-breakdown companion to
     zscore (Q4) and IQR (Q5); exact two-pass percentiles, same
-    interpolation contract as iqr_outliers_exact."""
+    interpolation contract as iqr_outliers_exact. Oracle twin of the
+    registered sketch default `mad_outliers`."""
     from nyc_taxi_data_ingestion_spark.quality.anomaly import mad_outliers
 
     li = _t(spark, sf_dir, "lineitem").withColumn(
@@ -3894,7 +3925,8 @@ per AS (
          COALESCE(oc, 0) AS oc, COALESCE(nc, 0) AS nc
   FROM oc FULL OUTER JOIN nc ON oc.v = nc.v
 ),
-tot AS (SELECT SUM(oc) AS n_old, SUM(nc) AS n_new FROM per),
+tot AS (SELECT CAST(SUM(oc) AS BIGINT) AS n_old,
+               CAST(SUM(nc) AS BIGINT) AS n_new FROM per),
 cum AS (
   SELECT v,
          SUM(oc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS co,
@@ -3941,7 +3973,11 @@ c AS (
   FROM orders WHERE o_totalprice >= 1
   GROUP BY 1
 ),
-t AS (SELECT SUM(n_obs) AS n_total FROM c)
+spine AS (
+  SELECT digit, benford_frac, COALESCE(n_obs, 0) AS n_obs
+  FROM bp LEFT JOIN c USING (digit)
+),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM spine)
 SELECT digit,
        CAST(n_obs AS INT) AS n_obs,
        n_obs / CAST(n_total AS DOUBLE) AS obs_frac,
@@ -3949,7 +3985,7 @@ SELECT digit,
        n_total * (n_obs / CAST(n_total AS DOUBLE) - benford_frac)
                * (n_obs / CAST(n_total AS DOUBLE) - benford_frac)
                / benford_frac AS chi2_contrib
-FROM c JOIN bp USING (digit), t
+FROM spine, t
 """
 
 
@@ -4415,6 +4451,31 @@ _PRIOR_GREEN = [
     "doc_fingerprints", "lang_id", "embedding_topk",
     "embedding_near_dup_exact", "blocked_jaccard", "multimodal_meta",
     "pipeline_gold",
+    # CORRECTNESS_r03 greens (47). The three r3 hash-fails
+    # (domain_mixture / json_extract_agg / skew_report — DuckDB
+    # HUGEINT->float64 rendering, oracles now cast to BIGINT) are
+    # deliberately left out so they re-occupy the r4 prefix.
+    # contamination_check (green r3) left out: its registered default
+    # changed char-grams -> token-grams this round, so it must re-earn
+    # a verdict against the new oracle.
+    "asof_join", "bronze_ingest", "containment_pairs",
+    "corr_stats", "cube_agg", "dedup_clusters",
+    "edit_near_dup", "error_capture", "gopher_filter", "group_quantiles",
+    # r3's green "mad_outliers" row was the exact form, now renamed
+    # mad_outliers_exact (sketch default took the name) — left out of
+    # this list so the renamed entry earns a fresh driver verdict.
+    "group_sample", "heavy_hitters", "histogram_fixed", "intersect_keys",
+    "interval_join", "length_percentile", "line_dedup",
+    "mad_outliers_grouped", "multimodal_frames", "ngram_novelty",
+    "ntile_binning", "pii_redact", "pipeline_curation", "pivot_agg",
+    "quality_classifier", "repetition_stats", "rollup_agg",
+    "scd2_history", "schema_evolution", "sessionize_batch",
+    "span_removal", "sql_model_mart", "stratified_sample",
+    "stream_dedup", "stream_session_windows", "stream_sliding_counts",
+    "stream_stateful_profile", "stream_stream_join",
+    "stream_tumbling_agg", "token_diversity", "token_shards",
+    "topk_per_group_salted", "union_all_tagged", "window_dedup",
+    "window_deltas",
 ]
 
 

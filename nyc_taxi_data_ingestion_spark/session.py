@@ -185,17 +185,34 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"nyc_taxi_data_ingestion_spark_{digest}.zip"
     )
     if not os.path.exists(zpath):
-        tmp = zpath + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        p = os.path.join(root, f)
-                        arc = os.path.join(
-                            os.path.basename(pkg_dir), os.path.relpath(p, pkg_dir)
-                        )
-                        z.write(p, arc)
-        os.replace(tmp, zpath)  # atomic vs concurrent test processes
+        # per-process tmp name: a SHARED tmp path lets two concurrent
+        # processes interleave writes to one inode and os.replace then
+        # publishes a corrupt zip (the replace is atomic, the write is
+        # not exclusive — r3 advice)
+        fd, tmp = tempfile.mkstemp(
+            suffix=".tmp", prefix=os.path.basename(zpath) + ".",
+            dir=os.path.dirname(zpath),
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(
+                fh, "w", zipfile.ZIP_DEFLATED
+            ) as z:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in sorted(files):
+                        if f.endswith(".py"):
+                            p = os.path.join(root, f)
+                            arc = os.path.join(
+                                os.path.basename(pkg_dir),
+                                os.path.relpath(p, pkg_dir),
+                            )
+                            z.write(p, arc)
+            os.replace(tmp, zpath)  # atomic publish
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     sc.addPyFile(zpath)
     sc._nyc_pkg_shipped = True
 

@@ -61,6 +61,23 @@ def compare_query(spark, sf_dir: str, name: str) -> None:
     mismatches = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-kind gate: the driver's hasher distinguishes 60000 from
+        # 60000.0, so an integer column on one side rendered as float on
+        # the other (DuckDB HUGEINT -> float64 is the classic case —
+        # r3's three hash-fails) must fail locally too. A float upcast
+        # that merely encodes NULLs (NaN present) is pandas' nullable-int
+        # representation on BOTH engines and is exempt.
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        if int_a != int_b:
+            other = bv if int_a else av
+            if not (pd.api.types.is_float_dtype(other) and other.isna().any()):
+                mismatches.append(
+                    f"col {c}: dtype-kind drift {av.dtype} vs oracle "
+                    f"{bv.dtype} — integer SUMs in the oracle need "
+                    f"CAST(... AS BIGINT) (DuckDB HUGEINT renders float64)"
+                )
+                continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype(float)
             bv = bv.astype(float)

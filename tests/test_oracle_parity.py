@@ -29,3 +29,26 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_unverified_oracle_queries_fit_driver_budget():
+    """The driver's correctness run evaluates a ~50-entry prefix of the
+    registry, and _export_order front-loads oracle queries without a
+    prior driver verdict. Verification opportunity is the scarce
+    resource (r3 verdict item 5): registering more never-verified
+    oracle queries than the budget means some ship without a driver
+    verdict for a full round. Adding a query must come with a
+    _PRIOR_GREEN refresh from the newest CORRECTNESS_r{N}.json."""
+    from nyc_taxi_data_ingestion_spark.queries import _PRIOR_GREEN, REGISTRY
+
+    prior = set(_PRIOR_GREEN)
+    unverified = [
+        n for n, q in REGISTRY.items()
+        if q.oracle is not None and n not in prior
+    ]
+    assert len(unverified) <= 50, (
+        f"{len(unverified)} oracle-backed queries have no driver verdict "
+        f"(budget ~50): {sorted(unverified)}"
+    )
+    # _PRIOR_GREEN must reference real registry entries only
+    assert prior <= set(REGISTRY), sorted(prior - set(REGISTRY))

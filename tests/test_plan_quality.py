@@ -200,6 +200,19 @@ def test_cube_rollup_single_expand_pass(spark, sf_dir):
         assert plan.count(f"{table}.parquet") == 1, name
 
 
+def test_mad_default_uses_sketch_not_exact_percentile(spark, sf_dir):
+    # the registered mad_outliers must aggregate with the mergeable GK
+    # sketch (percentile_approx): exact `percentile` buffers EVERY value
+    # in one aggregation buffer — the scale-killer the r3 verdict
+    # flagged. The exact form survives only as the oracle twin.
+    import re
+
+    plan = plan_of(spark, "mad_outliers", sf_dir)
+    assert "percentile_approx" in plan, plan
+    bare = re.sub(r"percentile_approx", "", plan)
+    assert not re.search(r"\bpercentile\(", bare), plan
+
+
 def test_window_deltas_no_global_sort(spark, sf_dir):
     # the lag/lead window partitions by year — a global-order window
     # would plan Exchange SinglePartition (one task holds everything)

@@ -746,6 +746,10 @@ def test_sql_models_topo_order_and_render(spark):
         topo_order([x, y])
     with _pt.raises(KeyError, match="unknown"):
         topo_order([x])
+    # duplicate model names too: silent last-wins dedup would bind
+    # downstream refs to whichever definition survived
+    with _pt.raises(ValueError, match="duplicate"):
+        topo_order([a, SqlModel("a", "SELECT 2 AS x")])
 
 
 def test_sql_models_incremental_merge_equals_full(spark, sf_dir, tmp_path):

@@ -294,6 +294,22 @@ def test_iqr_sketch_vs_exact_registry(spark, sf_dir):
     )
 
 
+def test_mad_sketch_vs_exact_registry(spark, sf_dir):
+    """The registered `mad_outliers` (percentile_approx sketch) must
+    agree with `mad_outliers_exact` within the sketch's rank error —
+    the same twin contract as IQR."""
+    from nyc_taxi_data_ingestion_spark.queries import REGISTRY
+
+    approx = REGISTRY["mad_outliers"].fn(spark, sf_dir).collect()[0]
+    exact = REGISTRY["mad_outliers_exact"].fn(spark, sf_dir).collect()[0]
+    for f in ("median", "mad", "lower_fence", "upper_fence"):
+        assert approx[f] == pytest.approx(exact[f], rel=0.01)
+    assert approx["n_rows"] == exact["n_rows"]
+    assert abs(approx["n_outliers"] - exact["n_outliers"]) <= max(
+        5, 0.05 * exact["n_outliers"]
+    )
+
+
 def test_distinct_sketch_within_rsd_of_exact(spark, sf_dir):
     """HLL++ twin must land within ~3x the configured 2% rsd of the
     exact distinct counts (same sketch/exact twin contract as IQR)."""
@@ -389,6 +405,19 @@ def test_benford_drift_conforming_and_uniform(spark):
     # expected fractions are the module constants
     for d, r in out.items():
         assert r.benford_frac == BENFORD_P[d]
+
+    # absent digits must still emit their row with the full n*p_d
+    # chi-square mass (r3 advice: dropping them understates the
+    # statistic exactly in the strongest-deviation cases)
+    only9 = spark.createDataFrame(
+        [(Decimal(900 + i),) for i in range(50)], "v decimal(10,0)"
+    )
+    rows = {r.digit: r for r in benford_drift(only9, "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 9):
+        assert rows[d].n_obs == 0
+        assert rows[d].chi2_contrib == pytest.approx(50 * BENFORD_P[d])
+    assert rows[9].n_obs == 50
 
 
 def test_mad_outliers_grouped_matches_single_per_group(spark):
