@@ -877,6 +877,70 @@ def connected_components(
 # -- incremental dedup (batch vs persistent index) ---------------------------
 
 
+def incremental_exact_dedup(
+    df: DataFrame,
+    batch_pred: Column,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-verification twin of :func:`incremental_minhash_dedup`'s
+    survivor rule, for cross-engine checking: rows where ``batch_pred``
+    holds are the NEW batch, the rest are the established corpus, and a
+    batch doc is dropped iff it has an exact-Jaccard edge (≥ threshold,
+    within a block) to ANY corpus doc or to a LOWER-id batch doc —
+    matching a dropped doc still drops you, so the rule needs no
+    transitive closure (the same greedy keep-first contract as the
+    MinHash form, whose signature-estimated edges are not
+    SQL-expressible). Returns the surviving batch rows.
+
+    Scale shape: inherits :func:`blocked_jaccard_pairs`' prefix-filtered
+    inverted index (the only corpus-sized work); the kill set is three
+    filters over the edge list plus one broadcast-able anti-join
+    (killed ids ≪ batch)."""
+    edges = blocked_jaccard_pairs(
+        df, block_cols, id_col=id_col, text_col=text_col, k=k,
+        threshold=threshold,
+    )
+    flags = df.select(
+        F.col(id_col).alias("__fid"), batch_pred.alias("__is_batch")
+    )
+    e = (
+        edges.join(
+            flags.withColumnsRenamed(
+                {"__fid": "id_a", "__is_batch": "__ba"}
+            ),
+            "id_a",
+        ).join(
+            flags.withColumnsRenamed(
+                {"__fid": "id_b", "__is_batch": "__bb"}
+            ),
+            "id_b",
+        )
+    )
+    # id_a < id_b by construction: batch-vs-corpus edges kill the batch
+    # side regardless of order; batch-vs-batch edges kill the higher id
+    killed = (
+        e.filter(F.col("__ba") & ~F.col("__bb")).select(
+            F.col("id_a").alias(id_col)
+        )
+        .union(
+            e.filter(F.col("__bb") & ~F.col("__ba")).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+        .union(
+            e.filter(F.col("__ba") & F.col("__bb")).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+    return df.filter(batch_pred).join(killed, id_col, "left_anti")
+
+
 def minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -694,18 +694,39 @@ def semantic_dedup(
     reasonable threshold). The survivor rule (lowest id in each dup
     neighborhood wins) is deterministic and order-independent.
     """
-    cent = train_centroids(
-        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
-    )
-    assign1 = _nearest_cells_udf(cent, 1)
-    sided = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        _norm(F.col(vec_col)).alias("__norm"),
-        F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
-    )
+    if num_cells <= 1:
+        # degenerate single-cell form = EXACT all-pairs SemDeDup: no
+        # clustering step, so the survivor set is SQL-expressible — the
+        # oracle twin (semantic_dedup_exact) runs this path
+        sided = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            _norm(F.col(vec_col)).alias("__norm"),
+            F.lit(0).alias("__cell"),
+        )
+    else:
+        cent = train_centroids(
+            corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
+            seed=seed,
+        )
+        assign1 = _nearest_cells_udf(cent, 1)
+        sided = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+            _norm(F.col(vec_col)).alias("__norm"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("__cell"),
+        )
     a = sided.alias("a")
     b = sided.alias("b")
+    if num_cells <= 1:
+        # one cell = one join key: a hash/sort-merge join would put the
+        # whole N² comparison in ONE task. Round-robin the probe side
+        # across cores and broadcast the build side instead (the
+        # embedding_near_dup_exact brute-force shape).
+        a = sided.repartition(
+            sided.sparkSession.sparkContext.defaultParallelism
+        ).alias("a")
+        b = F.broadcast(sided.alias("b"))
     dropped = (
         a.join(b, F.col("a.__cell") == F.col("b.__cell"))
         .filter(F.col("a.__id") < F.col("b.__id"))

@@ -77,6 +77,7 @@ def run_medallion(
     max_retries: int = 0,
     env_overlay: dict | None = None,
     env: dict[str, str] | None = None,
+    metrics_out: dict[str, dict] | None = None,
 ) -> list[TaskResult]:
     """Compile + materialize a full medallion pipeline as a task graph:
     ``health → compile → silver → gold:<mart>... → quality``.
@@ -85,6 +86,11 @@ def run_medallion(
     here — Spark already parallelizes inside each), each depending on
     silver; quality depends on silver only, so a broken mart never
     blocks the DQ report on the data that did land.
+
+    Pass ``metrics_out={}`` to harvest the reference's between-step
+    logging metrics (row count + per-column null tallies) from the
+    write jobs themselves via ``observe`` — zero extra scans, the same
+    contract as ``run_pipeline(metrics_out=...)``.
     """
     import os
 
@@ -118,11 +124,22 @@ def run_medallion(
             spark, {**cfg, "gold": []}, env_overlay, env
         )
 
+    def _write(df, path: str, parts: list, key: str) -> None:
+        if metrics_out is not None:
+            from nyc_taxi_data_ingestion_spark.quality.observe import (
+                write_observed,
+            )
+
+            metrics_out[key] = write_observed(df, path, partition_by=parts)
+        else:
+            write_partitioned(df, path, parts)
+
     def t_silver() -> None:
         plan = state["plan"]
         s = plan.config.get("silver", {})
         path = os.path.join(warehouse, "silver", plan.name)
-        write_partitioned(plan.silver, path, s.get("partition_by") or [])
+        _write(plan.silver, path, s.get("partition_by") or [],
+               f"silver/{plan.name}")
         state["silver_path"] = path
 
     def t_gold(mart: dict):
@@ -134,7 +151,8 @@ def run_medallion(
                 sl = _lookback_filter(silver_df, mart["lookback"], parts)
                 overwrite_partitions(spark, build_gold_frame(sl, mart), path, parts)
             else:
-                write_partitioned(build_gold_frame(silver_df, mart), path, parts)
+                _write(build_gold_frame(silver_df, mart), path, parts,
+                       f"gold/{mart['name']}")
 
         return _run
 

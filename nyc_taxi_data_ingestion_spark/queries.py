@@ -1569,7 +1569,106 @@ def q_pipeline_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.gold["monthly_order_stats"]
 
 
-@register("lineage_events", None, tags=["L1", "L3", "L4"])
+_PIPELINE_FULL_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       o_orderpriority,
+       COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY 1, 2
+"""
+
+
+@register("pipeline_full", _PIPELINE_FULL_ORACLE, tags=["compiler", "M2", "L1"])
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL Airflow macro-lifecycle in one run
+    (nyc_taxi_medallion_dag.py:504-512: health → bronze → silver →
+    three gold marts → data quality, with retries), executed by the
+    in-engine task-graph runner (plans/runner.run_medallion) with
+    observed write metrics attached (quality/observe — zero extra
+    scans) and lineage events recorded for every layer edge. The
+    returned frame is the materialized third mart READ BACK from the
+    warehouse parquet — so the oracle verdict covers the whole
+    compile → write → read cycle, not just a lazy plan. Asserts every
+    task ok, a metrics row-count for all four writes, and one lineage
+    event per layer edge before returning."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from nyc_taxi_data_ingestion_spark.plans.lineage import LineageTracker
+    from nyc_taxi_data_ingestion_spark.plans.runner import run_medallion
+
+    cfg = _pipeline_config(sf_dir)
+    cfg["gold"] = [
+        cfg["gold"][0],
+        {
+            "name": "status_summary",
+            "group_by": ["o_orderstatus"],
+            "measures": [
+                {"name": "order_cnt", "expr": "COUNT(*)"},
+                {"name": "max_amount", "expr": "MAX(amount)"},
+            ],
+        },
+        {
+            "name": "priority_revenue",
+            "group_by": ["order_year", "o_orderpriority"],
+            "measures": [
+                {"name": "order_cnt", "expr": "COUNT(*)"},
+                {
+                    "name": "revenue",
+                    "expr": "CAST(SUM(CAST(amount AS DECIMAL(30,4))) AS DOUBLE)",
+                },
+            ],
+        },
+    ]
+
+    # fresh warehouse per run (concurrent-safe); sweep siblings older
+    # than an hour — the returned frame stays lazy over this parquet,
+    # so the CURRENT run's dir must outlive the caller's collect
+    tmp = tempfile.gettempdir()
+    for stale in os.listdir(tmp):
+        p = os.path.join(tmp, stale)
+        if stale.startswith("spark_graft_medallion_") and (
+            time.time() - os.path.getmtime(p) > 3600
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+    wh = tempfile.mkdtemp(prefix="spark_graft_medallion_")
+
+    metrics: dict[str, dict] = {}
+    report = run_medallion(
+        spark, cfg, wh, max_retries=1, metrics_out=metrics
+    )
+    bad = [r for r in report if r.status != "ok"]
+    assert not bad, f"pipeline tasks failed: {bad}"
+    for key in (
+        "silver/orders_pipeline",
+        "gold/monthly_order_stats",
+        "gold/status_summary",
+        "gold/priority_revenue",
+    ):
+        assert metrics[key].get("row_count", 0) > 0, (key, metrics)
+
+    tr = LineageTracker(cfg["pipeline"]["name"])
+    tr.record(
+        "ingestion", layer="bronze",
+        source_table=cfg["source"]["path"], target_table="bronze.orders",
+    )
+    tr.record(
+        "transformation", layer="silver",
+        source_table="bronze.orders", target_table="silver.orders",
+    )
+    for mart in cfg["gold"]:
+        tr.record(
+            "aggregation", layer="gold",
+            source_table="silver.orders",
+            target_table=f"gold.{mart['name']}",
+        )
+    assert tr.to_df(spark).count() == 2 + len(cfg["gold"])
+
+    return spark.read.parquet(os.path.join(wh, "gold", "priority_revenue"))
 def q_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/L4 — record a pipeline run's lineage events and query the
     event log for one table (lineage.py:498-551 analogue). Rows-only:
@@ -2976,6 +3075,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_EXACT_ORACLE = """
+WITH sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct(string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS toks
+  FROM documents
+),
+e AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x))))
+        >= 0.5
+),
+killed AS (
+  SELECT id_a AS doc_id FROM e WHERE id_a % 5 = 0 AND id_b % 5 <> 0
+  UNION
+  SELECT id_b AS doc_id FROM e WHERE id_b % 5 = 0 AND id_a % 5 <> 0
+  UNION
+  SELECT id_b AS doc_id FROM e WHERE id_a % 5 = 0 AND id_b % 5 = 0
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM killed)
+"""
+
+
+@register("incremental_dedup_exact", _INCR_EXACT_ORACLE, tags=["llm-dedup"])
+def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup survivor rule, exact-verification twin
+    (llm/dedup.incremental_exact_dedup): docs with doc_id % 5 == 0 are
+    the NEW batch; a batch doc is dropped iff it has an exact-Jaccard
+    edge (≥ 0.5, within lang+source blocks) to any corpus doc or to a
+    lower-id batch doc — the same greedy keep-first contract as the
+    MinHash form `incremental_dedup` (whose xxhash64 signatures are
+    not SQL-expressible, hence rows-only). The rule needs no recursion:
+    matching a dropped doc still drops you."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = incremental_exact_dedup(
+        docs,
+        F.col("doc_id") % 5 == 0,
+        block_cols=["lang", "source"],
+        k=1,
+        threshold=0.5,
+    )
+    return survivors.select("doc_id", "lang", "source")
+
+
 @register("incremental_dedup", None, tags=["llm-dedup"])
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup — the recurring-ingestion pattern: docs
@@ -4317,6 +4469,44 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["dataset_split"].oracle = _split_oracle()
+
+
+_SEMANTIC_DEDUP_EXACT_ORACLE = """
+WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a, v b
+  WHERE a.vec_id < b.vec_id
+    AND list_reduce(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (acc,x) -> acc+x)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (acc,x) -> acc+x))
+           * sqrt(list_reduce(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (acc,x) -> acc+x)))
+        > 0.4
+)
+SELECT vec_id, label FROM v
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@register(
+    "semantic_dedup_exact",
+    _SEMANTIC_DEDUP_EXACT_ORACLE,
+    tags=["llm-similarity"],
+)
+def q_semantic_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivor rule, exact oracle twin: num_cells=1 runs the
+    SAME dropped/anti-join path as the clustered default with the
+    clustering degenerated away (llm/similarity.semantic_dedup), so the
+    deterministic lowest-id-wins survivor semantics get a cross-engine
+    verdict — the clustered form `semantic_dedup` stays rows-only (its
+    k-means step is not SQL-expressible). The fold order of _dot/_norm
+    matches the oracle's list_reduce, the proven
+    embedding_near_dup_exact bit-parity contract."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, num_cells=1).select(
+        "vec_id", "label"
+    )
 
 
 @register("semantic_dedup", None, tags=["llm-similarity"])

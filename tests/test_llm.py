@@ -427,6 +427,44 @@ def test_incremental_dedup_empty_index_is_self_dedup(spark):
     assert updated.count() == 2
 
 
+def test_incremental_exact_agrees_with_minhash_on_exact_dups(spark):
+    """On planted EXACT duplicates (J = 1, which MinHash estimates
+    perfectly) the exact-verification twin must produce the same
+    survivor set as the MinHash form — the shared greedy keep-first
+    contract."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again " * 5
+    novel = "a genuinely novel document about distributed joins " * 6
+    rows = [
+        (1, base_a, "en"),
+        (2, "completely unrelated content about spark query engines " * 6, "en"),
+        (10, base_a, "en"),   # dup of corpus doc 1
+        (11, novel, "en"),
+        (12, novel, "en"),    # dup of batch doc 11 -> greedy kills 12
+        (13, "another novel text regarding watermark semantics " * 6, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    is_batch = F.col("doc_id") >= 10
+
+    exact = incremental_exact_dedup(
+        df, is_batch, block_cols=["lang"], k=1, threshold=0.5
+    )
+    assert sorted(r.doc_id for r in exact.collect()) == [11, 13]
+
+    idx = minhash_index(df.filter(~is_batch))
+    mh, _ = incremental_minhash_dedup(
+        df.filter(is_batch), idx, threshold=0.5
+    )
+    assert sorted(r.doc_id for r in mh.collect()) == [11, 13]
+
+
 def test_signature_jaccard_estimator_bounds(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
         minhash_signatures,

@@ -200,6 +200,24 @@ def test_cube_rollup_single_expand_pass(spark, sf_dir):
         assert plan.count(f"{table}.parquet") == 1, name
 
 
+def test_window_dedup_span_removal_hot_key_shape(spark, sf_dir):
+    # docs/SCALE.md's skew claim for the substring-dedup family, now a
+    # gate (r3 verdict stretch item): corpus-wide window-hash totals
+    # must come from a partial-aggregate pair (map-side combine — a hot
+    # boilerplate hash collapses to one row per task before the
+    # shuffle), NEVER a window over __wh (which would move every
+    # occurrence of a hot hash into ONE partition); and the plan must
+    # stay under AdaptiveSparkPlan so AQE can skew-split the join.
+    import re
+
+    for name in ("window_dedup", "span_removal"):
+        plan = plan_of(spark, name, sf_dir)
+        assert not re.search(r"\(\d+\) Window", plan), name
+        assert "partial_count" in plan, name
+        assert "hashpartitioning(__wh" in plan, name
+        assert "AdaptiveSparkPlan" in plan, name
+
+
 def test_mad_default_uses_sketch_not_exact_percentile(spark, sf_dir):
     # the registered mad_outliers must aggregate with the mergeable GK
     # sketch (percentile_approx): exact `percentile` buffers EVERY value
