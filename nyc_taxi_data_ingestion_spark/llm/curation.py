@@ -649,6 +649,81 @@ def dataset_split(
     return df.withColumn(split_col, expr)
 
 
+def group_holdout_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe dataset split at GROUP granularity: every row of a
+    group (domain, source, author, dedup cluster...) lands in the same
+    split, because near-duplicates concentrate within groups and a
+    row-level split would leak them across the train/eval boundary
+    (the C4/benchmark-contamination failure mode: eval examples with
+    near-dup training twins). Same deterministic md5 cumulative-
+    threshold assignment as :func:`dataset_split`, keyed on the group
+    value instead of the row id — a narrow map, no shuffle, no
+    group-list materialization."""
+    return dataset_split(
+        df, weights, id_col=group_col, split_col=split_col
+    )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    reorder_invariant: bool = True,
+) -> DataFrame:
+    """Duplicate incidence per group — the curation diagnostic that
+    tells you WHERE duplication comes from (a mirror site, a crawler
+    loop, a boilerplate-heavy domain) before spending the near-dup
+    budget: per group, total docs, docs whose fingerprint occurs ≥ 2
+    times CORPUS-WIDE (cross-group dups count for both groups), and
+    the dup rate. ``reorder_invariant=True`` (default) fingerprints the
+    SORTED DISTINCT token set, catching shuffled/reordered copies that
+    byte-exact hashing misses (template sites emitting the same content
+    in different order); False uses the normalized-text hash (classic
+    exact dedup key). Returns (group_col, n_docs, n_dup_docs,
+    dup_rate).
+
+    Scale shape: one fingerprint partial-agg (md5 — 16 bytes/doc),
+    joined back by fingerprint; group totals are a second partial-agg.
+    Text never shuffles."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text_col))), r"\s+", " ")
+    if reorder_invariant:
+        fp = F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(norm, " "))), " "
+            )
+        )
+    else:
+        fp = F.md5(norm)
+    tagged = df.select(
+        F.col(group_col), F.col(id_col), fp.alias("__fp")
+    )
+    counts = tagged.groupBy("__fp").agg(F.count("*").alias("__n"))
+    return (
+        tagged.join(counts, "__fp")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("__n") >= 2, 1)).alias("n_dup_docs"),
+            (
+                F.count(F.when(F.col("__n") >= 2, 1))
+                / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+        .select(
+            group_col,
+            F.col("n_docs").cast("int").alias("n_docs"),
+            F.col("n_dup_docs").cast("int").alias("n_dup_docs"),
+            "dup_rate",
+        )
+    )
+
+
 def split_thresholds_sql(weights: dict[str, float], id_expr: str) -> str:
     """The oracle-SQL twin of :func:`dataset_split`'s assignment
     expression — same cumulative thresholds, same md5 bucketing."""

@@ -664,6 +664,61 @@ def ivfpq_topk(
     )
 
 
+def knn_label_propagation(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Propagate labels from a labeled seed set to unlabeled vectors by
+    majority vote of the k nearest labeled neighbors (cosine) — the
+    standard label-transfer step for bootstrapping quality/domain/topic
+    labels over a corpus from a small annotated set (the kNN classifier
+    over embeddings that FastText-style pipelines use when a trained
+    head is unavailable). Returns (id_col, predicted_label, votes,
+    top_sim): the majority label, its vote count, and the best cosine
+    among the k neighbors. Ties break to the SMALLEST label —
+    deterministic, engine-portable.
+
+    Scale shape: neighbor search is :func:`brute_force_topk` (labeled
+    side broadcasts — seed sets are small by definition; swap in
+    ivf_topk when the labeled set outgrows a broadcast); the vote is a
+    (query, label) partial-agg plus a per-query top-1 window — no
+    vector ever shuffles."""
+    from pyspark.sql import Window
+
+    nn = brute_force_topk(
+        unlabeled, labeled, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__lab"),
+    )
+    votes = (
+        nn.join(F.broadcast(lab), "neighbor_id")
+        .groupBy("query_id", "__lab")
+        .agg(
+            F.count("*").alias("votes"),
+            F.max("cosine_sim").alias("top_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__lab")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("__lab").alias("predicted_label"),
+            F.col("votes").cast("int").alias("votes"),
+            "top_sim",
+        )
+    )
+
+
 # -- SemDeDup-style semantic deduplication -----------------------------------
 
 

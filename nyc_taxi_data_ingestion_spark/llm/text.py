@@ -167,6 +167,56 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def fingerprint_collisions(
+    df: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Cross-document winnowing-fingerprint collisions (the MOSS
+    plagiarism report): pairs of documents sharing ≥ ``min_shared``
+    selected fingerprints, with the shared count — content-overlap
+    evidence robust to insertion/reordering, complementing Jaccard
+    (whole-set) and containment (subset) with localized-overlap
+    detection. Returns (id_a, id_b, shared_fps), id_a < id_b.
+
+    Scale shape: the pair join is an inverted index on the fingerprint
+    key; fingerprints with document frequency > ``max_df`` are dropped
+    BEFORE pairing (the O(df²) posting-list blowup — a boilerplate
+    fingerprint shared by 10⁶ docs would emit 10¹² pairs; dropping it
+    loses only pairs whose entire overlap is boilerplate, the exact
+    trade blocked_jaccard's prefix filter makes). Only (fp, id) scalars
+    shuffle; the df-filter side partial-aggregates map-side."""
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, window=window
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    slim = fps.join(rare, "fp", "left_semi")
+    a = slim.withColumnRenamed(id_col, "id_a").alias("a")
+    b = slim.withColumnRenamed(id_col, "id_b").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id_a") < F.col("b.id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(
+            "id_a", "id_b", F.col("shared_fps").cast("int").alias("shared_fps")
+        )
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis bundle as columns."""
     return df.withColumns(

@@ -4622,6 +4622,264 @@ def q_score_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["score_buckets"].oracle = _score_buckets_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Batch 7 (r4) — label transfer, leakage-safe splitting, overlap
+# forensics, corpus accounting, reshaping.
+# ---------------------------------------------------------------------------
+
+_KNN_LABEL_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id % 3 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, label
+      FROM embeddings WHERE vec_id % 3 <> 0),
+scored AS (
+  SELECT query_id, neighbor_id, label,
+    list_reduce(list_transform(range(1, 65), i -> q_vec[i]::DOUBLE * c_vec[i]::DOUBLE), (acc,x) -> acc+x)
+    / (sqrt(list_reduce(list_transform(range(1, 65), i -> q_vec[i]::DOUBLE * q_vec[i]::DOUBLE), (acc,x) -> acc+x))
+       * sqrt(list_reduce(list_transform(range(1, 65), i -> c_vec[i]::DOUBLE * c_vec[i]::DOUBLE), (acc,x) -> acc+x)))
+      AS cosine_sim
+  FROM c, q
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS rank FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, label, COUNT(*) AS votes, MAX(cosine_sim) AS top_sim
+  FROM nn GROUP BY query_id, label
+)
+SELECT query_id AS vec_id, label AS predicted_label,
+       CAST(votes AS INT) AS votes, ROUND(top_sim, 8) AS top_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, label ASC
+  ) AS rn FROM votes
+) WHERE rn = 1
+"""
+
+
+@register("knn_label_prop", _KNN_LABEL_ORACLE, tags=["llm-similarity"])
+def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation: vectors with vec_id % 3 == 0 lose their
+    label and recover it by majority vote of their 5 nearest labeled
+    neighbors (cosine), ties to the smallest label
+    (llm/similarity.knn_label_propagation) — bootstrapping corpus
+    labels from a small annotated seed set. Exact-neighbor oracle;
+    cosine fold order matches list_reduce (the embedding_topk
+    contract)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_label_propagation(
+        emb.filter(F.col("vec_id") % 3 != 0),
+        emb.filter(F.col("vec_id") % 3 == 0),
+        k=5,
+    )
+    return out.select(
+        "vec_id", "predicted_label", "votes",
+        F.round("top_sim", 8).alias("top_sim"),
+    )
+
+
+_FP_COLLISIONS_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i, md5(substr(norm, CAST(i AS INT), 8)) AS h
+  FROM d,
+       LATERAL (SELECT unnest(range(1, greatest(length(norm) - 8 + 1, 1) + 1)) AS i) t
+),
+w AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM w),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20),
+slim AS (SELECT f.* FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS INT) AS shared_fps
+FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("fingerprint_collisions", _FP_COLLISIONS_ORACLE, tags=["llm-text"])
+def q_fingerprint_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing-fingerprint collision pairs (MOSS
+    plagiarism report): docs sharing ≥ 10 selected fingerprints, with
+    fingerprints of document frequency > 20 dropped before pairing —
+    the O(df²) posting-list guard (llm/text.fingerprint_collisions).
+    Localized-overlap evidence complementing whole-set Jaccard and
+    subset containment."""
+    from nyc_taxi_data_ingestion_spark.llm.text import (
+        fingerprint_collisions,
+    )
+
+    return fingerprint_collisions(
+        _t(spark, sf_dir, "documents"), min_shared=10, max_df=20
+    )
+
+
+_HOLDOUT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _group_holdout_oracle() -> str:
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        split_thresholds_sql,
+    )
+
+    case = split_thresholds_sql(_HOLDOUT_WEIGHTS, "source")
+    return f"""
+SELECT source, {case} AS split, CAST(COUNT(*) AS INT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("group_holdout_split", None, tags=["llm-curation"])
+def q_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split at SOURCE granularity: every doc of a source
+    lands in the same train/val/test split (near-duplicates concentrate
+    within sources, so row-level splits leak them across the eval
+    boundary — the benchmark-contamination failure mode)
+    (llm/curation.group_holdout_split). Deterministic md5 thresholds,
+    narrow map, no shuffle; output is per-(source, split) doc counts —
+    one split per source by construction, asserted in pytest."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        group_holdout_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_holdout_split(docs, _HOLDOUT_WEIGHTS, group_col="source")
+    return out.groupBy("source", "split").agg(
+        F.count("*").cast("int").alias("n_docs")
+    )
+
+
+REGISTRY["group_holdout_split"].oracle = _group_holdout_oracle()
+
+
+_DUP_RATE_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         md5(array_to_string(
+           list_sort(list_distinct(string_split(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))),
+           ' ')) AS fp
+  FROM documents
+),
+c AS (SELECT fp, COUNT(*) AS n FROM t GROUP BY fp)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(COUNT(*) FILTER (n >= 2) AS INT) AS n_dup_docs,
+       COUNT(*) FILTER (n >= 2) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM t JOIN c USING (fp)
+GROUP BY source
+"""
+
+
+@register("dup_rate_by_source", _DUP_RATE_ORACLE, tags=["llm-curation"])
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate incidence with a reorder-invariant
+    fingerprint (md5 of the sorted distinct token set — catches
+    shuffled/reordered copies byte-hashing misses): where duplication
+    comes from, before spending the near-dup budget
+    (llm/curation.dup_rate_by_group)."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import dup_rate_by_group
+
+    return dup_rate_by_group(_t(spark, sf_dir, "documents"))
+
+
+_LANG_TOKEN_STATS_ORACLE = r"""
+SELECT lang,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(length(trim(text))) AS BIGINT) AS n_chars,
+       SUM(length(trim(text)))
+         / CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+         AS chars_per_token
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("lang_token_stats", _LANG_TOKEN_STATS_ORACLE, tags=["llm-text"])
+def q_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus accounting: docs, whitespace tokens, chars,
+    and chars-per-token (tokenizer-fertility proxy — the number that
+    decides per-language token budgets and flags languages a tokenizer
+    fragments). Exact integer sums; the ratio is the only float."""
+    from nyc_taxi_data_ingestion_spark.llm.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+            F.sum(F.length(F.trim(F.col("text")))).alias("n_chars"),
+            (
+                F.sum(F.length(F.trim(F.col("text"))))
+                / F.sum(token_count("text")).cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+_UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS order_cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+           AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'order_cnt' AS metric, order_cnt AS value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM w
+"""
+
+
+@register("unpivot_metrics", _UNPIVOT_ORACLE, tags=["P5", "A1"])
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (`DataFrame.unpivot` — the melt companion to
+    pivot_agg): a per-flag metrics mart unpivoted to (flag, metric,
+    value) rows, the shape metric stores and plotting layers ingest.
+    One Expand over the aggregated (tiny) frame — reshaping happens
+    AFTER aggregation, never on the fact table. Decimal-exact sums
+    cast to double (the proven bit-parity contract)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("order_cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["order_cnt", "sum_qty", "sum_price"],
+        "metric",
+        "value",
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

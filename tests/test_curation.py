@@ -160,6 +160,32 @@ def test_domain_mixture_upweights_small_domains(spark):
     assert out["web"].weight > out["books"].weight
 
 
+def test_group_holdout_split_no_leakage(spark, sf_dir):
+    """Every row of a group lands in exactly one split — the invariant
+    that keeps near-duplicates (which concentrate within groups) from
+    straddling the train/eval boundary."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        group_holdout_split,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = group_holdout_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, group_col="source"
+    )
+    per_source = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per_source and all(r.n_splits == 1 for r in per_source)
+    # assignment is total and covers more than one split overall
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.select("split").distinct().count() >= 2
+
+
 def test_dataset_split_total_deterministic_and_proportional(spark, sf_dir):
     import duckdb
 
