@@ -461,17 +461,30 @@ def mad_outliers(
     DuckDB ``quantile_cont``, the same interpolation — the proven
     iqr_outliers_exact parity); fences are products of exact doubles
     with the same literals. Cost: two passes (median, then MAD over
-    |x − median|) with exact `percentile` — an all-values-in-one-buffer
-    aggregate, kept ONLY as the oracle twin; the registered default is
-    :func:`mad_outliers_approx` (GK sketch, mergeable)."""
+    |x − median|), each an exact DISTRIBUTED rank-selection
+    (functions/numeric.exact_quantiles — bit-identical to `percentile`
+    without its all-values-in-one-buffer aggregate); kept as the oracle
+    twin while the registered default stays
+    :func:`mad_outliers_approx` (GK sketch, single-pass mergeable)."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+
     v = F.col(value_col)
-    med_row = df.agg(F.expr(f"percentile({value_col}, 0.5)").alias("median"))
+    med_row = exact_quantiles(df, value_col, [0.5]).select(
+        F.col("q0").alias("median")
+    )
     dev = df.crossJoin(F.broadcast(med_row)).select(
         "median", F.abs(v - F.col("median")).alias("__ad"), v.alias("__v")
     )
-    mad_row = dev.groupBy("median").agg(
-        F.expr("percentile(__ad, 0.5)").alias("mad"),
-        F.count("*").alias("n_rows"),
+    mad_med = exact_quantiles(dev, "__ad", [0.5]).select(
+        F.col("q0").alias("mad")
+    )
+    mad_row = (
+        dev.groupBy("median")
+        .agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(mad_med))
+        .select("median", "mad", "n_rows")
     )
     fenced = mad_row.select(
         "median",

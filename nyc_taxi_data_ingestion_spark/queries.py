@@ -408,18 +408,26 @@ FROM lineitem
 
 @register("quantiles", _QUANTILES_ORACLE, tags=["A7", "Q5"])
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — quantiles for IQR bands (anomaly_detection.py:154). Exact
-    `percentile` here for oracle parity; the production anomaly module
-    uses `approxQuantile` (single-pass sketch) at scale."""
-    li = _t(spark, sf_dir, "lineitem")
-    q1 = F.expr("percentile(l_extendedprice, 0.25)")
-    q2 = F.expr("percentile(l_extendedprice, 0.50)")
-    q3 = F.expr("percentile(l_extendedprice, 0.75)")
-    return li.agg(
-        q1.alias("q1"),
-        q2.alias("median"),
-        q3.alias("q3"),
-        (q3 - q1).alias("iqr"),
+    """A7 — quantiles for IQR bands (anomaly_detection.py:154). EXACT
+    values (bit-identical to `percentile`/`quantile_cont`, proven by
+    the unchanged oracle), computed by distributed rank-selection
+    (functions/numeric.exact_quantiles) instead of the single-buffer
+    `percentile` aggregate — exactness no longer costs a single task.
+    The production anomaly module still uses `approxQuantile` where a
+    sketch suffices."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
+    )
+    row = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    return row.select(
+        F.col("q0").alias("q1"),
+        F.col("q1").alias("median"),
+        F.col("q2").alias("q3"),
+        (F.col("q2") - F.col("q0")).alias("iqr"),
     )
 
 
@@ -965,11 +973,23 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_iqr_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 — IQR fences + outlier count (anomaly_detection.py:139-205).
     Exact-percentile oracle twin of `iqr_outliers` (hash-checked against
-    DuckDB `quantile_cont`); the registered default is the sketch form."""
-    li = _t(spark, sf_dir, "lineitem")
-    q1 = F.expr("percentile(l_extendedprice, 0.25)")
-    q3 = F.expr("percentile(l_extendedprice, 0.75)")
-    fences = li.agg(q1.alias("q1"), q3.alias("q3")).select(
+    DuckDB `quantile_cont`); the registered default is the sketch form.
+    Exact values via distributed rank-selection
+    (functions/numeric.exact_quantiles) — the twin is no longer a
+    single-buffer `percentile` aggregate."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
+    )
+    fences = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.75]
+    ).select(
+        F.col("q0").alias("q1"),
+        F.col("q1").alias("q3"),
+    ).select(
         "q1",
         "q3",
         (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lower_fence"),

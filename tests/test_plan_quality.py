@@ -218,6 +218,18 @@ def test_window_dedup_span_removal_hot_key_shape(spark, sf_dir):
         assert "AdaptiveSparkPlan" in plan, name
 
 
+def test_exact_twins_use_rank_selection_not_percentile_buffer(spark, sf_dir):
+    # exactness must not cost a single task: the exact-quantile twins
+    # compute via distributed rank-selection (exact_quantiles), so no
+    # plan may contain the single-buffer `percentile` aggregate
+    import re
+
+    for name in ("quantiles", "iqr_outliers_exact", "mad_outliers_exact"):
+        plan = plan_of(spark, name, sf_dir)
+        bare = re.sub(r"percentile_approx", "", plan)
+        assert not re.search(r"\bpercentile\(", bare), name
+
+
 def test_mad_default_uses_sketch_not_exact_percentile(spark, sf_dir):
     # the registered mad_outliers must aggregate with the mergeable GK
     # sketch (percentile_approx): exact `percentile` buffers EVERY value

@@ -370,3 +370,43 @@ def test_containment_pairs_matches_naive(spark, texts, tau):
             if len(A & B) / len(A) >= tau:
                 want.add((i, j))
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_exact_quantiles_matches_builtin_percentile(spark, values, fracs):
+    """Distributed rank-selection must be BIT-identical to the built-in
+    exact `percentile` aggregate on arbitrary value sets and fractions
+    (duplicates, negatives, single elements, extreme fracs 0/1) — the
+    contract that lets the exact twins drop the single-buffer
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = exact_quantiles(df, "x", fracs, n_buckets=8).collect()[0]
+    arr = F.array(*[F.lit(float(p)) for p in fracs])
+    exp = df.agg(F.percentile("x", arr).alias("p")).collect()[0]["p"]
+    for i in range(len(fracs)):
+        assert got[f"q{i}"] == exp[i], (fracs[i], got[f"q{i}"], exp[i])
