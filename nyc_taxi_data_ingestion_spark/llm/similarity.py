@@ -664,6 +664,89 @@ def ivfpq_topk(
     )
 
 
+def prototype_prune(
+    corpus: DataFrame,
+    keep_frac: float = 0.5,
+    num_cells: int = 16,
+    hard: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): partition the embedding space (k-means
+    cells), score each vector by cosine similarity to its cell's EXACT
+    mean vector (the prototype), and keep the ``keep_frac`` HARDEST
+    (least prototypical — the abundant-data regime the paper shows
+    beats random pruning) examples per cell; ``hard=False`` keeps the
+    easiest (scarce-data regime). Returns surviving rows plus
+    ``proto_sim``. Deterministic: prototypes are decimal-exact
+    per-dimension means (the embedding_centroids contract), ranking
+    ties break on id.
+
+    ``num_cells=1`` degenerates to a single global prototype — no
+    clustering, fully SQL-expressible, the oracle-twin path.
+
+    Scale shape: assignment is a narrow Arrow matmul (or a literal for
+    one cell); prototypes are a (cell, dim) partial-agg — the shuffle
+    carries |cells|·|dims| rows, never vectors; scoring is a broadcast
+    join of the tiny prototype table; the keep rule is a per-cell
+    window over (score, id) — partitioned by cell, no global sort."""
+    if num_cells <= 1:
+        sided = corpus.withColumn("__cell", F.lit(0))
+    else:
+        cent = train_centroids(
+            corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
+            seed=seed,
+        )
+        assign1 = _nearest_cells_udf(cent, 1)
+        sided = corpus.withColumn(
+            "__cell", F.element_at(assign1(F.col(vec_col)), 1)
+        )
+    ex = sided.select(
+        "__cell", F.posexplode(vec_col).alias("__pos", "__v")
+    ).select("__cell", "__pos", F.col("__v").cast("double").alias("__v"))
+    proto = (
+        ex.groupBy("__cell", "__pos")
+        .agg(
+            (
+                F.sum(F.col("__v").cast("decimal(38,8)")).cast("double")
+                / F.count("__v")
+            ).alias("__c")
+        )
+        .groupBy("__cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__c"))
+                ),
+                lambda s: s["__c"],
+            ).alias("__proto")
+        )
+    )
+    scored = sided.join(F.broadcast(proto), "__cell").withColumn(
+        "proto_sim", cosine(F.col(vec_col), F.col("__proto"))
+    )
+    from pyspark.sql import Window
+
+    order = (
+        [F.asc("proto_sim"), F.asc(id_col)]
+        if hard
+        else [F.desc("proto_sim"), F.asc(id_col)]
+    )
+    w = Window.partitionBy("__cell").orderBy(*order)
+    wc = Window.partitionBy("__cell")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wc))
+        .filter(
+            F.col("__rn")
+            <= F.ceil(F.lit(keep_frac) * F.col("__n")).cast("int")
+        )
+        .drop("__rn", "__n", "__cell", "__proto")
+    )
+
+
 def knn_label_propagation(
     labeled: DataFrame,
     unlabeled: DataFrame,

@@ -4132,6 +4132,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("psi_drift", None, tags=["Q4", "Q7"])
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre- and post-1998 order
+    totals, bucketed by baseline deciles (quality/anomaly.psi_drift) —
+    the magnitude-weighted drift score completing the drift family
+    (KS max-gap, chi-square frequency, Benford digit, PSI log-ratio).
+    Rows-only: ln() is libm-dependent; numpy-verified in pytest."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import psi_drift
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    new = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return psi_drift(old, new, "o_totalprice", n_buckets=10)
+
+
 _BENFORD_ORACLE = """
 WITH bp(digit, benford_frac) AS (VALUES
   (1, 3.0102999566398120E-1), (2, 1.7609125905568124E-1),
@@ -4489,6 +4506,70 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["dataset_split"].oracle = _split_oracle()
+
+
+_PROTO_PRUNE_EXACT_ORACLE = """
+WITH ex AS (
+  SELECT i - 1 AS pos, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+),
+proto AS (
+  SELECT pos, CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v) AS c
+  FROM ex GROUP BY pos
+),
+parr AS (SELECT list(c ORDER BY pos) AS p FROM proto),
+scored AS (
+  SELECT vec_id, label,
+    list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * p[i]), (acc,x) -> acc+x)
+    / (sqrt(list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (acc,x) -> acc+x))
+       * sqrt(list_reduce(list_transform(range(1, 65), i -> p[i] * p[i]), (acc,x) -> acc+x)))
+      AS proto_sim
+  FROM embeddings, parr
+)
+SELECT vec_id, label, ROUND(proto_sim, 8) AS proto_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY proto_sim ASC, vec_id ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+WHERE rn <= CEIL(0.5 * n)
+"""
+
+
+@register(
+    "prototype_prune_exact", _PROTO_PRUNE_EXACT_ORACLE, tags=["llm-similarity"]
+)
+def q_prototype_prune_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning, single-prototype oracle twin: score
+    every vector by cosine to the GLOBAL decimal-exact mean embedding
+    and keep the hardest (least prototypical) half — num_cells=1 runs
+    the same score/rank/keep path as the clustered default with the
+    clustering degenerated away (llm/similarity.prototype_prune;
+    Sorscher et al. 2022). The clustered form `prototype_prune` stays
+    rows-only (k-means is not SQL-expressible)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, keep_frac=0.5, num_cells=1, hard=True)
+    return out.select(
+        "vec_id", "label", F.round("proto_sim", 8).alias("proto_sim")
+    )
+
+
+@register("prototype_prune", None, tags=["llm-similarity"])
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning, clustered default: k-means cells, keep
+    the hardest half per cell by cosine-to-prototype — the
+    abundant-data pruning rule the scaling-laws paper shows beats
+    random (llm/similarity.prototype_prune). Rows-only (k-means);
+    per-cell keep-count and survivor invariants pytest-checked against
+    the exact twin."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, keep_frac=0.5, num_cells=8, hard=True)
+    return out.select("vec_id", "label")
 
 
 _SEMANTIC_DEDUP_EXACT_ORACLE = """

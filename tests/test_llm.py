@@ -465,6 +465,34 @@ def test_incremental_exact_agrees_with_minhash_on_exact_dups(spark):
     assert sorted(r.doc_id for r in mh.collect()) == [11, 13]
 
 
+def test_prototype_prune_invariants(spark, sf_dir):
+    """Per-cell keep counts, hard/easy complementarity, determinism."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import prototype_prune
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cells = 4
+    hard = prototype_prune(emb, keep_frac=0.5, num_cells=cells, hard=True)
+    kept = hard.count()
+    # ceil(0.5 * n_cell) per cell: at most +1 per cell over n/2
+    assert n // 2 <= kept <= n // 2 + cells
+    # deterministic id set across runs
+    ids1 = {r.vec_id for r in hard.select("vec_id").collect()}
+    ids2 = {
+        r.vec_id
+        for r in prototype_prune(
+            emb, keep_frac=0.5, num_cells=cells, hard=True
+        ).select("vec_id").collect()
+    }
+    assert ids1 == ids2
+    # easy mode keeps the OTHER end of each cell's ranking: overlap
+    # only via the ceil middle element, so well under half of kept
+    easy = prototype_prune(emb, keep_frac=0.5, num_cells=cells, hard=False)
+    easy_ids = {r.vec_id for r in easy.select("vec_id").collect()}
+    assert len(ids1 & easy_ids) <= cells
+
+
 def test_signature_jaccard_estimator_bounds(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
         minhash_signatures,

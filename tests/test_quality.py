@@ -377,6 +377,54 @@ def test_ks_drift_grouped_matches_single_and_handles_one_sided(spark):
     assert out["only_old"].n_new == 0 and out["only_old"].n_old == 1
 
 
+def test_psi_drift_matches_numpy_reference(spark, sf_dir):
+    """PSI contributions must match an independent numpy computation
+    with the same boundaries (the dsir rows-only contract: Spark's ln
+    is libm-dependent, so no SQL oracle — numpy is the referee), and
+    an identical-distribution comparison must score ~0."""
+    import numpy as np
+
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import psi_drift
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    old = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    new = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    rows = psi_drift(old, new, "o_totalprice", n_buckets=10).collect()
+    assert len(rows) == 10
+
+    # numpy referee with the SAME boundaries Spark used
+    bounds = old.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10) for i in range(1, 10)]),
+            F.lit(10000),
+        ).alias("b")
+    ).collect()[0]["b"]
+    ov = np.array([r.o_totalprice for r in old.collect()])
+    nv = np.array([r.o_totalprice for r in new.collect()])
+    b = np.array(bounds)
+    # bucket = #bounds <= v, i.e. searchsorted side='right'
+    obk = np.searchsorted(b, ov, side="right")
+    nbk = np.searchsorted(b, nv, side="right")
+    eps = 1e-6
+    for r in rows:
+        fo = max((obk == r.bucket).sum() / len(ov), eps)
+        fn = max((nbk == r.bucket).sum() / len(nv), eps)
+        assert r.frac_old == pytest.approx(fo, rel=1e-12)
+        assert r.frac_new == pytest.approx(fn, rel=1e-12)
+        assert r.psi_contrib == pytest.approx(
+            (fn - fo) * np.log(fn / fo), rel=1e-9, abs=1e-12
+        )
+
+    # identical distributions → PSI ≈ 0
+    same = psi_drift(old, old, "o_totalprice", n_buckets=10).collect()
+    assert sum(abs(r.psi_contrib) for r in same) < 1e-9
+
+
 def test_benford_drift_conforming_and_uniform(spark):
     import math
 
