@@ -1794,6 +1794,67 @@ GROUP BY 1, 2, 3
 """
 
 
+_STREAM_DRIFT_ORACLE = """
+WITH base AS (SELECT event_type, COUNT(*) AS bc FROM events GROUP BY 1),
+bt AS (SELECT CAST(SUM(bc) AS BIGINT) AS bt FROM base),
+p AS (SELECT event_type, bc / CAST(bt AS DOUBLE) AS p FROM base, bt),
+wc AS (
+  SELECT date_trunc('day', ts) AS ws, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n_events FROM wc GROUP BY ws),
+spine AS (SELECT ws, n_events, event_type, p FROM tot, p),
+j AS (
+  SELECT s.ws, s.n_events, s.event_type, s.p,
+         COALESCE(w.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN wc w
+    ON s.ws = w.ws AND s.event_type = w.event_type
+)
+SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end,
+       event_type AS cat, n_events, CAST(cnt AS BIGINT) AS cnt,
+       p AS base_frac,
+       n_events * (cnt / CAST(n_events AS DOUBLE) - p)
+                * (cnt / CAST(n_events AS DOUBLE) - p) / p AS chi2_contrib
+FROM j
+"""
+
+
+@register("stream_drift_monitor", _STREAM_DRIFT_ORACLE, tags=["streaming", "Q4"])
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: tumbling 1-day windowed category counts
+    over the event STREAM (the only stateful op), scored per window
+    against the static baseline's category fractions after the drain —
+    per-(window, category) chi-square contributions, absent categories
+    carrying their full n·p mass
+    (streaming/ingest.category_drift_scores). The monitoring deployment
+    shape: heavy counting in the stream, tiny drift arithmetic on the
+    window summaries; AvailableNow determinism makes it batch-SQL
+    comparable."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        category_drift_scores,
+        read_parquet_stream,
+        run_available_now,
+        tumbling_aggregate,
+    )
+
+    path = _staged_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema)
+    counts = tumbling_aggregate(
+        stream,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("cnt")],
+        watermark_delay="1 minute",
+    )
+    drained = run_available_now(
+        counts, "q_stream_drift", output_mode="complete"
+    )
+    baseline = spark.read.parquet(path)
+    return category_drift_scores(drained, baseline, "event_type")
+
+
 @register("stream_tumbling_agg", _STREAM_TUMBLING_ORACLE, tags=["streaming"])
 def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day event-time window over a file-source STREAM, run

@@ -264,11 +264,53 @@ def zorder_key(
     return key
 
 
+def zorder_key_quantile(df: DataFrame, cols: list[str], bits: int = 8):
+    """Quantile-quantized Z-order key: like :func:`zorder_key` but each
+    column is rank-quantized against its own quantile-sketch boundaries
+    (ONE ``percentile_approx`` row for all columns, broadcast) instead
+    of fixed caller bounds — skewed distributions still fill every
+    level, and no caller needs to know the data's range. Costs one
+    sketch aggregate over the input (a write-once price); the
+    fixed-bounds form stays preferable when the layout must be
+    DATA-INDEPENDENT (stable across incremental writes). Returns ``df``
+    with a ``__zkey`` column; NULLs quantize to level 0."""
+    assert 1 <= len(cols) <= 6 and bits * len(cols) <= 63
+    levels = 1 << bits
+    fr = F.array(*[F.lit(i / levels) for i in range(1, levels)])
+    bounds = df.agg(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"), fr, F.lit(10000)
+            ).alias(f"__bs{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    for i, c in enumerate(cols):
+        v = F.col(c).cast("double")
+        out = out.withColumn(
+            f"__q{i}",
+            F.coalesce(
+                F.size(F.filter(f"__bs{i}", lambda b: b <= v)), F.lit(0)
+            ).cast("long"),
+        )
+    k = F.lit(0).cast("long")
+    for b in range(bits):
+        for i in range(len(cols)):
+            bit = F.shiftright(F.col(f"__q{i}"), b).bitwiseAND(F.lit(1))
+            k = k.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return out.withColumn("__zkey", k).drop(
+        *[f"__q{i}" for i in range(len(cols))],
+        *[f"__bs{i}" for i in range(len(cols))],
+    )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,
     sort_cols: list[str] | None = None,
     zorder: tuple[list[str], dict[str, tuple[float, float]]] | None = None,
+    zorder_auto: list[str] | None = None,
     partition_by: list[str] | None = None,
     target_files: int | None = None,
     mode: str = "overwrite",
@@ -277,7 +319,11 @@ def write_clustered(
     so every output file covers a narrow, non-overlapping slice of the
     sort key — the precondition for parquet min/max data skipping.
     ``sort_cols`` gives linear clustering (best for one dominant filter
-    column, e.g. time); ``zorder`` interleaves several filter columns.
+    column, e.g. time); ``zorder`` interleaves several filter columns
+    against fixed caller bounds (data-independent layout);
+    ``zorder_auto`` interleaves against quantile-sketch boundaries
+    derived from the data (skew-robust, no bounds needed — see
+    :func:`zorder_key_quantile`).
 
     At 100 TB this is the difference between "read 100 TB" and "read
     the 3 row groups whose [min,max] intersect the predicate": Spark's
@@ -286,12 +332,15 @@ def write_clustered(
     data. repartitionByRange samples the key (one extra pass over the
     keys, not the payload) to build balanced ranges.
     """
-    assert (sort_cols is None) != (zorder is None), (
-        "exactly one of sort_cols / zorder"
-    )
+    assert (
+        sum(x is not None for x in (sort_cols, zorder, zorder_auto)) == 1
+    ), "exactly one of sort_cols / zorder / zorder_auto"
     if zorder is not None:
         zcols, zbounds = zorder
         df = df.withColumn("__zkey", zorder_key(zcols, zbounds))
+        keys = ["__zkey"]
+    elif zorder_auto is not None:
+        df = zorder_key_quantile(df, zorder_auto)
         keys = ["__zkey"]
     else:
         keys = list(sort_cols)
@@ -300,7 +349,7 @@ def write_clustered(
     else:
         df = df.repartitionByRange(*keys)
     df = df.sortWithinPartitions(*keys)
-    if zorder is not None:
+    if "__zkey" in df.columns:
         df = df.drop("__zkey")
         # the sort order survives the projection; files stay clustered
     writer = df.write.mode(mode)

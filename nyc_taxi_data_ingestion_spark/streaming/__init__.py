@@ -11,6 +11,7 @@ makes the streaming results oracle-comparable to batch SQL.
 """
 
 from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
+    category_drift_scores,
     read_parquet_stream,
     run_available_now,
     silver_stream,

@@ -494,3 +494,73 @@ def stream_incremental_dedup(
     finally:
         if q.isActive:
             q.stop()
+
+
+def category_drift_scores(
+    win_counts: DataFrame,
+    baseline: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Score per-window categorical drift against a static baseline —
+    the batch tail of a streaming drift monitor: ``win_counts`` is the
+    DRAINED tumbling aggregate (window_start, window_end, cat, cnt);
+    ``baseline`` is the reference table whose category fractions define
+    "normal". Emits one row per (window, baseline category):
+    (window_start, window_end, cat, n_events, cnt, base_frac,
+    chi2_contrib) with contrib = n_w·(obs_c − p_c)²/p_c; Σ contrib per
+    window is the statistic (dof = categories − 1). A category absent
+    from a window contributes its full n_w·p_c mass (the Benford-drift
+    lesson: absence is the strongest deviation); a streamed category
+    unseen in the baseline is excluded from scoring but still counts
+    in n_events. Per-category rows, NOT a per-window sum — summing
+    doubles across rows is order-dependent across engines (the
+    chi_square_drift convention).
+
+    Exactness: counts are exact integers, fractions and contributions
+    are rational double arithmetic (no libm) — oracle-comparable.
+    Scale shape: baseline fractions are one partial-agg broadcast; the
+    spine is |windows|×|categories| (tiny)."""
+    base_counts = baseline.groupBy(
+        F.col(cat_col).alias("__cat")
+    ).agg(F.count("*").alias("__bc"))
+    base_tot = base_counts.agg(F.sum("__bc").alias("__bt"))
+    base = base_counts.crossJoin(F.broadcast(base_tot)).select(
+        "__cat",
+        (F.col("__bc") / F.col("__bt").cast("double")).alias("__p"),
+    )
+    wins = win_counts.select("window_start", "window_end").distinct()
+    totals = win_counts.groupBy("window_start", "window_end").agg(
+        F.sum("cnt").alias("n_events")
+    )
+    spine = wins.crossJoin(F.broadcast(base))
+    obs = win_counts.select(
+        "window_start",
+        "window_end",
+        F.col(cat_col).alias("__cat"),
+        "cnt",
+    )
+    j = (
+        spine.join(obs, ["window_start", "window_end", "__cat"], "left")
+        .join(totals, ["window_start", "window_end"])
+        .select(
+            "window_start",
+            "window_end",
+            "__cat",
+            "n_events",
+            "__p",
+            F.coalesce("cnt", F.lit(0)).alias("__cnt"),
+        )
+    )
+    obs_frac = F.col("__cnt") / F.col("n_events").cast("double")
+    dev = obs_frac - F.col("__p")
+    return j.select(
+        "window_start",
+        "window_end",
+        F.col("__cat").alias("cat"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("__cnt").cast("long").alias("cnt"),
+        F.col("__p").alias("base_frac"),
+        (F.col("n_events") * dev * dev / F.col("__p")).alias(
+            "chi2_contrib"
+        ),
+    )

@@ -128,3 +128,63 @@ def test_write_clustered_enables_row_group_skipping(spark, sf_dir, tmp_path):
     assert sorted(v_spans_zod)[len(v_spans_zod) // 2] < sorted(v_spans_lin)[
         len(v_spans_lin) // 2
     ]
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout must give BOTH participating columns selective
+    per-file min/max stats: a point predicate on either column may
+    overlap only a minority of files (a single-column sort would leave
+    the other column's stats useless; a hash layout leaves both
+    useless). Verified from real parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.sources.sinks import write_clustered
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "z")
+    write_clustered(
+        li, zdir, zorder_auto=["l_partkey", "l_suppkey"], target_files=16
+    )
+
+    # round-trip fidelity
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
+
+    import os
+
+    files = [
+        os.path.join(zdir, f)
+        for f in os.listdir(zdir)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+
+    def overlap_frac(col: str, value) -> float:
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and fmin <= value <= fmax:
+                hit += 1
+        return hit / len(files)
+
+    # median-ish probe values: worst case for pruning
+    probes = li.agg(
+        *[
+            F.percentile_approx(c, F.lit(0.5), F.lit(1000)).alias(c)
+            for c in ("l_partkey", "l_suppkey")
+        ]
+    ).collect()[0]
+    for col in ("l_partkey", "l_suppkey"):
+        frac = overlap_frac(col, probes[col])
+        assert frac <= 0.5, (col, frac)
