@@ -149,6 +149,40 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def media_shard_pack(
+    media: DataFrame,
+    budget_bytes: int,
+    type_col: str = "media_type",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Pack media blobs into ~``budget_bytes`` training shards per
+    media type, in (type, id) order — the byte-budget twin of
+    llm/curation.token_shards for multimodal rows, where shard size is
+    bounded by PAYLOAD bytes, not token counts (a webdataset/tar-shard
+    builder's partitioning decision). shard_id = floor(prefix bytes
+    before this row / budget); deterministic; shards overshoot by at
+    most one blob (exact greedy bin-packing is inherently sequential —
+    prefix-sum binning is the standard distributed relaxation).
+
+    Scale shape: ONE shuffle on the media-type key; the prefix sum is a
+    type-partitioned window over (id) — never a global sort; payloads
+    themselves are untouched (the window sums the byte LENGTH
+    column)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blen = F.length(payload_col)
+    before = F.coalesce(F.sum(blen).over(w), F.lit(0))
+    return media.withColumn("byte_len", blen.cast("long")).withColumn(
+        "shard_id", F.floor(before / F.lit(budget_bytes)).cast("int")
+    )
+
+
 FRAME_SCHEMA = (
     "media_id long, frame_idx int, ts_ms int, frame_len int, frame_hex string"
 )

@@ -664,6 +664,65 @@ def ivfpq_topk(
     )
 
 
+def centroid_shift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift per group: the cosine between each group's
+    decimal-exact mean vector in two corpus versions — the drift
+    monitor for EMBEDDING columns, where scalar tests (KS, chi-square,
+    PSI) see nothing because no single dimension moves much while the
+    mean direction rotates. cosine ≈ 1: stable; lower: the group's
+    semantic center moved (upstream encoder change, topic shift,
+    poisoning). Returns (group, n_old, n_new, centroid_cosine); groups
+    present on only one side report NULL cosine.
+
+    Exactness: per-dimension decimal accumulation (the
+    embedding_centroids contract) makes both centroids bit-reproducible
+    under any partitioning; the cosine is the shared sequential fold.
+    Scale shape: two (group, dim) partial-aggs — the shuffle carries
+    |groups|·|dims| rows, never vectors; the join is |groups| rows."""
+
+    def cents(frame: DataFrame, n_alias: str):
+        ex = frame.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(vec_col).alias("__pos", "__v"),
+        ).select("__g", "__pos", F.col("__v").cast("double").alias("__v"))
+        per_dim = ex.groupBy("__g", "__pos").agg(
+            (
+                F.sum(F.col("__v").cast("decimal(38,8)")).cast("double")
+                / F.count("__v")
+            ).alias("__c")
+        )
+        arr = per_dim.groupBy("__g").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+        cnt = frame.groupBy(F.col(group_col).alias("__g")).agg(
+            F.count("*").alias(n_alias)
+        )
+        return arr.join(cnt, "__g")
+
+    co = cents(old, "n_old")
+    cn = cents(new, "n_new").withColumnsRenamed({"__cent": "__cent2"})
+    return (
+        co.join(cn, "__g", "full_outer")
+        .select(
+            F.col("__g").alias(group_col),
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.when(
+                F.col("__cent").isNotNull() & F.col("__cent2").isNotNull(),
+                cosine(F.col("__cent"), F.col("__cent2")),
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
 def prototype_prune(
     corpus: DataFrame,
     keep_frac: float = 0.5,

@@ -1409,6 +1409,84 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q1_TEMPLATE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+       AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(6,4))
+                 * CAST(1 + l_tax AS DECIMAL(6,4))), 4)
+       AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+    AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+    AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*)
+    AS avg_disc,
+  COUNT(*) AS count_order
+FROM {table}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "tpch_q1_sql",
+    _TPCH_Q1_TEMPLATE.format(table="lineitem"),
+    tags=["A1", "sql"],
+)
+def q_tpch_q1_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the spark.sql() PARSER path —
+    temp view + ONE ANSI SQL string that both engines execute verbatim
+    (only the table name differs), proving the raw-SQL API surface
+    end-to-end, not just the DataFrame builder. Decimal-exact
+    accumulation per measure keeps every float a deterministic ratio
+    (functions/numeric contract); the derived-measure products are
+    IEEE-identical pre-cast."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch_lineitem_v")
+    return spark.sql(_TPCH_Q1_TEMPLATE.format(table="tpch_lineitem_v"))
+
+
+_MEDIA_SHARD_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+),
+c AS (
+  SELECT media_id, media_type, byte_len,
+         COALESCE(SUM(byte_len) OVER (
+           PARTITION BY media_type ORDER BY media_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr
+  FROM m
+)
+SELECT media_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(FLOOR(bfr / 8192) AS INT) AS shard_id
+FROM c
+"""
+
+
+@register("media_shard_pack", _MEDIA_SHARD_ORACLE, tags=["llm-multimodal"])
+def q_media_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budgeted multimodal shard packing (~8 KiB shards per media
+    type, packed in (type, id) order) — the webdataset/tar-shard
+    partitioning decision, computed from payload byte lengths without
+    touching the payloads (llm/multimodal.media_shard_pack); payloads
+    here are utf-8 text bytes via the documents_as_media adapter."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        media_shard_pack,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = media_shard_pack(documents_as_media(docs), budget_bytes=8192)
+    return out.select("media_id", "media_type", "byte_len", "shard_id")
+
+
 @register("minhash_near_dup", None, tags=["llm-dedup"])
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pipeline (shingle → 64 minhashes → 16 bands
@@ -4567,6 +4645,62 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["dataset_split"].oracle = _split_oracle()
+
+
+_CENTROID_SHIFT_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+),
+cent AS (
+  SELECT label, half, pos,
+         CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / COUNT(v) AS c
+  FROM ex GROUP BY label, half, pos
+),
+arr AS (
+  SELECT label, half, list(c ORDER BY pos) AS cent
+  FROM cent GROUP BY label, half
+),
+cnt AS (
+  SELECT label, vec_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY 1, 2
+),
+o AS (SELECT a.label, a.cent, c.n FROM arr a JOIN cnt c
+      ON a.label = c.label AND a.half = c.half AND a.half = 0),
+nw AS (SELECT a.label, a.cent, c.n FROM arr a JOIN cnt c
+       ON a.label = c.label AND a.half = c.half AND a.half = 1)
+SELECT COALESCE(o.label, nw.label) AS label,
+       COALESCE(o.n, 0) AS n_old,
+       COALESCE(nw.n, 0) AS n_new,
+       ROUND(
+         list_reduce(list_transform(range(1, 65), i -> o.cent[i] * nw.cent[i]), (acc,x) -> acc+x)
+         / (sqrt(list_reduce(list_transform(range(1, 65), i -> o.cent[i] * o.cent[i]), (acc,x) -> acc+x))
+            * sqrt(list_reduce(list_transform(range(1, 65), i -> nw.cent[i] * nw.cent[i]), (acc,x) -> acc+x))),
+         8) AS centroid_cosine
+FROM o FULL OUTER JOIN nw ON o.label = nw.label
+"""
+
+
+@register("centroid_shift", _CENTROID_SHIFT_ORACLE, tags=["llm-similarity", "Q4"])
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between the two corpus halves
+    (vec_id % 2): cosine between decimal-exact mean vectors — the
+    embedding-space drift monitor scalar drift tests can't see
+    (llm/similarity.centroid_shift). Fold order matches list_reduce;
+    centroids bit-reproducible under any partitioning."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import centroid_shift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_shift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+    return out.select(
+        "label", "n_old", "n_new",
+        F.round("centroid_cosine", 8).alias("centroid_cosine"),
+    )
 
 
 _PROTO_PRUNE_EXACT_ORACLE = """
