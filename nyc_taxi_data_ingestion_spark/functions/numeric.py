@@ -65,120 +65,159 @@ def exact_quantiles(
     value_col: str,
     fracs: list[float],
     n_buckets: int = 64,
+    max_task_rows: int = 4_000_000,
+    max_rounds: int = 8,
     out_prefix: str = "q",
 ):
     """Exact ``quantile_cont`` values (linear interpolation, the Spark
     ``percentile`` / DuckDB ``quantile_cont`` contract) at each of
     ``fracs``, as a ONE-ROW DataFrame with columns ``{prefix}0..k-1``
-    — computed by DISTRIBUTED rank-selection instead of the built-in
-    exact ``percentile`` aggregate, which buffers every value in one
-    aggregation buffer (the classic exact-twin scale-killer this
-    replaces).
+    — computed by DISTRIBUTED ITERATIVE RANK SELECTION instead of the
+    built-in exact ``percentile`` aggregate, which buffers every value
+    in one aggregation buffer (the classic exact-twin scale-killer
+    this replaces).
 
-    Plan: quantile-sketch boundaries (one ``percentile_approx`` row,
-    broadcast) bucket values monotonically; per-bucket counts give
-    broadcast prefix offsets (the only single-partition window is over
-    ≤``n_buckets`` subtotal rows — the ks_drift pattern); each row's
-    exact global rank is offset + within-bucket row_number − 1; the ≤2·k
-    ranks the quantiles need are joined out and interpolated. Every
-    stage is a partial-agg or a bucket-partitioned window — nothing
-    corpus-sized ever sits in one task, so the EXACT computation itself
-    survives 100 TB. Sketch boundary placement affects only balance,
-    never the result.
+    Algorithm (textbook distributed selection / histogram refinement):
+    each needed global rank (⌊p·(n−1)⌋ and ⌈p·(n−1)⌉ per fraction)
+    starts with the whole value range; each round, the active ranges
+    are bucketized against quantile-sketch boundaries (boundary
+    placement only steers balance, never the result), the ≤n_buckets
+    per-range bucket counts are collected to the driver (bounded,
+    like ``approxQuantile``'s driver step), and every rank narrows to
+    the one bucket containing it with a residual local rank. A range
+    resolves when it is constant (min == max) or small enough that a
+    single task may sort it (≤ ``max_task_rows`` — the final
+    per-range ``row_number`` window is bounded by construction, so no
+    task ever holds more). 100 TB ≈ 10¹² rows narrows in
+    ⌈log₆₃(10¹²/4·10⁶)⌉ = 3 rounds of filtered scans.
 
     Exactness: ranks are exact integers; the interpolation is Spark's
     own ``v_lo·(hi−pos) + v_hi·(pos−lo)`` (Percentile.getPercentile —
     the SYMMETRIC weighted form, which rounds differently in the last
     ulp from ``v_lo + f·(v_hi−v_lo)``; hypothesis found the
     counterexample), with the integral-position case returning v_lo
-    directly, exactly as the built-in does — bit-identical to
-    `percentile` by property test. Null values are excluded, like both
-    built-ins. Empty input yields one all-NULL row.
+    directly — bit-identical to `percentile` by property test
+    (driver-side Python doubles are the same IEEE 754 ops). Null
+    values are excluded, like both built-ins. Empty input yields one
+    all-NULL row.
     """
+    import math
+
+    spark = df.sparkSession
+    out_cols = [f"{out_prefix}{i}" for i in range(len(fracs))]
+    v = F.col(value_col)
+    vals = df.select(v.cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    n = vals.count()
+    if n == 0:
+        row = spark.createDataFrame(
+            [tuple([None] * len(fracs))],
+            ", ".join(f"{c} double" for c in out_cols),
+        )
+        return row
+
+    pos = [p * (n - 1) for p in fracs]
+    needed = sorted({r for p in pos for r in (math.floor(p), math.ceil(p))})
+
+    def range_pred(lo, hi):
+        # value-range of a bucket: [lo, hi) with None = open end
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (F.col("v") >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col("v") < F.lit(hi))
+        return p
+
+    # state per needed rank: (range_key, local_rank); ranges dedup'd
+    # range_key -> (lo, hi, count_in_range)
+    ranges = {(None, None): n}
+    where = {r: ((None, None), r) for r in needed}
+    resolved: dict[int, float] = {}
+
+    bfr = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    for _ in range(max_rounds):
+        active = sorted(
+            {
+                key
+                for r, (key, _lr) in where.items()
+                if r not in resolved and ranges[key] > max_task_rows
+            }
+        )
+        if not active:
+            break
+        for key in active:
+            lo, hi = key
+            sub = vals.where(range_pred(lo, hi))
+            stats = sub.agg(
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.percentile_approx("v", bfr, F.lit(100)).alias("bs"),
+            ).collect()[0]
+            if stats["mn"] == stats["mx"]:
+                for r, (k2, _lr) in list(where.items()):
+                    if k2 == key and r not in resolved:
+                        resolved[r] = stats["mn"]
+                continue
+            bs = stats["bs"]
+            bucket = F.coalesce(
+                F.size(F.filter(F.lit(bs), lambda x: x <= F.col("v"))),
+                F.lit(0),
+            )
+            counts = dict(
+                sub.groupBy(bucket.alias("b"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            # bucket b's value range: [bs[b-1] or lo, bs[b] or hi)
+            edges = [lo] + list(bs) + [hi]
+            offset = 0
+            by_bucket = {}
+            for b in range(len(bs) + 1):
+                c = counts.get(b, 0)
+                if c:
+                    by_bucket[b] = (offset, c)
+                offset += c
+            for r, (k2, lr) in list(where.items()):
+                if k2 != key or r in resolved:
+                    continue
+                for b, (off, c) in by_bucket.items():
+                    if off <= lr < off + c:
+                        nkey = (edges[b], edges[b + 1])
+                        ranges[nkey] = c
+                        where[r] = (nkey, lr - off)
+                        break
+
+    # final: per remaining range, one bounded sort task picks the values
+    pending: dict[tuple, list[tuple[int, int]]] = {}
+    for r, (key, lr) in where.items():
+        if r not in resolved:
+            pending.setdefault(key, []).append((r, lr))
     from pyspark.sql import Window
 
-    v = F.col(value_col)
-    vals = df.select(v.alias("v")).where(F.col("v").isNotNull())
-    bfr = F.array(
-        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
-    )
-    bounds = vals.agg(
-        F.percentile_approx("v", bfr, F.lit(10000)).alias("__bs")
-    )
-    b = vals.crossJoin(F.broadcast(bounds)).select(
-        "v",
-        F.size(F.filter("__bs", lambda x: x <= F.col("v"))).alias("__b"),
-    )
-    sub = b.groupBy("__b").agg(F.count("*").alias("__c"))
-    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = sub.select(
-        "__b", F.coalesce(F.sum("__c").over(wb), F.lit(0)).alias("__off")
-    )
-    tot = sub.agg(F.sum("__c").alias("__n"))
-    wv = Window.partitionBy("__b").orderBy("v")
-    ranked = (
-        b.withColumn("__rn", F.row_number().over(wv))
-        .join(F.broadcast(offs), "__b")
-        .select("v", (F.col("__off") + F.col("__rn") - 1).alias("__rank"))
-    )
-    fr = (
-        tot.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(float(p)).alias("p"),
-                            F.lit(i).alias("i"),
-                        )
-                        for i, p in enumerate(fracs)
-                    ]
-                )
-            ).alias("s"),
-            "__n",
+    for key, items in pending.items():
+        lo, hi = key
+        sub = vals.where(range_pred(lo, hi))
+        w = Window.partitionBy(F.lit(0)).orderBy("v")
+        lrs = [lr for _r, lr in items]
+        hitrows = (
+            sub.withColumn("__rn", F.row_number().over(w) - 1)
+            .where(F.col("__rn").isin(lrs))
+            .collect()
         )
-        .select(
-            F.col("s.i").alias("__i"),
-            (F.col("s.p") * (F.col("__n") - 1).cast("double")).alias(
-                "__pos"
-            ),
-        )
-        .select(
-            "__i",
-            "__pos",
-            F.floor("__pos").cast("long").alias("__lo"),
-            F.ceil("__pos").cast("long").alias("__hi"),
-        )
-    )
-    hit = ranked.join(
-        F.broadcast(fr),
-        (F.col("__rank") == F.col("__lo"))
-        | (F.col("__rank") == F.col("__hi")),
-    )
-    per = hit.groupBy("__i", "__pos", "__lo").agg(
-        F.max(F.when(F.col("__rank") == F.col("__lo"), F.col("v"))).alias(
-            "__vlo"
-        ),
-        F.max(F.when(F.col("__rank") == F.col("__hi"), F.col("v"))).alias(
-            "__vhi"
-        ),
-    )
-    lo_d = F.col("__lo").cast("double")
-    hi_d = F.ceil("__pos").cast("long").cast("double")
-    q = per.select(
-        "__i",
-        F.when(F.col("__pos") == lo_d, F.col("__vlo"))
-        .otherwise(
-            F.col("__vlo") * (hi_d - F.col("__pos"))
-            + F.col("__vhi") * (F.col("__pos") - lo_d)
-        )
-        .alias("__q"),
-    )
-    row = q.groupBy().pivot("__i", list(range(len(fracs)))).agg(
-        F.first("__q")
-    )
-    return row.select(
-        *[
-            F.col(str(i)).alias(f"{out_prefix}{i}")
-            for i in range(len(fracs))
-        ]
+        got = {row["__rn"]: row["v"] for row in hitrows}
+        for r, lr in items:
+            resolved[r] = got[lr]
+
+    out = []
+    for p in pos:
+        lo_r, hi_r = math.floor(p), math.ceil(p)
+        vlo, vhi = resolved[lo_r], resolved[hi_r]
+        if p == lo_r:
+            out.append(vlo)
+        else:
+            out.append(vlo * (hi_r - p) + vhi * (p - lo_r))
+    return spark.createDataFrame(
+        [tuple(out)], ", ".join(f"{c} double" for c in out_cols)
     )

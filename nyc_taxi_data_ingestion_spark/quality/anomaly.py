@@ -550,6 +550,10 @@ def mad_outliers(
     )
 
     v = F.col(value_col)
+    # exact_quantiles resolves to a one-row LOCAL relation (its
+    # iterative selection runs bounded driver rounds), so each pass's
+    # result broadcasts for free — the second pass never re-derives
+    # the first through lineage
     med_row = exact_quantiles(df, value_col, [0.5]).select(
         F.col("q0").alias("median")
     )

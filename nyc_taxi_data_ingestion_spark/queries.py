@@ -5096,6 +5096,61 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_by_group(_t(spark, sf_dir, "documents"))
 
 
+_CONTEXT_FIT_ORACLE = r"""
+WITH t AS (
+  SELECT len(string_split_regex(trim(text), '\s+')) AS tc FROM documents
+),
+ctx AS (SELECT unnest([32, 64, 128, 256]) AS context_len)
+SELECT context_len,
+       CAST(COUNT(*) FILTER (tc <= context_len) AS INT) AS docs_fit,
+       CAST(COUNT(*) AS INT) AS docs_total,
+       CAST(SUM(CASE WHEN tc > context_len THEN tc - context_len
+                     ELSE 0 END) AS BIGINT) AS tokens_truncated,
+       CAST(SUM(tc) AS BIGINT) AS tokens_total,
+       SUM(CASE WHEN tc > context_len THEN tc - context_len ELSE 0 END)
+         / CAST(SUM(tc) AS DOUBLE) AS truncation_loss
+FROM t, ctx
+GROUP BY context_len
+"""
+
+
+@register("context_fit_stats", _CONTEXT_FIT_ORACLE, tags=["llm-text"])
+def q_context_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning table: for each candidate training
+    context length, how many docs fit whole and what fraction of
+    corpus tokens a hard truncation would discard — the number that
+    picks max_seq_len before a training run. One narrow token-count
+    map cross-joined with the (tiny, broadcast) candidate-length spine,
+    then a partial agg; exact integer sums, one ratio."""
+    from nyc_taxi_data_ingestion_spark.llm.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count("text").alias("tc")
+    )
+    ctx = spark.createDataFrame(
+        [(32,), (64,), (128,), (256,)], "context_len int"
+    )
+    over = F.when(
+        F.col("tc") > F.col("context_len"),
+        F.col("tc") - F.col("context_len"),
+    ).otherwise(F.lit(0))
+    return (
+        docs.crossJoin(F.broadcast(ctx))
+        .groupBy("context_len")
+        .agg(
+            F.count(F.when(F.col("tc") <= F.col("context_len"), 1))
+            .cast("int")
+            .alias("docs_fit"),
+            F.count("*").cast("int").alias("docs_total"),
+            F.sum(over).alias("tokens_truncated"),
+            F.sum("tc").alias("tokens_total"),
+            (F.sum(over) / F.sum("tc").cast("double")).alias(
+                "truncation_loss"
+            ),
+        )
+    )
+
+
 _LANG_TOKEN_STATS_ORACLE = r"""
 SELECT lang,
        CAST(COUNT(*) AS INT) AS n_docs,
