@@ -241,23 +241,30 @@ def token_shards(
 ) -> DataFrame:
     """Assign each document to a training shard of ~``budget_tokens``
     whitespace tokens, packing in (source, id) order: shard_id =
-    floor(prefix_sum_before_doc / budget). Deterministic, and one
-    shuffle on the source key only — the within-source prefix sum is a
-    window, not a global sort. (Exact greedy bin-packing is inherently
-    sequential; prefix-sum binning is the standard distributed
-    relaxation — shards overshoot by at most one document.)
+    floor(prefix_sum_before_doc / budget). Deterministic. (Exact
+    greedy bin-packing is inherently sequential; prefix-sum binning is
+    the standard distributed relaxation — shards overshoot by at most
+    one document.)
+
+    The within-source running sum is ``partitioned_prefix_sum``'s
+    two-pass bucketed scan, NOT a per-source ordered window — a
+    handful of corpus sources over 100 TB would otherwise each land in
+    a single task (the same single-task-window class the ks_drift
+    cumsum fixed).
 
     All input columns pass through; ``token_cnt`` and ``shard_id`` are
     appended — so the packer composes with upstream curation stages."""
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
     )
-    before = F.coalesce(F.sum("token_cnt").over(w), F.lit(0))
-    return df.withColumn("token_cnt", token_count(text_col)).withColumn(
-        "shard_id", F.floor(before / F.lit(budget_tokens)).cast("int")
-    )
+
+    counted = df.withColumn("token_cnt", token_count(text_col))
+    return partitioned_prefix_sum(
+        counted, [source_col], id_col, "token_cnt", "__before"
+    ).withColumn(
+        "shard_id",
+        F.floor(F.col("__before") / F.lit(budget_tokens)).cast("int"),
+    ).drop("__before")
 
 
 # -- benchmark contamination -------------------------------------------------

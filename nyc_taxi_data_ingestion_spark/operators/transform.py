@@ -447,6 +447,68 @@ def union_conformed(
     return out
 
 
+def partitioned_prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` in ``order_col`` order
+    within each ``part_cols`` group, WITHOUT a group-per-task window.
+
+    ``Window.partitionBy(part_cols).orderBy(order_col)`` moves each
+    whole group into ONE task — for low-cardinality groups (a handful
+    of corpus sources over 100 TB) that is a single-task scan of the
+    largest group. Instead, the standard two-pass distributed scan:
+    ``percentile_approx`` boundaries over ``order_col`` split each
+    group into ``n_buckets`` monotone ranges; per-(group, bucket)
+    subtotals (a bounded table: |groups|·n_buckets rows) produce
+    broadcast prefix OFFSETS via the only ordered window in the plan —
+    over those subtotal rows; the in-bucket exclusive sum is a window
+    partitioned by (group, bucket). Sketch boundary placement only
+    affects bucket balance, never the sum (integer adds commute).
+
+    Requires ``order_col`` unique within each group (deterministic
+    order) and non-null ``part_cols``. Output = input columns +
+    ``out_col``; ``value_col`` nulls count as 0."""
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.groupBy(*part_cols).agg(
+        F.percentile_approx(order_col, fracs, F.lit(10000)).alias("__bs")
+    )
+    bucketed = df.join(bounds, on=part_cols).withColumn(
+        "__b",
+        F.size(F.filter("__bs", lambda b: b <= F.col(order_col))),
+    )
+    sub = bucketed.groupBy(*part_cols, "__b").agg(
+        F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("__s")
+    )
+    wb = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        *part_cols,
+        "__b",
+        F.coalesce(F.sum("__s").over(wb), F.lit(0)).alias("__off"),
+    )
+    wl = (
+        Window.partitionBy(*part_cols, "__b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = F.coalesce(
+        F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(wl), F.lit(0)
+    )
+    return (
+        bucketed.join(offsets, on=[*part_cols, "__b"])
+        .withColumn(out_col, (F.col("__off") + loc).cast("long"))
+        .drop("__bs", "__b", "__off")
+    )
+
+
 def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Join/aggregation-key skew diagnostic: per-key count distribution
     in ONE pass over the keys — the measurement you take BEFORE

@@ -68,6 +68,44 @@ def test_token_shards_budget_and_monotonic(spark, sf_dir):
         assert (sums <= budget + grp["token_cnt"].max()).all()
 
 
+def test_partitioned_prefix_sum_matches_naive_window(spark, sf_dir):
+    # the distributed two-pass cumsum must equal the single-window
+    # form exactly, including with n_buckets small enough that every
+    # bucket boundary path is exercised
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "doc_id", "n_chars")
+    )
+    got = (
+        partitioned_prefix_sum(
+            docs, ["source"], "doc_id", "n_chars", "run", n_buckets=4
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = (
+        docs.withColumn(
+            "run", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["run"].to_numpy() == want["run"].to_numpy()).all()
+
+
 def test_repetition_stats_flags_degenerate_text(spark):
     df = spark.createDataFrame(
         [
