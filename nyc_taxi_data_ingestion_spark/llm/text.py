@@ -520,3 +520,88 @@ def bpe_encode_udf(merges: list[tuple[str, str]], end_of_word: str = "</w>"):
         return pd.Series(out, dtype="int32")
 
     return n_bpe_tokens
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    top_k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 ranking of documents against a fixed query-term list
+    (Robertson & Spärck Jones; the lexical-retrieval baseline every
+    RAG/training-retrieval stack keeps next to its ANN index). Returns
+    (term, rank, doc_id, score): the ``top_k`` docs per term by
+    score DESC, doc_id ASC.
+
+    Per-term scoring (no cross-term sum, so no float-addition-order
+    dependence): score = idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf(t) = (N − df + 0.5)/(df + 0.5) — the odds form WITHOUT the
+    log wrap, which preserves BM25's per-term ranking exactly (log is
+    monotone) while keeping every op a single IEEE divide/multiply —
+    bit-identical across engines (the repo's exact-float oracle
+    contract; no libm).
+
+    Scale shape: tokens explode ONCE and are filtered to the query
+    vocabulary BEFORE the (doc, term) partial-agg shuffle, so shuffle
+    volume is bounded by matches, not corpus tokens; df/N/avgdl are a
+    term-count-row + single-row broadcast; final top-k per term is the
+    salted two-phase ``topk_per_group`` (a hot term is a hot group)."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        topk_per_group,
+    )
+
+    term_lits = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
+    )
+    dl = base.select("doc_id", F.size("__toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .filter(F.array_contains(term_lits, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "score",
+            (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+                )
+            ),
+        )
+    )
+    ranked = topk_per_group(
+        scored,
+        ["term"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        top_k,
+        salt_col="doc_id",
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "term", "rank", "doc_id", "score"
+    )

@@ -195,3 +195,94 @@ def trend_slopes(
         F.col("__n").alias("n_obs"),
         slope.alias("slope_per_hour"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT rolling N-day distinct count (e.g. 7-day active users) per
+    observed day: for each day d with ≥1 event, the number of distinct
+    keys active in [d−N+1, d]. Returns (day, n_active).
+
+    Scale shape: events collapse to the (day, key) presence table
+    first (one partial-agg shuffle, dedupes within-day repeats early);
+    each presence row then explodes to the ≤N window-days it covers —
+    a bounded ×N expansion of the ALREADY-DEDUPED table, not of the
+    event log — and one count-distinct per window day finishes. No
+    window function, no self-join of the event log against itself.
+    """
+    du = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("day"),
+            F.col(key_col).alias("k"),
+        )
+        .where(F.col("day").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+    )
+    observed = du.select("day").distinct().withColumnRenamed(
+        "day", "win_day"
+    )
+    covered = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("win_day"),
+        "k",
+    )
+    return (
+        covered.join(observed, "win_day", "semi")
+        .groupBy("win_day")
+        .agg(F.countDistinct("k").alias("n_active"))
+        .select(F.col("win_day").alias("day"), "n_active")
+    )
+
+
+def rolling_distinct_hll(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch twin of :func:`rolling_distinct` — the 100 TB path: one
+    HyperLogLog sketch per day (Spark's Apache DataSketches
+    ``hll_sketch_agg``; bounded bytes per day regardless of volume),
+    then each day's sketch is UNIONED into the ≤N windows it covers —
+    distinct counting becomes mergeable state, so a new day of data
+    touches only N window rows instead of re-scanning N days of raw
+    events. This is the pattern that also gives cross-run
+    incrementality: persist the daily sketches and union on read.
+    Returns (day, approx_active); estimate is deterministic for fixed
+    input (no RNG), accuracy ~1.6%/√(2^lg_k). Not SQL-expressible
+    cross-engine (sketch internals) → verified against the exact twin
+    in pytest."""
+    daily = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("k"),
+    ).where(
+        F.col("day").isNotNull() & F.col("k").isNotNull()
+    ).groupBy("day").agg(
+        F.hll_sketch_agg("k", F.lit(lg_k)).alias("sk")
+    )
+    observed = daily.select("day").withColumnRenamed("day", "win_day")
+    covered = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("win_day"),
+        "sk",
+    )
+    return (
+        covered.join(observed, "win_day", "semi")
+        .groupBy("win_day")
+        .agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.col("win_day").alias("day"),
+            F.hll_sketch_estimate("u").alias("approx_active"),
+        )
+    )

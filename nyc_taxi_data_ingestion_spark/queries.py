@@ -5231,6 +5231,150 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 8 — profiling, rolling distinct (exact + mergeable-sketch twin),
+# lexical retrieval.
+# ---------------------------------------------------------------------------
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_columns", _PROFILE_ORACLE, tags=["Q14", "A6"])
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (quality/profiling.profile_columns):
+    per-column nulls / exact distinct / min / max over lineitem's
+    measure columns in a SINGLE aggregate over ONE scan (plan-gated) —
+    the primitive that chooses the thresholds the quality rules then
+    enforce. The oracle is the k-subquery UNION ALL form; the engine
+    does it in one scan."""
+    from nyc_taxi_data_ingestion_spark.quality.profiling import (
+        profile_columns,
+    )
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""
+
+
+@register("rolling_active_users", _ROLLING_ACTIVE_ORACLE, tags=["events", "A12"])
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling active users per observed day
+    (operators/analytics.rolling_distinct): presence table first, then
+    a bounded ×7 day-cover explode of the DEDUPED table — never a
+    range self-join of the event log. The oracle is the direct
+    range-join COUNT DISTINCT."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        rolling_distinct,
+    )
+
+    return rolling_distinct(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+@register("rolling_active_hll", None, tags=["events", "A9"])
+def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch twin of rolling_active_users
+    (operators/analytics.rolling_distinct_hll): one DataSketches HLL
+    per day, unioned into each covering window — distinct counting as
+    mergeable state (persistable across runs; a new day touches ≤7
+    window rows, no raw re-scan). Sketch internals aren't
+    SQL-expressible cross-engine → rows-only; accuracy vs the exact
+    twin is pytest-gated."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        rolling_distinct_hll,
+    )
+
+    return rolling_distinct_hll(
+        _t(spark, sf_dir, "events"), "ts", "user_id", window_days=7
+    )
+
+
+_BM25_TERMS = ["spark", "merge", "vector"]
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+scored AS (
+  SELECT t.term, t.doc_id,
+         ((c.n_docs - f.df + CAST('0.5' AS DOUBLE))
+            / (f.df + CAST('0.5' AS DOUBLE)))
+         * ((t.tf * CAST('2.2' AS DOUBLE))
+            / (t.tf + CAST('1.2' AS DOUBLE)
+               * (CAST('0.25' AS DOUBLE)
+                  + CAST('0.75' AS DOUBLE)
+                    * (d.dl / (CAST(c.sum_dl AS DOUBLE)
+                               / CAST(c.n_docs AS DOUBLE))))))
+           AS score
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN dfreq f USING (term), corpus c
+)
+SELECT term, rank, doc_id, score FROM (
+  SELECT term, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY score DESC, doc_id
+         ) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("bm25_rank", _BM25_ORACLE, tags=["llm-text", "T2"])
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 docs per query term (llm/text.bm25_rank) — the
+    lexical-retrieval baseline beside the ANN family. idf uses the
+    log-free odds form (monotone ⇒ identical ranking) so every float
+    op is a single IEEE divide/multiply, bit-identical cross-engine;
+    tokens are vocabulary-filtered BEFORE the (doc, term) shuffle and
+    the final per-term top-k is the salted two-phase plan."""
+    from nyc_taxi_data_ingestion_spark.llm.text import bm25_rank
+
+    return bm25_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, top_k=5)
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

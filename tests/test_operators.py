@@ -275,3 +275,51 @@ def _events_frame_with_value(spark, rows):
         "event_id long, ts string, user_id long, event_type string, value double",
     )
     return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+# -- rolling distinct: exact vs HLL sketch twin ------------------------------
+
+
+def test_rolling_distinct_hll_tracks_exact(spark, sf_dir):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        rolling_distinct,
+        rolling_distinct_hll,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["day"]: r["n_active"]
+        for r in rolling_distinct(ev, "ts", "user_id", 7).collect()
+    }
+    approx = {
+        r["day"]: r["approx_active"]
+        for r in rolling_distinct_hll(ev, "ts", "user_id", 7).collect()
+    }
+    assert set(exact) == set(approx)  # same observed-day spine
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2.0, 0.05 * n)
+
+
+def test_bm25_rank_orders_by_tf_and_rarity(spark):
+    from nyc_taxi_data_ingestion_spark.llm.text import bm25_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad pad"),
+            (2, "spark pad pad pad pad"),
+            (3, "pad pad pad pad pad"),
+            (4, "vector pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_rank(df, ["spark", "vector"], top_k=3).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append((r["rank"], r["doc_id"]))
+    # higher tf wins within a term; absent docs never appear
+    assert sorted(by_term["spark"]) == [(1, 1), (2, 2)]
+    assert sorted(by_term["vector"]) == [(1, 4)]
+    # rarer term (df=1 vs df=2) gets the larger idf: compare the two
+    # tf=1, equal-dl docs across terms
+    scores = {(r["term"], r["doc_id"]): r["score"] for r in out}
+    assert scores[("vector", 4)] > scores[("spark", 2)]

@@ -495,3 +495,36 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     # the corpus side never sort-merges
     plan = plan_of(spark, "dsir_weights", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    # the profiler's contract: 4 columns profiled (nulls, exact
+    # distinct, min, max each) in ONE aggregate over ONE parquet scan —
+    # not a scan per column
+    plan = plan_of(spark, "profile_columns", sf_dir)
+    # formatted explain names each scan node twice (tree + detail
+    # section) — count numbered detail headers, one per physical scan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_rolling_active_no_event_log_self_join(spark, sf_dir):
+    # presence table first: the ×7 day-cover explode must sit ABOVE a
+    # (day, user) aggregate, and the plan must not range-join the raw
+    # event log against itself (no BroadcastNestedLoopJoin / no
+    # non-equi join condition)
+    plan = plan_of(spark, "rolling_active_users", sf_dir)
+    assert "NestedLoopJoin" not in plan
+    assert plan.count("explode(sequence") == 1
+
+
+def test_bm25_vocabulary_filter_precedes_shuffle(spark, sf_dir):
+    # tokens are filtered to the 3-term query vocabulary before the
+    # (doc, term) aggregate: the explode feeds a filter, and no text
+    # column crosses an exchange
+    plan = plan_of(spark, "bm25_rank", sf_dir)
+    assert "array_contains" in plan
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text" not in line
