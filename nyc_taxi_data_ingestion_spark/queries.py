@@ -5375,6 +5375,78 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(_t(spark, sf_dir, "documents"), _BM25_TERMS, top_k=5)
 
 
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS share
+FROM c
+"""
+
+
+@register("event_transitions", _TRANSITIONS_ORACLE, tags=["events", "A12"])
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table over per-user event streams
+    (operators/analytics.event_transitions): the exploratory companion
+    to funnel_counts — which consecutive paths actually occur, row-
+    normalized per from_type. One user-key shuffle; normalization runs
+    over the |types|² count table."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+_SEASONAL_ORACLE = """
+WITH cells AS (
+  SELECT event_id,
+         CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+         value AS v
+  FROM events
+),
+prof AS (
+  SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS s2
+  FROM cells GROUP BY dow, hr
+)
+SELECT c.event_id, c.dow, c.hr, c.v,
+       p.s / CAST(p.n AS DOUBLE) AS cell_mean
+FROM cells c JOIN prof p USING (dow, hr)
+WHERE p.n > 1
+  AND CAST(p.n AS DOUBLE)
+        * ((c.v - p.s / CAST(p.n AS DOUBLE))
+           * (c.v - p.s / CAST(p.n AS DOUBLE)))
+      > CAST('9.0' AS DOUBLE)
+        * (p.s2 - p.s * (p.s / CAST(p.n AS DOUBLE)))
+"""
+
+
+@register("seasonal_anomaly", _SEASONAL_ORACLE, tags=["Q4", "Q8"])
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality outliers (quality/anomaly.seasonal_anomalies):
+    each event scored against its own (day-of-week, hour) cell's
+    mean/variance — what global z-scores and time-adjacent bands both
+    miss. Decimal-exact moments, sqrt-free flag (squared deviation vs
+    k²·variance), 168-cell profile broadcast back onto the stream."""
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        seasonal_anomalies,
+    )
+
+    return seasonal_anomalies(_t(spark, sf_dir, "events"), k=3.0)
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

@@ -323,3 +323,32 @@ def test_bm25_rank_orders_by_tf_and_rarity(spark):
     # tf=1, equal-dl docs across terms
     scores = {(r["term"], r["doc_id"]): r["score"] for r in out}
     assert scores[("vector", 4)] > scores[("spark", 2)]
+
+
+def test_event_transitions_counts_and_shares(spark):
+    from datetime import datetime as dt
+
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    rows = [
+        # user 1: a -> b -> a   user 2: a -> b
+        (1, dt(2024, 1, 1, 0), 1, "a", 0.0),
+        (2, dt(2024, 1, 1, 1), 1, "b", 0.0),
+        (3, dt(2024, 1, 1, 2), 1, "a", 0.0),
+        (4, dt(2024, 1, 1, 0), 2, "a", 0.0),
+        (5, dt(2024, 1, 1, 1), 2, "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["share"])
+        for r in event_transitions(df).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)  # both a-followers go to b
+    assert out[("b", "a")] == (1, 1.0)  # b's only outgoing transition
+    # equal timestamps fall back to event_id order: no cross-user pairs
+    assert ("b", "b") not in out and len(out) == 2

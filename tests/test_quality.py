@@ -483,3 +483,30 @@ def test_mad_outliers_grouped_matches_single_per_group(spark):
         assert out[g].median == single.median and out[g].mad == single.mad
         assert out[g].n_outliers == single.n_outliers
     assert out["a"].n_outliers == 1  # the planted 1e6
+
+
+def test_seasonal_anomalies_flags_only_cell_outliers(spark):
+    from datetime import datetime as dt
+
+    from nyc_taxi_data_ingestion_spark.quality.anomaly import (
+        seasonal_anomalies,
+    )
+
+    # cell (Monday 03:00): tight values + one spike. cell (Monday
+    # 15:00): wide spread — the 3 a.m. spike must flag, the same value
+    # at 3 p.m. must not.
+    rows = []
+    eid = 0
+    for v in [10.0, 10.5, 9.5, 10.2, 9.8, 60.0]:
+        eid += 1
+        rows.append((eid, dt(2024, 1, 1, 3), 1, "x", v))
+    for v in [10.0, 60.0, 110.0, 5.0, 200.0, 80.0]:
+        eid += 1
+        rows.append((eid, dt(2024, 1, 1, 15), 1, "x", v))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    flagged = {r["event_id"] for r in seasonal_anomalies(df, k=2.0).collect()}
+    assert 6 in flagged  # the 3 a.m. spike
+    assert not any(e > 6 for e in flagged)  # wide 3 p.m. cell stays quiet
