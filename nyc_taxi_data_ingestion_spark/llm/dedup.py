@@ -815,8 +815,8 @@ def connected_components(
     rounds. Near-dup components are small and dense (diameter ~2-4),
     so this beats the O(log n)-round large-star/small-star scheme
     (Kiveris et al., "Connected Components in MapReduce", SoCC'14) on
-    constant factors; that algorithm is the upgrade path if components
-    with huge diameters ever appear. Each round's labels are eagerly
+    constant factors; :func:`connected_components_star` implements
+    that algorithm for the long-chain regime (property-tested equal). Each round's labels are eagerly
     ``localCheckpoint``-ed — iterative lineage otherwise grows a plan
     Catalyst re-optimizes from scratch every round.
     """
@@ -887,7 +887,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
             " — component diameter exceeds the bound; raise max_iterations or"
-            " switch to large-star/small-star"
+            " switch to connected_components_star"
         )
     finally:
         sym.unpersist()
@@ -1061,3 +1061,104 @@ def incremental_minhash_dedup(
         ).select("__id", "__sig")
     )
     return survivors, updated_index
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    documented upgrade path from :func:`connected_components` for
+    graphs whose component DIAMETER is large: min-label propagation
+    needs diameter rounds, this contracts paths aggressively and
+    converges in O(log n) rounds regardless of diameter. Same output
+    contract: (node, label) with label = component minimum.
+
+    Per round: LARGE-STAR hangs every neighbor LARGER than the center
+    onto the center's minimum (strictly decreases large-neighbor
+    potential, never disconnects); SMALL-STAR re-hangs the ≤-center
+    neighbors onto their minimum. Each op is one groupBy on the center
+    key + an explode — edge-count-sized shuffles of ids, nothing else.
+    Fixed point = every node points directly at its component min (a
+    star), detected by the exact integer endpoint-sum going stable.
+
+    Near-dup graphs (diameter 2-4) should keep using min-label — fewer
+    rounds, fewer shuffles/round; this exists for the long-chain
+    regime and is property-tested equal to min-label on random graphs.
+    """
+    cur = (
+        edges.select(
+            F.col(id_a).cast("long").alias("u"),
+            F.col(id_b).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        # large-star: center u over symmetrized adjacency; m = min of
+        # closed neighborhood; every neighbor w > u re-hangs onto m
+        adj = cur.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+                )
+            ).alias("e")
+        ).select("e.c", "e.n")
+        ls = (
+            adj.groupBy("c")
+            .agg(
+                F.least(F.min("n"), F.first("c")).alias("m"),
+                F.collect_set(F.when(F.col("n") > F.col("c"), F.col("n")))
+                .alias("big"),
+            )
+            .select(
+                F.explode("big").alias("u"), F.col("m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star: center u over the high→low orientation; its ≤
+        # neighbors (and u itself) all hang onto the minimum
+        ss_adj = ls.select(
+            F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
+        )
+        grouped = ss_adj.groupBy("c").agg(
+            F.min("n").alias("m"), F.collect_set("n").alias("ns")
+        )
+        cur = (
+            grouped.select(
+                F.explode(
+                    F.array_union(F.array(F.col("c")), F.col("ns"))
+                ).alias("u"),
+                F.col("m").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = cur.agg(
+            F.count("*"), F.sum("u"), F.sum("v")
+        ).first()
+        sig = tuple(sig)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            "connected_components_star did not converge in"
+            f" {max_iterations} rounds"
+        )
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    return cur.select(
+        F.col("u").alias("node"), F.col("v").alias("label")
+    ).unionByName(roots)

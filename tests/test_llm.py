@@ -840,3 +840,38 @@ def test_bpe_encode_counts(spark):
     # "aaab</w>" fully merges (freq 3 dominates): few tokens; empty text -> 0
     assert out[2] == 0
     assert 0 < out[0] <= 12 and 0 < out[1] <= 3
+
+
+def test_connected_components_star_matches_min_label(spark):
+    import random
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    # random sparse graphs
+    for n, m in [(30, 25), (50, 60), (40, 20)]:
+        cases.append(
+            [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(m)
+            ]
+        )
+    # a long path — the high-diameter regime star-contraction exists
+    # for (min-label would need ~60 rounds; star needs O(log n))
+    cases.append([(i, i + 1) for i in range(60)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = {
+            (r["node"], r["label"])
+            for r in connected_components(df, max_iterations=80).collect()
+        }
+        got = {
+            (r["node"], r["label"])
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want
