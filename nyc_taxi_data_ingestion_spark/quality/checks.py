@@ -131,3 +131,48 @@ def run_checks(df: DataFrame, checks: list[Check]) -> dict[str, Any]:
         "passed": all(results.values()),
         "skipped": [c.column for c in checks if c not in applied],
     }
+
+
+def sequence_gap_stats(
+    df: DataFrame, id_col: str, expected_step: int = 1
+) -> DataFrame:
+    """Continuity check — the DQ dimension the null/range/set family
+    misses: is a supposedly-gapless surrogate/sequence column actually
+    dense? Returns ONE row: (min_id, max_id, n_present, n_missing,
+    n_gaps) where n_gaps counts maximal missing runs.
+
+    Scale shape: deliberately NOT the sort + lag formulation (a global
+    ordered window single-tasks the column). Gap STARTS are ids whose
+    successor (id + step) is absent — one hash anti-join of the
+    distinct-id table against its shifted self, then a single-row
+    aggregate. n_missing is pure arithmetic off (min, max, count).
+    Everything shuffles ids only, partial-aggregates map-side."""
+    ids = df.select(F.col(id_col).alias("id")).where(
+        F.col("id").isNotNull()
+    ).distinct()
+    bounds = ids.agg(
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.count("*").alias("n_present"),
+    )
+    # run starts = present ids that are NOT the successor of another
+    # present id; maximal runs = gaps + 1 (the first run opens no gap)
+    succ = ids.select((F.col("id") + expected_step).alias("id"))
+    run_starts = ids.join(succ, "id", "left_anti")
+    n_runs = run_starts.agg(F.count("*").alias("n_runs"))
+    return (
+        bounds.crossJoin(F.broadcast(n_runs))
+        .select(
+            "min_id",
+            "max_id",
+            "n_present",
+            (
+                (F.col("max_id") - F.col("min_id")) / F.lit(expected_step)
+                + 1
+                - F.col("n_present")
+            )
+            .cast("long")
+            .alias("n_missing"),
+            (F.col("n_runs") - 1).cast("long").alias("n_gaps"),
+        )
+    )

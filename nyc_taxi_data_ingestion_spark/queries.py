@@ -5447,6 +5447,87 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_anomalies(_t(spark, sf_dir, "events"), k=3.0)
 
 
+_SEQ_GAP_ORACLE = """
+WITH ids AS (
+  SELECT DISTINCT o_orderkey AS id FROM orders WHERE o_orderkey IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(id) AS min_id, MAX(id) AS max_id,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM ids
+),
+runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_runs
+  FROM ids a WHERE NOT EXISTS (
+    SELECT 1 FROM ids b WHERE b.id + 1 = a.id
+  )
+)
+SELECT min_id, max_id, n_present,
+       CAST((max_id - min_id) / 1 + 1 - n_present AS BIGINT) AS n_missing,
+       CAST(n_runs - 1 AS BIGINT) AS n_gaps
+FROM bounds, runs
+"""
+
+
+@register("sequence_gap_check", _SEQ_GAP_ORACLE, tags=["Q1", "Q10"])
+def q_sequence_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity DQ check (quality/checks.sequence_gap_stats)
+    — the dimension the null/range/set family misses: is a surrogate
+    key dense? TPC-H orderkeys are deliberately sparse, so the check
+    has real gaps to count. NOT sort+lag (a global ordered window
+    single-tasks the column): run starts fall out of one hash
+    anti-join of the distinct-id table against its shifted self;
+    n_missing is arithmetic off (min, max, count)."""
+    from nyc_taxi_data_ingestion_spark.quality.checks import (
+        sequence_gap_stats,
+    )
+
+    return sequence_gap_stats(_t(spark, sf_dir, "orders"), "o_orderkey")
+
+
+_INCR_MART_ORACLE = """
+SELECT o_orderdate,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         / COUNT(o_totalprice) AS avg_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderdate
+"""
+
+
+@register("incremental_agg_state", _INCR_MART_ORACLE, tags=["M1", "A1"])
+def q_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance via mergeable partial-aggregate
+    state (operators/incremental): the daily price mart rebuilt from a
+    90/10 orderkey split — state(history) merged with partial(batch) —
+    and oracle-checked against the FULL-table aggregation. Decimal
+    state sums make merge(partial(A), partial(B)) == partial(A ∪ B)
+    exact under any merge order; the merge itself is key-count-sized
+    (no history re-scan). AVG derives from (sum, n) at read time."""
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        finalize_agg_state,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_orderkey") % 10 != 0)
+    batch = orders.filter(F.col("o_orderkey") % 10 == 0)
+    keys = ["o_orderdate"]
+    merged = merge_agg_states(
+        [
+            partial_agg_state(hist, keys, "o_totalprice"),
+            partial_agg_state(batch, keys, "o_totalprice"),
+        ],
+        keys,
+    )
+    return finalize_agg_state(merged, keys, "price")
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

@@ -352,3 +352,31 @@ def test_event_transitions_counts_and_shares(spark):
     assert out[("b", "a")] == (1, 1.0)  # b's only outgoing transition
     # equal timestamps fall back to event_id order: no cross-user pairs
     assert ("b", "b") not in out and len(out) == 2
+
+
+def test_partial_agg_state_merge_equals_full(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        finalize_agg_state,
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = ["o_orderdate"]
+    # three-way split merged in two different groupings — associativity
+    parts = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    states = [partial_agg_state(p, keys, "o_totalprice") for p in parts]
+    ab_c = merge_agg_states(
+        [merge_agg_states(states[:2], keys), states[2]], keys
+    )
+    full = partial_agg_state(orders, keys, "o_totalprice")
+    a = finalize_agg_state(ab_c, keys, "p").toPandas().sort_values(keys[0])
+    b = finalize_agg_state(full, keys, "p").toPandas().sort_values(keys[0])
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+    # the state keeps its sum in exact decimal — the merge-order
+    # insensitivity contract
+    assert isinstance(ab_c.schema["s"].dataType, T.DecimalType)

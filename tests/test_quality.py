@@ -510,3 +510,23 @@ def test_seasonal_anomalies_flags_only_cell_outliers(spark):
     flagged = {r["event_id"] for r in seasonal_anomalies(df, k=2.0).collect()}
     assert 6 in flagged  # the 3 a.m. spike
     assert not any(e > 6 for e in flagged)  # wide 3 p.m. cell stays quiet
+
+
+def test_sequence_gap_stats_counts_runs_and_missing(spark):
+    from nyc_taxi_data_ingestion_spark.quality.checks import (
+        sequence_gap_stats,
+    )
+
+    # runs: [1..3], [7..8], [10] → 2 gaps, missing {4,5,6,9} = 4
+    df = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 8, 10, 7]], "seq long"
+    )
+    row = sequence_gap_stats(df, "seq").first()
+    assert (row["min_id"], row["max_id"]) == (1, 10)
+    assert row["n_present"] == 6  # distinct
+    assert row["n_missing"] == 4
+    assert row["n_gaps"] == 2
+    # dense sequence → zero gaps
+    dense = spark.createDataFrame([(i,) for i in range(5)], "seq long")
+    row = sequence_gap_stats(dense, "seq").first()
+    assert row["n_missing"] == 0 and row["n_gaps"] == 0
