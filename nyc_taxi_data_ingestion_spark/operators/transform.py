@@ -470,19 +470,35 @@ def partitioned_prefix_sum(
     partitioned by (group, bucket). Sketch boundary placement only
     affects bucket balance, never the sum (integer adds commute).
 
+    Plan/materialization shape: the (group, order, value) projection
+    is materialized ONCE (``localCheckpoint`` — three scalars per row,
+    the same at-rest-index class as the MinHash signature table, ~1%
+    of corpus bytes); boundaries and offsets derive from it, so the
+    upstream plan is evaluated exactly twice total (the checkpoint
+    build + the returned plan) instead of once per derived branch —
+    left lazy, a composed pipeline upstream re-runs 4×. The boundary
+    row is additionally checkpointed (KB-sized) because two branches
+    consume it.
+
     Requires ``order_col`` unique within each group (deterministic
     order) and non-null ``part_cols``. Output = input columns +
     ``out_col``; ``value_col`` nulls count as 0."""
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    bounds = df.groupBy(*part_cols).agg(
+    narrow = df.select(*part_cols, order_col, value_col).localCheckpoint(
+        eager=True
+    )
+    bounds = narrow.groupBy(*part_cols).agg(
         F.percentile_approx(order_col, fracs, F.lit(10000)).alias("__bs")
+    ).localCheckpoint(eager=True)
+    bucket_of = F.size(F.filter("__bs", lambda b: b <= F.col(order_col)))
+    bucketed = df.join(F.broadcast(bounds), on=part_cols).withColumn(
+        "__b", bucket_of
     )
-    bucketed = df.join(bounds, on=part_cols).withColumn(
-        "__b",
-        F.size(F.filter("__bs", lambda b: b <= F.col(order_col))),
-    )
-    sub = bucketed.groupBy(*part_cols, "__b").agg(
-        F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("__s")
+    sub = (
+        narrow.join(F.broadcast(bounds), on=part_cols)
+        .withColumn("__b", bucket_of)
+        .groupBy(*part_cols, "__b")
+        .agg(F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("__s"))
     )
     wb = (
         Window.partitionBy(*part_cols)
@@ -503,7 +519,7 @@ def partitioned_prefix_sum(
         F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(wl), F.lit(0)
     )
     return (
-        bucketed.join(offsets, on=[*part_cols, "__b"])
+        bucketed.join(F.broadcast(offsets), on=[*part_cols, "__b"])
         .withColumn(out_col, (F.col("__off") + loc).cast("long"))
         .drop("__bs", "__b", "__off")
     )

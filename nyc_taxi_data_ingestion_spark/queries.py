@@ -5528,6 +5528,91 @@ def q_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_agg_state(merged, keys, "price")
 
 
+_TPCH_Q3_TEMPLATE = """
+SELECT l_orderkey,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+       AS DOUBLE) AS revenue,
+  o_orderdate, 0 AS o_shippriority
+FROM {customer}, {orders}, {lineitem}
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "tpch_q3_sql",
+    _TPCH_Q3_TEMPLATE.format(
+        customer="customer", orders="orders", lineitem="lineitem"
+    ),
+    tags=["J2", "sql"],
+)
+def q_tpch_q3_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through spark.sql(): the classic
+    selective-dimension → fact-fact join chain Catalyst should plan as
+    broadcast(customer-filter) + shuffle join on orderkey, with both
+    date predicates pushed to the scans. The testdata has no
+    o_shippriority column, so both engines project a literal 0 —
+    the join/agg/top-k shape is Q3's. Total order under LIMIT via
+    (revenue DESC, o_orderdate, l_orderkey)."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q3_TEMPLATE.format(
+            customer="tpch_customer_v",
+            orders="tpch_orders_v",
+            lineitem="tpch_lineitem_v",
+        )
+    )
+
+
+_TPCH_Q5_TEMPLATE = """
+SELECT n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+       AS DOUBLE) AS revenue
+FROM {customer}, {orders}, {lineitem}, {supplier}, {nation}, {region}
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+_TPCH_Q5_TABLES = (
+    "customer", "orders", "lineitem", "supplier", "nation", "region"
+)
+
+
+@register(
+    "tpch_q5_sql",
+    _TPCH_Q5_TEMPLATE.format(**{t: t for t in _TPCH_Q5_TABLES}),
+    tags=["J3", "sql"],
+)
+def q_tpch_q5_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) through spark.sql(): the
+    6-table snowflake join with the same-nation customer⋈supplier
+    correlation — region/nation broadcast, the fact chain shuffles on
+    its keys, dates push to the orders scan. One verbatim ANSI string
+    on both engines."""
+    for t in _TPCH_Q5_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q5_TEMPLATE.format(**{t: f"tpch_{t}_v" for t in _TPCH_Q5_TABLES})
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

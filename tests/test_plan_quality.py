@@ -96,10 +96,12 @@ def test_no_python_eval_in_relational_queries(spark, sf_dir):
 
 def test_pipeline_curation_scan_count(spark, sf_dir):
     # the five curation stages must compose into one lazy plan: the
-    # Gopher filter + redaction fuse into the scan; sampling and shard
-    # packing add NO extra scan. Only line dedup's boilerplate census
-    # legitimately references the staged frame a second time — so the
-    # whole pipeline reads `documents` exactly twice, never more.
+    # Gopher filter + redaction fuse into the scan; sampling adds no
+    # extra scan, and the shard packer's boundary/offset tables are
+    # materialized off its narrow checkpoint (RDD scans — not parquet
+    # re-reads). Only line dedup's boilerplate census legitimately
+    # references the staged frame a second time — so the final plan
+    # reads `documents` exactly twice, never more.
     plan = plan_of(spark, "pipeline_curation", sf_dir)
     assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
     assert "BatchEvalPython" not in plan
@@ -528,3 +530,18 @@ def test_bm25_vocabulary_filter_precedes_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Arguments: hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_tpch_q3_q5_broadcast_dims_and_pushdown(spark, sf_dir):
+    # Q3: the BUILDING-segment customer filter reaches the scan and the
+    # filtered dim broadcasts; date predicates push into both fact scans
+    p3 = plan_of(spark, "tpch_q3_sql", sf_dir)
+    assert "BroadcastHashJoin" in p3
+    assert "In(c_mktsegment" in p3 or "EqualTo(c_mktsegment,BUILDING)" in p3
+    assert "LessThan(o_orderdate" in p3
+    assert "GreaterThan(l_shipdate" in p3
+    # Q5: the snowflake's small dims broadcast; the orders date range
+    # is pushed down
+    p5 = plan_of(spark, "tpch_q5_sql", sf_dir)
+    assert p5.count("BroadcastHashJoin") >= 3
+    assert "GreaterThanOrEqual(o_orderdate" in p5
