@@ -5613,6 +5613,59 @@ def q_tpch_q5_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_AGG_STATE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         / COUNT(o_totalprice) AS avg_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("stream_agg_state", _STREAM_AGG_STATE_ORACLE, tags=["M1", "stream"])
+def q_stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fold into the mergeable mart state
+    (streaming/ingest.stream_agg_state_sink): orders stream in
+    one-file micro-batches, each batch partial-aggregates and merges
+    into the on-disk (n, decimal-sum, min, max) state — stateless
+    streaming query, all long-lived state in the key-count-sized
+    parquet mart, batch-id markers making the non-idempotent fold
+    replay-safe. The drained state, finalized, must equal the batch
+    full-table aggregation — the oracle checks exactly that."""
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        finalize_agg_state,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        stream_agg_state_sink,
+    )
+
+    path = _staged_table(spark, sf_dir, "orders")
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(spark, path, schema, max_files_per_trigger=1)
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_aggstate_")
+    import shutil
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+    stream_agg_state_sink(
+        stream, state_dir, ["o_orderpriority"], "o_totalprice"
+    )
+    state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    shutil.rmtree(state_dir.rstrip("/") + "__applied", ignore_errors=True)
+    shutil.rmtree(state_dir.rstrip("/") + "__fold_old", ignore_errors=True)
+    return finalize_agg_state(state, ["o_orderpriority"], "price")
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

@@ -564,3 +564,89 @@ def category_drift_scores(
             "chi2_contrib"
         ),
     )
+
+
+def stream_agg_state_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    value_col: str,
+    query_name: str = "stream_agg_state",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming fold into the MERGEABLE aggregation-mart state
+    (operators/incremental): each micro-batch partial-aggregates on
+    the mart grain and merges into the on-disk state table — the
+    continuously-applied form of ``incremental_agg_state``'s nightly
+    pattern, and the foreachBatch answer to unbounded streaming
+    aggregation state: the state store holds NOTHING (stateless
+    query); all long-lived state is the key-count-sized parquet mart.
+
+    Unlike the upsert sink, a count/sum merge is NOT naturally
+    idempotent — replaying a batch after crash recovery would double-
+    count. Exactly-once therefore comes from recording applied batch
+    ids next to the state and skipping replays (the standard
+    idempotence recipe for non-transactional fold sinks; on
+    Iceberg/Delta the marker becomes the transaction itself). The
+    state rewrite reuses merge_upsert's crash-recoverable directory
+    swap; rewriting the whole state per batch is key-count-sized work,
+    not corpus-sized.
+    """
+    import os
+    import shutil
+
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.sinks import write_partitioned
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+        prefix=f"ckpt_{query_name}_"
+    )
+    markers = target_path.rstrip("/") + "__applied"
+    os.makedirs(markers, exist_ok=True)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        part = partial_agg_state(batch_df, keys, value_col)
+        if os.path.exists(target_path):
+            state = spark.read.parquet(target_path)
+            merged = merge_agg_states([state, part], keys)
+        else:
+            merged = part
+        base = target_path.rstrip("/")
+        tmp, old = base + "__fold_tmp", base + "__fold_old"
+        write_partitioned(merged, tmp, [])
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(target_path):
+            os.rename(target_path, old)
+        try:
+            os.rename(tmp, target_path)
+        except OSError:
+            if os.path.exists(old):
+                os.rename(old, target_path)
+            raise
+        with open(marker, "w") as fh:
+            fh.write("applied")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_fold)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    q = writer.start()
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {query_name} did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()

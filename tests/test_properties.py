@@ -410,3 +410,48 @@ def test_exact_quantiles_matches_builtin_percentile(spark, values, fracs):
     exp = df.agg(F.percentile("x", arr).alias("p")).collect()[0]["p"]
     for i in range(len(fracs)):
         assert got[f"q{i}"] == exp[i], (fracs[i], got[f"q{i}"], exp[i])
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # group
+            st.integers(min_value=0, max_value=10_000), # order key
+            st.integers(min_value=-50, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_partitioned_prefix_sum_matches_sequential(spark, rows):
+    """The bucketed two-pass running sum must equal the sequential
+    per-group prefix sum for arbitrary groups, sparse/duplicate-free
+    order keys, and negative values — with n_buckets tiny so every
+    boundary path is exercised."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "g int, o long, v long")
+    got = {
+        (r["g"], r["o"]): r["run"]
+        for r in partitioned_prefix_sum(
+            df, ["g"], "o", "v", "run", n_buckets=3
+        ).collect()
+    }
+    want = {}
+    by_group: dict[int, list] = {}
+    for g, o, v in rows:
+        by_group.setdefault(g, []).append((o, v))
+    for g, items in by_group.items():
+        acc = 0
+        for o, v in sorted(items):
+            want[(g, o)] = acc
+            acc += v
+    assert got == want

@@ -360,3 +360,52 @@ def test_stream_incremental_dedup_matches_sequential_batches(spark, tmp_path):
         [r.doc_id for r in s1.collect()] + [r.doc_id for r in s2.collect()]
     )
     assert batch_ids == got
+
+
+def test_stream_agg_state_fold_and_replay_idempotence(spark, sf_dir, tmp_path):
+    import shutil
+
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        partial_agg_state,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming import read_parquet_stream
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        stream_agg_state_sink,
+    )
+
+    src = str(tmp_path / "orders_src")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "state")
+
+    def run(ckpt):
+        stream = read_parquet_stream(
+            spark, src, schema, max_files_per_trigger=1
+        )
+        stream_agg_state_sink(
+            stream, state, ["o_orderpriority"], "o_totalprice",
+            checkpoint_dir=ckpt,
+        )
+
+    run(str(tmp_path / "ckpt1"))
+    got = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in partial_agg_state(
+            orders, ["o_orderpriority"], "o_totalprice"
+        ).collect()
+    }
+    assert got == want  # folded state == one-shot partial agg
+    # crash-replay: a FRESH checkpoint re-delivers every batch; the
+    # applied-batch markers must make the non-idempotent fold a no-op
+    run(str(tmp_path / "ckpt2"))
+    again = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want  # no double counting
+    shutil.rmtree(state + "__applied", ignore_errors=True)
