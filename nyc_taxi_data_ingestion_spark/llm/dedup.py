@@ -1080,10 +1080,14 @@ def connected_components_star(
     Per round: LARGE-STAR hangs every neighbor LARGER than the center
     onto the center's minimum (strictly decreases large-neighbor
     potential, never disconnects); SMALL-STAR re-hangs the ≤-center
-    neighbors onto their minimum. Each op is one groupBy on the center
-    key + an explode — edge-count-sized shuffles of ids, nothing else.
-    Fixed point = every node points directly at its component min (a
-    star), detected by the exact integer endpoint-sum going stable.
+    neighbors onto their minimum. Each op is one per-center min
+    aggregate JOINED back onto the adjacency — never a per-center
+    ``collect_set`` (the eventual component min is a hub whose
+    neighborhood approaches the component size; an array of it on one
+    row is the OOM the algorithm exists to avoid, while the agg
+    partial-combines map-side and AQE skew-splits the join). Fixed
+    point = every node points directly at its component min (a star),
+    detected by the exact integer endpoint-sum going stable.
 
     Near-dup graphs (diameter 2-4) should keep using min-label — fewer
     rounds, fewer shuffles/round; this exists for the long-chain
@@ -1113,16 +1117,13 @@ def connected_components_star(
                 )
             ).alias("e")
         ).select("e.c", "e.n")
+        lmin = adj.groupBy("c").agg(
+            F.least(F.min("n"), F.first("c")).alias("m")
+        )
         ls = (
-            adj.groupBy("c")
-            .agg(
-                F.least(F.min("n"), F.first("c")).alias("m"),
-                F.collect_set(F.when(F.col("n") > F.col("c"), F.col("n")))
-                .alias("big"),
-            )
-            .select(
-                F.explode("big").alias("u"), F.col("m").alias("v")
-            )
+            adj.join(lmin, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # small-star: center u over the high→low orientation; its ≤
@@ -1130,15 +1131,12 @@ def connected_components_star(
         ss_adj = ls.select(
             F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
         )
-        grouped = ss_adj.groupBy("c").agg(
-            F.min("n").alias("m"), F.collect_set("n").alias("ns")
-        )
+        smin = ss_adj.groupBy("c").agg(F.min("n").alias("m"))
         cur = (
-            grouped.select(
-                F.explode(
-                    F.array_union(F.array(F.col("c")), F.col("ns"))
-                ).alias("u"),
-                F.col("m").alias("v"),
+            ss_adj.join(smin, "c")
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                smin.select(F.col("c").alias("u"), F.col("m").alias("v"))
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()

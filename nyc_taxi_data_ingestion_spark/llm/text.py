@@ -549,7 +549,12 @@ def bm25_rank(
     vocabulary BEFORE the (doc, term) partial-agg shuffle, so shuffle
     volume is bounded by matches, not corpus tokens; df/N/avgdl are a
     term-count-row + single-row broadcast; final top-k per term is the
-    salted two-phase ``topk_per_group`` (a hot term is a hot group)."""
+    salted two-phase ``topk_per_group`` (a hot term is a hot group).
+    The (doc_id, dl) length table is checkpointed once (16 B/row, the
+    at-rest-index state class) — it feeds both the per-doc join and
+    the corpus N/avgdl aggregate, and deriving each from raw text
+    would re-tokenize the corpus per consumer (3 text scans → 2:
+    the tf explode + the length pass)."""
     from pyspark.sql import Window
 
     from nyc_taxi_data_ingestion_spark.operators.transform import (
@@ -560,7 +565,9 @@ def bm25_rank(
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
-    dl = base.select("doc_id", F.size("__toks").alias("dl"))
+    dl = base.select("doc_id", F.size("__toks").alias("dl")).localCheckpoint(
+        eager=True
+    )
     tf = (
         base.select("doc_id", F.explode("__toks").alias("term"))
         .filter(F.array_contains(term_lits, F.col("term")))

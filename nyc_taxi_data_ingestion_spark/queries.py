@@ -5666,6 +5666,48 @@ def q_stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_agg_state(state, ["o_orderpriority"], "price")
 
 
+_TPCH_Q18_TEMPLATE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+FROM {customer}, {orders}, {lineitem}
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM {lineitem}
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(30,4))) > 250
+  )
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+_TPCH_Q18_TABLES = ("customer", "orders", "lineitem")
+
+
+@register(
+    "tpch_q18_sql",
+    _TPCH_Q18_TEMPLATE.format(**{t: t for t in _TPCH_Q18_TABLES}),
+    tags=["J2", "A11", "sql"],
+)
+def q_tpch_q18_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) through spark.sql(): the
+    IN-subquery-with-HAVING pattern Catalyst must rewrite into a
+    left-semi join against the pre-aggregated orderkey set — the
+    qualifying keys (99th-percentile volume) are few, so the semi side
+    broadcasts and the fact chain is filtered before its joins. Total
+    order under LIMIT via (o_totalprice DESC, o_orderdate,
+    o_orderkey); decimal-exact quantity sums."""
+    for t in _TPCH_Q18_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q18_TEMPLATE.format(
+            **{t: f"tpch_{t}_v" for t in _TPCH_Q18_TABLES}
+        )
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford
