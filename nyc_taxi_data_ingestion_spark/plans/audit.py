@@ -1,0 +1,168 @@
+"""Physical-plan audit — the repo's plan-quality GATES as a library.
+
+tests/test_plan_quality.py pins the shipped queries' plans; this module
+makes the same checks available to users on ANY DataFrame before they
+launch it against 100 TB: the review a Spark expert does on
+``.explain("formatted")`` output, mechanized. Findings are advisory
+(driver-side string analysis of the formatted plan — no execution),
+ordered by severity.
+
+Checks:
+- ``global-ordered-window``: a Window whose sort runs under an
+  ``Exchange SinglePartition`` — the whole input lands in ONE task
+  (the single most common silent scale-killer; every ks_drift/
+  token_shards rewrite in this repo removed one of these).
+- ``python-row-eval``: ``BatchEvalPython`` in the plan — row-at-a-time
+  Python in the hot path (~10-100× slower than Arrow/JVM).
+- ``python-arrow-eval``: ``ArrowEvalPython`` — acceptable when needed,
+  flagged info-level so it is a decision, not an accident.
+- ``nested-loop-join``: ``BroadcastNestedLoopJoin``/
+  ``CartesianProduct`` — usually a missing equi-condition (bucketed-bin
+  rewrites turn range joins into equi-joins; see interval_join).
+- ``unpushed-filter``: a parquet scan with ``PushedFilters: []`` while
+  a Filter sits in the plan — predicates evaluated after the read
+  instead of skipping row groups (casts/UDFs on the filtered column
+  are the usual cause).
+- ``wide-scan``: a scan whose ReadSchema reads ≥ ``wide_scan_cols``
+  columns — often a missing projection before a cache/shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+SEVERITIES = ("error", "warn", "info")
+
+
+@dataclass(frozen=True)
+class Finding:
+    severity: str  # error | warn | info
+    code: str
+    message: str
+
+
+def formatted_plan(df: DataFrame) -> str:
+    mode = (
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def audit_plan(df: DataFrame, wide_scan_cols: int = 20) -> list[Finding]:
+    """Audit a DataFrame's physical plan for scale smells. Returns
+    findings ordered most-severe first (empty list = clean)."""
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    findings: list[Finding] = []
+
+    # global ordered window: in the formatted tree a Window node sits
+    # above a Sort above an Exchange; the exchange's partitioning lives
+    # in its DETAIL block ("Arguments: SinglePartition, …"). Walk the
+    # tree, find each Window's first Exchange descendant, and check
+    # that exchange's detail arguments.
+    single_part_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\n(?:.*\n)*?Arguments: SinglePartition",
+            plan,
+            re.M,
+        )
+    }
+    if single_part_ids:
+        tree_end = next(
+            (i for i, l in enumerate(lines) if l.startswith("(1)")),
+            len(lines),
+        )
+        tree = lines[:tree_end]
+        for i, line in enumerate(tree):
+            if re.search(r"\bWindow(?:GroupLimit)? \(\d+\)", line) and (
+                "WindowGroupLimit" not in line
+            ):
+                for below in tree[i + 1 :]:
+                    m = re.search(r"Exchange \((\d+)\)", below)
+                    if m:
+                        if m.group(1) in single_part_ids:
+                            findings.append(
+                                Finding(
+                                    "error",
+                                    "global-ordered-window",
+                                    "Window over Exchange "
+                                    "SinglePartition: the entire input "
+                                    "is sorted in ONE task. Partition "
+                                    "the window, or use the two-pass "
+                                    "bucketed pattern (operators."
+                                    "transform.partitioned_prefix_sum).",
+                                )
+                            )
+                        break
+                if any(f.code == "global-ordered-window" for f in findings):
+                    break
+    if "BatchEvalPython" in plan:
+        findings.append(
+            Finding(
+                "error",
+                "python-row-eval",
+                "BatchEvalPython: row-at-a-time Python UDF in the plan. "
+                "Use built-in functions or an Arrow-batched pandas_udf.",
+            )
+        )
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            Finding(
+                "warn",
+                "nested-loop-join",
+                "Nested-loop/cartesian join: no equi-condition reached "
+                "the planner. Range conditions can be bucketed into "
+                "equi-joins (see interval_join's bin rewrite).",
+            )
+        )
+    # unpushed filters: a Filter node exists but no scan received a
+    # usable predicate — PushedFilters empty or only the IsNotNull
+    # guards Spark always emits (a cast/function on the filtered
+    # column leaves exactly that residue)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    if pushed and re.search(r"^\(\d+\) Filter", plan, re.M):
+        def _useful(entries: str) -> bool:
+            items = [e.strip() for e in entries.split(",") if e.strip()]
+            return any(not e.startswith("IsNotNull") for e in items)
+
+        if not any(_useful(p) for p in pushed):
+            findings.append(
+                Finding(
+                    "warn",
+                    "unpushed-filter",
+                    "Filter nodes exist but no scan received a usable "
+                    "pushed predicate (IsNotNull guards only) — "
+                    "common causes: casts or functions applied to the "
+                    "filtered column.",
+                )
+            )
+    if "ArrowEvalPython" in plan:
+        findings.append(
+            Finding(
+                "info",
+                "python-arrow-eval",
+                "ArrowEvalPython: vectorized Python stage present — "
+                "fine when the logic needs Python; confirm it is not "
+                "in the per-row hot path of a larger pipeline.",
+            )
+        )
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        ncols = m.group(1).count(",") + 1 if m.group(1) else 0
+        if ncols >= wide_scan_cols:
+            findings.append(
+                Finding(
+                    "info",
+                    "wide-scan",
+                    f"A scan reads {ncols} columns — if downstream uses "
+                    "few of them, add a select() so column pruning can "
+                    "reach the reader.",
+                )
+            )
+            break
+    order = {s: i for i, s in enumerate(SEVERITIES)}
+    return sorted(findings, key=lambda f: order[f.severity])

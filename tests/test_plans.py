@@ -781,3 +781,63 @@ def test_sql_models_incremental_merge_equals_full(spark, sf_dir, tmp_path):
     full = {r.event_type: (r.n, r.max_id) for r in
             events.groupBy("event_type").agg(F.count("*").alias("n"), F.max("event_id").alias("max_id")).collect()}
     assert second == full
+
+
+# -- plan audit (plans/audit.py) ---------------------------------------------
+
+
+def test_audit_flags_global_window_and_python_udf(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    # unpartitioned ordered window → single-task sort
+    w = Window.orderBy("id")
+    bad = df.withColumn("run", F.sum("v").over(w))
+    codes = {f.code for f in audit_plan(bad)}
+    assert "global-ordered-window" in codes
+
+    @F.udf(T.LongType())
+    def slow(x):
+        return x + 1
+
+    codes = {f.code for f in audit_plan(df.withColumn("y", slow("id")))}
+    assert "python-row-eval" in codes
+
+    codes = {f.code for f in audit_plan(df.crossJoin(spark.range(3)))}
+    assert "nested-loop-join" in codes
+
+
+def test_audit_clean_on_shipped_plans(spark, sf_dir):
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+    from nyc_taxi_data_ingestion_spark.queries import REGISTRY
+
+    # headline queries must audit clean of error-level findings — the
+    # audit is the productized form of the plan gates, so the shipped
+    # plans have to pass their own reviewer
+    for name in [
+        "daily_stats", "silver_transform", "top_groups", "token_shards",
+        "blocked_jaccard", "rolling_active_users", "bm25_rank",
+    ]:
+        errs = [
+            f for f in audit_plan(REGISTRY[name].fn(spark, sf_dir))
+            if f.severity == "error"
+        ]
+        assert errs == [], (name, errs)
+
+
+def test_audit_unpushed_filter_detection(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # casting the column inside the predicate defeats pushdown
+    bad = li.filter(F.col("l_quantity").cast("string") == "10.00")
+    codes = {f.code for f in audit_plan(bad)}
+    assert "unpushed-filter" in codes
+    good = li.filter(F.col("l_quantity") == 10.0)
+    assert "unpushed-filter" not in {f.code for f in audit_plan(good)}
