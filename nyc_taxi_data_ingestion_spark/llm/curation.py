@@ -250,7 +250,9 @@ def token_shards(
     two-pass bucketed scan, NOT a per-source ordered window — a
     handful of corpus sources over 100 TB would otherwise each land in
     a single task (the same single-task-window class the ks_drift
-    cumsum fixed).
+    cumsum fixed). Consequence: ``id_col`` must be numeric (the
+    boundary sketch needs ordered arithmetic); non-numeric ids raise
+    with guidance to derive a numeric surrogate.
 
     All input columns pass through; ``token_cnt`` and ``shard_id`` are
     appended — so the packer composes with upstream curation stages."""

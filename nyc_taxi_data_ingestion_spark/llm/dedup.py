@@ -1105,7 +1105,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
+    prev = None
     for _ in range(max_iterations):
         # large-star: center u over symmetrized adjacency; m = min of
         # closed neighborhood; every neighbor w > u re-hangs onto m
@@ -1142,13 +1142,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = cur.agg(
-            F.count("*"), F.sum("u"), F.sum("v")
-        ).first()
-        sig = tuple(sig)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        # EXACT fixed-point test — both sides are distinct edge sets,
+        # so equality is (same count) ∧ (cur ⧵ prev = ∅). An endpoint-
+        # sum signature can collide between distinct consecutive sets
+        # (e.g. {(3,1),(4,2)} vs {(4,1),(3,2)}) and silently return
+        # wrong labels; one anti-join per round is the honest cost.
+        if prev is not None:
+            same_count = cur.count() == prev.count()
+            if same_count and cur.join(prev, ["u", "v"], "left_anti").isEmpty():
+                break
+        prev = cur
     else:
         raise RuntimeError(
             "connected_components_star did not converge in"

@@ -562,7 +562,13 @@ def bm25_rank(
     )
 
     term_lits = F.array(*[F.lit(t) for t in terms])
-    base = df.select(
+    # corpus = docs with tokenizable text: NULL text would make
+    # size(tokens) = -1 (poisoning sum_dl/avgdl) and empty text is not
+    # a retrievable document — both are excluded from N/avgdl, matching
+    # the oracle's WHERE
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    ).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks")
     )
     dl = base.select("doc_id", F.size("__toks").alias("dl")).localCheckpoint(

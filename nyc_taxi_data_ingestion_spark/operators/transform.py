@@ -480,9 +480,27 @@ def partitioned_prefix_sum(
     row is additionally checkpointed (KB-sized) because two branches
     consume it.
 
-    Requires ``order_col`` unique within each group (deterministic
-    order) and non-null ``part_cols``. Output = input columns +
-    ``out_col``; ``value_col`` nulls count as 0."""
+    Requires a NUMERIC ``order_col`` (the boundary sketch is
+    ``percentile_approx``; give string ids a numeric surrogate
+    upstream — raised as ValueError, not a cast crash) unique within
+    each group. NULL group keys form their own group (null-safe
+    joins). Output = input columns + ``out_col``; ``value_col`` nulls
+    count as 0. The sum keeps ``value_col``'s own sum type (long for
+    integers, double for doubles — for floats the result is
+    deterministic for a fixed bucket count but associates differently
+    than a sequential scan; use decimal inputs for bit-exactness)."""
+    order_type = dict(df.dtypes)[order_col]
+    if order_type.split("(")[0] not in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal",
+    ):
+        raise ValueError(
+            f"partitioned_prefix_sum needs a numeric/temporal order_col; "
+            f"got {order_col}: {order_type}. Provide a numeric surrogate "
+            "(e.g. xxhash64 breaks ties but not order — derive a rank "
+            "first) or use an ordered window if the group count is known "
+            "to be large."
+        )
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     narrow = df.select(*part_cols, order_col, value_col).localCheckpoint(
         eager=True
@@ -491,11 +509,25 @@ def partitioned_prefix_sum(
         F.percentile_approx(order_col, fracs, F.lit(10000)).alias("__bs")
     ).localCheckpoint(eager=True)
     bucket_of = F.size(F.filter("__bs", lambda b: b <= F.col(order_col)))
-    bucketed = df.join(F.broadcast(bounds), on=part_cols).withColumn(
+
+    def _nullsafe_join(left: DataFrame, right: DataFrame, cols: list[str]):
+        # join on part_cols must keep NULL group keys (they form their
+        # own group in the aggregates above); plain `on=cols` drops them
+        r = right
+        cond = None
+        for c in cols:
+            r = r.withColumnRenamed(c, f"__r_{c}")
+            piece = left[c].eqNullSafe(r[f"__r_{c}"])
+            cond = piece if cond is None else cond & piece
+        return left.join(F.broadcast(r), cond).drop(
+            *[f"__r_{c}" for c in cols]
+        )
+
+    bucketed = _nullsafe_join(df, bounds, part_cols).withColumn(
         "__b", bucket_of
     )
     sub = (
-        narrow.join(F.broadcast(bounds), on=part_cols)
+        _nullsafe_join(narrow, bounds, part_cols)
         .withColumn("__b", bucket_of)
         .groupBy(*part_cols, "__b")
         .agg(F.sum(F.coalesce(F.col(value_col), F.lit(0))).alias("__s"))
@@ -518,9 +550,9 @@ def partitioned_prefix_sum(
     loc = F.coalesce(
         F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(wl), F.lit(0)
     )
+    joined = _nullsafe_join(bucketed, offsets, [*part_cols, "__b"])
     return (
-        bucketed.join(F.broadcast(offsets), on=[*part_cols, "__b"])
-        .withColumn(out_col, (F.col("__off") + loc).cast("long"))
+        joined.withColumn(out_col, F.col("__off") + loc)
         .drop("__bs", "__b", "__off")
     )
 

@@ -60,47 +60,53 @@ def audit_plan(df: DataFrame, wide_scan_cols: int = 20) -> list[Finding]:
     findings: list[Finding] = []
 
     # global ordered window: in the formatted tree a Window node sits
-    # above a Sort above an Exchange; the exchange's partitioning lives
-    # in its DETAIL block ("Arguments: SinglePartition, …"). Walk the
-    # tree, find each Window's first Exchange descendant, and check
-    # that exchange's detail arguments.
-    single_part_ids = {
-        m.group(1)
-        for m in re.finditer(
-            r"^\((\d+)\) Exchange\n(?:.*\n)*?Arguments: SinglePartition",
-            plan,
-            re.M,
-        )
-    }
+    # above (Sort/Project/Filter …) above an Exchange; the exchange's
+    # partitioning lives in its DETAIL block. Parse detail blocks
+    # BLOCK-SCOPED (a lazy multiline regex would cross block
+    # boundaries and attribute SinglePartition to the wrong node id),
+    # then walk each Window's INPUT CHAIN — only through single-child
+    # operators, so a sibling branch of a join can never be paired
+    # with the window.
+    blocks = re.split(r"(?m)^(?=\(\d+\) )", plan)
+    single_part_ids = set()
+    for b in blocks:
+        m = re.match(r"\((\d+)\) Exchange\b", b)
+        if m and re.search(r"(?m)^Arguments: SinglePartition", b):
+            single_part_ids.add(m.group(1))
     if single_part_ids:
         tree_end = next(
             (i for i, l in enumerate(lines) if l.startswith("(1)")),
             len(lines),
         )
         tree = lines[:tree_end]
+        chain_ops = ("Sort", "Project", "Filter", "WindowGroupLimit")
         for i, line in enumerate(tree):
-            if re.search(r"\bWindow(?:GroupLimit)? \(\d+\)", line) and (
-                "WindowGroupLimit" not in line
-            ):
-                for below in tree[i + 1 :]:
-                    m = re.search(r"Exchange \((\d+)\)", below)
-                    if m:
-                        if m.group(1) in single_part_ids:
-                            findings.append(
-                                Finding(
-                                    "error",
-                                    "global-ordered-window",
-                                    "Window over Exchange "
-                                    "SinglePartition: the entire input "
-                                    "is sorted in ONE task. Partition "
-                                    "the window, or use the two-pass "
-                                    "bucketed pattern (operators."
-                                    "transform.partitioned_prefix_sum).",
-                                )
-                            )
-                        break
-                if any(f.code == "global-ordered-window" for f in findings):
+            if not re.search(r"\bWindow \(\d+\)", line):
+                continue
+            hit = False
+            for below in tree[i + 1 :]:
+                m = re.search(r"\b(\w+) \((\d+)\)", below)
+                if not m:
                     break
+                node, nid = m.group(1), m.group(2)
+                if node == "Exchange":
+                    hit = nid in single_part_ids
+                    break
+                if node not in chain_ops:
+                    break  # multi-child or opaque op: stop the walk
+            if hit:
+                findings.append(
+                    Finding(
+                        "error",
+                        "global-ordered-window",
+                        "Window over Exchange SinglePartition: the "
+                        "entire input is sorted in ONE task. Partition "
+                        "the window, or use the two-pass bucketed "
+                        "pattern (operators.transform."
+                        "partitioned_prefix_sum).",
+                    )
+                )
+                break
     if "BatchEvalPython" in plan:
         findings.append(
             Finding(

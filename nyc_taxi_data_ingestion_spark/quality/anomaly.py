@@ -808,6 +808,7 @@ def seasonal_anomalies(
     ts_col: str = "ts",
     value_col: str = "value",
     k: float = 3.0,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Seasonal-profile outliers: each event is scored against the
     mean/variance of its OWN (day-of-week, hour) cell — the weekly
@@ -829,7 +830,7 @@ def seasonal_anomalies(
     v = F.col(value_col)
     cells = df.select(
         dow.alias("dow"), hr.alias("hr"), v.alias("v"),
-        F.col("event_id"),
+        F.col(id_col).alias("event_id"),
     )
     prof = cells.groupBy("dow", "hr").agg(
         F.count("*").alias("n"),

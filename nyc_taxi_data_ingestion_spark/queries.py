@@ -5318,13 +5318,17 @@ def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "merge", "vector"]
 
 _BM25_ORACLE = rf"""
-WITH toks AS (
+WITH corpus_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-  FROM documents
+  FROM corpus_docs
 ),
 dl AS (
   SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
-  FROM documents
+  FROM corpus_docs
 ),
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -5661,7 +5665,6 @@ def q_stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
     shutil.rmtree(state_dir, ignore_errors=True)
-    shutil.rmtree(state_dir.rstrip("/") + "__applied", ignore_errors=True)
     shutil.rmtree(state_dir.rstrip("/") + "__fold_old", ignore_errors=True)
     return finalize_agg_state(state, ["o_orderpriority"], "price")
 

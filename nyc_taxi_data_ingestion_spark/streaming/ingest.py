@@ -585,16 +585,27 @@ def stream_agg_state_sink(
 
     Unlike the upsert sink, a count/sum merge is NOT naturally
     idempotent — replaying a batch after crash recovery would double-
-    count. Exactly-once therefore comes from recording applied batch
-    ids next to the state and skipping replays (the standard
-    idempotence recipe for non-transactional fold sinks; on
-    Iceberg/Delta the marker becomes the transaction itself). The
-    state rewrite reuses merge_upsert's crash-recoverable directory
-    swap; rewriting the whole state per batch is key-count-sized work,
-    not corpus-sized.
+    count. Exactly-once therefore comes from applied-batch-id markers
+    that are PUBLISHED ATOMICALLY WITH THE STATE: each fold writes the
+    merged state to a temp directory together with its marker set
+    (``_applied/`` — underscore-prefixed, so the parquet reader
+    ignores it) and a single rename publishes both, leaving no window
+    where the data and its marker disagree (a marker beside the state
+    would double-count on a crash between the two writes). Batch ids
+    are only meaningful within one checkpoint lineage, so the state
+    records the lineage id of the checkpoint that built it and a fold
+    under a DIFFERENT checkpoint refuses loudly — resume MUST reuse
+    the original checkpoint dir (the contract Structured Streaming
+    itself imposes; a fresh checkpoint re-lists files under fresh
+    batch ids and no marker scheme can map them). On Iceberg/Delta
+    the marker becomes the transaction itself. Rewriting the whole
+    state per batch is key-count-sized work, not corpus-sized; the
+    crash window between the two publish renames is repaired at the
+    next fold (old state restored before anything is read).
     """
     import os
     import shutil
+    import uuid
 
     from nyc_taxi_data_ingestion_spark.operators.incremental import (
         merge_agg_states,
@@ -605,23 +616,59 @@ def stream_agg_state_sink(
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
         prefix=f"ckpt_{query_name}_"
     )
-    markers = target_path.rstrip("/") + "__applied"
-    os.makedirs(markers, exist_ok=True)
+    lineage_file = os.path.join(checkpoint_dir, "_fold_lineage")
+    if os.path.exists(lineage_file):
+        with open(lineage_file) as fh:
+            lineage = fh.read().strip()
+    else:
+        lineage = uuid.uuid4().hex
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(lineage_file, "w") as fh:
+            fh.write(lineage)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers, str(batch_id))
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        tmp, old = base + "__fold_tmp", base + "__fold_old"
+        # repair the crash window between the two publish renames
+        if not os.path.exists(target_path) and os.path.exists(old):
+            os.rename(old, target_path)
+        state_lineage = os.path.join(target_path, "_lineage")
+        if os.path.exists(target_path):
+            have = ""
+            if os.path.exists(state_lineage):
+                with open(state_lineage) as fh:
+                    have = fh.read().strip()
+            if have != lineage:
+                raise RuntimeError(
+                    "stream_agg_state_sink: existing state at "
+                    f"{target_path} was built under a different "
+                    "checkpoint lineage — resume with the original "
+                    "checkpoint dir, or point at a fresh state path."
+                )
+        marker = os.path.join(target_path, "_applied", str(batch_id))
         if os.path.exists(marker):
             return
-        spark = batch_df.sparkSession
         part = partial_agg_state(batch_df, keys, value_col)
         if os.path.exists(target_path):
             state = spark.read.parquet(target_path)
             merged = merge_agg_states([state, part], keys)
         else:
             merged = part
-        base = target_path.rstrip("/")
-        tmp, old = base + "__fold_tmp", base + "__fold_old"
+        shutil.rmtree(tmp, ignore_errors=True)
         write_partitioned(merged, tmp, [])
+        # markers + lineage ride the same rename as the data
+        applied_tmp = os.path.join(tmp, "_applied")
+        if os.path.exists(os.path.join(target_path, "_applied")):
+            shutil.copytree(
+                os.path.join(target_path, "_applied"), applied_tmp
+            )
+        else:
+            os.makedirs(applied_tmp, exist_ok=True)
+        with open(os.path.join(applied_tmp, str(batch_id)), "w") as fh:
+            fh.write("applied")
+        with open(os.path.join(tmp, "_lineage"), "w") as fh:
+            fh.write(lineage)
         if os.path.exists(old):
             shutil.rmtree(old)
         if os.path.exists(target_path):
@@ -632,8 +679,6 @@ def stream_agg_state_sink(
             if os.path.exists(old):
                 os.rename(old, target_path)
             raise
-        with open(marker, "w") as fh:
-            fh.write("applied")
 
     writer = (
         stream_df.writeStream.foreachBatch(_fold)

@@ -364,3 +364,34 @@ def test_dsir_weights_match_numpy_reference(spark):
     # the medical doc must outrank the spark docs for the medical target
     assert out[1].log_weight > out[0].log_weight
     assert out[1].log_weight > out[2].log_weight
+
+
+def test_partitioned_prefix_sum_doubles_nulls_and_null_groups(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
+    rows = [
+        ("a", 1, 0.5), ("a", 2, 0.7), ("a", 3, None),
+        (None, 1, 1.5), (None, 2, 2.5),   # NULL group must survive
+    ]
+    df = spark.createDataFrame(rows, "g string, o long, v double")
+    got = {
+        (r["g"], r["o"]): r["run"]
+        for r in partitioned_prefix_sum(
+            df, ["g"], "o", "v", "run", n_buckets=2
+        ).collect()
+    }
+    # fractional sums must not truncate; NULL values count as 0
+    assert got[("a", 1)] == 0.0
+    assert got[("a", 2)] == 0.5
+    assert got[("a", 3)] == 0.5 + 0.7
+    assert got[(None, 1)] == 0.0 and got[(None, 2)] == 1.5
+    # non-numeric order columns raise with guidance, not a cast crash
+    sdf = spark.createDataFrame(
+        [("a", "d1", 1)], "g string, o string, v long"
+    )
+    with _pytest.raises(ValueError, match="numeric"):
+        partitioned_prefix_sum(sdf, ["g"], "o", "v", "run")

@@ -841,3 +841,28 @@ def test_audit_unpushed_filter_detection(spark, sf_dir):
     assert "unpushed-filter" in codes
     good = li.filter(F.col("l_quantity") == 10.0)
     assert "unpushed-filter" not in {f.code for f in audit_plan(good)}
+
+
+def test_audit_no_false_positive_on_partitioned_window(spark):
+    # regression: a block-crossing regex once attributed SinglePartition
+    # (from a later global aggregate's exchange) to the partitioned
+    # window's hash exchange and flagged a correct plan
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+    df = (
+        spark.range(100)
+        .withColumn("g", F.col("id") % 5)
+        .withColumn("v", F.col("id") * 2)
+    )
+    ok = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+        )
+        .filter("rn <= 2")
+        .groupBy()
+        .agg(F.sum("v"))
+    )
+    assert "global-ordered-window" not in {f.code for f in audit_plan(ok)}

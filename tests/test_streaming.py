@@ -400,12 +400,24 @@ def test_stream_agg_state_fold_and_replay_idempotence(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want  # folded state == one-shot partial agg
-    # crash-replay: a FRESH checkpoint re-delivers every batch; the
-    # applied-batch markers must make the non-idempotent fold a no-op
-    run(str(tmp_path / "ckpt2"))
+    # resume with the SAME checkpoint: Spark's own file tracking plus
+    # the atomic markers deliver nothing new — state unchanged
+    run(str(tmp_path / "ckpt1"))
     again = {
         r["o_orderpriority"]: (r["n"], r["s"])
         for r in spark.read.parquet(state).collect()
     }
     assert again == want  # no double counting
-    shutil.rmtree(state + "__applied", ignore_errors=True)
+    # a FRESH checkpoint re-lists every file under fresh batch ids —
+    # no marker scheme can map them onto the old lineage, so the sink
+    # must refuse loudly rather than silently double-count
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="lineage"):
+        run(str(tmp_path / "ckpt2"))
+    unchanged = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert unchanged == want
+    shutil.rmtree(state + "__fold_old", ignore_errors=True)
