@@ -44,15 +44,33 @@ def write_observed(
     metrics: dict[str, Column] | None = None,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    audit: bool = True,
 ) -> dict[str, object]:
     """Partitioned parquet write that harvests observed metrics from
     the write job itself — one action, data + metrics. Returns the
-    metric dict (e.g. ``{"row_count": 12345, "null_ts": 0}``)."""
+    metric dict (e.g. ``{"row_count": 12345, "null_ts": 0}``).
+
+    ``audit=True`` additionally runs the ``plans/audit`` plan review
+    on the frame before writing and returns its findings under
+    ``plan_findings`` — config-declared pipelines get their scale
+    smells (single-task windows, row-Python, unpushed filters)
+    surfaced in the run metrics, not in a postmortem. String analysis
+    of the formatted plan only; no extra Spark jobs."""
     if metrics is None:
         metrics = standard_metrics(df)
+    findings: list[dict[str, str]] = []
+    if audit:
+        from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+        findings = [
+            {"severity": f.severity, "code": f.code} for f in audit_plan(df)
+        ]
     observed, obs = attach(df, metrics)
     writer = observed.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return obs.get
+    out = dict(obs.get)
+    if audit:
+        out["plan_findings"] = findings
+    return out

@@ -866,3 +866,16 @@ def test_audit_no_false_positive_on_partitioned_window(spark):
         .agg(F.sum("v"))
     )
     assert "global-ordered-window" not in {f.code for f in audit_plan(ok)}
+
+
+def test_write_observed_attaches_clean_plan_findings(spark, sf_dir, tmp_path):
+    # every observed write carries its plan review; the compiled
+    # medallion plans must review clean of error-level smells
+    cfg = events_config(sf_dir)
+    plan = compile_pipeline(spark, cfg)
+    wh = str(tmp_path / "wh_audit")
+    metrics: dict[str, dict] = {}
+    run_pipeline(spark, plan, wh, metrics_out=metrics)
+    for layer, m in metrics.items():
+        assert "plan_findings" in m, layer
+        assert [f for f in m["plan_findings"] if f["severity"] == "error"] == []
