@@ -276,3 +276,25 @@ def resize_media(
             yield pdf
 
     return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def media_exact_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Exact multimodal dedup: keep the min-id row per payload digest —
+    the first pass every image/audio corpus gets before any perceptual
+    hashing (crawls are full of byte-identical re-hosted assets).
+    Digest is md5 over the RAW BYTES (no decode), so the shuffle moves
+    ~16 B + id per row, never payloads — the binary-column twin of
+    llm/dedup.exact_dedup's fingerprint contract. Survivors keep all
+    columns; perceptual near-dup (pHash over the decode stub) is the
+    layered next step, exactly like MinHash over exact text dedup."""
+    keep = (
+        media.select(F.col(id_col), F.md5(F.col(payload_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return media.join(keep, on=id_col, how="left_semi")

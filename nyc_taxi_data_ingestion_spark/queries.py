@@ -5711,6 +5711,85 @@ def q_tpch_q18_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_DEDUP_ORACLE = """
+WITH surv AS (SELECT MIN(doc_id) AS media_id FROM documents GROUP BY text)
+SELECT d.doc_id AS media_id, 'image' AS media_type,
+       CAST(octet_length(encode(d.text)) AS INT) AS byte_len
+FROM documents d JOIN surv s ON d.doc_id = s.media_id
+"""
+
+
+@register("media_dedup", _MEDIA_DEDUP_ORACLE, tags=["llm-multimodal"])
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multimodal payload dedup (llm/multimodal.media_exact_dedup):
+    min-id survivor per raw-byte md5 — the first pass over any crawled
+    media corpus (byte-identical re-hosted assets), shuffling 16-byte
+    digests, never payloads. Oracle groups by the payload's source
+    text directly (same equivalence classes as the digest)."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        media_exact_dedup,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    surv = media_exact_dedup(media)
+    return surv.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("int").alias("byte_len"),
+    )
+
+
+_ROLLUP_SHARE_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS qty
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+)
+SELECT c.l_returnflag, c.l_linestatus, c.qty,
+       c.qty / p.qty AS share_of_flag
+FROM r c
+JOIN r p
+  ON p.l_returnflag = c.l_returnflag AND p.l_linestatus IS NULL
+WHERE c.l_linestatus IS NOT NULL AND c.l_returnflag IS NOT NULL
+"""
+
+
+@register("rollup_share", _ROLLUP_SHARE_ORACLE, tags=["A1", "A4"])
+def q_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis over a ROLLUP: each (flag, status) leaf's
+    share of its parent flag subtotal — the drill-down ratio a BI
+    layer derives from one rollup pass plus a self-join of the TINY
+    aggregated frame (never a second fact scan). Decimal-exact sums;
+    the share is one IEEE division."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("qty")
+        )
+        .localCheckpoint(eager=True)
+    )
+    child = r.filter(
+        F.col("l_linestatus").isNotNull() & F.col("l_returnflag").isNotNull()
+    ).alias("c")
+    parent = r.filter(
+        F.col("l_linestatus").isNull() & F.col("l_returnflag").isNotNull()
+    ).alias("p")
+    return child.join(
+        F.broadcast(parent),
+        F.col("c.l_returnflag") == F.col("p.l_returnflag"),
+    ).select(
+        F.col("c.l_returnflag").alias("l_returnflag"),
+        F.col("c.l_linestatus").alias("l_linestatus"),
+        F.col("c.qty").alias("qty"),
+        (F.col("c.qty") / F.col("p.qty")).alias("share_of_flag"),
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford
