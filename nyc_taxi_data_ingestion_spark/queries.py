@@ -5657,15 +5657,27 @@ def q_stream_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     stream = read_parquet_stream(spark, path, schema, max_files_per_trigger=1)
     state_dir = tempfile.mkdtemp(prefix="spark_graft_aggstate_")
+    ckpt_dir = tempfile.mkdtemp(prefix="spark_graft_aggstate_ckpt_")
     import shutil
 
     shutil.rmtree(state_dir, ignore_errors=True)
-    stream_agg_state_sink(
-        stream, state_dir, ["o_orderpriority"], "o_totalprice"
-    )
-    state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
-    shutil.rmtree(state_dir, ignore_errors=True)
-    shutil.rmtree(state_dir.rstrip("/") + "__fold_old", ignore_errors=True)
+    try:
+        stream_agg_state_sink(
+            stream,
+            state_dir,
+            ["o_orderpriority"],
+            "o_totalprice",
+            checkpoint_dir=ckpt_dir,
+        )
+        state = spark.read.parquet(state_dir).localCheckpoint(eager=True)
+    finally:
+        # a drain-then-stop run never resumes: reclaim state, fold
+        # scratch, and the checkpoint (the sink must not delete its own
+        # checkpoint — that would break real resume semantics)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(state_dir.rstrip("/") + "__fold_old", ignore_errors=True)
+        shutil.rmtree(state_dir.rstrip("/") + "__fold_tmp", ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return finalize_agg_state(state, ["o_orderpriority"], "price")
 
 
