@@ -61,18 +61,41 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 # -- exact dedup (hash-groupBy) ---------------------------------------------
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: keep the min-id row per normalized-text fingerprint.
-    One shuffle on the 128-bit fingerprint — never on the text itself
-    (at 100 TB the shuffle moves ~48 B/row, not documents)."""
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint_col: Column | None = None,
+) -> DataFrame:
+    """Exact dedup: keep the min-id row per content fingerprint
+    (default: the normalized-text md5; pass ``fingerprint_col`` to key
+    on anything else, e.g. raw payload bytes for binary media).
+
+    Scale shape: the GROUPING shuffle moves (fingerprint, id) scalars
+    only — never content. The survivor restriction is then an
+    id-keyed LEFT SEMI join of the full frame against the keep set;
+    that join co-locates by id, so on an id-bucketed/partitioned table
+    (the at-rest layout ``create_bucketed_table`` exists for) it is
+    exchange-free — otherwise it is one content-sized shuffle on the
+    id, the honest cost of materializing survivors WITH their content
+    in one pass. Rows with a NULL fingerprint are not each other's
+    duplicates and pass through untouched."""
     from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
 
-    fp = fingerprint(text_col).alias("__fp")
+    fp = (
+        fingerprint_col
+        if fingerprint_col is not None
+        else fingerprint(text_col)
+    ).alias("__fp")
+    with_fp = df.select(F.col(id_col), fp)
     keep = (
-        df.select(F.col(id_col), fp)
+        with_fp.filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))
         .drop("__fp")
+        .unionByName(
+            with_fp.filter(F.col("__fp").isNull()).select(id_col)
+        )
     )
     return df.join(keep, on=id_col, how="left_semi")
 

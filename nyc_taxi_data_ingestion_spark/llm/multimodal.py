@@ -286,15 +286,17 @@ def media_exact_dedup(
     """Exact multimodal dedup: keep the min-id row per payload digest —
     the first pass every image/audio corpus gets before any perceptual
     hashing (crawls are full of byte-identical re-hosted assets).
-    Digest is md5 over the RAW BYTES (no decode), so the shuffle moves
-    ~16 B + id per row, never payloads — the binary-column twin of
-    llm/dedup.exact_dedup's fingerprint contract. Survivors keep all
-    columns; perceptual near-dup (pHash over the decode stub) is the
+    Digest is md5 over the RAW BYTES (no decode); NULL payloads (fetch
+    failures) are not each other's duplicates and pass through. This
+    is llm/dedup.exact_dedup keyed on bytes — see its docstring for
+    the shuffle contract (digest-sized grouping; the survivor
+    semi-join co-locates by id and is exchange-free on an id-bucketed
+    table). Perceptual near-dup (pHash over the decode stub) is the
     layered next step, exactly like MinHash over exact text dedup."""
-    keep = (
-        media.select(F.col(id_col), F.md5(F.col(payload_col)).alias("__fp"))
-        .groupBy("__fp")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__fp")
+    from nyc_taxi_data_ingestion_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(
+        media,
+        id_col=id_col,
+        fingerprint_col=F.md5(F.col(payload_col)),
     )
-    return media.join(keep, on=id_col, how="left_semi")

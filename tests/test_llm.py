@@ -875,3 +875,20 @@ def test_connected_components_star_matches_min_label(spark):
             for r in connected_components_star(df).collect()
         }
         assert got == want
+
+
+def test_media_exact_dedup_null_payloads_pass_through(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        media_exact_dedup,
+    )
+
+    rows = [
+        (1, bytearray(b"same")), (2, bytearray(b"same")),
+        (3, bytearray(b"other")),
+        (4, None), (5, None),  # fetch failures are NOT duplicates
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kept = sorted(
+        r["media_id"] for r in media_exact_dedup(df).collect()
+    )
+    assert kept == [1, 3, 4, 5]
