@@ -545,3 +545,46 @@ def test_tpch_q3_q5_broadcast_dims_and_pushdown(spark, sf_dir):
     p5 = plan_of(spark, "tpch_q5_sql", sf_dir)
     assert p5.count("BroadcastHashJoin") >= 3
     assert "GreaterThanOrEqual(o_orderdate" in p5
+
+
+def test_seasonal_anomaly_profile_broadcasts(spark, sf_dir):
+    # the 168-cell profile must broadcast back onto the stream — a
+    # shuffle join here would re-shuffle the whole event log on the
+    # cell key
+    plan = plan_of(spark, "seasonal_anomaly", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_transitions_single_user_shuffle(spark, sf_dir):
+    # one user-key exchange for the lead window; the share
+    # normalization must run over the types^2 count table, never
+    # re-shuffle events
+    plan = plan_of(spark, "event_transitions", sf_dir)
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning" in l and "u#" in l
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
+
+
+def test_incremental_agg_state_partial_aggregates(spark, sf_dir):
+    # every partial_agg_state and the merge re-aggregate must map-side
+    # combine (HashAggregate below and above each exchange), and no
+    # Python anywhere
+    plan = plan_of(spark, "incremental_agg_state", sf_dir)
+    assert plan.count("HashAggregate") >= 4
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_media_dedup_digest_only_grouping_shuffle(spark, sf_dir):
+    # the grouping exchange must carry the 16-byte digest, never the
+    # payload column
+    plan = plan_of(spark, "media_dedup", sf_dir)
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line and "__fp" in line:
+            assert "payload" not in line
+            break
+    else:
+        raise AssertionError("no digest-keyed exchange found")
