@@ -300,3 +300,64 @@ def media_exact_dedup(
         id_col=id_col,
         fingerprint_col=F.md5(F.col(payload_col)),
     )
+
+
+def media_phash_near_dup(
+    media: DataFrame,
+    tau: float = 2.0,
+    decode_fn=_stub_decode,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over decoded features — the
+    layered step AFTER :func:`media_exact_dedup` (byte-identical) that
+    catches re-encoded/resized copies byte hashing cannot. Returns
+    (id_a, id_b, dist) with id_a < id_b and dist = L∞ distance over
+    the feature vector ≤ ``tau``.
+
+    Pipeline: Arrow-batched decode (:func:`extract_features`; the
+    codec is the documented stub — 8 byte-bucket means — swapped for a
+    real pHash/embedding in deployment) → corpus-mean sign
+    quantization into a perceptual hash → candidates join ON THE HASH
+    BUCKET (features never self-join all-pairs) → exact L∞ verify on
+    candidates only. Identical sign patterns are necessary for small
+    L∞ distance *around the quantization boundary*, so the bucket join
+    is a high-recall candidate generator for near-identical media, not
+    a guarantee — the standard perceptual-hash contract.
+
+    Scale shape: everything after decode is an 8-double narrow table;
+    the bucket self-join is AQE-skew-split on hot hashes. With real
+    higher-dimensional features, band the sign bits like
+    llm/dedup.simhash (multiple bucket tables, OR of candidates)
+    instead of one equality join."""
+    feats = extract_features(media, decode_fn=decode_fn).select(
+        "media_id", "feature"
+    ).where(F.size("feature") > 0).localCheckpoint(eager=True)
+    dims = len(feats.select("feature").first()["feature"])
+    means = feats.agg(
+        *[F.avg(F.col("feature")[i]).alias(f"__m{i}") for i in range(dims)]
+    )
+    bits = None
+    for i in range(dims):
+        b = (F.col("feature")[i] > F.col(f"__m{i}")).cast("long") * F.lit(
+            2**i
+        )
+        bits = b if bits is None else bits + b
+    hashed = feats.crossJoin(F.broadcast(means)).select(
+        "media_id", "feature", bits.alias("__ph")
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__ph") == F.col("b.__ph"))
+        & (F.col("a.media_id") < F.col("b.media_id")),
+    )
+    dist = F.greatest(
+        *[
+            F.abs(F.col("a.feature")[i] - F.col("b.feature")[i])
+            for i in range(dims)
+        ]
+    )
+    return cand.select(
+        F.col("a.media_id").alias("id_a"),
+        F.col("b.media_id").alias("id_b"),
+        dist.alias("dist"),
+    ).filter(F.col("dist") <= tau)

@@ -5802,6 +5802,23 @@ def q_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("media_phash_near_dup", None, tags=["llm-multimodal"])
+def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media near-dup (llm/multimodal.media_phash_near_dup):
+    Arrow-batched decode (stub codec) → corpus-mean sign quantization →
+    bucket-join candidates → exact L∞ verify — the layer ABOVE
+    media_dedup that catches re-encoded copies. Python decode step ⇒
+    not SQL-expressible → rows-only; planted near/far duplicates are
+    pytest-gated (test_llm)."""
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        documents_as_media,
+        media_phash_near_dup,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media_phash_near_dup(media, tau=8.0)
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

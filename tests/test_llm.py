@@ -892,3 +892,29 @@ def test_media_exact_dedup_null_payloads_pass_through(spark):
         r["media_id"] for r in media_exact_dedup(df).collect()
     )
     assert kept == [1, 3, 4, 5]
+
+
+def test_media_phash_near_dup_planted_pairs(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        media_phash_near_dup,
+    )
+
+    base = b"abcdefgh" * 64
+    # perturb ONE byte slightly: bucket means shift by 1/64 — a
+    # re-encode-style near-duplicate the byte digest misses
+    near = b"abcdefgg" + b"abcdefgh" * 63
+    far = bytes(range(256)) * 2
+    rows = [
+        (1, bytearray(base), "image"),
+        (2, bytearray(near), "image"),
+        (3, bytearray(far), "image"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in media_phash_near_dup(df, tau=1.0).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1.0
+    assert all(3 not in p for p in pairs)
