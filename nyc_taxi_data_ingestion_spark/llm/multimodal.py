@@ -165,22 +165,27 @@ def media_shard_pack(
     most one blob (exact greedy bin-packing is inherently sequential —
     prefix-sum binning is the standard distributed relaxation).
 
-    Scale shape: ONE shuffle on the media-type key; the prefix sum is a
-    type-partitioned window over (id) — never a global sort; payloads
-    themselves are untouched (the window sums the byte LENGTH
-    column)."""
-    from pyspark.sql import Window
+    Scale shape: the per-type running byte sum is
+    ``partitioned_prefix_sum``'s two-pass bucketed scan — a
+    type-partitioned WINDOW would put each media type in one task
+    (there are a handful of types over a 100 TB media corpus, and in
+    this repo's adapter the type is a constant the optimizer folds to
+    a literal SinglePartition window — the plan-audit sweep caught
+    exactly that). Payloads are untouched: the sum runs over the byte
+    LENGTH column."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
 
-    w = (
-        Window.partitionBy(type_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    counted = media.withColumn(
+        "byte_len", F.length(payload_col).cast("long")
     )
-    blen = F.length(payload_col)
-    before = F.coalesce(F.sum(blen).over(w), F.lit(0))
-    return media.withColumn("byte_len", blen.cast("long")).withColumn(
-        "shard_id", F.floor(before / F.lit(budget_bytes)).cast("int")
-    )
+    return partitioned_prefix_sum(
+        counted, [type_col], id_col, "byte_len", "__before"
+    ).withColumn(
+        "shard_id",
+        F.floor(F.col("__before") / F.lit(budget_bytes)).cast("int"),
+    ).drop("__before")
 
 
 FRAME_SCHEMA = (

@@ -588,3 +588,38 @@ def test_media_dedup_digest_only_grouping_shuffle(spark, sf_dir):
             break
     else:
         raise AssertionError("no digest-keyed exchange found")
+
+
+def test_registry_audits_clean_of_errors(spark, sf_dir):
+    """Sweep: every registry query's plan passes its own reviewer
+    (plans/audit) at error level, modulo an EXPLICIT whitelist of
+    documented single-task windows:
+    - ks_drift / score_buckets: the only ordered window runs over a
+      ≤n_buckets subtotal/histogram table — bounded rows, which a
+      static plan audit cannot know;
+    - moving_avg_band: a global time-series rolling band is inherently
+      one ordered sequence (docstring-documented, mirrors the
+      reference's pandas implementation);
+    - prototype_prune_exact: O(N²)-class exact-verification twin kept
+      only as an oracle cross-check of the registered scale path.
+    Anything NEW that trips the audit must either be fixed (see
+    media_shard_pack's constant-folded window, caught by this sweep)
+    or argued onto this list."""
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+    allowed = {
+        "ks_drift", "score_buckets", "moving_avg_band",
+        "prototype_prune_exact",
+    }
+    bad = {}
+    for name, q in sorted(REGISTRY.items()):
+        if name in allowed:
+            continue
+        errs = [
+            f.code
+            for f in audit_plan(q.fn(spark, sf_dir))
+            if f.severity == "error"
+        ]
+        if errs:
+            bad[name] = errs
+    assert bad == {}, bad
