@@ -5819,6 +5819,85 @@ def q_media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_phash_near_dup(media, tau=8.0)
 
 
+_TPCH_Q6_TEMPLATE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(6,4))), 4)
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM {lineitem}
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "tpch_q6_sql",
+    _TPCH_Q6_TEMPLATE.format(lineitem="lineitem"),
+    tags=["A5", "sql"],
+)
+def q_tpch_q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) through spark.sql(): the
+    pure scan-filter-aggregate — all three predicates (date range,
+    discount band, quantity cap) must reach the parquet scan as pushed
+    filters, and the whole query is one map-side-combined aggregate
+    with no shuffle beyond the final single-row merge. Decimal-exact
+    product sum."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("tpch_lineitem_v")
+    return spark.sql(_TPCH_Q6_TEMPLATE.format(lineitem="tpch_lineitem_v"))
+
+
+_PROMO_REVENUE_ORACLE = """
+WITH j AS (
+  SELECT p.p_type,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l.l_discount AS DECIMAL(6,4)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+)
+SELECT CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev END), 4)
+            AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(SUM(rev), 4) AS DOUBLE) AS total_revenue,
+       CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev END), 4)
+            AS DOUBLE)
+         / CAST(ROUND(SUM(rev), 4) AS DOUBLE) AS promo_share
+FROM j
+"""
+
+
+@register("promo_revenue", _PROMO_REVENUE_ORACLE, tags=["J1", "A4", "sql"])
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14's shape (promotion-effect revenue share): the
+    lineitem ⋈ part fact-dim join — the one testdata table no other
+    query touched — with a conditional decimal-exact revenue split and
+    a guarded ratio. The part dim must broadcast (plan-gated with the
+    J1 family); dates push to the fact scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(6,4)")
+    j = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_type", rev.alias("rev")
+    )
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))), 4
+    ).cast("double")
+    total = F.round(F.sum("rev"), 4).cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (promo / total).alias("promo_share"),
+    )
+
+
 # Oracle-backed queries that already hold a green driver verdict from
 # CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
 # the registry (round 2 stopped at exactly 50 entries), these can afford

@@ -623,3 +623,19 @@ def test_registry_audits_clean_of_errors(spark, sf_dir):
         if errs:
             bad[name] = errs
     assert bad == {}, bad
+
+
+def test_tpch_q6_all_predicates_pushed_no_join_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q6_sql", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial
+
+
+def test_promo_revenue_part_dim_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, "promo_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
