@@ -172,7 +172,10 @@ def media_shard_pack(
     this repo's adapter the type is a constant the optimizer folds to
     a literal SinglePartition window — the plan-audit sweep caught
     exactly that). Payloads are untouched: the sum runs over the byte
-    LENGTH column."""
+    LENGTH column. Like token_shards, ``id_col`` must be numeric
+    (the boundary sketch needs ordered arithmetic); string ids
+    (URLs, content hashes) need a numeric surrogate upstream —
+    raised as a clear ValueError."""
     from nyc_taxi_data_ingestion_spark.operators.transform import (
         partitioned_prefix_sum,
     )
@@ -334,25 +337,41 @@ def media_phash_near_dup(
     llm/dedup.simhash (multiple bucket tables, OR of candidates)
     instead of one equality join."""
     feats = extract_features(media, decode_fn=decode_fn).select(
-        "media_id", "feature"
+        "media_id", "media_type", "feature"
     ).where(F.size("feature") > 0).localCheckpoint(eager=True)
-    dims = len(feats.select("feature").first()["feature"])
+    probe = feats.select("feature").first()
+    if probe is None:  # empty corpus / all-NULL payloads -> no pairs
+        return media.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, dist double"
+        )
+    dims = len(probe["feature"])
+    # decode_fn must be fixed-width per corpus; rows with a different
+    # width (a per-type decoder mixing dimensionalities) are dropped
+    # EXPLICITLY rather than silently null-hashing on missing indices
+    feats = feats.where(F.size("feature") == dims)
     means = feats.agg(
         *[F.avg(F.col("feature")[i]).alias(f"__m{i}") for i in range(dims)]
     )
-    bits = None
-    for i in range(dims):
-        b = (F.col("feature")[i] > F.col(f"__m{i}")).cast("long") * F.lit(
-            2**i
-        )
-        bits = b if bits is None else bits + b
+    # sign bits packed into 32-bit BANDS (an array of small longs):
+    # one 2**i weight per dimension overflows LongType at 64+ dims —
+    # exactly the width of a real pHash/embedding
+    bands = []
+    for lo in range(0, dims, 32):
+        b = None
+        for i in range(lo, min(lo + 32, dims)):
+            bit = (F.col("feature")[i] > F.col(f"__m{i}")).cast(
+                "long"
+            ) * F.lit(2 ** (i - lo))
+            b = bit if b is None else b + bit
+        bands.append(b)
     hashed = feats.crossJoin(F.broadcast(means)).select(
-        "media_id", "feature", bits.alias("__ph")
+        "media_id", "media_type", "feature", F.array(*bands).alias("__ph")
     )
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = a.join(
         b,
         (F.col("a.__ph") == F.col("b.__ph"))
+        & (F.col("a.media_type") == F.col("b.media_type"))
         & (F.col("a.media_id") < F.col("b.media_id")),
     )
     dist = F.greatest(

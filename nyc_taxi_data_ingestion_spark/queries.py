@@ -5871,9 +5871,11 @@ FROM j
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14's shape (promotion-effect revenue share): the
     lineitem ⋈ part fact-dim join — the one testdata table no other
-    query touched — with a conditional decimal-exact revenue split and
-    a guarded ratio. The part dim must broadcast (plan-gated with the
-    J1 family); dates push to the fact scan."""
+    query touched — with a conditional decimal-exact revenue split;
+    promo_share is the plain ratio of the two rounded sums (NULL when
+    the window is empty, identically on both engines). The part dim
+    must broadcast (plan-gated with the J1 family); dates push to the
+    fact scan."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-04-01")

@@ -918,3 +918,24 @@ def test_media_phash_near_dup_planted_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] <= 1.0
     assert all(3 not in p for p in pairs)
+
+
+def test_media_phash_near_dup_edge_cases(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        media_phash_near_dup,
+    )
+
+    schema = "media_id long, payload binary, media_type string"
+    # empty corpus and all-NULL payloads -> empty pair frame, no crash
+    assert media_phash_near_dup(
+        spark.createDataFrame([], schema)
+    ).count() == 0
+    assert media_phash_near_dup(
+        spark.createDataFrame([(1, None, "image"), (2, None, "image")], schema)
+    ).count() == 0
+    # identical bytes under DIFFERENT media types never pair
+    payload = bytearray(b"abcdefgh" * 16)
+    mixed = spark.createDataFrame(
+        [(1, payload, "image"), (2, payload, "audio")], schema
+    )
+    assert media_phash_near_dup(mixed, tau=1.0).count() == 0
