@@ -143,7 +143,14 @@ def exact_quantiles(
                 key
                 for r, (key, _lr) in where.items()
                 if r not in resolved and ranges[key] > max_task_rows
-            }
+            },
+            # open ends are None — plain tuple sort would compare
+            # None with float and crash once BOTH outer ranges (e.g.
+            # p=0.001 and p=0.999) stay active into the same round
+            key=lambda k: (
+                float("-inf") if k[0] is None else k[0],
+                float("inf") if k[1] is None else k[1],
+            ),
         )
         if not active:
             break

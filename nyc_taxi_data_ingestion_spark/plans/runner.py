@@ -149,7 +149,29 @@ def run_medallion(
             parts = mart.get("partition_by") or []
             if incremental and mart.get("materialization") == "incremental":
                 sl = _lookback_filter(silver_df, mart["lookback"], parts)
-                overwrite_partitions(spark, build_gold_frame(sl, mart), path, parts)
+                frame = build_gold_frame(sl, mart)
+                if metrics_out is not None:
+                    # the partition-scoped write is still a write job —
+                    # observed metrics ride it like every other layer's
+                    from nyc_taxi_data_ingestion_spark.plans.audit import (
+                        audit_plan,
+                    )
+                    from nyc_taxi_data_ingestion_spark.quality.observe import (
+                        attach,
+                        standard_metrics,
+                    )
+
+                    findings = [
+                        {"severity": f.severity, "code": f.code}
+                        for f in audit_plan(frame)
+                    ]
+                    frame, obs = attach(frame, standard_metrics(frame))
+                    overwrite_partitions(spark, frame, path, parts)
+                    got = dict(obs.get)
+                    got["plan_findings"] = findings
+                    metrics_out[f"gold/{mart['name']}"] = got
+                else:
+                    overwrite_partitions(spark, frame, path, parts)
             else:
                 _write(build_gold_frame(silver_df, mart), path, parts,
                        f"gold/{mart['name']}")

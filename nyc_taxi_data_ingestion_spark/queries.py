@@ -1729,9 +1729,13 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.gettempdir()
     for stale in os.listdir(tmp):
         p = os.path.join(tmp, stale)
-        if stale.startswith("spark_graft_medallion_") and (
-            time.time() - os.path.getmtime(p) > 3600
-        ):
+        if not stale.startswith("spark_graft_medallion_"):
+            continue
+        try:
+            old = time.time() - os.path.getmtime(p) > 3600
+        except OSError:
+            continue  # a concurrent run swept it between listdir and stat
+        if old:
             shutil.rmtree(p, ignore_errors=True)
     wh = tempfile.mkdtemp(prefix="spark_graft_medallion_")
 
@@ -1767,6 +1771,9 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert tr.to_df(spark).count() == 2 + len(cfg["gold"])
 
     return spark.read.parquet(os.path.join(wh, "gold", "priority_revenue"))
+
+
+@register("lineage_events", None, tags=["L1", "L3", "L4"])
 def q_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/L4 — record a pipeline run's lineage events and query the
     event log for one table (lineage.py:498-551 analogue). Rows-only:

@@ -335,13 +335,16 @@ def write_clustered(
     assert (
         sum(x is not None for x in (sort_cols, zorder, zorder_auto)) == 1
     ), "exactly one of sort_cols / zorder / zorder_auto"
+    made_zkey = False
     if zorder is not None:
         zcols, zbounds = zorder
         df = df.withColumn("__zkey", zorder_key(zcols, zbounds))
         keys = ["__zkey"]
+        made_zkey = True
     elif zorder_auto is not None:
         df = zorder_key_quantile(df, zorder_auto)
         keys = ["__zkey"]
+        made_zkey = True
     else:
         keys = list(sort_cols)
     if target_files:
@@ -349,7 +352,9 @@ def write_clustered(
     else:
         df = df.repartitionByRange(*keys)
     df = df.sortWithinPartitions(*keys)
-    if "__zkey" in df.columns:
+    if made_zkey:
+        # drop only the key WE created — a user column that happens to
+        # be named __zkey on the sort_cols path must survive the write
         df = df.drop("__zkey")
         # the sort order survives the projection; files stay clustered
     writer = df.write.mode(mode)

@@ -879,3 +879,21 @@ def test_write_observed_attaches_clean_plan_findings(spark, sf_dir, tmp_path):
     for layer, m in metrics.items():
         assert "plan_findings" in m, layer
         assert [f for f in m["plan_findings"] if f["severity"] == "error"] == []
+
+
+def test_run_medallion_incremental_mart_reports_metrics(spark, sf_dir, tmp_path):
+    from nyc_taxi_data_ingestion_spark.plans.runner import run_medallion
+
+    cfg = events_config(sf_dir)
+    cfg["gold"][0]["materialization"] = "incremental"
+    cfg["gold"][0].setdefault("lookback", {"days": 36500})
+    metrics: dict[str, dict] = {}
+    res = run_medallion(
+        spark, cfg, str(tmp_path / "wh_incr"), incremental=True,
+        metrics_out=metrics,
+    )
+    assert all(r.status == "ok" for r in res)
+    key = f"gold/{cfg['gold'][0]['name']}"
+    assert key in metrics, sorted(metrics)
+    assert metrics[key]["row_count"] > 0
+    assert "plan_findings" in metrics[key]

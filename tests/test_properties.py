@@ -455,3 +455,28 @@ def test_partitioned_prefix_sum_matches_sequential(spark, rows):
             want[(g, o)] = acc
             acc += v
     assert got == want
+
+
+def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
+    """Regression: with max_task_rows forced tiny, BOTH open-ended
+    outer ranges (p near 0 and p near 1) stay active into the same
+    refinement round — the active-range sort must handle None bounds
+    (it once compared None with float and crashed). Values must still
+    be bit-identical to the built-in percentile."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fracs = [0.001, 0.5, 0.999]
+    got = exact_quantiles(
+        li, "l_extendedprice", fracs, max_task_rows=50, n_buckets=4
+    ).first()
+    want = li.select(
+        F.expr(
+            "percentile(CAST(l_extendedprice AS DOUBLE), "
+            "array(0.001D, 0.5D, 0.999D))"
+        ).alias("p")
+    ).first()["p"]
+    assert [got[f"q{i}"] for i in range(3)] == list(want)
