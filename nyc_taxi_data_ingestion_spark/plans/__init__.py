@@ -17,6 +17,10 @@ from nyc_taxi_data_ingestion_spark.plans.compiler import (  # noqa: F401
     compile_stream_pipeline,
     run_pipeline,
 )
+from nyc_taxi_data_ingestion_spark.plans.audit import (  # noqa: F401
+    Finding,
+    audit_plan,
+)
 from nyc_taxi_data_ingestion_spark.plans.inspect import (  # noqa: F401
     explain_formatted,
     plan_summary,
