@@ -5907,68 +5907,116 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle-backed queries that already hold a green driver verdict from
-# CORRECTNESS_r01/r02. If the driver evaluates only a bounded prefix of
-# the registry (round 2 stopped at exactly 50 entries), these can afford
-# to sit late — their verdicts are on record — while queries that have
-# NEVER been driver-evaluated (r2 positions 51+, plus everything added
-# since) must come first to finally earn a hash-match row.
-_PRIOR_GREEN = [
-    "silver_transform", "daily_stats", "top_groups", "global_agg",
-    "null_check", "anti_join", "value_counts", "hourly_analysis",
-    "revenue_by_group", "ratio_of_sums", "stats_bundle", "quantiles",
-    "distinct_count", "conditional_count", "group_having", "date_group",
-    "left_join_dims", "od_matrix", "except_distinct", "between_filter",
-    "topk_per_group", "range_check", "expectations_suite",
-    "reconcile_rowcount", "reconcile_agg", "completeness",
-    "zscore_outliers", "iqr_outliers_exact", "rare_categories",
-    "null_spike", "moving_avg_band", "dedup_exact", "text_stats",
-    "doc_fingerprints", "lang_id", "embedding_topk",
-    "embedding_near_dup_exact", "blocked_jaccard", "multimodal_meta",
-    "pipeline_gold",
-    # CORRECTNESS_r03 greens (47). The three r3 hash-fails
-    # (domain_mixture / json_extract_agg / skew_report — DuckDB
-    # HUGEINT->float64 rendering, oracles now cast to BIGINT) are
-    # deliberately left out so they re-occupy the r4 prefix.
-    # contamination_check (green r3) left out: its registered default
-    # changed char-grams -> token-grams this round, so it must re-earn
-    # a verdict against the new oracle.
+# Driver-verdict bookkeeping. Every oracle query below holds a green
+# hash-match from some CORRECTNESS round, but the driver re-evaluates
+# only a bounded prefix (~50 entries) per round — so prefix position is
+# verification opportunity. Round-5 policy (VERDICT r4 "do this" #1):
+# a green verdict is only as fresh as the code it certifies, so queries
+# whose implementation churned since their last verdict are refreshed
+# FIRST, then brand-new queries, then the stalest greens (r02 before
+# r03 before r04). tools/refresh_prior_green.py regenerates these lists
+# from the CORRECTNESS artifacts at round start.
+
+# Last hash-green in CORRECTNESS_r02.json (stalest — code has churned
+# through two full rounds since these were certified).
+_GREEN_R02 = [
+    "anti_join", "between_filter", "blocked_jaccard",
+    "completeness", "conditional_count", "date_group",
+    "dedup_exact", "distinct_count", "doc_fingerprints",
+    "embedding_near_dup_exact", "embedding_topk", "except_distinct",
+    "expectations_suite", "global_agg", "group_having",
+    "hourly_analysis", "iqr_outliers_exact", "lang_id",
+    "left_join_dims", "moving_avg_band", "multimodal_meta",
+    "null_check", "null_spike", "od_matrix",
+    "pipeline_gold", "quantiles", "range_check",
+    "rare_categories", "ratio_of_sums", "reconcile_agg",
+    "reconcile_rowcount", "revenue_by_group", "stats_bundle",
+    "text_stats", "topk_per_group", "value_counts",
+    "zscore_outliers",
+]
+# Last hash-green in CORRECTNESS_r03.json.
+_GREEN_R03 = [
     "asof_join", "bronze_ingest", "containment_pairs",
     "corr_stats", "cube_agg", "dedup_clusters",
-    "edit_near_dup", "error_capture", "gopher_filter", "group_quantiles",
-    # r3's green "mad_outliers" row was the exact form, now renamed
-    # mad_outliers_exact (sketch default took the name) — left out of
-    # this list so the renamed entry earns a fresh driver verdict.
-    "group_sample", "heavy_hitters", "histogram_fixed", "intersect_keys",
-    "interval_join", "length_percentile", "line_dedup",
+    "edit_near_dup", "error_capture", "gopher_filter",
+    "group_quantiles", "group_sample", "heavy_hitters",
+    "histogram_fixed", "intersect_keys", "interval_join",
+    "length_percentile", "line_dedup",
     "mad_outliers_grouped", "multimodal_frames", "ngram_novelty",
-    "ntile_binning", "pii_redact", "pipeline_curation", "pivot_agg",
-    "quality_classifier", "repetition_stats", "rollup_agg",
-    "scd2_history", "schema_evolution", "sessionize_batch",
-    "span_removal", "sql_model_mart", "stratified_sample",
-    "stream_dedup", "stream_session_windows", "stream_sliding_counts",
-    "stream_stateful_profile", "stream_stream_join",
+    "ntile_binning", "pii_redact", "pipeline_curation",
+    "pivot_agg", "quality_classifier", "repetition_stats",
+    "rollup_agg", "scd2_history", "schema_evolution",
+    "sessionize_batch", "span_removal", "sql_model_mart",
+    "stratified_sample", "stream_dedup", "stream_session_windows",
+    "stream_sliding_counts", "stream_stateful_profile", "stream_stream_join",
     "stream_tumbling_agg", "token_diversity", "token_shards",
     "topk_per_group_salted", "union_all_tagged", "window_dedup",
     "window_deltas",
 ]
+# Hash-green in CORRECTNESS_r04.json (freshest — certified at r4 HEAD).
+_GREEN_R04 = [
+    "benford_drift", "bm25_rank", "centroid_shift",
+    "chi_square_drift", "cohort_retention", "contamination_check",
+    "context_fit_stats", "daily_stats", "dataset_split",
+    "domain_mixture", "dup_rate_by_source", "embedding_centroids",
+    "event_transitions", "fingerprint_collisions", "funnel_counts",
+    "group_holdout_split", "incremental_agg_state", "incremental_dedup_exact",
+    "json_extract_agg", "keyword_extract", "knn_label_prop",
+    "ks_drift", "ks_drift_grouped", "lang_token_stats",
+    "mad_outliers_exact", "media_dedup", "media_shard_pack",
+    "pipeline_full", "profile_columns", "promo_revenue",
+    "prototype_prune_exact", "rolling_active_users", "rollup_share",
+    "score_buckets", "seasonal_anomaly", "semantic_dedup_exact",
+    "sequence_gap_check", "silver_transform", "skew_report",
+    "snapshot_diff", "stream_agg_state", "stream_drift_monitor",
+    "top_groups", "tpch_q18_sql", "tpch_q1_sql",
+    "tpch_q3_sql", "tpch_q5_sql", "tpch_q6_sql",
+    "trend_slopes", "unpivot_metrics",
+]
+# Greens whose implementing code changed AFTER their last verdict —
+# these occupy the very front of the prefix so CORRECTNESS_r05
+# re-certifies them against the code as it stands now. Verdict-named:
+# the r4 quantile-path rewrite (exact_quantiles rank-selection) touches
+# quantiles/iqr_outliers_exact/group_quantiles/mad_outliers_grouped/
+# length_percentile/ntile_binning; the r4 partitioned_prefix_sum
+# rewrite touches token_shards/pipeline_curation. Round-5 edits add:
+# dedup_clusters (star-CC default), pipeline_full (warehouse-dir
+# lifecycle fix), semantic_dedup_exact (broadcast guard).
+_REFRESH_FIRST = [
+    "quantiles", "iqr_outliers_exact", "group_quantiles",
+    "mad_outliers_grouped", "length_percentile", "ntile_binning",
+    "token_shards", "pipeline_curation",
+    "dedup_clusters", "pipeline_full", "semantic_dedup_exact",
+]
+
+# Union kept for tools/refresh_prior_green.py (anything here holds SOME
+# verdict; anything absent has never been driver-checked).
+_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04
 
 
 def _export_order() -> list[str]:
-    """Never-driver-verified oracle queries first (streaming regression
-    proofs among them), prior-green oracle queries next, rows-only last.
-    Registration order is preserved within each tier. Rationale: the
-    driver's correctness run may evaluate a bounded prefix (round 2
-    recorded rows for exactly the first 50 entries), so prefix position
-    is verification opportunity — spend it on queries without a verdict
-    on record; prior-green queries keep their r1/r2 rows and full pytest
-    parity coverage regardless."""
-    prior = set(_PRIOR_GREEN)
+    """Order the registry so the driver's bounded correctness prefix is
+    spent where it buys the most evidence: (1) greens whose code
+    churned after their verdict, (2) oracle queries with no verdict on
+    record (new this round), (3) r02 greens (stalest), (4) r03 greens,
+    (5) r04 greens, (6) rows-only queries last. Registration order is
+    preserved within each tier."""
+    tier = {}
+    for names, rank in (
+        (_REFRESH_FIRST, 0),
+        (_GREEN_R02, 2),
+        (_GREEN_R03, 3),
+        (_GREEN_R04, 4),
+    ):
+        for n in names:
+            tier.setdefault(n, rank)
     with_oracle = [n for n, q in REGISTRY.items() if q.oracle is not None]
     rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
-    never_checked = [n for n in with_oracle if n not in prior]
-    prior_green = [n for n in with_oracle if n in prior]
-    return never_checked + prior_green + rows_only
+    ranked = sorted(
+        range(len(with_oracle)),
+        key=lambda i: (tier.get(with_oracle[i], 1), i),
+    )
+    return [with_oracle[i] for i in ranked] + rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
