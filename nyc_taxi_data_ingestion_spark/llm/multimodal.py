@@ -19,6 +19,7 @@ fits executor memory, and mapInPandas batches are bounded by
 from __future__ import annotations
 
 import hashlib
+import logging
 import sys
 from collections.abc import Iterator
 
@@ -314,6 +315,7 @@ def media_phash_near_dup(
     media: DataFrame,
     tau: float = 2.0,
     decode_fn=_stub_decode,
+    dims: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs over decoded features — the
     layered step AFTER :func:`media_exact_dedup` (byte-identical) that
@@ -339,12 +341,32 @@ def media_phash_near_dup(
     feats = extract_features(media, decode_fn=decode_fn).select(
         "media_id", "media_type", "feature"
     ).where(F.size("feature") > 0).localCheckpoint(eager=True)
-    probe = feats.select("feature").first()
-    if probe is None:  # empty corpus / all-NULL payloads -> no pairs
-        return media.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, dist double"
+    if dims is None:
+        # pick the feature width DETERMINISTICALLY: the modal width,
+        # ties broken toward the wider vector — never an arbitrary
+        # .first() row, whose width class would flip with partition
+        # order when a per-type decoder mixes dimensionalities
+        widths = (
+            feats.groupBy(F.size("feature").alias("__w"))
+            .count()
+            .orderBy(F.desc("count"), F.desc("__w"))
+            .limit(1)
+            .collect()
         )
-    dims = len(probe["feature"])
+        if not widths:  # empty corpus / all-NULL payloads -> no pairs
+            return media.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, dist double"
+            )
+        dims = widths[0]["__w"]
+        dropped = feats.count() - widths[0]["count"]
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "media_phash_near_dup: dropping %d rows whose feature "
+                "width != modal width %d (mixed-dimensionality "
+                "decode_fn; pass dims= to pick a width explicitly)",
+                dropped,
+                dims,
+            )
     # decode_fn must be fixed-width per corpus; rows with a different
     # width (a per-type decoder mixing dimensionalities) are dropped
     # EXPLICITLY rather than silently null-hashing on missing indices

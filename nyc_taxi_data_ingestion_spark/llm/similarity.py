@@ -511,6 +511,8 @@ def pq_topk(
     m: int = 8,
     nbits: int = 4,
     seed: int = 42,
+    query_chunk_size: int = 16384,
+    max_queries: int = 262144,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with
     asymmetric distance computation (ADC): corpus vectors compress to
@@ -526,49 +528,89 @@ def pq_topk(
     ENCODING is a narrow Arrow map over the corpus (the index build —
     at rest the codes table is what you persist: 8 bytes/vector);
     SCORING is a narrow Arrow map over the codes with the query LUT
-    tensor broadcast in-closure (|Q|·m·2^nbits floats), followed by the
-    standard per-query top-k window. No shuffle touches a raw vector.
+    tensor broadcast in-closure, followed by the standard per-query
+    top-k window. No shuffle touches a raw vector. The query side is
+    driver-materialized in ``query_chunk_size`` slices (each slice is
+    one bounded LUT tensor of chunk·m·2^nbits floats and one scoring
+    pass over the codes), so driver memory is flat in |Q|; callers with
+    more than ``max_queries`` queries get a clear error instead of a
+    union plan with hundreds of corpus scans — at that volume, persist
+    the codes table and loop batches externally.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
+
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"pq_topk got {n_q} query vectors (max_queries="
+            f"{max_queries}): each {query_chunk_size}-query chunk is a "
+            f"full scoring pass over the corpus codes, so batch volumes "
+            f"beyond this should persist the PQ codes table and loop "
+            f"externally instead."
+        )
 
     books = train_pq_codebooks(
         corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
     )
     encode = _pq_encode_udf(books)
 
-    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).collect()
-    lut = _pq_lut(
-        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]), books
-    )
-    q_id_arr = np.asarray([r.qid for r in q_rows])
-
     coded = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
+    _SCORED_SCHEMA = "query_id long, neighbor_id long, cosine_sim double"
 
-    def _score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
-            # gather LUT entries: scores (|Q|, n) = Σ_j lut[:, j, codes[:, j]]
-            scores = np.zeros((len(q_id_arr), len(pdf)))
-            for j in range(m):
-                scores += lut[:, j, codes[:, j]]
-            nid = pdf["neighbor_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_id_arr, len(pdf)),
-                    "neighbor_id": np.tile(nid, len(q_id_arr)),
-                    "cosine_sim": scores.ravel(),
-                }
-            )
+    def _chunk_scored(chunk_rows) -> DataFrame:
+        lut = _pq_lut(
+            np.asarray(
+                [np.asarray(r.v, dtype=np.float64) for r in chunk_rows]
+            ),
+            books,
+        )
+        q_id_arr = np.asarray([r.qid for r in chunk_rows])
 
-    scored = coded.mapInPandas(
-        _score, "query_id long, neighbor_id long, cosine_sim double"
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+        def _score(batches, lut=lut, q_id_arr=q_id_arr):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+                # gather LUT entries: scores (|Q|,n) = Σ_j lut[:,j,codes[:,j]]
+                scores = np.zeros((len(q_id_arr), len(pdf)))
+                for j in range(m):
+                    scores += lut[:, j, codes[:, j]]
+                nid = pdf["neighbor_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_id_arr, len(pdf)),
+                        "neighbor_id": np.tile(nid, len(q_id_arr)),
+                        "cosine_sim": scores.ravel(),
+                    }
+                )
+
+        return coded.mapInPandas(_score, _SCORED_SCHEMA)
+
+    parts: list[DataFrame] = []
+    chunk: list = []
+    for r in queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
+    ).toLocalIterator():
+        chunk.append(r)
+        if len(chunk) >= query_chunk_size:
+            parts.append(_chunk_scored(chunk))
+            chunk = []
+    if chunk:
+        parts.append(_chunk_scored(chunk))
+    if not parts:
+        return corpus.sparkSession.createDataFrame(
+            [], _SCORED_SCHEMA + ", rank int"
+        )
+
+    scored = reduce(DataFrame.unionByName, parts).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -863,6 +905,11 @@ def knn_label_propagation(
 
 # -- SemDeDup-style semantic deduplication -----------------------------------
 
+# Bound on the exact (num_cells<=1) all-pairs path: it broadcasts the
+# whole corpus, so ~1e5 rows × a few-hundred-dim float vectors is the
+# most a driver/executor should ever be asked to hold twice.
+_EXACT_ALLPAIRS_MAX_ROWS = 100_000
+
 
 def semantic_dedup(
     corpus: DataFrame,
@@ -894,7 +941,18 @@ def semantic_dedup(
     if num_cells <= 1:
         # degenerate single-cell form = EXACT all-pairs SemDeDup: no
         # clustering step, so the survivor set is SQL-expressible — the
-        # oracle twin (semantic_dedup_exact) runs this path
+        # oracle twin (semantic_dedup_exact) runs this path. It
+        # broadcasts the whole corpus (build side of the N² probe), so
+        # it is only usable on bounded inputs: enforce that instead of
+        # letting the broadcast blow past the driver at real scale.
+        n = corpus.count()
+        if n > _EXACT_ALLPAIRS_MAX_ROWS:
+            raise ValueError(
+                f"semantic_dedup(num_cells<=1) is the exact all-pairs "
+                f"form and broadcasts the full corpus; got {n} rows "
+                f"(max {_EXACT_ALLPAIRS_MAX_ROWS}). Use num_cells > 1 "
+                f"for the cell-scoped scale path."
+            )
         sided = corpus.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),

@@ -454,6 +454,7 @@ def partitioned_prefix_sum(
     value_col: str,
     out_col: str,
     n_buckets: int = 64,
+    assert_unique_order: bool = False,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` in ``order_col`` order
     within each ``part_cols`` group, WITHOUT a group-per-task window.
@@ -480,19 +481,23 @@ def partitioned_prefix_sum(
     row is additionally checkpointed (KB-sized) because two branches
     consume it.
 
-    Requires a NUMERIC ``order_col`` (the boundary sketch is
-    ``percentile_approx``; give string ids a numeric surrogate
-    upstream — raised as ValueError, not a cast crash) unique within
-    each group. NULL group keys form their own group (null-safe
-    joins). Output = input columns + ``out_col``; ``value_col`` nulls
-    count as 0. The sum keeps ``value_col``'s own sum type (long for
-    integers, double for doubles — for floats the result is
-    deterministic for a fixed bucket count but associates differently
-    than a sequential scan; use decimal inputs for bit-exactness)."""
+    Requires a NUMERIC or TEMPORAL ``order_col`` (the boundary sketch
+    is ``percentile_approx``, which admits date/timestamp; give string
+    ids a numeric surrogate upstream — raised as ValueError, not a
+    cast crash) UNIQUE within each group: duplicate order keys land in
+    one bucket and their within-bucket prefix order is ambiguous — set
+    ``assert_unique_order=True`` to pay one aggregate that raises on
+    duplicates instead of trusting the caller. NULL group keys form
+    their own group (null-safe joins). Output = input columns +
+    ``out_col``; ``value_col`` nulls count as 0. The sum keeps
+    ``value_col``'s own sum type (long for integers, double for
+    doubles — for floats the result is deterministic for a fixed
+    bucket count but associates differently than a sequential scan;
+    use decimal inputs for bit-exactness)."""
     order_type = dict(df.dtypes)[order_col]
     if order_type.split("(")[0] not in (
         "tinyint", "smallint", "int", "bigint", "float", "double",
-        "decimal",
+        "decimal", "date", "timestamp", "timestamp_ntz",
     ):
         raise ValueError(
             f"partitioned_prefix_sum needs a numeric/temporal order_col; "
@@ -501,6 +506,21 @@ def partitioned_prefix_sum(
             "first) or use an ordered window if the group count is known "
             "to be large."
         )
+    if assert_unique_order:
+        dup = (
+            df.groupBy(*part_cols, order_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"partitioned_prefix_sum: duplicate order key within a "
+                f"group — {dict(dup[0].asDict())}; the within-bucket "
+                f"prefix over tied keys is ambiguous. Disambiguate the "
+                f"order column (e.g. add a row id) first."
+            )
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     narrow = df.select(*part_cols, order_col, value_col).localCheckpoint(
         eager=True

@@ -45,11 +45,19 @@ class Finding:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    mode = (
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted")
-    )
-    return df._jdf.queryExecution().explainString(mode)
+    """The 'formatted' explain string, or "" when the JVM gateway is
+    unreachable (Spark Connect exposes no `_jvm`). Callers treat "" as
+    no-plan-available — an empty audit, never a crashed write: the
+    audit is advisory plan review, and a connect-mode session must not
+    lose its writes over it."""
+    try:
+        mode = (
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        return df._jdf.queryExecution().explainString(mode)
+    except Exception:
+        return ""
 
 
 def audit_plan(df: DataFrame, wide_scan_cols: int = 20) -> list[Finding]:

@@ -1694,7 +1694,6 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
     from nyc_taxi_data_ingestion_spark.plans.lineage import LineageTracker
     from nyc_taxi_data_ingestion_spark.plans.runner import run_medallion
@@ -1723,54 +1722,47 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
 
-    # fresh warehouse per run (concurrent-safe); sweep siblings older
-    # than an hour — the returned frame stays lazy over this parquet,
-    # so the CURRENT run's dir must outlive the caller's collect
-    tmp = tempfile.gettempdir()
-    for stale in os.listdir(tmp):
-        p = os.path.join(tmp, stale)
-        if not stale.startswith("spark_graft_medallion_"):
-            continue
-        try:
-            old = time.time() - os.path.getmtime(p) > 3600
-        except OSError:
-            continue  # a concurrent run swept it between listdir and stat
-        if old:
-            shutil.rmtree(p, ignore_errors=True)
+    # fresh warehouse per run (concurrent-safe), removed in the finally
+    # below — the returned frame is eagerly localCheckpoint'ed first so
+    # the caller's collect never depends on this dir outliving the call
+    # (same lifecycle as q_stream_agg_state; no cross-process sweeping)
     wh = tempfile.mkdtemp(prefix="spark_graft_medallion_")
-
-    metrics: dict[str, dict] = {}
-    report = run_medallion(
-        spark, cfg, wh, max_retries=1, metrics_out=metrics
-    )
-    bad = [r for r in report if r.status != "ok"]
-    assert not bad, f"pipeline tasks failed: {bad}"
-    for key in (
-        "silver/orders_pipeline",
-        "gold/monthly_order_stats",
-        "gold/status_summary",
-        "gold/priority_revenue",
-    ):
-        assert metrics[key].get("row_count", 0) > 0, (key, metrics)
-
-    tr = LineageTracker(cfg["pipeline"]["name"])
-    tr.record(
-        "ingestion", layer="bronze",
-        source_table=cfg["source"]["path"], target_table="bronze.orders",
-    )
-    tr.record(
-        "transformation", layer="silver",
-        source_table="bronze.orders", target_table="silver.orders",
-    )
-    for mart in cfg["gold"]:
-        tr.record(
-            "aggregation", layer="gold",
-            source_table="silver.orders",
-            target_table=f"gold.{mart['name']}",
+    try:
+        metrics: dict[str, dict] = {}
+        report = run_medallion(
+            spark, cfg, wh, max_retries=1, metrics_out=metrics
         )
-    assert tr.to_df(spark).count() == 2 + len(cfg["gold"])
+        bad = [r for r in report if r.status != "ok"]
+        assert not bad, f"pipeline tasks failed: {bad}"
+        for key in (
+            "silver/orders_pipeline",
+            "gold/monthly_order_stats",
+            "gold/status_summary",
+            "gold/priority_revenue",
+        ):
+            assert metrics[key].get("row_count", 0) > 0, (key, metrics)
 
-    return spark.read.parquet(os.path.join(wh, "gold", "priority_revenue"))
+        tr = LineageTracker(cfg["pipeline"]["name"])
+        tr.record(
+            "ingestion", layer="bronze",
+            source_table=cfg["source"]["path"], target_table="bronze.orders",
+        )
+        tr.record(
+            "transformation", layer="silver",
+            source_table="bronze.orders", target_table="silver.orders",
+        )
+        for mart in cfg["gold"]:
+            tr.record(
+                "aggregation", layer="gold",
+                source_table="silver.orders",
+                target_table=f"gold.{mart['name']}",
+            )
+        assert tr.to_df(spark).count() == 2 + len(cfg["gold"])
+
+        mart_path = os.path.join(wh, "gold", "priority_revenue")
+        return spark.read.parquet(mart_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 @register("lineage_events", None, tags=["L1", "L3", "L4"])

@@ -395,3 +395,38 @@ def test_partitioned_prefix_sum_doubles_nulls_and_null_groups(spark):
     )
     with _pytest.raises(ValueError, match="numeric"):
         partitioned_prefix_sum(sdf, ["g"], "o", "v", "run")
+
+
+def test_partitioned_prefix_sum_timestamp_order_and_unique_assert(spark):
+    import datetime as dt
+
+    import pytest
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(hours=h), h + 1) for h in range(6)
+    ]
+    sdf = spark.createDataFrame(rows, "g string, ts timestamp, v long")
+    got = {
+        r.ts: r.run
+        for r in partitioned_prefix_sum(
+            sdf, ["g"], "ts", "v", "run", n_buckets=3,
+            assert_unique_order=True,
+        ).collect()
+    }
+    # exclusive prefix over a temporal order column
+    assert got[t0] == 0
+    assert got[t0 + dt.timedelta(hours=5)] == 1 + 2 + 3 + 4 + 5
+    # duplicate order key within a group -> explicit error, not an
+    # ambiguous within-bucket prefix
+    dup = spark.createDataFrame(
+        [("a", t0, 1), ("a", t0, 2)], "g string, ts timestamp, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate order key"):
+        partitioned_prefix_sum(
+            dup, ["g"], "ts", "v", "run", assert_unique_order=True
+        )

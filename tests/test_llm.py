@@ -939,3 +939,86 @@ def test_media_phash_near_dup_edge_cases(spark):
         [(1, payload, "image"), (2, payload, "audio")], schema
     )
     assert media_phash_near_dup(mixed, tau=1.0).count() == 0
+
+
+def test_pq_topk_chunked_queries_match_single_chunk(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 12)
+    one = pq_topk(q, emb, k=3, m=16, nbits=8)
+    # force 4 query chunks (the "large batch" path): per-chunk LUTs +
+    # a union of scoring passes must reproduce the single-LUT result
+    # exactly — chunking partitions the query set, scores don't interact
+    many = pq_topk(q, emb, k=3, m=16, nbits=8, query_chunk_size=3)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in one.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in many.collect()}
+    assert a == b and len(a) == 36
+
+
+def test_pq_topk_query_volume_cap(emb):
+    import pytest
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 12)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(q, emb, k=3, max_queries=10)
+
+
+def test_pq_topk_empty_queries(spark, emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
+
+    q = emb.filter(F.col("vec_id") < 0)
+    out = pq_topk(q, emb, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+
+def test_semantic_dedup_exact_path_row_bound(spark, emb, monkeypatch):
+    import pytest
+
+    from nyc_taxi_data_ingestion_spark.llm import similarity
+
+    monkeypatch.setattr(similarity, "_EXACT_ALLPAIRS_MAX_ROWS", 5)
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.semantic_dedup(emb.limit(10), num_cells=1)
+    # the cell-scoped scale path is unaffected by the exact-path bound
+    assert similarity.semantic_dedup(
+        emb.limit(10), num_cells=4
+    ).count() > 0
+
+
+def test_media_phash_mixed_width_decoder_deterministic(spark):
+    from nyc_taxi_data_ingestion_spark.llm.multimodal import (
+        media_phash_near_dup,
+    )
+
+    # per-type decoder emitting DIFFERENT feature widths: 8 for image,
+    # 4 for audio. Three image rows vs two audio rows -> modal width 8
+    # must win deterministically (never partition-order dependent).
+    def decode(payload, media_type):
+        width = 8 if media_type == "image" else 4
+        return [float(payload[0])] * width
+
+    schema = "media_id long, payload binary, media_type string"
+    rows = [
+        (1, bytearray(b"\x10" * 8), "image"),
+        (2, bytearray(b"\x10" * 8), "image"),
+        (3, bytearray(b"\xf0" * 8), "image"),
+        (4, bytearray(b"\x10" * 8), "audio"),
+        (5, bytearray(b"\x10" * 8), "audio"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.id_a, r.id_b)
+        for r in media_phash_near_dup(df, tau=1.0, decode_fn=decode).collect()
+    }
+    assert got == {(1, 2)}  # audio rows (width 4) dropped, not crashed
+    # explicit dims overrides the modal choice: audio pair now visible
+    got4 = {
+        (r.id_a, r.id_b)
+        for r in media_phash_near_dup(
+            df, tau=1.0, decode_fn=decode, dims=4
+        ).collect()
+    }
+    assert got4 == {(4, 5)}

@@ -39,16 +39,25 @@ def test_unverified_oracle_queries_fit_driver_budget():
     oracle queries than the budget means some ship without a driver
     verdict for a full round. Adding a query must come with a
     _PRIOR_GREEN refresh from the newest CORRECTNESS_r{N}.json."""
-    from nyc_taxi_data_ingestion_spark.queries import _PRIOR_GREEN, REGISTRY
+    from nyc_taxi_data_ingestion_spark.queries import (
+        _PRIOR_GREEN,
+        _REFRESH_FIRST,
+        REGISTRY,
+    )
 
     prior = set(_PRIOR_GREEN)
     unverified = [
         n for n, q in REGISTRY.items()
         if q.oracle is not None and n not in prior
     ]
-    assert len(unverified) <= 50, (
-        f"{len(unverified)} oracle-backed queries have no driver verdict "
-        f"(budget ~50): {sorted(unverified)}"
+    # the prefix the driver will actually evaluate = churned-code
+    # refreshes (front of the order) + everything never verified
+    spent = len(set(_REFRESH_FIRST)) + len(unverified)
+    assert spent <= 50, (
+        f"{len(unverified)} never-verified + {len(set(_REFRESH_FIRST))} "
+        f"refresh-tier queries exceed the ~50-entry driver budget: "
+        f"{sorted(unverified)}"
     )
-    # _PRIOR_GREEN must reference real registry entries only
+    # green/refresh lists must reference real registry entries only
     assert prior <= set(REGISTRY), sorted(prior - set(REGISTRY))
+    assert set(_REFRESH_FIRST) <= set(REGISTRY)
