@@ -99,6 +99,26 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # The driver's BENCH_r{N}.json artifact truncates this line (only
+    # the tail of the per-query map survives), so also persist the FULL
+    # payload in-repo: round-over-round regressions stay auditable for
+    # every query, not just the alphabetic tail. Round number = newest
+    # CORRECTNESS artifact + 1 (the bench for round N runs before the
+    # driver writes CORRECTNESS_r{N}).
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(re.search(r"r(\d+)", p).group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
+        with open(os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"# BENCH_full write skipped: {exc}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
 

@@ -835,11 +835,13 @@ def connected_components(
     Iterative distributed min-label propagation: every round each node
     adopts the minimum label among itself and its neighbors — one
     label-sized shuffle per round, converging in ≤ graph-diameter
-    rounds. Near-dup components are small and dense (diameter ~2-4),
-    so this beats the O(log n)-round large-star/small-star scheme
-    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) on
-    constant factors; :func:`connected_components_star` implements
-    that algorithm for the long-chain regime (property-tested equal). Each round's labels are eagerly
+    rounds. :func:`connected_components_star` (Kiveris et al.,
+    "Connected Components in MapReduce", SoCC'14) is the DEFAULT used
+    by the registry: it converges in O(log n) rounds regardless of
+    diameter and measures at parity with this even on diameter-2-4
+    near-dup graphs (r5 sf0.1: 2.9 s vs 3.1 s), so it dominates —
+    min-label stays as the simpler property-test cross-check
+    (property-tested equal on random graphs). Each round's labels are eagerly
     ``localCheckpoint``-ed — iterative lineage otherwise grows a plan
     Catalyst re-optimizes from scratch every round.
     """
@@ -1112,9 +1114,10 @@ def connected_components_star(
     point = every node points directly at its component min (a star),
     detected by the exact integer endpoint-sum going stable.
 
-    Near-dup graphs (diameter 2-4) should keep using min-label — fewer
-    rounds, fewer shuffles/round; this exists for the long-chain
-    regime and is property-tested equal to min-label on random graphs.
+    This is the registry default (dedup_clusters): measured at parity
+    with min-label even on diameter-2-4 near-dup graphs (r5 sf0.1:
+    2.9 s vs 3.1 s) and strictly better in the long-chain regime;
+    property-tested equal to min-label on random graphs.
     """
     cur = (
         edges.select(
