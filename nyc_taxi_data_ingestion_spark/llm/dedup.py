@@ -402,12 +402,40 @@ def simhash_near_dups(
 
     Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
     """
-    chunk_bits = 64 // chunks
-    mask = (1 << chunk_bits) - 1
     # materialize signatures before the self-join (see
     # lsh_candidate_pairs): both legs otherwise re-run the striped
     # signature aggregation; the table is (id, 64-bit hash) — tiny.
     sh = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
+    return hamming_near_dups(
+        sh, id_col="__id", sig_col="__sh",
+        max_hamming=max_hamming, chunks=chunks,
+    )
+
+
+def hamming_near_dups(
+    sig: DataFrame,
+    id_col: str = "__id",
+    sig_col: str = "__sh",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over ANY 64-bit signature column —
+    the bucket/verify half of :func:`simhash_near_dups`, factored out
+    so it works for any bit-signature (SimHash, pHash packed to 64
+    bits, an injected test signature). Pigeonhole completeness: with
+    ``max_hamming ≤ chunks - 1``, two signatures within the Hamming
+    bound MUST agree on ≥1 chunk (max_hamming differing bits touch at
+    most that many chunks), so the bucketed output EQUALS the
+    brute-force all-pairs Hamming join — which is what the
+    simhash_near_dup_exact oracle twin certifies cross-engine.
+
+    Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    sh = sig.select(
+        F.col(id_col).alias("__id"), F.col(sig_col).alias("__sh")
+    )
     banded = sh.select(
         "__id",
         "__sh",

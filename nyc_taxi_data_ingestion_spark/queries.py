@@ -1502,11 +1502,138 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_near_dup", None, tags=["llm-dedup"])
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (banded 16-bit chunks + Hamming ≤ 3).
-    Rows-only (xxhash64)."""
+    Rows-only (xxhash64); the banding/bucket-join/popcount-verify
+    machinery is oracle-certified by simhash_near_dup_exact, the
+    signature aggregation by the striped-vs-naive bit-identity test."""
     from nyc_taxi_data_ingestion_spark.llm.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=3)
+
+
+_MINHASH_EXACT_ORACLE = """
+WITH t AS (
+  SELECT lang, source, doc_id,
+         string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS shs
+  FROM t
+),
+killed AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.shs, x -> list_contains(b.shs, x))) AS DOUBLE)
+        / (len(a.shs) + len(b.shs) - len(list_filter(a.shs, x -> list_contains(b.shs, x))))
+        >= 0.5
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM killed)
+"""
+
+
+@register("minhash_near_dup_exact", _MINHASH_EXACT_ORACLE, tags=["llm-dedup"])
+def q_minhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-set oracle twin of minhash_near_dup: EXACT candidates
+    (all pairs within a (lang, source) block — SQL-expressible, unlike
+    the xxhash64 LSH buckets) run through the SAME jaccard_verify code
+    path minhash_near_dup's candidates feed (k=3 shingles, threshold
+    0.5), then the keep-first kill rule: a doc dies iff it is the
+    HIGHER id of any verified edge. Cross-engine certifies the shingle
+    normalization, the exact-Jaccard verify, and the kill rule; the
+    LSH candidate half is covered by the recall/superset pytest
+    (candidates ⊇ verified edges by construction). Exact all-pairs
+    blocks are the verification tool only — minhash_near_dup is the
+    scale path."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import jaccard_verify
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), "lang", "source")
+    b = docs.select(F.col("doc_id").alias("id_b"), "lang", "source")
+    cands = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    edges = jaccard_verify(docs, cands, k=3, threshold=0.5)
+    killed = edges.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(killed, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# Planted 64-bit signature, identical arithmetic in Spark SQL and
+# DuckDB: four multiplicative 16-bit chunks keyed on the doc's FAMILY
+# (doc_id div 4) — so bucket keys stay selective at any SF — xor'd with
+# a per-member low-bit perturbation (bits 5 and/or 23) that makes
+# same-family pairs Hamming 1-3 apart. No engine-specific hashing, no
+# libm, no BIGINT overflow (family ids × 48271 stay far below 2^63).
+_PLANTED_SIG_SPARK = """
+CAST(((doc_id DIV 4) * 40503) % 65536 AS BIGINT)
++ CAST((((doc_id DIV 4) + 7) * 40503) % 65536 AS BIGINT) * CAST(65536 AS BIGINT)
++ CAST((((doc_id DIV 4) + 13) * 48271) % 65536 AS BIGINT) * CAST(4294967296 AS BIGINT)
++ CAST((((doc_id DIV 4) + 31) * 48271) % 32768 AS BIGINT) * CAST(281474976710656 AS BIGINT)
+"""
+
+_SIMHASH_EXACT_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         xor(
+           CAST(((doc_id // 4) * 40503) % 65536
+              + ((((doc_id // 4) + 7) * 40503) % 65536) * 65536
+              + ((((doc_id // 4) + 13) * 48271) % 65536) * 4294967296
+              + ((((doc_id // 4) + 31) * 48271) % 32768) * 281474976710656
+             AS BIGINT),
+           CAST(CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN 32
+                WHEN 2 THEN 8388608 WHEN 3 THEN 8388640
+                ELSE 0 END AS BIGINT)
+         ) AS sig
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+@register("simhash_near_dup_exact", _SIMHASH_EXACT_ORACLE, tags=["llm-dedup"])
+def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin for simhash_near_dup's banded-Hamming machinery:
+    run llm/dedup.hamming_near_dups (the SAME banding + pigeonhole
+    bucket join + popcount verify simhash_near_dup uses) over a
+    SQL-expressible planted signature instead of the xxhash64 SimHash.
+    With max_hamming=3 ≤ chunks-1=3 the pigeonhole bucket join is
+    provably complete, so the engine's bucketed output must EQUAL the
+    oracle's brute-force all-pairs Hamming join — any banding, chunk
+    extraction, join, or popcount bug breaks the hash match. The
+    SimHash signature aggregation itself is certified by the
+    striped-vs-naive bit-identity pytest."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import hamming_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    pert = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(32))
+        .when(F.col("doc_id") % 4 == 2, F.lit(8388608))
+        .when(F.col("doc_id") % 4 == 3, F.lit(8388640))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    sig = docs.select(
+        "doc_id",
+        F.expr(_PLANTED_SIG_SPARK).bitwiseXOR(pert).alias("sig"),
+    )
+    out = hamming_near_dups(
+        sig, id_col="doc_id", sig_col="sig", max_hamming=3, chunks=4
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @register("pq_topk", None, tags=["llm-similarity"])
