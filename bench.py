@@ -110,14 +110,18 @@ def main() -> None:
         import re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(re.search(r"r(\d+)", p).group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        ]
+        # Anchor to the basename: a directory component like /ci/r5/
+        # must not shadow the round number in the filename, and a
+        # non-matching name is skipped rather than crashing on .group.
+        rounds = []
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            m = re.match(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p))
+            if m:
+                rounds.append(int(m.group(1)))
         rnd = (max(rounds) if rounds else 0) + 1
         with open(os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-    except OSError as exc:  # read-only checkout must not kill the bench
+    except Exception as exc:  # read-only checkout must not kill the bench
         print(f"# BENCH_full write skipped: {exc}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()

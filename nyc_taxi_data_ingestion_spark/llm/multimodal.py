@@ -346,11 +346,13 @@ def media_phash_near_dup(
         # ties broken toward the wider vector — never an arbitrary
         # .first() row, whose width class would flip with partition
         # order when a per-type decoder mixes dimensionalities
+        # one small collect (≤ distinct widths rows) yields both the
+        # modal width and the dropped total — no second full pass over
+        # the checkpointed features just for the warning message
         widths = (
             feats.groupBy(F.size("feature").alias("__w"))
             .count()
             .orderBy(F.desc("count"), F.desc("__w"))
-            .limit(1)
             .collect()
         )
         if not widths:  # empty corpus / all-NULL payloads -> no pairs
@@ -358,7 +360,7 @@ def media_phash_near_dup(
                 [], "id_a long, id_b long, dist double"
             )
         dims = widths[0]["__w"]
-        dropped = feats.count() - widths[0]["count"]
+        dropped = sum(r["count"] for r in widths[1:])
         if dropped:
             logging.getLogger(__name__).warning(
                 "media_phash_near_dup: dropping %d rows whose feature "

@@ -541,16 +541,6 @@ def pq_topk(
 
     from pyspark.sql import Window
 
-    n_q = queries.count()
-    if n_q > max_queries:
-        raise ValueError(
-            f"pq_topk got {n_q} query vectors (max_queries="
-            f"{max_queries}): each {query_chunk_size}-query chunk is a "
-            f"full scoring pass over the corpus codes, so batch volumes "
-            f"beyond this should persist the PQ codes table and loop "
-            f"externally instead."
-        )
-
     books = train_pq_codebooks(
         corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -592,17 +582,36 @@ def pq_topk(
 
         return coded.mapInPandas(_score, _SCORED_SCHEMA)
 
-    parts: list[DataFrame] = []
+    # Stream the query side through the driver in one pass, enforcing
+    # the volume cap inline (no dedicated count() action over the
+    # query-side plan). Chunks are collected first so the multi-chunk
+    # case can be detected BEFORE any scoring branch is built.
+    chunks: list[list] = []
     chunk: list = []
+    n_q = 0
     for r in queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
     ).toLocalIterator():
+        n_q += 1
+        if n_q > max_queries:
+            raise ValueError(
+                f"pq_topk got more than max_queries={max_queries} query "
+                f"vectors: each {query_chunk_size}-query chunk is a full "
+                f"scoring pass over the corpus codes, so batch volumes "
+                f"beyond this should persist the PQ codes table and loop "
+                f"externally instead."
+            )
         chunk.append(r)
         if len(chunk) >= query_chunk_size:
-            parts.append(_chunk_scored(chunk))
+            chunks.append(chunk)
             chunk = []
     if chunk:
-        parts.append(_chunk_scored(chunk))
+        chunks.append(chunk)
+    if len(chunks) > 1:
+        # one scoring branch per chunk unions over `coded` — checkpoint
+        # it so the corpus is PQ-encoded once, not once per chunk
+        coded = coded.localCheckpoint(eager=True)
+    parts: list[DataFrame] = [_chunk_scored(c) for c in chunks]
     if not parts:
         return corpus.sparkSession.createDataFrame(
             [], _SCORED_SCHEMA + ", rank int"

@@ -1852,7 +1852,13 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh warehouse per run (concurrent-safe), removed in the finally
     # below — the returned frame is eagerly localCheckpoint'ed first so
     # the caller's collect never depends on this dir outliving the call
-    # (same lifecycle as q_stream_agg_state; no cross-process sweeping)
+    # (same lifecycle as q_stream_agg_state; no cross-process sweeping).
+    # LOCAL-MODE ASSUMPTION: localCheckpoint blocks live in the driver
+    # JVM here, so they cannot be lost before the caller's collect. On
+    # a multi-executor cluster, executor loss/block eviction would make
+    # recomputation chase the already-deleted parquet path — a cluster
+    # deployment should instead write the mart to a dir that outlives
+    # the call and sweep it later (or use reliable checkpoint()).
     wh = tempfile.mkdtemp(prefix="spark_graft_medallion_")
     try:
         metrics: dict[str, dict] = {}
@@ -5978,6 +5984,192 @@ def q_tpch_q6_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q6_TEMPLATE.format(lineitem="tpch_lineitem_v"))
 
 
+_TPCH_Q4_TEMPLATE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM {orders}
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM {lineitem}
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4_sql",
+    _TPCH_Q4_TEMPLATE.format(orders="orders", lineitem="lineitem"),
+    tags=["A1", "J4", "sql"],
+)
+def q_tpch_q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) through spark.sql(): the
+    correlated-EXISTS subquery Catalyst must decorrelate into a
+    LEFT-SEMI join on l_orderkey — with an extra NON-equi correlated
+    predicate (l_shipdate > o_orderdate, the testdata analogue of
+    Q4's receipt-after-commit lateness; the tables carry no
+    commit/receipt dates). The date window pushes to the orders scan
+    BEFORE the semi join, so only one quarter's orderkeys probe the
+    fact table. One verbatim ANSI string on both engines."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q4_TEMPLATE.format(
+            orders="tpch_orders_v", lineitem="tpch_lineitem_v"
+        )
+    )
+
+
+_TPCH_Q7_TEMPLATE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(6,4)) AS volume
+  FROM {supplier}, {lineitem}, {orders}, {customer},
+       {nation} n1, {nation} n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_TPCH_Q7_TABLES = ("supplier", "lineitem", "orders", "customer", "nation")
+
+
+@register(
+    "tpch_q7_sql",
+    _TPCH_Q7_TEMPLATE.format(**{t: t for t in _TPCH_Q7_TABLES}),
+    tags=["J3", "A2", "sql"],
+)
+def q_tpch_q7_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) through spark.sql(): the
+    nation-pair disjunction over TWO aliases of the same dimension —
+    Catalyst broadcasts both nation copies, the OR-of-conjunctions
+    filter applies after the dim joins, and the fact chain shuffles
+    once per equi-key. Year comes from EXTRACT, cast to INT so both
+    engines agree on the column type; revenue is the decimal-exact
+    volume sum rounded once at the end."""
+    for t in _TPCH_Q7_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q7_TEMPLATE.format(**{t: f"tpch_{t}_v" for t in _TPCH_Q7_TABLES})
+    )
+
+
+_TPCH_Q8_TEMPLATE = """
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN nation = 'NATION_2'
+                           THEN volume END), 4) AS DOUBLE)
+         / CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(6,4)) AS volume,
+         n2.n_name AS nation
+  FROM {part}, {supplier}, {lineitem}, {orders}, {customer},
+       {nation} n1, {nation} n2, {region}
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_TPCH_Q8_TABLES = (
+    "part", "supplier", "lineitem", "orders", "customer", "nation", "region"
+)
+
+
+@register(
+    "tpch_q8_sql",
+    _TPCH_Q8_TEMPLATE.format(**{t: t for t in _TPCH_Q8_TABLES}),
+    tags=["J3", "A4", "sql"],
+)
+def q_tpch_q8_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) through spark.sql(): the
+    8-table snowflake with nation joined TWICE for different roles
+    (customer's region gates the market, supplier's nation is the
+    share subject) and a conditional-share aggregate — the guarded
+    ratio-of-sums pattern at its richest. part/nation/region
+    broadcast; the selective p_type filter prunes the fact chain
+    before its joins; both sums stay decimal until one final
+    double division (NULL numerator → NULL share, identically on
+    both engines)."""
+    for t in _TPCH_Q8_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q8_TEMPLATE.format(**{t: f"tpch_{t}_v" for t in _TPCH_Q8_TABLES})
+    )
+
+
+_TPCH_Q10_TEMPLATE = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+            AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name
+FROM {customer}, {orders}, {lineitem}, {nation}
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+_TPCH_Q10_TABLES = ("customer", "orders", "lineitem", "nation")
+
+
+@register(
+    "tpch_q10_sql",
+    _TPCH_Q10_TEMPLATE.format(**{t: t for t in _TPCH_Q10_TABLES}),
+    tags=["J2", "T2", "sql"],
+)
+def q_tpch_q10_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) through spark.sql(): the
+    group-on-many-dimension-columns top-k — revenue lost to returns
+    per customer, grouped on four customer/nation attributes (the
+    testdata's projection of Q10's eight), quarter window pushed to
+    the orders scan, returnflag pushed to the lineitem scan, nation
+    broadcast. Total order under LIMIT via (revenue DESC, c_custkey
+    — unique within the group keys)."""
+    for t in _TPCH_Q10_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q10_TEMPLATE.format(
+            **{t: f"tpch_{t}_v" for t in _TPCH_Q10_TABLES}
+        )
+    )
+
+
 _PROMO_REVENUE_ORACLE = """
 WITH j AS (
   SELECT p.p_type,
@@ -6096,40 +6288,56 @@ _GREEN_R04 = [
     "tpch_q3_sql", "tpch_q5_sql", "tpch_q6_sql",
     "trend_slopes", "unpivot_metrics",
 ]
-# Greens whose implementing code changed AFTER their last verdict —
-# these occupy the very front of the prefix so CORRECTNESS_r05
-# re-certifies them against the code as it stands now. Verdict-named:
-# the r4 quantile-path rewrite (exact_quantiles rank-selection) touches
-# quantiles/iqr_outliers_exact/group_quantiles/mad_outliers_grouped/
-# length_percentile/ntile_binning; the r4 partitioned_prefix_sum
-# rewrite touches token_shards/pipeline_curation. Round-5 edits add:
-# dedup_clusters (star-CC default), pipeline_full (warehouse-dir
-# lifecycle fix), semantic_dedup_exact (broadcast guard).
-_REFRESH_FIRST = [
-    "quantiles", "iqr_outliers_exact", "group_quantiles",
-    "mad_outliers_grouped", "length_percentile", "ntile_binning",
-    "token_shards", "pipeline_curation",
-    "dedup_clusters", "pipeline_full", "semantic_dedup_exact",
+# Hash-green in CORRECTNESS_r05.json (freshest — certified at r5 HEAD,
+# which includes the star-CC default, the pipeline_full warehouse-dir
+# lifecycle fix, and the semantic_dedup broadcast guard).
+_GREEN_R05 = [
+    "anti_join", "between_filter", "blocked_jaccard",
+    "completeness", "conditional_count", "date_group",
+    "dedup_clusters", "dedup_exact", "distinct_count",
+    "doc_fingerprints", "embedding_near_dup_exact", "embedding_topk",
+    "except_distinct", "expectations_suite", "global_agg",
+    "group_having", "group_quantiles", "hourly_analysis",
+    "iqr_outliers_exact", "lang_id", "left_join_dims",
+    "length_percentile", "mad_outliers_grouped", "minhash_near_dup_exact",
+    "moving_avg_band", "multimodal_meta", "ntile_binning",
+    "null_check", "null_spike", "od_matrix",
+    "pipeline_curation", "pipeline_full", "pipeline_gold",
+    "quantiles", "range_check", "rare_categories",
+    "ratio_of_sums", "reconcile_agg", "reconcile_rowcount",
+    "revenue_by_group", "semantic_dedup_exact", "simhash_near_dup_exact",
+    "stats_bundle", "stream_tumbling_agg", "text_stats",
+    "token_shards", "topk_per_group", "topk_per_group_salted",
+    "value_counts", "zscore_outliers",
 ]
+# Greens whose implementing code changed AFTER their last verdict —
+# these occupy the very front of the prefix so the next CORRECTNESS
+# re-certifies them against the code as it stands now. r05 certified
+# the final round-5 HEAD, so this starts empty for round 6; add any
+# green whose implementing path is edited this round.
+_REFRESH_FIRST: list[str] = []
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
-_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04
+_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05
 
 
 def _export_order() -> list[str]:
     """Order the registry so the driver's bounded correctness prefix is
     spent where it buys the most evidence: (1) greens whose code
     churned after their verdict, (2) oracle queries with no verdict on
-    record (new this round), (3) r02 greens (stalest), (4) r03 greens,
-    (5) r04 greens, (6) rows-only queries last. Registration order is
-    preserved within each tier."""
+    record (new this round), (3) stalest greens first (r02 … r05),
+    (4) rows-only queries last. Registration order is preserved within
+    each tier. A query green in several rounds takes its FRESHEST
+    round's tier (later lists iterate first; setdefault keeps the
+    first assignment), except a _REFRESH_FIRST listing always wins."""
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
-        (_GREEN_R02, 2),
-        (_GREEN_R03, 3),
+        (_GREEN_R05, 5),
         (_GREEN_R04, 4),
+        (_GREEN_R03, 3),
+        (_GREEN_R02, 2),
     ):
         for n in names:
             tier.setdefault(n, rank)
