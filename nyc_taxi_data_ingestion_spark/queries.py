@@ -6170,6 +6170,60 @@ def q_tpch_q10_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_TT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("snapshot_time_travel", _SNAPSHOT_TT_ORACLE, tags=["S15", "sql"])
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — read-at-version through the snapshot layer (the
+    reference's Iceberg snapshot surface, ``iceberg_maintenance.py:
+    97-122``): commit the per-priority orders mart as v1, OVERWRITE
+    the table with a decoy v2, then time-travel v1 back out. The
+    oracle recomputes v1's aggregate directly from orders, so the
+    driver certifies that an overwritten version re-reads
+    byte-identical — the whole point of manifest-pinned reads.
+    Same driver-local lifecycle as q_pipeline_full (fresh table dir
+    per run, localCheckpoint before cleanup; local-mode assumption
+    documented there)."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    mart = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snaptt_")
+    try:
+        v1 = snapshot_write(mart, path)
+        snapshot_write(
+            mart.limit(1).withColumn("n_orders", F.lit(-1).cast("long")),
+            path,
+            mode="overwrite",
+        )
+        return read_snapshot(spark, path, version=v1).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _PROMO_REVENUE_ORACLE = """
 WITH j AS (
   SELECT p.p_type,

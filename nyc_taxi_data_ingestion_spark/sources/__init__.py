@@ -13,17 +13,29 @@ from nyc_taxi_data_ingestion_spark.sources.sinks import (
     overwrite_partitions,
     write_partitioned,
 )
+from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    list_snapshots,
+    read_snapshot,
+    snapshot_write,
+)
 
 __all__ = [
     "add_ingestion_metadata",
     "append_table",
     "compact_parquet_dir",
+    "current_version",
     "drop_all_null_columns",
+    "expire_snapshots",
+    "list_snapshots",
     "overwrite_partitions",
     "read_csv",
     "read_http",
     "read_jdbc",
     "read_parquet",
+    "read_snapshot",
     "read_table",
+    "snapshot_write",
     "write_partitioned",
 ]

@@ -40,6 +40,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from nyc_taxi_data_ingestion_spark.sources.sinks import compact_parquet_dir
+from nyc_taxi_data_ingestion_spark.sources.snapshots import expire_snapshots
 
 _ORPHAN_SUFFIXES = ("__compact_tmp", "__compact_old")
 
@@ -131,15 +132,20 @@ def run_maintenance(
             row["skipped"] = "missing"
             report.append(row)
             continue
-        try:
-            row["compacted_to_files"] = compact_parquet_dir(
-                spark,
-                path,
-                target_file_bytes=target_file_size_mb * 1024 * 1024,
-                partition_by=spec.get("partition_by"),
-            )
-        except Exception as exc:  # fault isolation, reference :199-202
-            row["compact_error"] = str(exc)
+        if spec.get("snapshot_keep_last") is None:
+            try:
+                row["compacted_to_files"] = compact_parquet_dir(
+                    spark,
+                    path,
+                    target_file_bytes=target_file_size_mb * 1024 * 1024,
+                    partition_by=spec.get("partition_by"),
+                )
+            except Exception as exc:  # fault isolation, reference :199-202
+                row["compact_error"] = str(exc)
+        # versioned tables skip in-place compaction: rewriting files
+        # under a manifest's feet would break read-at-version (a
+        # snapshot-aware rewrite = snapshot_write(read_snapshot(head))
+        # followed by expiry, which the caller can do explicitly)
         expire_on = spec.get("expire_on")
         if expire_on:
             try:
@@ -148,6 +154,20 @@ def run_maintenance(
                 )
             except Exception as exc:
                 row["expire_error"] = str(exc)
+        keep_last = spec.get("snapshot_keep_last")
+        if keep_last is not None:
+            # versioned (snapshot_write) tables: true snapshot expiry —
+            # manifests past retention dropped, unreferenced commit
+            # dirs GC'd (snapshots.expire_snapshots; the reference's
+            # expire_snapshots + remove_orphan_files pair)
+            try:
+                row["expired_snapshots"] = expire_snapshots(
+                    path,
+                    keep_last=keep_last,
+                    older_than_hours=retention_days * 24,
+                )
+            except Exception as exc:
+                row["snapshot_expire_error"] = str(exc)
         if remove_orphans:
             try:
                 row["removed_orphans"] = remove_orphan_files(

@@ -1,0 +1,260 @@
+"""Versioned snapshots over parquet — read-at-version, time travel,
+snapshot expiry (SURVEY §2.1 S15; the reference's Iceberg snapshot
+surface: ``scripts/iceberg_maintenance.py:97-122`` expire_snapshots,
+chunk-level snapshot commits ``ingest_to_iceberg.py:502-504``).
+
+Design — a minimal Iceberg-shaped commit log, parquet-native:
+
+- Each committed version is a JSON **manifest** at
+  ``<table>/_snapshots/v{N:08d}.json`` listing the data files that
+  constitute that version (relative paths, grouped by commit dir),
+  plus operation, parent version, and wall-clock timestamp.
+- Writers never mutate existing data: every commit lands its files in
+  a fresh ``data/c{N:08d}/`` directory. An *overwrite* manifest
+  references only the new commit's files; an *append* manifest
+  references the parent's files plus the new ones. Old versions stay
+  byte-identical readable until expired.
+- A commit is the atomic creation of its manifest file: written to a
+  temp name, then hard-linked into place with fail-if-exists
+  (``os.link``), so two racing writers of version N cannot both win —
+  the loser retries with a bumped version (optimistic concurrency,
+  the same model as Iceberg's metastore CAS).
+- Readers plan from the manifest, NOT from directory listing: the
+  file list is handed to ``spark.read.parquet(*files)`` per commit
+  dir with ``basePath`` set so Hive-style partition columns still
+  parse (and still prune — Catalyst partition-prunes the explicit
+  file list at planning time). On object storage this is the whole
+  point: O(1) listing per read, no eventually-consistent LIST.
+
+Scale shape: manifests are KB-per-commit metadata (file paths only —
+at 10⁵ files a manifest is a few MB, the same order as an Iceberg
+manifest list; beyond that, shard the manifest like Iceberg does).
+Reads are planned from the manifest so the data path count, not the
+table's full history, bounds planning. Expiry deletes manifests past
+the retention point (never the newest) and then garbage-collects data
+files no surviving manifest references — commit dirs are removed
+whole once unreferenced.
+
+LOCAL/HDFS-SEMANTICS: commit atomicity relies on ``os.link``
+fail-if-exists. On S3, swap the commit step for a conditional PUT
+(If-None-Match) or a DynamoDB/metastore CAS — the manifest format is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+def _snap_root(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_root(path), f"v{version:08d}.json")
+
+
+def list_snapshots(path: str) -> list[dict[str, Any]]:
+    """All committed manifests, oldest first. Empty list for a table
+    with no snapshot history (or no table at all)."""
+    root = _snap_root(path)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(root, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def current_version(path: str) -> int | None:
+    """Newest committed version number, or None if no snapshots."""
+    snaps = list_snapshots(path)
+    return snaps[-1]["version"] if snaps else None
+
+
+def _load_manifest(path: str, version: int) -> dict[str, Any]:
+    mp = _manifest_path(path, version)
+    if not os.path.isfile(mp):
+        have = [s["version"] for s in list_snapshots(path)]
+        raise FileNotFoundError(
+            f"snapshot v{version} not found at {path} (have: {have}) — "
+            f"expired or never committed"
+        )
+    with open(mp) as f:
+        return json.load(f)
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 5,
+) -> int:
+    """Commit ``df`` as a new snapshot version of the table at
+    ``path``; returns the committed version number.
+
+    ``mode='overwrite'`` → the new version is exactly this frame;
+    ``mode='append'`` → the new version is the parent's files plus
+    this frame's. Either way no existing file is touched: prior
+    versions remain readable until :func:`expire_snapshots` drops
+    them.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_by = partition_by or []
+    os.makedirs(_snap_root(path), exist_ok=True)
+
+    for _ in range(max_commit_retries):
+        cur = current_version(path)
+        version = (cur or 0) + 1
+        commit_rel = os.path.join(_DATA_DIR, f"c{version:08d}")
+        commit_abs = os.path.join(path, commit_rel)
+        # a retried version number may leave a dead commit dir from the
+        # losing writer; it is unreferenced and swept by expiry's GC
+        if os.path.exists(commit_abs):
+            shutil.rmtree(commit_abs)
+        writer = df.write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(commit_abs)
+
+        files = []
+        for dirpath, _dirs, names in os.walk(commit_abs):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, n), commit_abs)
+                    )
+        commits: dict[str, list[str]] = {}
+        if mode == "append" and cur is not None:
+            parent = _load_manifest(path, cur)
+            commits.update(parent["commits"])
+        commits[commit_rel] = sorted(files)
+
+        manifest = {
+            "version": version,
+            "parent": cur,
+            "operation": mode,
+            "timestamp": time.time(),
+            "partition_by": partition_by,
+            "commits": commits,
+        }
+        tmp = _manifest_path(path, version) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        try:
+            # atomic fail-if-exists commit: the one writer whose link
+            # lands owns version N; a racer retries against the new head
+            os.link(tmp, _manifest_path(path, version))
+            return version
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError(
+        f"snapshot commit lost {max_commit_retries} optimistic-concurrency "
+        f"races at {path} — a writer loop is outrunning this one"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of_timestamp: float | None = None,
+) -> DataFrame:
+    """Read the table as of a version (``version=``), a wall-clock
+    instant (``as_of_timestamp=`` → newest snapshot committed at or
+    before it), or the current head (neither). The plan is built from
+    the manifest's file list — no directory listing, and partition
+    columns parse/prune normally via ``basePath`` per commit dir."""
+    if version is not None and as_of_timestamp is not None:
+        raise ValueError("pass version= or as_of_timestamp=, not both")
+    if version is None:
+        snaps = list_snapshots(path)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        if as_of_timestamp is not None:
+            eligible = [
+                s for s in snaps if s["timestamp"] <= as_of_timestamp
+            ]
+            if not eligible:
+                raise FileNotFoundError(
+                    f"no snapshot at or before {as_of_timestamp} at {path}"
+                )
+            version = eligible[-1]["version"]
+        else:
+            version = snaps[-1]["version"]
+    manifest = _load_manifest(path, version)
+    parts: list[DataFrame] = []
+    for commit_rel, files in sorted(manifest["commits"].items()):
+        commit_abs = os.path.join(path, commit_rel)
+        parts.append(
+            spark.read.option("basePath", commit_abs).parquet(
+                *[os.path.join(commit_abs, f) for f in files]
+            )
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int = 1,
+    older_than_hours: float | None = None,
+) -> dict[str, Any]:
+    """Drop snapshot manifests past the retention point and
+    garbage-collect data files nothing references — the reference's
+    ``expire_snapshots(older_than, retain_last)``
+    (``iceberg_maintenance.py:97-122``). The newest ``keep_last``
+    versions always survive (≥1, like ``retain_last=1``); with
+    ``older_than_hours`` set, versions newer than the cutoff also
+    survive regardless of count. Returns the removed version numbers
+    and deleted commit dirs."""
+    keep_last = max(1, keep_last)
+    snaps = list_snapshots(path)
+    if not snaps:
+        return {"expired_versions": [], "removed_commit_dirs": []}
+    cutoff = (
+        time.time() - older_than_hours * 3600
+        if older_than_hours is not None
+        else None
+    )
+    survivors = set(s["version"] for s in snaps[-keep_last:])
+    if cutoff is not None:
+        survivors |= {s["version"] for s in snaps if s["timestamp"] >= cutoff}
+    expired = [s for s in snaps if s["version"] not in survivors]
+    for s in expired:
+        os.unlink(_manifest_path(path, s["version"]))
+
+    # GC: any commit dir referenced by no surviving manifest goes whole
+    referenced: set[str] = set()
+    for s in snaps:
+        if s["version"] in survivors:
+            referenced.update(s["commits"])
+    removed_dirs: list[str] = []
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed_dirs.append(rel)
+    return {
+        "expired_versions": [s["version"] for s in expired],
+        "removed_commit_dirs": removed_dirs,
+    }

@@ -1,0 +1,167 @@
+"""Versioned snapshots: read-at-version, time travel, expiry GC
+(reference Iceberg snapshot surface —
+``scripts/iceberg_maintenance.py:97-122`` expire_snapshots,
+chunk-level commits ``ingest_to_iceberg.py:502-504``)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+    current_version,
+    expire_snapshots,
+    list_snapshots,
+    read_snapshot,
+    snapshot_write,
+)
+
+
+def _frame(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.tag) for r in df.collect())
+
+
+def test_write_overwrite_read_at_version(spark, tmp_path):
+    """The verdict's acceptance test: write v1, overwrite v2, read v1
+    byte-identical, expire drops v1."""
+    path = str(tmp_path / "t")
+    v1 = snapshot_write(_frame(spark, 0, 10, "a"), path)
+    v1_rows = _rows(read_snapshot(spark, path))
+    v2 = snapshot_write(_frame(spark, 100, 103, "b"), path, mode="overwrite")
+    assert (v1, v2) == (1, 2)
+    assert current_version(path) == 2
+
+    # head reads v2; version=1 reads the original, byte-identical
+    assert _rows(read_snapshot(spark, path)) == [
+        (100, "b"), (101, "b"), (102, "b")
+    ]
+    assert _rows(read_snapshot(spark, path, version=1)) == v1_rows == [
+        (i, "a") for i in range(10)
+    ]
+
+    report = expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [1]
+    # v1's commit dir is gone, v1 unreadable, v2 untouched
+    assert report["removed_commit_dirs"] == [os.path.join("data", "c00000001")]
+    with pytest.raises(FileNotFoundError, match="expired or never"):
+        read_snapshot(spark, path, version=1)
+    assert _rows(read_snapshot(spark, path)) == [
+        (100, "b"), (101, "b"), (102, "b")
+    ]
+
+
+def test_append_accumulates_and_history_stays_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 3, "a"), path)
+    snapshot_write(_frame(spark, 3, 5, "b"), path, mode="append")
+    snapshot_write(_frame(spark, 5, 6, "c"), path, mode="append")
+    assert _rows(read_snapshot(spark, path, version=1)) == [
+        (0, "a"), (1, "a"), (2, "a")
+    ]
+    assert _rows(read_snapshot(spark, path, version=2)) == [
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b")
+    ]
+    assert len(_rows(read_snapshot(spark, path))) == 6
+    # append manifests share commit dirs: expiring v1/v2 must keep
+    # every commit dir v3 references (GC is reference-counted, not
+    # age-based)
+    report = expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [1, 2]
+    assert report["removed_commit_dirs"] == []
+    assert len(_rows(read_snapshot(spark, path))) == 6
+
+
+def test_partitioned_snapshot_prunes_and_survives_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, i) for d in ("a", "b") for i in range(4)], "part string, v int"
+    )
+    snapshot_write(df, path, partition_by=["part"])
+    got = read_snapshot(spark, path)
+    assert set(got.columns) == {"part", "v"}
+    assert got.where(F.col("part") == "a").count() == 4
+    # partition filter reaches the scan as a partition-pruning filter
+    plan = got.where(F.col("part") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "part#" in plan
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 2, "a"), path)
+    snaps = list_snapshots(path)
+    t_between = snaps[-1]["timestamp"] + 0.001
+    snapshot_write(_frame(spark, 0, 5, "b"), path)
+    assert _rows(read_snapshot(spark, path, as_of_timestamp=t_between)) == [
+        (0, "a"), (1, "a")
+    ]
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_snapshot(
+            spark, path, as_of_timestamp=snaps[0]["timestamp"] - 10
+        )
+
+
+def test_commit_race_loser_retries_to_next_version(spark, tmp_path):
+    """Simulate a racer landing version 2 first: the writer must not
+    clobber it — it retries and commits version 3."""
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 2, "a"), path)
+    # racer: hand-commit a v2 manifest with no files
+    racer = {
+        "version": 2, "parent": 1, "operation": "overwrite",
+        "timestamp": 0.0, "partition_by": [], "commits": {},
+    }
+    mp = os.path.join(path, "_snapshots", "v00000002.json")
+    with open(mp, "w") as f:
+        json.dump(racer, f)
+    # the writer must observe the new head and commit v3, leaving the
+    # racer's v2 manifest byte-identical
+    v = snapshot_write(_frame(spark, 10, 12, "b"), path)
+    assert v == 3
+    with open(mp) as f:
+        assert json.load(f) == racer
+    assert _rows(read_snapshot(spark, path)) == [(10, "b"), (11, "b")]
+
+
+def test_expire_keeps_recent_by_age(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        snapshot_write(_frame(spark, i, i + 1, "x"), path)
+    # all four snapshots are seconds old: an age window keeps them all
+    report = expire_snapshots(path, keep_last=1, older_than_hours=1.0)
+    assert report["expired_versions"] == []
+    # without the age window, keep_last=2 drops v1/v2
+    report = expire_snapshots(path, keep_last=2)
+    assert report["expired_versions"] == [1, 2]
+    assert [s["version"] for s in list_snapshots(path)] == [3, 4]
+
+
+def test_run_maintenance_expires_snapshots(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        run_maintenance,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        snapshot_write(_frame(spark, i, i + 1, "x"), path)
+    # retention_days=0 disables the age shield so count-based retention
+    # is exercised end-to-end through the orchestrator
+    report = run_maintenance(
+        spark,
+        [{"path": path, "snapshot_keep_last": 1}],
+        retention_days=0,
+        remove_orphans=False,
+    )
+    assert report[0]["expired_snapshots"]["expired_versions"] == [1, 2]
+    # compaction must NOT have run over the versioned layout
+    assert "compacted_to_files" not in report[0]
+    assert "compact_error" not in report[0]
+    assert _rows(read_snapshot(spark, path)) == [(2, "x")]
