@@ -10,6 +10,10 @@ from nyc_taxi_data_ingestion_spark.quality.expectations import (
     Expectation,
     run_expectations,
 )
+from nyc_taxi_data_ingestion_spark.quality.ge_adapter import (
+    run_with_great_expectations,
+    to_ge_call,
+)
 from nyc_taxi_data_ingestion_spark.quality.metrics import quality_score
 from nyc_taxi_data_ingestion_spark.quality.observe import (
     attach,
@@ -30,4 +34,6 @@ __all__ = [
     "write_observed",
     "run_checks",
     "run_expectations",
+    "run_with_great_expectations",
+    "to_ge_call",
 ]

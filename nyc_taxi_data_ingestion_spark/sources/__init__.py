@@ -14,14 +14,17 @@ from nyc_taxi_data_ingestion_spark.sources.sinks import (
     write_partitioned,
 )
 from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+    ConcurrentSnapshotError,
     current_version,
     expire_snapshots,
     list_snapshots,
     read_snapshot,
+    snapshot_merge,
     snapshot_write,
 )
 
 __all__ = [
+    "ConcurrentSnapshotError",
     "add_ingestion_metadata",
     "append_table",
     "compact_parquet_dir",
@@ -36,6 +39,7 @@ __all__ = [
     "read_parquet",
     "read_snapshot",
     "read_table",
+    "snapshot_merge",
     "snapshot_write",
     "write_partitioned",
 ]

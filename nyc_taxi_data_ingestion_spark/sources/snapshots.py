@@ -56,6 +56,10 @@ _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
 
 
+class ConcurrentSnapshotError(RuntimeError):
+    """Another writer committed between deriving and applying a write."""
+
+
 def _snap_root(path: str) -> str:
     return os.path.join(path, _SNAP_DIR)
 
@@ -102,6 +106,7 @@ def snapshot_write(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_commit_retries: int = 5,
+    expected_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version of the table at
     ``path``; returns the committed version number.
@@ -111,6 +116,13 @@ def snapshot_write(
     this frame's. Either way no existing file is touched: prior
     versions remain readable until :func:`expire_snapshots` drops
     them.
+
+    ``expected_parent`` turns the commit into a compare-and-swap: if
+    the head is no longer that version when the manifest would land,
+    the write raises :class:`ConcurrentSnapshotError` instead of
+    committing on top of data it never read (Iceberg's
+    validate-snapshot-id). Without it, a lost optimistic race simply
+    retries against the new head.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -119,6 +131,11 @@ def snapshot_write(
 
     for _ in range(max_commit_retries):
         cur = current_version(path)
+        if expected_parent is not None and cur != expected_parent:
+            raise ConcurrentSnapshotError(
+                f"commit derived from v{expected_parent} but head is "
+                f"v{cur} at {path}: rebase and retry"
+            )
         version = (cur or 0) + 1
         commit_rel = os.path.join(_DATA_DIR, f"c{version:08d}")
         commit_abs = os.path.join(path, commit_rel)
@@ -209,6 +226,87 @@ def read_snapshot(
         )
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    partition_by: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """Transactional row-level MERGE on a versioned table — the
+    reference's Iceberg ``MERGE INTO`` semantics (dbt
+    ``incremental_strategy='merge'`` + ``unique_key``,
+    ``daily_trip_stats.sql:1-11``) with snapshot isolation: the merge
+    plan reads ONE pinned version, the result commits as a NEW
+    version, and readers of any existing version are never torn —
+    unlike ``sinks.merge_upsert``'s in-place directory swap, history
+    survives and the merge is time-travelable/auditable.
+
+    Conflict detection: pass ``expected_version`` (the version your
+    updates were derived from) and the commit aborts with
+    ``ConcurrentSnapshotError`` if another writer landed first —
+    optimistic concurrency at MERGE granularity, the same contract as
+    Iceberg's validate-snapshot-id retry loop. Leave it None and a
+    lost race RE-PLANS the merge from the new head and retries (never
+    a lost update: the stale plan is discarded, not committed).
+
+    Last-writer-wins per key: the highest-``order_col`` row per key
+    survives, updates beating existing rows on ties (same rule as
+    ``merge_upsert``, proven equivalent in tests). Scale shape: one
+    key-shuffle over target∪updates; at 100 TB pair this with
+    partition pruning on the pinned read (the manifest read is
+    partition-pruned like any parquet scan) so only touched partitions
+    flow through the shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        dedupe_keep_first,
+    )
+
+    upd = updates.withColumn("__upd", F.lit(0))
+    # the commit itself carries an expected_parent CAS, so a writer
+    # landing between planning and the manifest link can never make
+    # this merge clobber data it didn't read; with expected_version
+    # unset, a lost race re-plans the merge from the new head
+    for _ in range(5):
+        head = current_version(path)
+        if expected_version is not None and head != expected_version:
+            raise ConcurrentSnapshotError(
+                f"merge derived from v{expected_version} but head is "
+                f"v{head} at {path}: rebase the updates and retry"
+            )
+        if head is not None:
+            tgt = read_snapshot(spark, path, version=head).withColumn(
+                "__upd", F.lit(1)
+            )
+            merged_src = tgt.unionByName(upd)
+        else:
+            merged_src = upd
+        merged = dedupe_keep_first(
+            merged_src, keys, order_by=f"{order_col} DESC",
+            tie_breakers=["__upd"],
+        ).drop("__upd")
+        try:
+            return snapshot_write(
+                merged,
+                path,
+                mode="overwrite",
+                partition_by=partition_by,
+                expected_parent=head,
+            )
+        except ConcurrentSnapshotError:
+            if expected_version is not None:
+                raise
+            continue
+    raise ConcurrentSnapshotError(
+        f"merge at {path} lost 5 re-plan races — a writer loop is "
+        f"outrunning this one"
     )
 
 

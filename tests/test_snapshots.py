@@ -12,10 +12,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+    ConcurrentSnapshotError,
     current_version,
     expire_snapshots,
     list_snapshots,
     read_snapshot,
+    snapshot_merge,
     snapshot_write,
 )
 
@@ -142,6 +144,60 @@ def test_expire_keeps_recent_by_age(spark, tmp_path):
     report = expire_snapshots(path, keep_last=2)
     assert report["expired_versions"] == [1, 2]
     assert [s["version"] for s in list_snapshots(path)] == [3, 4]
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ts long")
+
+
+def test_snapshot_merge_upserts_and_keeps_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = snapshot_merge(
+        spark, path, _kv(spark, [(1, "a", 10), (2, "b", 10)]),
+        keys=["k"], order_col="ts",
+    )
+    assert v1 == 1
+    # update k=1 (newer ts), tie on k=2 (updates win), insert k=3
+    v2 = snapshot_merge(
+        spark, path,
+        _kv(spark, [(1, "a2", 20), (2, "b2", 10), (3, "c", 5)]),
+        keys=["k"], order_col="ts",
+    )
+    assert v2 == 2
+    head = sorted((r.k, r.v) for r in read_snapshot(spark, path).collect())
+    assert head == [(1, "a2"), (2, "b2"), (3, "c")]
+    # an older-ts update must NOT win
+    snapshot_merge(
+        spark, path, _kv(spark, [(3, "stale", 1)]),
+        keys=["k"], order_col="ts",
+    )
+    assert sorted(
+        (r.k, r.v) for r in read_snapshot(spark, path).collect()
+    ) == head
+    # snapshot isolation: v1 still reads pre-merge, byte-identical
+    assert sorted(
+        (r.k, r.v) for r in read_snapshot(spark, path, version=1).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_merge_cas_rejects_stale_base(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshot_merge(
+        spark, path, _kv(spark, [(1, "a", 1)]), keys=["k"], order_col="ts"
+    )
+    snapshot_merge(
+        spark, path, _kv(spark, [(2, "b", 1)]), keys=["k"], order_col="ts"
+    )
+    with pytest.raises(ConcurrentSnapshotError, match="head is v2"):
+        snapshot_merge(
+            spark, path, _kv(spark, [(3, "c", 1)]),
+            keys=["k"], order_col="ts", expected_version=1,
+        )
+    # and snapshot_write's commit-time CAS rejects a stale parent too
+    with pytest.raises(ConcurrentSnapshotError, match="rebase"):
+        snapshot_write(
+            _kv(spark, [(9, "z", 1)]), path, expected_parent=1
+        )
 
 
 def test_run_maintenance_expires_snapshots(spark, tmp_path):
