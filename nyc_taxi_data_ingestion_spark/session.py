@@ -97,6 +97,38 @@ def jdbc_confs(
     return confs
 
 
+def durable_catalog_confs(
+    warehouse_dir: str, metastore_dir: str | None = None
+) -> dict[str, str]:
+    """Persistent multi-session catalog confs (SURVEY §1.4; the
+    reference's Hive-metastore catalog —
+    ``silver/jobs/bronze_to_silver.py:138-195`` configures
+    ``hive.metastore.uris`` + warehouse). Tables created via
+    ``sinks.create_table`` become durable ACROSS SparkSessions and
+    processes: metadata lives in a Hive metastore instead of the
+    default in-memory session catalog.
+
+    Locally/CI the metastore is an embedded Derby database at
+    ``metastore_dir`` (no external service, single writer at a time —
+    Derby's lock, same as spark-shell's default); on a cluster, drop
+    ``metastore_dir`` and add ``spark.hadoop.hive.metastore.uris``
+    pointing at the shared thrift service — everything else is
+    identical. Pass the result to ``get_spark(extra_confs=...)``;
+    cross-process durability is proven in
+    ``tests/test_sinks.py`` (write in one python process, read from a
+    fresh one).
+    """
+    confs = {
+        "spark.sql.warehouse.dir": warehouse_dir,
+        "spark.sql.catalogImplementation": "hive",
+    }
+    if metastore_dir:
+        confs["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
+            f"jdbc:derby:;databaseName={metastore_dir};create=true"
+        )
+    return confs
+
+
 def _merge_confs(*conf_dicts: dict[str, str] | None) -> dict[str, str]:
     """Later dicts win, except ``spark.jars.packages``/``spark.jars``
     which are additive (S3 + JDBC must coexist)."""

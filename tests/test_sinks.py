@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -193,3 +194,60 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
     for col in ("l_partkey", "l_suppkey"):
         frac = overlap_frac(col, probes[col])
         assert frac <= 0.7, (col, frac)
+
+
+def test_catalog_survives_process_restart(tmp_path):
+    """Persistent multi-session catalog (reference Hive metastore,
+    ``bronze_to_silver.py:138-195``): a table created through
+    sinks.create_table under durable_catalog_confs must be listable
+    and readable from a COMPLETELY FRESH python process — metadata in
+    the embedded Derby metastore, not the dying session's memory.
+    Subprocess-isolated because one JVM allows one SparkContext and
+    the shared test session must survive this test."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, {repo!r})
+        from nyc_taxi_data_ingestion_spark.session import (
+            durable_catalog_confs, get_spark,
+        )
+        from nyc_taxi_data_ingestion_spark.sources.sinks import create_table
+
+        confs = durable_catalog_confs({wh!r}, {ms!r})
+        phase = sys.argv[1]
+        spark = get_spark(
+            app_name="catalog-durability-" + phase,
+            master="local[2]",
+            extra_confs=confs,
+        )
+        if phase == "write":
+            create_table(
+                spark, spark.range(13).toDF("n"), "silver.t_durable"
+            )
+        else:
+            assert [t.name for t in spark.catalog.listTables("silver")] == [
+                "t_durable"
+            ], "table metadata lost across processes"
+            assert spark.table("silver.t_durable").count() == 13
+        spark.stop()
+        print("PHASE_OK", phase)
+        """
+    ).format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        wh=str(tmp_path / "warehouse"),
+        ms=str(tmp_path / "metastore"),
+    )
+    for phase in ("write", "read"):
+        out = subprocess.run(
+            [sys.executable, "-c", script, phase],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(tmp_path),  # derby.log lands here, not in the repo
+        )
+        assert out.returncode == 0, (phase, out.stdout[-2000:], out.stderr[-2000:])
+        assert f"PHASE_OK {phase}" in out.stdout
