@@ -6170,6 +6170,94 @@ def q_tpch_q10_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q13_TEMPLATE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM {customer} LEFT OUTER JOIN {orders}
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "tpch_q13_sql",
+    _TPCH_Q13_TEMPLATE.format(customer="customer", orders="orders"),
+    tags=["J1", "A8", "sql"],
+)
+def q_tpch_q13_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution) through spark.sql(): the
+    two-level aggregation over a LEFT OUTER join with a non-key join
+    predicate — COUNT(o_orderkey) must count 0 for match-less
+    customers (NULL-preserving outer semantics feeding an aggregate),
+    then the histogram-of-counts re-aggregates. The join filter
+    (priority <> '1-URGENT', standing in for Q13's NOT LIKE comment
+    filter — the testdata has no o_comment) must stay IN the join
+    condition, not become a WHERE that would turn the outer join
+    inner. Distribution: both aggregations key-shuffle; the second is
+    tiny (|distinct counts| groups)."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q13_TEMPLATE.format(
+            customer="tpch_customer_v", orders="tpch_orders_v"
+        )
+    )
+
+
+_TPCH_Q19_TEMPLATE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM {lineitem}, {part}
+WHERE (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#1'
+    AND p_size BETWEEN 1 AND 15
+    AND l_quantity >= 1 AND l_quantity <= 21
+  ) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#2'
+    AND p_size BETWEEN 1 AND 25
+    AND l_quantity >= 10 AND l_quantity <= 30
+  ) OR (
+    p_partkey = l_partkey
+    AND p_brand = 'Brand#3'
+    AND p_size BETWEEN 1 AND 35
+    AND l_quantity >= 20 AND l_quantity <= 40
+  )
+"""
+
+
+@register(
+    "tpch_q19_sql",
+    _TPCH_Q19_TEMPLATE.format(lineitem="lineitem", part="part"),
+    tags=["J2", "A5", "sql"],
+)
+def q_tpch_q19_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) through spark.sql(): the
+    disjunction-of-conjunctions join — three OR'd branches each
+    carrying the equi-key plus different dim/fact range predicates.
+    The optimizer must FACTOR OUT the common p_partkey = l_partkey
+    equi-condition (Catalyst's extractEquiJoinKeys handles OR-common
+    conjuncts via CNF conversion) so this plans as a hash join with a
+    residual OR filter, NOT a cartesian/BNL join; the common-subset
+    predicates (brand/size/quantity hulls) are also inferred and
+    pushed to both scans. The registry-wide plan audit would reject
+    the cartesian form."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q19_TEMPLATE.format(
+            lineitem="tpch_lineitem_v", part="tpch_part_v"
+        )
+    )
+
+
 _SNAPSHOT_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
