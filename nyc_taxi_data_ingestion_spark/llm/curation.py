@@ -269,6 +269,71 @@ def token_shards(
     ).drop("__before")
 
 
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pack documents into FIXED-length training sequences of exactly
+    ``seq_len`` tokens — the GPT-style pretraining packing step:
+    documents concatenate in ``id_col`` order into one token stream
+    (per ``stream_cols`` group if given, e.g. one stream per source),
+    cut every ``seq_len`` tokens, and a document crossing a cut
+    contributes one SLICE per sequence it spans. Complements
+    ``token_shards`` (whole-doc ~budget bins): shards never split a
+    document, sequences always fill exactly.
+
+    One row per (document, sequence) slice:
+    ``seq_id`` — sequence ordinal in the stream;
+    ``doc_lo``/``doc_hi`` — the doc's token slice [lo, hi) feeding it;
+    ``seq_off`` — where that slice starts inside the sequence;
+    ``n_tok`` — slice length. Zero-token documents yield no rows.
+    Deterministic in the doc order; fan-out per doc is
+    ⌈n/seq_len⌉ + 1 rows, so output size ≈ corpus tokens / seq_len +
+    doc count — never quadratic.
+
+    The stream's running token offset is ``partitioned_prefix_sum``'s
+    two-pass bucketed scan (the single-global-stream case is exactly
+    the single-task-window trap the utility exists for: ONE ordered
+    window over the whole corpus otherwise). ``id_col`` must be
+    numeric and unique within each stream, like ``token_shards``.
+    """
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
+    streams = list(stream_cols or [])
+    counted = df.withColumn("__n", token_count(text_col))
+    if not streams:
+        # constant stream key: the prefix-sum util buckets WITHIN the
+        # group, so one global stream still scans distributed
+        counted = counted.withColumn("__stream", F.lit(0))
+        streams = ["__stream"]
+    offs = partitioned_prefix_sum(
+        counted, streams, id_col, "__n", "__start"
+    ).where(F.col("__n") > 0)
+    first = F.floor(F.col("__start") / F.lit(seq_len))
+    last = F.floor((F.col("__start") + F.col("__n") - 1) / F.lit(seq_len))
+    s = F.col("seq_id")
+    lo = F.greatest(F.lit(0), s * seq_len - F.col("__start"))
+    hi = F.least(F.col("__n"), (s + 1) * seq_len - F.col("__start"))
+    return (
+        offs.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            *[c for c in df.columns],
+            s.cast("long").alias("seq_id"),
+            lo.cast("long").alias("doc_lo"),
+            hi.cast("long").alias("doc_hi"),
+            (F.col("__start") + lo - s * seq_len).cast("long").alias(
+                "seq_off"
+            ),
+            (hi - lo).cast("long").alias("n_tok"),
+        )
+    )
+
+
 # -- benchmark contamination -------------------------------------------------
 
 

@@ -2928,6 +2928,51 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQUENCE_PACK_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+')))
+              OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS strt
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n, strt,
+         unnest(range(CAST(floor(strt / 512.0) AS BIGINT),
+                      CAST(floor((strt + n - 1) / 512.0) AS BIGINT) + 1))
+           AS seq_id
+  FROM c WHERE n > 0
+)
+SELECT doc_id, seq_id,
+       GREATEST(0, seq_id * 512 - strt) AS doc_lo,
+       LEAST(n, (seq_id + 1) * 512 - strt) AS doc_hi,
+       strt + GREATEST(0, seq_id * 512 - strt) - seq_id * 512 AS seq_off,
+       LEAST(n, (seq_id + 1) * 512 - strt)
+         - GREATEST(0, seq_id * 512 - strt) AS n_tok
+FROM x
+"""
+
+
+@register("sequence_pack", _SEQUENCE_PACK_ORACLE, tags=["llm-curation"])
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (llm/curation.sequence_pack):
+    concatenate the corpus in doc_id order and cut every 512 tokens —
+    each output row is one (doc, sequence) slice with its in-doc and
+    in-sequence token offsets, the exact map a pretraining loader
+    needs. The global token offsets come from the distributed bucketed
+    prefix sum (never a whole-corpus single-task window); the oracle
+    recomputes every slice with a window cumsum + per-row range
+    unnest."""
+    from nyc_taxi_data_ingestion_spark.llm import curation as cu
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cu.sequence_pack(docs, seq_len=512).select(
+        "doc_id", "seq_id", "doc_lo", "doc_hi", "seq_off", "n_tok"
+    )
+
+
 _CONTAMINATION_ORACLE = r"""
 WITH norm AS (
   SELECT doc_id,
@@ -6307,6 +6352,65 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return read_snapshot(spark, path, version=v1).localCheckpoint(
             eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_MERGE_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN o_totalprice * 2 ELSE o_totalprice END
+            AS DOUBLE) AS o_totalprice
+FROM orders
+"""
+
+
+@register("snapshot_merge_upsert", _SNAPSHOT_MERGE_ORACLE, tags=["M1", "S15"])
+def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/S15 — transactional row-level MERGE through the snapshot
+    layer (``snapshots.snapshot_merge``; the reference's Iceberg
+    MERGE INTO / dbt merge-incremental, ``daily_trip_stats.sql:1-11``):
+    commit all orders as v1, merge an updates batch that doubles every
+    urgent order's total (newer version marker), read the committed
+    head. The oracle recomputes the post-merge table directly, so the
+    driver certifies upsert semantics END-TO-END through plan → commit
+    → manifest read — update rows replaced, non-matched rows
+    untouched, nothing duplicated. Doubling a double is exact in both
+    engines. Same driver-local lifecycle as q_pipeline_full."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_merge,
+    )
+
+    base = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("__v", F.lit(0))
+    )
+    updates = (
+        base.where(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("__v", F.lit(1))
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapmerge_")
+    try:
+        snapshot_merge(spark, path, base, keys=["o_orderkey"], order_col="__v")
+        snapshot_merge(
+            spark, path, updates, keys=["o_orderkey"], order_col="__v"
+        )
+        return (
+            read_snapshot(spark, path)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)

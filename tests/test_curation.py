@@ -430,3 +430,73 @@ def test_partitioned_prefix_sum_timestamp_order_and_unique_assert(spark):
         partitioned_prefix_sum(
             dup, ["g"], "ts", "v", "run", assert_unique_order=True
         )
+
+
+def test_sequence_pack_slices_exactly(spark):
+    """Hand-computed packing: docs of 5/3/9 tokens at seq_len=4 →
+    stream [0,17) cuts at 4/8/12/16; doc 2 (tokens 5..7) stays inside
+    seq 1; docs 1 and 3 straddle cuts."""
+    from nyc_taxi_data_ingestion_spark.llm.curation import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h"), (3, "i j k l m n o p q")],
+        "doc_id long, text string",
+    )
+    out = sequence_pack(docs, seq_len=4)
+    rows = sorted(
+        (r.doc_id, r.seq_id, r.doc_lo, r.doc_hi, r.seq_off, r.n_tok)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, 0, 4),
+        (1, 1, 4, 5, 0, 1),
+        (2, 1, 0, 3, 1, 3),
+        (3, 2, 0, 4, 0, 4),
+        (3, 3, 4, 8, 0, 4),
+        (3, 4, 8, 9, 0, 1),
+    ]
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Every sequence except the last holds exactly seq_len tokens;
+    each doc's slices partition [0, n) contiguously; zero-token docs
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.curation import sequence_pack
+    from nyc_taxi_data_ingestion_spark.llm.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    L = 128
+    out = sequence_pack(docs, seq_len=L).localCheckpoint(eager=True)
+    per_seq = out.groupBy("seq_id").agg(F.sum("n_tok").alias("t")).collect()
+    last = max(r.seq_id for r in per_seq)
+    for r in per_seq:
+        assert r.t == L or (r.seq_id == last and 0 < r.t <= L), r
+    # per-doc slices reassemble the doc exactly
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.sum("n_tok").alias("t"),
+            F.min("doc_lo").alias("lo"),
+            F.max("doc_hi").alias("hi"),
+        )
+        .join(docs.withColumn("n", token_count("text")), "doc_id")
+        .collect()
+    )
+    for r in per_doc:
+        assert (r.lo, r.hi, r.t) == (0, r.n, r.n), r
+    # in-sequence offsets tile without overlap
+    tiled = (
+        out.groupBy("seq_id")
+        .agg(
+            F.sum("n_tok").alias("t"),
+            F.min("seq_off").alias("o"),
+            F.max(F.col("seq_off") + F.col("n_tok")).alias("e"),
+        )
+        .collect()
+    )
+    for r in tiled:
+        assert r.o == 0 and r.e == r.t, r
