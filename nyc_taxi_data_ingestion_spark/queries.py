@@ -1975,6 +1975,72 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _staged_late_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE parquet files with pinned arrival order
+    (mtime ascending → one micro-batch each under maxFilesPerTrigger=1)
+    for the watermark late-data proof:
+
+    - ``00_ontime`` — every on-time row; processing it advances the
+      watermark to max(ts) − delay;
+    - ``01_nudge`` — ONE re-delivered row at exactly max(ts). Spark
+      propagates a new watermark into query plans one batch late
+      (the value is committed with the batch's offsets and takes
+      effect from the NEXT construction), so without this spacer the
+      late batch would still run under the initial watermark and
+      nothing would be dropped — measured, not speculated. The nudge
+      row lands in the final day's window, which append mode withholds
+      (its end exceeds the final watermark), so the duplicate can
+      never surface in the drained output;
+    - ``02_late`` — the held-back rows of the corpus's first two days,
+      now far below the in-effect watermark: every one must be
+      dropped.
+
+    Cached per sf like ``_staged_events``."""
+    import datetime
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    key = f"spark_graft_latestage_{hashlib.md5(sf_dir.encode()).hexdigest()[:16]}"
+    path = os.path.join(tmp, key)
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        return path
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cutoff = bounds["lo"] + datetime.timedelta(days=2)
+    late_pred = (F.col("user_id") % 2 == 0) & (F.col("ts") < F.lit(cutoff))
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    scratch = tempfile.mkdtemp(prefix=key + "_scratch_")
+    try:
+        now = int(time.time())
+        parts = [
+            ("ontime", ev.where(~late_pred)),
+            ("nudge", ev.where(F.col("ts") == F.lit(bounds["hi"])).limit(1)),
+            ("late", ev.where(late_pred)),
+        ]
+        for i, (tag, part) in enumerate(parts):
+            d = os.path.join(scratch, tag)
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            (src,) = glob.glob(os.path.join(d, "*.parquet"))
+            dst = os.path.join(path, f"{i:02d}_{tag}.parquet")
+            shutil.move(src, dst)
+            # the file source orders by modification time: pin it so
+            # the batches always arrive ontime → nudge → late
+            os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    open(marker, "w").close()
+    return path
+
+
 def _staged_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Stage any testdata table as a parquet DIRECTORY for file-source
     streaming (the raw testdata is single files; Spark's file stream
@@ -2088,6 +2154,61 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 minute",
     )
     return run_available_now(agg, "q_stream_tumbling", output_mode="complete")
+
+
+_STREAM_LATE_DATA_ORACLE = f"""
+WITH mm AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+on_time AS (
+  SELECT * FROM events
+  WHERE NOT (user_id % 2 = 0
+             AND ts < (SELECT lo FROM mm) + INTERVAL 2 DAY)
+)
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql('value')} AS total_value
+FROM on_time
+GROUP BY 1, 2, 3
+HAVING date_trunc('day', ts) + INTERVAL 1 DAY
+         <= (SELECT hi FROM mm) - INTERVAL 1 HOUR
+"""
+
+
+@register("stream_late_data", _STREAM_LATE_DATA_ORACLE, tags=["streaming"])
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA SEMANTICS, proven — the one streaming
+    behavior AvailableNow replays of in-order data never exercise:
+    batch 1 carries every on-time event (watermark → max(ts) − 1 h),
+    batch 2 is a one-row spacer absorbing Spark's one-batch watermark
+    propagation lag (see ``_staged_late_events``), batch 3 replays
+    held-back events from the corpus's first two days — all below the
+    in-effect watermark, so the engine must DROP every one and emit
+    day windows computed from the on-time rows alone. Append mode
+    additionally withholds the still-open final day (which also hides
+    the spacer's duplicate row). The oracle recomputes exactly that:
+    on-time rows only, windows closed at final-watermark time — if
+    Spark leaked one late row into any window, the hash breaks."""
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        tumbling_aggregate,
+    )
+
+    path = _staged_late_events(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    stream = read_parquet_stream(
+        spark, path, schema, max_files_per_trigger=1
+    )
+    agg = tumbling_aggregate(
+        stream,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("cnt"), dsum("value").alias("total_value")],
+        watermark_delay="1 hour",
+    )
+    return run_available_now(agg, "q_stream_late", output_mode="append")
 
 
 _STREAM_SESSION_ORACLE = """
@@ -6301,6 +6422,65 @@ def q_tpch_q19_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem="tpch_lineitem_v", part="tpch_part_v"
         )
     )
+
+
+_SCALAR_SUBQUERY_TEMPLATE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM {supplier} s
+WHERE s_acctbal = (
+  SELECT MIN(s2.s_acctbal) FROM {supplier} s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)
+ORDER BY s_nationkey, s_suppkey
+"""
+
+
+@register(
+    "scalar_subquery_agg",
+    _SCALAR_SUBQUERY_TEMPLATE.format(supplier="supplier"),
+    tags=["A5", "J1", "sql"],
+)
+def q_scalar_subquery_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q2/Q17's shape on the tables
+    the testdata has): each supplier compared against an aggregate of
+    its own nation — Catalyst must decorrelate the subquery into a
+    per-nation aggregate joined back on the correlation key, never a
+    per-row re-execution. Ties all surviving; total order for the
+    driver via (nationkey, suppkey)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("tpch_supplier_v")
+    return spark.sql(
+        _SCALAR_SUBQUERY_TEMPLATE.format(supplier="tpch_supplier_v")
+    )
+
+
+_GROUPING_SETS_TEMPLATE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM {orders}
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    _GROUPING_SETS_TEMPLATE.format(orders="orders"),
+    tags=["A1", "sql"],
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the ROLLUP/CUBE specializations
+    already registered): three hand-picked grains in ONE Expand pass —
+    the (status, priority) matrix, the priority margin, and the grand
+    total, but NOT the status margin a CUBE would also pay for.
+    GROUPING() flags disambiguate real NULL values from subtotal rows
+    identically on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tpch_orders_v")
+    return spark.sql(_GROUPING_SETS_TEMPLATE.format(orders="tpch_orders_v"))
 
 
 _SNAPSHOT_TT_ORACLE = """
