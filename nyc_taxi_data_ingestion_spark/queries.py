@@ -6596,6 +6596,80 @@ def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_INCR_ORACLE = r"""
+WITH corp AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+cfp AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          AS fp FROM corp),
+bfp AS (SELECT doc_id, lang, source,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM batch),
+survivors AS (
+  SELECT b.doc_id, b.lang, b.source FROM bfp b
+  WHERE b.fp NOT IN (SELECT fp FROM cfp)
+    AND b.doc_id = (SELECT MIN(b2.doc_id) FROM bfp b2 WHERE b2.fp = b.fp)
+)
+SELECT doc_id, lang, source FROM corp
+UNION ALL
+SELECT doc_id, lang, source FROM survivors
+"""
+
+
+@register(
+    "snapshot_incremental_ingest",
+    _SNAPSHOT_INCR_ORACLE,
+    tags=["M1", "S15", "llm-dedup"],
+)
+def q_snapshot_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse+dedup COMPOSITION a production corpus actually
+    runs: odd-id docs are the established corpus (committed as
+    snapshot v1), even-id docs arrive as a new batch, each batch doc
+    is dropped iff its exact fingerprint already exists in the
+    committed corpus or in a lower-id batch doc (keep-first), and the
+    survivors APPEND as snapshot v2 — the corpus files are never
+    rewritten. The oracle recomputes corpus ∪ dedup-survivors
+    directly, so the driver certifies the whole loop: version-pinned
+    corpus read → fingerprint anti-join → append commit → manifest
+    read of the head. Only fingerprints shuffle (the corpus text
+    never moves), batch-side keep-first is a fingerprint-keyed min,
+    and the appended commit is batch-survivor-sized."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.llm.text import fingerprint
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapincr_")
+    try:
+        snapshot_write(docs.where(F.col("doc_id") % 2 == 1), path)
+        corp_fp = read_snapshot(spark, path).select(
+            fingerprint("text").alias("__fp")
+        ).distinct()
+        batch = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+            "__fp", fingerprint("text")
+        )
+        first = batch.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+        survivors = (
+            batch.join(first, ["__fp", "doc_id"])  # keep-first per fp
+            .join(corp_fp, "__fp", "left_anti")
+            .drop("__fp")
+        )
+        snapshot_write(survivors, path, mode="append")
+        return (
+            read_snapshot(spark, path)
+            .select("doc_id", "lang", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _PROMO_REVENUE_ORACLE = """
 WITH j AS (
   SELECT p.p_type,
