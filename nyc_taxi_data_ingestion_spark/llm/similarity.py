@@ -530,16 +530,57 @@ def pq_topk(
     SCORING is a narrow Arrow map over the codes with the query LUT
     tensor broadcast in-closure, followed by the standard per-query
     top-k window. No shuffle touches a raw vector. The query side is
-    driver-materialized in ``query_chunk_size`` slices (each slice is
-    one bounded LUT tensor of chunk·m·2^nbits floats and one scoring
-    pass over the codes), so driver memory is flat in |Q|; callers with
-    more than ``max_queries`` queries get a clear error instead of a
-    union plan with hundreds of corpus scans — at that volume, persist
-    the codes table and loop batches externally.
+    driver-materialized ONCE as compact float64 chunks of
+    ``query_chunk_size`` (≤ max_queries·d·8 bytes ≈ 134 MB at the
+    defaults — the same order as the LUT tensors themselves, never
+    python Row objects), each becoming one bounded LUT tensor and one
+    scoring pass over the codes; callers with more than
+    ``max_queries`` queries get a clear error BEFORE any Spark work
+    instead of a union plan with hundreds of corpus scans — at that
+    volume, persist the codes table and loop batches externally.
     """
     from functools import reduce
 
     from pyspark.sql import Window
+
+    # Stream the query side through the driver in one pass, enforcing
+    # the volume cap inline (no dedicated count() action, and the cap
+    # fires before codebook training spends any cluster time). Rows
+    # are converted to compact numpy per chunk as they stream — only
+    # (ids, float64 matrix) pairs are retained, never Row objects.
+    chunks: list[tuple[np.ndarray, np.ndarray]] = []
+    ids: list = []
+    vecs: list = []
+    n_q = 0
+
+    def _flush():
+        if ids:
+            chunks.append(
+                (
+                    np.asarray(ids, dtype=np.int64),
+                    np.asarray(vecs, dtype=np.float64),
+                )
+            )
+            ids.clear()
+            vecs.clear()
+
+    for r in queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
+    ).toLocalIterator():
+        n_q += 1
+        if n_q > max_queries:
+            raise ValueError(
+                f"pq_topk got more than max_queries={max_queries} query "
+                f"vectors: each {query_chunk_size}-query chunk is a full "
+                f"scoring pass over the corpus codes, so batch volumes "
+                f"beyond this should persist the PQ codes table and loop "
+                f"externally instead."
+            )
+        ids.append(r.qid)
+        vecs.append(r.v)
+        if len(ids) >= query_chunk_size:
+            _flush()
+    _flush()
 
     books = train_pq_codebooks(
         corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
@@ -552,15 +593,13 @@ def pq_topk(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("codes")
     )
     _SCORED_SCHEMA = "query_id long, neighbor_id long, cosine_sim double"
+    if len(chunks) > 1:
+        # one scoring branch per chunk unions over `coded` — checkpoint
+        # it so the corpus is PQ-encoded once, not once per chunk
+        coded = coded.localCheckpoint(eager=True)
 
-    def _chunk_scored(chunk_rows) -> DataFrame:
-        lut = _pq_lut(
-            np.asarray(
-                [np.asarray(r.v, dtype=np.float64) for r in chunk_rows]
-            ),
-            books,
-        )
-        q_id_arr = np.asarray([r.qid for r in chunk_rows])
+    def _chunk_scored(q_id_arr: np.ndarray, q_mat: np.ndarray) -> DataFrame:
+        lut = _pq_lut(q_mat, books)
 
         def _score(batches, lut=lut, q_id_arr=q_id_arr):
             for pdf in batches:
@@ -582,36 +621,7 @@ def pq_topk(
 
         return coded.mapInPandas(_score, _SCORED_SCHEMA)
 
-    # Stream the query side through the driver in one pass, enforcing
-    # the volume cap inline (no dedicated count() action over the
-    # query-side plan). Chunks are collected first so the multi-chunk
-    # case can be detected BEFORE any scoring branch is built.
-    chunks: list[list] = []
-    chunk: list = []
-    n_q = 0
-    for r in queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
-    ).toLocalIterator():
-        n_q += 1
-        if n_q > max_queries:
-            raise ValueError(
-                f"pq_topk got more than max_queries={max_queries} query "
-                f"vectors: each {query_chunk_size}-query chunk is a full "
-                f"scoring pass over the corpus codes, so batch volumes "
-                f"beyond this should persist the PQ codes table and loop "
-                f"externally instead."
-            )
-        chunk.append(r)
-        if len(chunk) >= query_chunk_size:
-            chunks.append(chunk)
-            chunk = []
-    if chunk:
-        chunks.append(chunk)
-    if len(chunks) > 1:
-        # one scoring branch per chunk unions over `coded` — checkpoint
-        # it so the corpus is PQ-encoded once, not once per chunk
-        coded = coded.localCheckpoint(eager=True)
-    parts: list[DataFrame] = [_chunk_scored(c) for c in chunks]
+    parts: list[DataFrame] = [_chunk_scored(i, v) for i, v in chunks]
     if not parts:
         return corpus.sparkSession.createDataFrame(
             [], _SCORED_SCHEMA + ", rank int"

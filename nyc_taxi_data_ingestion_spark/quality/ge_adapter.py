@@ -96,13 +96,21 @@ def run_with_great_expectations(
             )
             continue
         out = method(**kwargs)
-        res = out.get("result", {}) if isinstance(out, dict) else {}
+        # GE returns a plain dict (classic dataset API) or an
+        # ExpectationValidationResult object (v3 validator surface) —
+        # read both shapes symmetrically
+        if isinstance(out, dict):
+            res = out.get("result", {}) or {}
+            success = out["success"]
+        else:
+            res = getattr(out, "result", {}) or {}
+            success = getattr(out, "success")
         observed = res.get(
             "unexpected_count", res.get("observed_value")
         )
         results.append(
             {"name": exp.name, "observed": observed,
-             "success": bool(out["success"])}
+             "success": bool(success)}
         )
     return {
         "results": results,

@@ -47,6 +47,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from functools import reduce
 from typing import Any
 
@@ -58,6 +59,17 @@ _DATA_DIR = "data"
 
 class ConcurrentSnapshotError(RuntimeError):
     """Another writer committed between deriving and applying a write."""
+
+
+class _ExpectNoParent:
+    """Sentinel: the CAS expects an EMPTY table (head version None) —
+    distinct from ``expected_parent=None``, which disables the check."""
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "EXPECT_NO_PARENT"
+
+
+EXPECT_NO_PARENT = _ExpectNoParent()
 
 
 def _snap_root(path: str) -> str:
@@ -106,7 +118,7 @@ def snapshot_write(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_commit_retries: int = 5,
-    expected_parent: int | None = None,
+    expected_parent: int | _ExpectNoParent | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version of the table at
     ``path``; returns the committed version number.
@@ -121,8 +133,9 @@ def snapshot_write(
     the head is no longer that version when the manifest would land,
     the write raises :class:`ConcurrentSnapshotError` instead of
     committing on top of data it never read (Iceberg's
-    validate-snapshot-id). Without it, a lost optimistic race simply
-    retries against the new head.
+    validate-snapshot-id). Pass :data:`EXPECT_NO_PARENT` to require an
+    empty table (None means "no check"). Without a CAS, a lost
+    optimistic race simply retries against the new head.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -131,18 +144,24 @@ def snapshot_write(
 
     for _ in range(max_commit_retries):
         cur = current_version(path)
-        if expected_parent is not None and cur != expected_parent:
-            raise ConcurrentSnapshotError(
-                f"commit derived from v{expected_parent} but head is "
-                f"v{cur} at {path}: rebase and retry"
-            )
+        if expected_parent is not None:
+            want = None if expected_parent is EXPECT_NO_PARENT else expected_parent
+            if cur != want:
+                raise ConcurrentSnapshotError(
+                    f"commit derived from "
+                    f"{'an empty table' if want is None else f'v{want}'} "
+                    f"but head is v{cur} at {path}: rebase and retry"
+                )
         version = (cur or 0) + 1
-        commit_rel = os.path.join(_DATA_DIR, f"c{version:08d}")
+        # the commit dir is unique PER ATTEMPT, not per version: two
+        # racers targeting the same version number must never share a
+        # directory — the loser's orphaned dir is left untouched (it
+        # may be ANOTHER writer's already-committed data) and swept by
+        # expiry's age-guarded GC once it is provably unreferenced
+        commit_rel = os.path.join(
+            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_abs = os.path.join(path, commit_rel)
-        # a retried version number may leave a dead commit dir from the
-        # losing writer; it is unreferenced and swept by expiry's GC
-        if os.path.exists(commit_abs):
-            shutil.rmtree(commit_abs)
         writer = df.write.mode("error")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -298,7 +317,7 @@ def snapshot_merge(
                 path,
                 mode="overwrite",
                 partition_by=partition_by,
-                expected_parent=head,
+                expected_parent=head if head is not None else EXPECT_NO_PARENT,
             )
         except ConcurrentSnapshotError:
             if expected_version is not None:
@@ -314,6 +333,7 @@ def expire_snapshots(
     path: str,
     keep_last: int = 1,
     older_than_hours: float | None = None,
+    orphan_grace_hours: float = 24.0,
 ) -> dict[str, Any]:
     """Drop snapshot manifests past the retention point and
     garbage-collect data files nothing references — the reference's
@@ -322,7 +342,20 @@ def expire_snapshots(
     versions always survive (≥1, like ``retain_last=1``); with
     ``older_than_hours`` set, versions newer than the cutoff also
     survive regardless of count. Returns the removed version numbers
-    and deleted commit dirs."""
+    and deleted commit dirs.
+
+    GC distinguishes two kinds of dead commit dir:
+
+    - referenced by an EXPIRED manifest and by no survivor — provably
+      committed-then-retired data, deleted immediately;
+    - referenced by NO manifest at all — either a lost racer's debris
+      or an IN-FLIGHT commit whose manifest has not landed yet (the
+      data write precedes the manifest link). These are deleted only
+      when older than ``orphan_grace_hours``, the same in-progress-
+      write guard as the reference's ``remove_orphan_files
+      (older_than=...)`` — without it, this sweep could destroy a
+      concurrent writer's files between its write and its commit.
+    """
     keep_last = max(1, keep_last)
     snaps = list_snapshots(path)
     if not snaps:
@@ -339,19 +372,30 @@ def expire_snapshots(
     for s in expired:
         os.unlink(_manifest_path(path, s["version"]))
 
-    # GC: any commit dir referenced by no surviving manifest goes whole
-    referenced: set[str] = set()
+    kept_refs: set[str] = set()
+    all_refs: set[str] = set()
     for s in snaps:
+        all_refs.update(s["commits"])
         if s["version"] in survivors:
-            referenced.update(s["commits"])
+            kept_refs.update(s["commits"])
     removed_dirs: list[str] = []
+    grace_ts = time.time() - orphan_grace_hours * 3600
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(data_root, name))
-                removed_dirs.append(rel)
+            if rel in kept_refs:
+                continue
+            full = os.path.join(data_root, name)
+            if rel not in all_refs:
+                # never committed: in-flight or debris — age-guarded
+                try:
+                    if os.path.getmtime(full) >= grace_ts:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(full)
+            removed_dirs.append(rel)
     return {
         "expired_versions": [s["version"] for s in expired],
         "removed_commit_dirs": removed_dirs,

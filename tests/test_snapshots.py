@@ -53,7 +53,8 @@ def test_write_overwrite_read_at_version(spark, tmp_path):
     report = expire_snapshots(path, keep_last=1)
     assert report["expired_versions"] == [1]
     # v1's commit dir is gone, v1 unreadable, v2 untouched
-    assert report["removed_commit_dirs"] == [os.path.join("data", "c00000001")]
+    (gone,) = report["removed_commit_dirs"]
+    assert gone.startswith(os.path.join("data", "c00000001"))
     with pytest.raises(FileNotFoundError, match="expired or never"):
         read_snapshot(spark, path, version=1)
     assert _rows(read_snapshot(spark, path)) == [
@@ -131,6 +132,49 @@ def test_commit_race_loser_retries_to_next_version(spark, tmp_path):
     with open(mp) as f:
         assert json.load(f) == racer
     assert _rows(read_snapshot(spark, path)) == [(10, "b"), (11, "b")]
+
+
+def test_merge_cas_on_empty_table_rejects_racer(spark, tmp_path):
+    """Two writers racing the FIRST commit: the loser must not erase
+    the winner (the empty-table CAS needs EXPECT_NO_PARENT, not the
+    check-disabled None)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        EXPECT_NO_PARENT,
+    )
+
+    path = str(tmp_path / "t")
+    with pytest.raises(ConcurrentSnapshotError):
+        # racer lands v1 between our head read (empty) and commit
+        snapshot_write(_kv(spark, [(1, "winner", 1)]), path)
+        snapshot_write(
+            _kv(spark, [(2, "loser", 1)]), path,
+            expected_parent=EXPECT_NO_PARENT,
+        )
+    # winner's data intact
+    assert [(r.k, r.v) for r in read_snapshot(spark, path).collect()] == [
+        (1, "winner")
+    ]
+
+
+def test_gc_spares_young_unreferenced_commit_dirs(spark, tmp_path):
+    """An unreferenced commit dir younger than the grace window is an
+    in-flight write, not debris — expiry must leave it alone (and
+    collect it once aged)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 2, "a"), path)
+    inflight = _os.path.join(path, "data", "c00000099-deadbeef")
+    _os.makedirs(inflight)
+    report = expire_snapshots(path, keep_last=1)
+    assert report["removed_commit_dirs"] == []
+    assert _os.path.isdir(inflight)
+    # age it out: now it is debris and goes
+    _os.utime(inflight, (1, 1))
+    report = expire_snapshots(path, keep_last=1)
+    assert report["removed_commit_dirs"] == [
+        _os.path.join("data", "c00000099-deadbeef")
+    ]
 
 
 def test_expire_keeps_recent_by_age(spark, tmp_path):

@@ -31,13 +31,18 @@ paths don't throw and still return a well-formed frame.
 from __future__ import annotations
 
 import functools
+import os
 
 import pytest
 
 from nyc_taxi_data_ingestion_spark.functions import numeric as _numeric
 from nyc_taxi_data_ingestion_spark.queries import REGISTRY
 
-_SMALL_SF_DIR = "/root/testdata/sf0.001"
+from conftest import SF_DIR  # tests/ is rootdir-relative, not a package
+
+# the sf0.001 sibling of the configured test SF dir — honors the same
+# SPARK_GRAFT_TEST_SF_DIR override every other test goes through
+_SMALL_SF_DIR = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
 
 _TINY_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(64 * 1024),
