@@ -19,6 +19,8 @@ from nyc_taxi_data_ingestion_spark.sources.snapshots import (
     expire_snapshots,
     list_snapshots,
     read_snapshot,
+    snapshot_compact,
+    snapshot_delete,
     snapshot_merge,
     snapshot_write,
 )
@@ -39,6 +41,8 @@ __all__ = [
     "read_parquet",
     "read_snapshot",
     "read_table",
+    "snapshot_compact",
+    "snapshot_delete",
     "snapshot_merge",
     "snapshot_write",
     "write_partitioned",

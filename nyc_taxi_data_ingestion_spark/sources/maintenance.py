@@ -40,7 +40,10 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from nyc_taxi_data_ingestion_spark.sources.sinks import compact_parquet_dir
-from nyc_taxi_data_ingestion_spark.sources.snapshots import expire_snapshots
+from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+    expire_snapshots,
+    snapshot_compact,
+)
 
 _ORPHAN_SUFFIXES = ("__compact_tmp", "__compact_old")
 
@@ -142,10 +145,17 @@ def run_maintenance(
                 )
             except Exception as exc:  # fault isolation, reference :199-202
                 row["compact_error"] = str(exc)
-        # versioned tables skip in-place compaction: rewriting files
-        # under a manifest's feet would break read-at-version (a
-        # snapshot-aware rewrite = snapshot_write(read_snapshot(head))
-        # followed by expiry, which the caller can do explicitly)
+        else:
+            # versioned tables never compact in place (rewriting files
+            # under a manifest breaks read-at-version); they get the
+            # transactional rewrite — head recommitted as a new
+            # version, fragments reclaimed by the expiry step below
+            try:
+                row["compacted_to_version"] = snapshot_compact(
+                    spark, path, partition_by=spec.get("partition_by")
+                )
+            except Exception as exc:
+                row["compact_error"] = str(exc)
         expire_on = spec.get("expire_on")
         if expire_on:
             try:

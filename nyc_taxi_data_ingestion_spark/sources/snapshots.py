@@ -51,7 +51,7 @@ import uuid
 from functools import reduce
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
@@ -326,6 +326,80 @@ def snapshot_merge(
     raise ConcurrentSnapshotError(
         f"merge at {path} lost 5 re-plan races — a writer loop is "
         f"outrunning this one"
+    )
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Transactional row-level DELETE: commit a new version holding
+    every row of the head EXCEPT those matching ``predicate`` —
+    Iceberg's copy-on-write ``DELETE FROM``. History keeps the
+    deleted rows readable (and auditable) until expiry; the commit
+    carries the head CAS, so a concurrent writer forces a re-plan
+    rather than resurrecting rows it added. Completes the DML
+    triangle with :func:`snapshot_write` (INSERT/overwrite) and
+    :func:`snapshot_merge` (UPDATE/upsert)."""
+    for _ in range(5):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        remaining = read_snapshot(spark, path, version=head).where(
+            ~predicate
+        )
+        try:
+            return snapshot_write(
+                remaining,
+                path,
+                mode="overwrite",
+                partition_by=partition_by,
+                expected_parent=head,
+            )
+        except ConcurrentSnapshotError:
+            continue
+    raise ConcurrentSnapshotError(
+        f"delete at {path} lost 5 re-plan races — a writer loop is "
+        f"outrunning this one"
+    )
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Transactional small-file compaction for a versioned table —
+    the snapshot-aware form of ``sinks.compact_parquet_dir`` and the
+    analogue of Iceberg's ``rewrite_data_files``
+    (``iceberg_maintenance.py:97-174``): rewrite the HEAD into
+    ``target_partitions`` files as a NEW version (bit-identical rows,
+    fewer files), leaving history readable and concurrent readers
+    untorn; pair with :func:`expire_snapshots` to reclaim the
+    fragmented commits. ``target_partitions=None`` coalesces to the
+    session default parallelism."""
+    for _ in range(5):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        n = target_partitions or spark.sparkContext.defaultParallelism
+        compacted = read_snapshot(spark, path, version=head).coalesce(n)
+        try:
+            return snapshot_write(
+                compacted,
+                path,
+                mode="overwrite",
+                partition_by=partition_by,
+                expected_parent=head,
+            )
+        except ConcurrentSnapshotError:
+            continue
+    raise ConcurrentSnapshotError(
+        f"compaction at {path} lost 5 re-plan races — a writer loop "
+        f"is outrunning this one"
     )
 
 

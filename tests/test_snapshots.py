@@ -260,8 +260,54 @@ def test_run_maintenance_expires_snapshots(spark, tmp_path):
         retention_days=0,
         remove_orphans=False,
     )
-    assert report[0]["expired_snapshots"]["expired_versions"] == [1, 2]
-    # compaction must NOT have run over the versioned layout
+    # versioned tables get the TRANSACTIONAL rewrite (head recommitted
+    # as v4), never the in-place directory swap; expiry then drops
+    # everything but the compacted head
+    assert report[0]["compacted_to_version"] == 4
     assert "compacted_to_files" not in report[0]
     assert "compact_error" not in report[0]
+    assert report[0]["expired_snapshots"]["expired_versions"] == [1, 2, 3]
     assert _rows(read_snapshot(spark, path)) == [(2, "x")]
+
+
+def test_snapshot_delete_removes_rows_keeps_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 6, "a"), path)
+    v2 = snapshot_delete(spark, path, F.col("id") % 2 == 0)
+    assert v2 == 2
+    assert _rows(read_snapshot(spark, path)) == [
+        (1, "a"), (3, "a"), (5, "a")
+    ]
+    # deleted rows remain auditable at v1
+    assert len(_rows(read_snapshot(spark, path, version=1))) == 6
+
+
+def test_snapshot_compact_rewrites_fewer_files(spark, tmp_path):
+    import glob
+    import os as _os
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 100, "a").repartition(16), path)
+    before = _rows(read_snapshot(spark, path))
+    v2 = snapshot_compact(spark, path, target_partitions=1)
+    assert v2 == 2
+    assert _rows(read_snapshot(spark, path)) == before
+    manifest2 = [
+        s for s in list_snapshots(path) if s["version"] == 2
+    ][0]
+    n_files_v2 = sum(len(fs) for fs in manifest2["commits"].values())
+    assert n_files_v2 == 1
+    # expiry reclaims the fragmented v1 commit
+    report = expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [1]
+    assert _rows(read_snapshot(spark, path)) == before
