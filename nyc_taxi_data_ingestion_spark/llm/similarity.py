@@ -725,6 +725,156 @@ def ivfpq_topk(
     )
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    m: int = 16,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVFADC index ``ivfpq_topk`` builds ephemerally —
+    the docstrings' "at rest this IS the persisted index" made a real
+    API. One narrow Arrow pass writes the codes table
+    (neighbor_id, cell, codes) as parquet PARTITIONED BY cell
+    (m bytes/vector + an int — ~32× smaller than the float32 corpus
+    at the defaults), and the KB-sized trained model (IVF centroids +
+    PQ codebooks) lands beside it as JSON. Build once per corpus
+    snapshot; every query batch after that skips training AND
+    encoding entirely (:func:`load_ann_index` +
+    :func:`ann_index_topk`)."""
+    import json
+    import os
+
+    cent = train_centroids(
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    books = train_pq_codebooks(
+        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    assign1 = _nearest_cells_udf(cent, 1)
+    encode = _pq_encode_udf(books)
+    (
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            encode(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    meta = {
+        "format": "spark-graft-ivfpq-v1",
+        "num_cells": num_cells,
+        "m": m,
+        "nbits": nbits,
+        "seed": seed,
+        "centroids": cent.tolist(),
+        "books": books.tolist(),
+    }
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+class AnnIndex:
+    """A loaded at-rest ANN index: the codes DataFrame (lazy, cell-
+    partitioned parquet) plus the driver-side trained model arrays."""
+
+    def __init__(self, codes: DataFrame, centroids, books):
+        self.codes = codes
+        self.centroids = centroids
+        self.books = books
+
+
+def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
+    """Open a :func:`build_ann_index` directory. The codes table stays
+    a lazy parquet scan — a query batch that probes few cells reads
+    few partitions (Hive-style pruning on the cell key)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format") != "spark-graft-ivfpq-v1":
+        raise ValueError(f"not an ANN index dir: {path}")
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return AnnIndex(
+        codes,
+        np.asarray(meta["centroids"], dtype=np.float64),
+        np.asarray(meta["books"], dtype=np.float64),
+    )
+
+
+def ann_index_topk(
+    queries: DataFrame,
+    index: AnnIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search against a PERSISTED index — bit-identical to
+    ``ivfpq_topk`` built with the same parameters/seed (asserted in
+    tests), minus the training and encoding passes. The probed cells
+    arrive as literal partition filters on the codes scan, so at
+    corpus scale a batch touching nprobe·|batch| distinct cells reads
+    only those partitions. Output schema matches the other *_topk
+    operators."""
+    from pyspark.sql import Window
+
+    books = index.books
+    probe = _nearest_cells_udf(index.centroids, nprobe)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
+    ).collect()
+    lut = _pq_lut(
+        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]),
+        books,
+    )
+    q_index = {r.qid: i for i, r in enumerate(q_rows)}
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = index.codes.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf["query_id"].map(q_index).to_numpy()
+            scores = np.zeros(len(pdf))
+            for j in range(books.shape[0]):
+                scores += lut[qi, j, codes[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine_sim": scores,
+                }
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
+        _score, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def centroid_shift(
     old: DataFrame,
     new: DataFrame,

@@ -1665,6 +1665,37 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(q, emb, k=5, num_cells=16, nprobe=8, m=16, nbits=8)
 
 
+@register("ann_index_search", None, tags=["llm-similarity"])
+def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index search path (llm/similarity.build_ann_index
+    → load_ann_index → ann_index_topk): the IVFADC codes table and
+    trained model round-trip through disk, and querying the loaded
+    index is bit-identical to the ephemeral ivfpq_topk (asserted in
+    tests). Rows-only like the other approximate ANN surfaces; this
+    entry proves the at-rest index lifecycle under the driver
+    contract. Temp-dir lifecycle as q_pipeline_full."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="spark_graft_annidx_")
+    try:
+        build_ann_index(emb, path, num_cells=16, m=16, nbits=8)
+        idx = load_ann_index(spark, path)
+        q = emb.filter(F.col("vec_id") < 10)
+        return ann_index_topk(q, idx, k=5, nprobe=8).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("lsh_topk", None, tags=["llm-similarity"])
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the ANN scale path —

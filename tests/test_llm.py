@@ -1022,3 +1022,51 @@ def test_media_phash_mixed_width_decoder_deterministic(spark):
         ).collect()
     }
     assert got4 == {(4, 5)}
+
+
+def test_ann_index_roundtrip_matches_ephemeral(emb, tmp_path):
+    """build → save → load → query must be BIT-IDENTICAL to the
+    ephemeral ivfpq_topk at the same params/seed — the persisted codes
+    table and JSON model carry the whole search state."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        ivfpq_topk,
+        load_ann_index,
+    )
+
+    path = str(tmp_path / "ann")
+    build_ann_index(emb, path, num_cells=16, m=16, nbits=8, seed=42)
+    idx = load_ann_index(emb.sparkSession, path)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+        for r in ann_index_topk(q, idx, k=5, nprobe=8).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+        for r in ivfpq_topk(
+            q, emb, k=5, num_cells=16, nprobe=8, m=16, nbits=8, seed=42
+        ).collect()
+    }
+    assert got == want
+    # the codes scan is cell-partitioned: a probed batch prunes
+    plan = (
+        idx.codes.where(F.col("cell") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(cell" in plan
+
+
+def test_load_ann_index_rejects_foreign_dir(spark, tmp_path):
+    import json
+    import os
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import load_ann_index
+
+    path = str(tmp_path / "notann")
+    os.makedirs(path)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with pytest.raises(ValueError, match="not an ANN index"):
+        load_ann_index(spark, path)
