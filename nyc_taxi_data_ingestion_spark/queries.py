@@ -6455,6 +6455,46 @@ def q_tpch_q19_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SPINE_TEMPLATE = """
+WITH RECURSIVE spine(mth) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+  FROM {orders}
+  UNION ALL
+  SELECT mth + INTERVAL 1 MONTH FROM spine
+  WHERE mth < (SELECT CAST(date_trunc('month', MAX(o_orderdate))
+                           AS TIMESTAMP) FROM {orders})
+)
+SELECT s.mth,
+       COALESCE(a.n, 0) AS n_orders
+FROM spine s
+LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS mth,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM {orders} GROUP BY 1) a
+  ON s.mth = a.mth
+ORDER BY s.mth
+"""
+
+
+@register(
+    "recursive_month_spine",
+    _RECURSIVE_SPINE_TEMPLATE.format(orders="orders"),
+    tags=["A12", "sql"],
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4's WITH RECURSIVE, verbatim on both
+    engines): generate the complete month spine from min to max order
+    date by linear recursion (bounded depth = month span, one row per
+    step — never the exponential path blowup a graph closure risks
+    under Spark's UNION-ALL-only recursion), then left-join monthly
+    order counts so EMPTY months surface as explicit zero rows — the
+    calendar-spine gap-detection pattern a date-grouped aggregate
+    silently gets wrong."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("tpch_orders_v")
+    return spark.sql(
+        _RECURSIVE_SPINE_TEMPLATE.format(orders="tpch_orders_v")
+    )
+
+
 _SCALAR_SUBQUERY_TEMPLATE = """
 SELECT s_suppkey, s_name, s_nationkey,
        CAST(s_acctbal AS DOUBLE) AS s_acctbal
