@@ -403,6 +403,36 @@ def snapshot_compact(
     )
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two committed versions — Delta's
+    ``table_changes`` / Iceberg's changelog derived directly from the
+    manifest-pinned reads: one row per key with status ∈ {added,
+    removed, changed, unchanged}. ``to_version=None`` diffs against
+    the head; ``compare_cols`` defaults to every non-key column shared
+    by both versions. One co-shuffle of the two versions on the key —
+    the floor for row-level CDC without per-commit row tracking."""
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import (
+        snapshot_diff,
+    )
+
+    if not keys:
+        raise ValueError("snapshot_changes needs the table's key columns")
+    old = read_snapshot(spark, path, version=from_version)
+    new = read_snapshot(spark, path, version=to_version)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    return snapshot_diff(old, new, keys, compare_cols)
+
+
 def expire_snapshots(
     path: str,
     keep_last: int = 1,

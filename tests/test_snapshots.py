@@ -311,3 +311,39 @@ def test_snapshot_compact_rewrites_fewer_files(spark, tmp_path):
     report = expire_snapshots(path, keep_last=1)
     assert report["expired_versions"] == [1]
     assert _rows(read_snapshot(spark, path)) == before
+
+
+def test_snapshot_changes_cdc_statuses(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_merge(
+        spark, path, _kv(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]),
+        keys=["k"], order_col="ts",
+    )
+    snapshot_merge(  # change k=2, add k=4
+        spark, path, _kv(spark, [(2, "B", 2), (4, "d", 2)]),
+        keys=["k"], order_col="ts",
+    )
+    snapshot_delete(spark, path, F.col("k") == 3)  # remove k=3 (v3)
+    got = {
+        r.k: r.status
+        for r in snapshot_changes(
+            spark, path, from_version=1, keys=["k"], compare_cols=["v"]
+        ).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # a bounded slice of history: v1 → v2 never sees the v3 delete
+    got12 = {
+        r.k: r.status
+        for r in snapshot_changes(
+            spark, path, 1, 2, keys=["k"], compare_cols=["v"]
+        ).collect()
+    }
+    assert got12[3] == "unchanged"
