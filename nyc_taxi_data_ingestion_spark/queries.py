@@ -1696,6 +1696,36 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@register("synthetic_source_dedup", None, tags=["S1", "llm-dedup"])
+def q_synthetic_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``)
+    end-to-end: plan a 5000-doc deterministic synthetic corpus with
+    10% planted exact duplicates (zero input files — the load-test
+    source for any SF), run the engine's exact dedup over it, and
+    return per-(lang, source) survivor counts. Deterministic by
+    construction (content is a pure function of seed and doc_id), but
+    not SQL-reproducible — rows-only; the planted-duplicate ground
+    truth is asserted exactly in tests/test_pydatasource.py."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import exact_dedup
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_synthetic_corpus,
+    )
+
+    register_synthetic_corpus(spark)
+    corpus = (
+        spark.read.format("synthetic_corpus")
+        .option("rows", 5000)
+        .option("numPartitions", 32)
+        .option("dupRate", 0.1)
+        .load()
+    )
+    return (
+        exact_dedup(corpus)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
 @register("lsh_topk", None, tags=["llm-similarity"])
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the ANN scale path —

@@ -1,0 +1,66 @@
+"""Custom Python DataSource (Spark 4 API): partition planning,
+determinism across parallelism, planted-duplicate ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+    register_synthetic_corpus,
+)
+
+
+def _load(spark, **opts):
+    register_synthetic_corpus(spark)
+    r = spark.read.format("synthetic_corpus")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _content_hash(df) -> int:
+    # bit_xor is order-independent and cannot overflow
+    return df.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))")
+    ).collect()[0][0]
+
+
+def test_partition_planning_and_row_count(spark):
+    df = _load(spark, rows=1000, numPartitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1000
+    assert df.select(F.countDistinct("doc_id")).collect()[0][0] == 1000
+    # schema is the declared one
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_content_deterministic_across_parallelism(spark):
+    """Byte-identical corpus whatever the partition count — content is
+    a pure function of (seed, doc_id), never of the slice layout."""
+    a = _content_hash(_load(spark, rows=500, numPartitions=2, seed=7))
+    b = _content_hash(_load(spark, rows=500, numPartitions=13, seed=7))
+    assert a == b
+    # a different seed is a different corpus
+    c = _content_hash(_load(spark, rows=500, numPartitions=2, seed=8))
+    assert a != c
+
+
+def test_planted_duplicates_exact_count(spark):
+    """dupRate plants a known number of exact copies — the dedup
+    operators' ground truth."""
+    rows, rate = 1000, 0.1
+    df = _load(spark, rows=rows, numPartitions=5, dupRate=rate)
+    extra = (
+        df.groupBy("text")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1))
+        .collect()[0][0]
+    )
+    # every planted copy collides with exactly its predecessor doc,
+    # so surplus rows == planted count == floor((rows-1)/dup_every)
+    assert extra == (rows - 1) // int(1 / rate)
+    # and the engine's own exact dedup recovers the unique set
+    from nyc_taxi_data_ingestion_spark.llm.dedup import exact_dedup
+
+    assert exact_dedup(df).count() == df.count() - extra
