@@ -6485,6 +6485,40 @@ def q_tpch_q19_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS k_cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_extract_agg", _VARIANT_EXTRACT_ORACLE, tags=["P3", "sql"])
+def q_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type
+    (``parse_json`` → ``variant_get``): unlike ``from_json`` (the
+    json_extract_agg twin), VARIANT parses once into a binary
+    columnar-friendly encoding and each field access is a typed path
+    lookup — the open-table-format answer to schema-on-read JSON at
+    100 TB. The oracle reads the same paths with DuckDB's
+    json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("__v"))
+        .select(
+            "event_type",
+            F.expr("variant_get(__v, '$.k', 'long')").alias("__k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("__k").alias("k_sum"),
+            F.count("__k").alias("k_cnt"),
+        )
+    )
+
+
 _RECURSIVE_SPINE_TEMPLATE = """
 WITH RECURSIVE spine(mth) AS (
   SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)

@@ -14,6 +14,7 @@ from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     category_drift_scores,
     read_parquet_stream,
     run_available_now,
+    running_totals_stream,
     silver_stream,
     sliding_counts,
     session_windows,

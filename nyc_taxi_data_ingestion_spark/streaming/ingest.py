@@ -695,3 +695,100 @@ def stream_agg_state_sink(
     finally:
         if q.isActive:
             q.stop()
+
+
+def running_totals_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key running (count, min, max) through Spark 4's
+    ``transformWithStateInPandas`` — the NEW arbitrary-stateful API
+    (StatefulProcessor + typed state handles) that supersedes
+    ``applyInPandasWithState`` (which ``stateful_profile`` keeps
+    exercising for coverage of both generations).
+
+    Each micro-batch Arrow-feeds a grouped pandas slice per key; the
+    processor folds it into a ValueState struct and EMITS the updated
+    running totals stamped with a per-key update sequence — so the
+    drained append-mode output carries the state's whole evolution,
+    and the final row per key (max ``seq``) must equal the batch
+    aggregate over everything ingested. Counts/min/max only: exact in
+    IEEE doubles on any engine, so the cross-engine oracle needs no
+    decimal machinery. State is one struct per key — mergeable,
+    bounded by key cardinality, checkpoint-persisted by the state
+    store like any stateful operator.
+
+    ENVIRONMENT GATE: transformWithState's driver/worker protocol
+    needs ``google.protobuf`` at runtime (Spark ships the generated
+    StateMessage_pb2 but not the protobuf runtime). This sandbox
+    lacks it, so the operator raises a clear ImportError here instead
+    of a mid-query STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE;
+    tests skip via importorskip, and clusters with protobuf installed
+    (any real deployment) run it as-is."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime (pip install protobuf); use "
+            "streaming.stateful_profile (applyInPandasWithState) where "
+            "protobuf is unavailable"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Running(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, mn double, mx double, seq long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = 0
+            mn = None
+            mx = None
+            for pdf in rows:
+                n += len(pdf)
+                vals = pdf[value_col].dropna()
+                if len(vals):
+                    bmn, bmx = float(vals.min()), float(vals.max())
+                    mn = bmn if mn is None else min(mn, bmn)
+                    mx = bmx if mx is None else max(mx, bmx)
+            prev = self._agg.get() if self._agg.exists() else None
+            if prev is not None:
+                pn, pmn, pmx, pseq = prev
+            else:
+                pn, pmn, pmx, pseq = 0, None, None, 0
+            n += pn
+            if mn is None:
+                mn, mx = pmn, pmx
+            elif pmn is not None:
+                mn, mx = min(mn, pmn), max(mx, pmx)
+            seq = pseq + 1
+            self._agg.update((n, mn, mx, seq))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n": [n],
+                    "mn": [mn],
+                    "mx": [mx],
+                    "seq": [seq],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Running(),
+        outputStructType=(
+            f"{key_col} string, n long, mn double, mx double, seq long"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )

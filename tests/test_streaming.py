@@ -421,3 +421,58 @@ def test_stream_agg_state_fold_and_replay_idempotence(spark, sf_dir, tmp_path):
     }
     assert unchanged == want
     shutil.rmtree(state + "__fold_old", ignore_errors=True)
+
+
+def test_running_totals_transform_with_state(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running totals — the final
+    emission per key equals the batch aggregate. Skips where the
+    protobuf runtime (required by the new API's state protocol) is
+    absent; the ImportError gate itself is asserted in that case."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        read_parquet_stream,
+        run_available_now,
+        running_totals_stream,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        dummy = ev.limit(0)
+        with pytest.raises(ImportError, match="protobuf"):
+            running_totals_stream(dummy, "event_type", "value")
+        pytest.skip("google.protobuf absent: transformWithState gated")
+
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix="rtstage_")
+    ev.write.mode("overwrite").parquet(staged)
+    stream = read_parquet_stream(spark, staged, ev.schema)
+    evolved = run_available_now(
+        running_totals_stream(stream, "event_type", "value"),
+        "t_running_totals",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("seq"))
+    final = {
+        r.event_type: (r.n, r.mn, r.mx)
+        for r in evolved.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n, r.mn, r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert final == want
