@@ -681,9 +681,37 @@ def ivfpq_topk(
         encode(F.col(vec_col)).alias("codes"),
     )
 
+    return _ivfadc_search(
+        c, cent, books, queries, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _ivfadc_search(
+    codes_df: DataFrame,
+    centroids: "np.ndarray",
+    books: "np.ndarray",
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The shared IVFADC search half (probe → cell-keyed candidate
+    join → ADC scoring → per-query top-k) over ANY (neighbor_id,
+    cell, codes) frame — built fresh by ``ivfpq_topk``, read from
+    disk by ``ann_index_topk``. One implementation so the two paths
+    stay bit-identical BY CONSTRUCTION, not just by test."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    _SCHEMA = "query_id long, neighbor_id long, cosine_sim double"
+    probe = _nearest_cells_udf(centroids, nprobe)
     q_rows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
     ).collect()
+    if not q_rows:  # empty batch: empty result, not a numpy axis crash
+        return spark.createDataFrame([], _SCHEMA + ", rank int")
     lut = _pq_lut(
         np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]), books
     )
@@ -693,7 +721,7 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
-    cand = c.join(F.broadcast(q), "cell").filter(
+    cand = codes_df.join(F.broadcast(q), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
 
@@ -715,7 +743,7 @@ def ivfpq_topk(
             )
 
     scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
-        _score, "query_id long, neighbor_id long, cosine_sim double"
+        _score, _SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -747,6 +775,8 @@ def build_ann_index(
     :func:`ann_index_topk`)."""
     import json
     import os
+    import shutil
+    import uuid
 
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
@@ -756,6 +786,11 @@ def build_ann_index(
     )
     assign1 = _nearest_cells_udf(cent, 1)
     encode = _pq_encode_udf(books)
+    # the codes dir is UNIQUE PER BUILD and named inside meta.json, and
+    # meta lands last via atomic replace — so codes+model always pair:
+    # a rebuild that dies mid-way leaves the OLD index fully intact
+    # (new orphan dir aside), never new codes under the old model
+    codes_rel = f"codes-{uuid.uuid4().hex[:8]}"
     (
         corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .select(
@@ -765,10 +800,16 @@ def build_ann_index(
         )
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "codes"))
+        .parquet(os.path.join(path, codes_rel))
     )
+    meta_path = os.path.join(path, "meta.json")
+    old_codes = None
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            old_codes = json.load(f).get("codes_dir")
     meta = {
         "format": "spark-graft-ivfpq-v1",
+        "codes_dir": codes_rel,
         "num_cells": num_cells,
         "m": m,
         "nbits": nbits,
@@ -776,10 +817,13 @@ def build_ann_index(
         "centroids": cent.tolist(),
         "books": books.tolist(),
     }
-    tmp = os.path.join(path, "meta.json.tmp")
+    tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "meta.json"))
+    os.replace(tmp, meta_path)
+    if old_codes and old_codes != codes_rel:
+        # best-effort reclaim of the superseded build's codes
+        shutil.rmtree(os.path.join(path, old_codes), ignore_errors=True)
 
 
 class AnnIndex:
@@ -803,7 +847,7 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
         meta = json.load(f)
     if meta.get("format") != "spark-graft-ivfpq-v1":
         raise ValueError(f"not an ANN index dir: {path}")
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = spark.read.parquet(os.path.join(path, meta["codes_dir"]))
     return AnnIndex(
         codes,
         np.asarray(meta["centroids"], dtype=np.float64),
@@ -826,52 +870,9 @@ def ann_index_topk(
     corpus scale a batch touching nprobe·|batch| distinct cells reads
     only those partitions. Output schema matches the other *_topk
     operators."""
-    from pyspark.sql import Window
-
-    books = index.books
-    probe = _nearest_cells_udf(index.centroids, nprobe)
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
-    ).collect()
-    lut = _pq_lut(
-        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]),
-        books,
-    )
-    q_index = {r.qid: i for i, r in enumerate(q_rows)}
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe(F.col(vec_col))).alias("cell"),
-    )
-    cand = index.codes.join(F.broadcast(q), "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-
-    def _score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
-            qi = pdf["query_id"].map(q_index).to_numpy()
-            scores = np.zeros(len(pdf))
-            for j in range(books.shape[0]):
-                scores += lut[qi, j, codes[:, j]]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cosine_sim": scores,
-                }
-            )
-
-    scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
-        _score, "query_id long, neighbor_id long, cosine_sim double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _ivfadc_search(
+        index.codes, index.centroids, index.books, queries,
+        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     )
 
 

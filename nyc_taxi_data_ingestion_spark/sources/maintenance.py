@@ -145,14 +145,22 @@ def run_maintenance(
                 )
             except Exception as exc:  # fault isolation, reference :199-202
                 row["compact_error"] = str(exc)
-        else:
+        elif spec.get("snapshot_compact"):
             # versioned tables never compact in place (rewriting files
-            # under a manifest breaks read-at-version); they get the
+            # under a manifest breaks read-at-version); when opted in
+            # (spec "snapshot_compact": true) they get the
             # transactional rewrite — head recommitted as a new
-            # version, fragments reclaimed by the expiry step below
+            # version sized to target_file_size_mb, fragments
+            # reclaimed by the expiry step below. OPT-IN because every
+            # rewrite consumes one slot of the snapshot retention
+            # window: an unconditional per-cycle rewrite would rotate
+            # real history out of keep_last with identical copies.
             try:
                 row["compacted_to_version"] = snapshot_compact(
-                    spark, path, partition_by=spec.get("partition_by")
+                    spark,
+                    path,
+                    partition_by=spec.get("partition_by"),
+                    target_file_bytes=target_file_size_mb * 1024 * 1024,
                 )
             except Exception as exc:
                 row["compact_error"] = str(exc)

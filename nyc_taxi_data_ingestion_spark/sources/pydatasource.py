@@ -21,10 +21,13 @@ A production text generator would yield Arrow ``RecordBatch``es from
 the same interface for ~100× throughput; the planning contract is
 identical, so this class is the template.
 
-Duplicate-injection: ``dup_rate`` makes every k-th document an exact
-copy of an earlier one (deterministically), so dedup operators have a
-known planted ground truth: expected duplicate count is exactly
-``floor(rows * dup_rate)``.
+Duplicate-injection: ``dup_rate`` makes every k-th document
+(k = floor(1/dup_rate)) an exact copy of its predecessor
+(deterministically), so dedup operators have a known planted ground
+truth: expected duplicate count is exactly ``floor((rows-1) / k)``.
+Rates above 0.5 are rejected — k would collapse to 1 and planted
+copies would chain onto content that was itself replaced, destroying
+the ground-truth invariant.
 """
 
 from __future__ import annotations
@@ -77,6 +80,12 @@ class SyntheticCorpusReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", 8))
         self.seed = int(options.get("seed", 42))
         self.dup_rate = float(options.get("dupRate", 0.0))
+        if not (0.0 <= self.dup_rate <= 0.5):
+            raise ValueError(
+                f"dupRate must be in [0, 0.5], got {self.dup_rate}: "
+                f"above 0.5 every doc would be a copy of a copy and "
+                f"the planted-duplicate count contract breaks"
+            )
 
     def partitions(self):
         n = max(1, self.num_partitions)

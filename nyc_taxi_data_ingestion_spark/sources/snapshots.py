@@ -316,7 +316,11 @@ def snapshot_merge(
                 merged,
                 path,
                 mode="overwrite",
-                partition_by=partition_by,
+                partition_by=(
+                    partition_by
+                    if partition_by is not None or head is None
+                    else _load_manifest(path, head).get("partition_by")
+                ),
                 expected_parent=head if head is not None else EXPECT_NO_PARENT,
             )
         except ConcurrentSnapshotError:
@@ -347,15 +351,23 @@ def snapshot_delete(
         head = current_version(path)
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
+        # SQL DELETE semantics: remove only rows where the predicate is
+        # TRUE — a NULL predicate (e.g. col = 'x' on a NULL value) must
+        # KEEP the row, so the survivor filter is not-TRUE, not ~pred
+        # (which is NULL on NULL and would silently drop the row)
         remaining = read_snapshot(spark, path, version=head).where(
-            ~predicate
+            ~predicate.eqNullSafe(True)
         )
         try:
             return snapshot_write(
                 remaining,
                 path,
                 mode="overwrite",
-                partition_by=partition_by,
+                partition_by=(
+                    partition_by
+                    if partition_by is not None
+                    else _load_manifest(path, head).get("partition_by")
+                ),
                 expected_parent=head,
             )
         except ConcurrentSnapshotError:
@@ -371,6 +383,7 @@ def snapshot_compact(
     path: str,
     target_partitions: int | None = None,
     partition_by: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> int:
     """Transactional small-file compaction for a versioned table —
     the snapshot-aware form of ``sinks.compact_parquet_dir`` and the
@@ -379,20 +392,44 @@ def snapshot_compact(
     ``target_partitions`` files as a NEW version (bit-identical rows,
     fewer files), leaving history readable and concurrent readers
     untorn; pair with :func:`expire_snapshots` to reclaim the
-    fragmented commits. ``target_partitions=None`` coalesces to the
-    session default parallelism."""
+    fragmented commits. File-count target: ``target_partitions`` if
+    given, else head-size/``target_file_bytes`` (the reference's
+    target_file_size_mb contract), else the session default
+    parallelism. ``partition_by`` defaults to the HEAD manifest's own
+    partitioning — callers never have to re-state (and can never
+    accidentally strip) the table's layout; same for
+    :func:`snapshot_delete` and :func:`snapshot_merge`."""
     for _ in range(5):
         head = current_version(path)
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
-        n = target_partitions or spark.sparkContext.defaultParallelism
+        manifest = _load_manifest(path, head)
+        if target_partitions is not None:
+            n = target_partitions
+        elif target_file_bytes is not None:
+            total = 0
+            for commit_rel, files in manifest["commits"].items():
+                for f in files:
+                    try:
+                        total += os.path.getsize(
+                            os.path.join(path, commit_rel, f)
+                        )
+                    except OSError:
+                        pass
+            n = max(1, -(-total // target_file_bytes))  # ceil
+        else:
+            n = spark.sparkContext.defaultParallelism
         compacted = read_snapshot(spark, path, version=head).coalesce(n)
         try:
             return snapshot_write(
                 compacted,
                 path,
                 mode="overwrite",
-                partition_by=partition_by,
+                partition_by=(
+                    partition_by
+                    if partition_by is not None
+                    else manifest.get("partition_by")
+                ),
                 expected_parent=head,
             )
         except ConcurrentSnapshotError:

@@ -784,10 +784,11 @@ def running_totals_stream(
         def close(self) -> None:
             pass
 
+    key_ddl = stream_df.schema[key_col].dataType.simpleString()
     return stream_df.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=_Running(),
         outputStructType=(
-            f"{key_col} string, n long, mn double, mx double, seq long"
+            f"{key_col} {key_ddl}, n long, mn double, mx double, seq long"
         ),
         outputMode="append",
         timeMode="none",

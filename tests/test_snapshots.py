@@ -256,7 +256,7 @@ def test_run_maintenance_expires_snapshots(spark, tmp_path):
     # is exercised end-to-end through the orchestrator
     report = run_maintenance(
         spark,
-        [{"path": path, "snapshot_keep_last": 1}],
+        [{"path": path, "snapshot_keep_last": 1, "snapshot_compact": True}],
         retention_days=0,
         remove_orphans=False,
     )
@@ -347,3 +347,56 @@ def test_snapshot_changes_cdc_statuses(spark, tmp_path):
         ).collect()
     }
     assert got12[3] == "unchanged"
+
+
+def test_snapshot_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: a NULL predicate keeps the row."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, v string"
+    )
+    snapshot_write(df, path)
+    snapshot_delete(spark, path, F.col("v") == "x")
+    got = sorted((r.id, r.v) for r in read_snapshot(spark, path).collect())
+    assert got == [(2, "y"), (3, None)]
+
+
+def test_snapshot_dml_inherits_head_partitioning(spark, tmp_path):
+    """compact/delete/merge must not silently strip a partitioned
+    table's layout when the caller omits partition_by — the head
+    manifest's own value is the default."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "p" + str(i % 2), i) for i in range(8)],
+        "k long, part string, ts long",
+    )
+    snapshot_write(df, path, partition_by=["part"])
+    snapshot_compact(spark, path, target_partitions=1)
+    snapshot_delete(spark, path, F.col("k") == 0)
+    snapshot_merge(
+        spark, path,
+        spark.createDataFrame([(99, "p1", 100)], "k long, part string, ts long"),
+        keys=["k"], order_col="ts",
+    )
+    for s in list_snapshots(path):
+        assert s["partition_by"] == ["part"], s["version"]
+    plan = (
+        read_snapshot(spark, path)
+        .where(F.col("part") == "p1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
