@@ -480,3 +480,103 @@ def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
         ).alias("p")
     ).first()["p"]
     assert [got[f"q{i}"] for i in range(3)] == list(want)
+
+
+# -- snapshot lifecycle model test -------------------------------------------
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("overwrite"), st.lists(st.integers(0, 30), min_size=0, max_size=5)),
+            st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=5)),
+            st.tuples(st.just("delete"), st.integers(2, 5)),
+            st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+            st.tuples(st.just("compact"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    keep_last=st.integers(1, 3),
+)
+def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_last):
+    """Model-based check of the versioned-table DML algebra: an
+    arbitrary op sequence (overwrite/append/delete/merge/compact)
+    against a plain-Python multiset model — every committed version
+    must read back exactly the model's state at that point, both
+    before AND after expiry drops old manifests; expired versions must
+    raise. Values double as merge order keys (last write wins)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        expire_snapshots,
+        list_snapshots,
+        read_snapshot,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_write,
+    )
+
+    path = str(tmp_path_factory.mktemp("snap_model") / "t")
+
+    def frame(vals):
+        return spark.createDataFrame(
+            [(v, v) for v in vals], "k long, ts long"
+        )
+
+    history: dict[int, list[int]] = {}
+    cur: list[int] = []
+    committed = False
+    for op, arg in ops:
+        if op == "overwrite":
+            cur = sorted(arg)
+            v = snapshot_write(frame(arg), path, mode="overwrite")
+        elif op == "append":
+            cur = sorted(cur + arg)
+            v = snapshot_write(frame(arg), path, mode="append")
+        elif op == "delete":
+            if not committed:
+                continue
+            cur = sorted(x for x in cur if x % arg != 0)
+            v = snapshot_delete(spark, path, F.col("k") % arg == 0)
+        elif op == "merge":
+            # upsert on k: model = dedupe, merged rows win ties
+            keys = set(arg)
+            cur = sorted(set(x for x in cur if x not in keys) | keys)
+            v = snapshot_merge(
+                spark, path, frame(arg), keys=["k"], order_col="ts"
+            )
+            # merge also dedupes pre-existing duplicates per key
+            cur = sorted(set(cur))
+        elif op == "compact":
+            if not committed:
+                continue
+            v = snapshot_compact(spark, path, target_partitions=1)
+        committed = True
+        history[v] = list(cur)
+
+    if not committed:
+        return
+    # every surviving version reads back its model state
+    for ver, want in history.items():
+        got = sorted(r.k for r in read_snapshot(spark, path, version=ver).collect())
+        # merge dedupes; overwrite/append may carry duplicates — the
+        # model tracks multiplicity only through sorted lists, so
+        # compare multisets exactly
+        assert got == want, (ver, got, want)
+    expire_snapshots(path, keep_last=keep_last)
+    alive = {s["version"] for s in list_snapshots(path)}
+    head = max(history)
+    assert head in alive
+    for ver, want in history.items():
+        if ver in alive:
+            got = sorted(
+                r.k for r in read_snapshot(spark, path, version=ver).collect()
+            )
+            assert got == want
