@@ -431,6 +431,57 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINSORIZE_ORACLE = """
+WITH f AS (
+  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)
+                     AS DECIMAL(30,4))) AS DOUBLE) AS clipped_sum,
+       CAST(SUM(CASE WHEN l_extendedprice < lo
+                       OR l_extendedprice > hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM lineitem, f
+"""
+
+
+@register("winsorize", _WINSORIZE_ORACLE, tags=["A7", "Q5"])
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact winsorization — clip a measure at its exact p05/p95
+    fences (the standard robust-stats preprocessing before model
+    features): fences from the distributed rank-selection quantiles
+    (one-row frame, broadcast into the clip pass — never a quantile
+    recompute per row), clipped sum decimal-exact. The oracle's
+    quantile_cont fences must match exact_quantiles bit-for-bit for
+    the clipped sum to hash-match, so this also re-proves the
+    quantile path under composition."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        dsum,
+        exact_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("double")
+    )
+    fences = exact_quantiles(li, "l_extendedprice", [0.05, 0.95]).select(
+        F.col("q0").alias("lo"), F.col("q1").alias("hi")
+    )
+    v = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        li.crossJoin(F.broadcast(fences))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(clipped).alias("clipped_sum"),
+            F.sum(
+                F.when((v < F.col("lo")) | (v > F.col("hi")), 1).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+    )
+
+
 _DISTINCT_ORACLE = """
 SELECT COUNT(DISTINCT l_partkey) AS distinct_parts,
        COUNT(DISTINCT l_suppkey) AS distinct_supps
