@@ -1724,11 +1724,18 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is bit-identical to the ephemeral ivfpq_topk (asserted in
     tests). Rows-only like the other approximate ANN surfaces; this
     entry proves the at-rest index lifecycle under the driver
-    contract. The index is CACHED per sf (same content-stable scheme
-    as ``_staged_events``): a production index builds once and serves
-    many query batches, so repeat runs measure the steady state —
-    load + probe + score — not a rebuild per batch."""
+    contract. The index is CACHED per (sf, build params) — a
+    production index builds once and serves many query batches, so
+    repeat runs measure the steady state: load + probe + score, not a
+    rebuild per batch. Cache hits are VALIDATED (meta params match,
+    codes files present) and any failure — partial /tmp cleanup,
+    stale params, unreadable meta — self-heals by rebuilding
+    (build_ann_index replaces codes+meta atomically); the returned
+    frame is eagerly materialized so a concurrent rebuild reclaiming
+    the old codes dir cannot break this run's collect."""
+    import glob
     import hashlib
+    import json
     import os
     import tempfile
 
@@ -1739,15 +1746,34 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    digest = hashlib.md5(f"annidx:{sf_dir}".encode()).hexdigest()[:16]
+    params = {"num_cells": 16, "m": 16, "nbits": 8, "seed": 42}
+    digest = hashlib.md5(
+        f"annidx:{sf_dir}:{sorted(params.items())}".encode()
+    ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_annidx_{digest}"
     )
-    if not os.path.isfile(os.path.join(path, "meta.json")):
-        build_ann_index(emb, path, num_cells=16, m=16, nbits=8)
+
+    def _cache_valid() -> bool:
+        try:
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if any(meta.get(k) != v for k, v in params.items()):
+            return False
+        codes = meta.get("codes_dir")
+        return bool(
+            codes
+            and glob.glob(os.path.join(path, codes, "**", "*.parquet"),
+                          recursive=True)
+        )
+
+    if not _cache_valid():
+        build_ann_index(emb, path, **params)
     idx = load_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 10)
-    return ann_index_topk(q, idx, k=5, nprobe=8)
+    return ann_index_topk(q, idx, k=5, nprobe=8).localCheckpoint(eager=True)
 
 
 @register("synthetic_source_dedup", None, tags=["S1", "llm-dedup"])

@@ -3,6 +3,7 @@ randomized adversaries the fixed oracle fixtures can't provide."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -546,14 +547,14 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
             cur = sorted(x for x in cur if x % arg != 0)
             v = snapshot_delete(spark, path, F.col("k") % arg == 0)
         elif op == "merge":
-            # upsert on k: model = dedupe, merged rows win ties
+            # upsert on k: one row per key survives, merged rows win
+            # ties, and pre-existing duplicates collapse (the engine
+            # dedupes the WHOLE union per key)
             keys = set(arg)
             cur = sorted(set(x for x in cur if x not in keys) | keys)
             v = snapshot_merge(
                 spark, path, frame(arg), keys=["k"], order_col="ts"
             )
-            # merge also dedupes pre-existing duplicates per key
-            cur = sorted(set(cur))
         elif op == "compact":
             if not committed:
                 continue
@@ -580,3 +581,8 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
                 r.k for r in read_snapshot(spark, path, version=ver).collect()
             )
             assert got == want
+        else:
+            # the docstring's other half: expired versions must RAISE,
+            # never silently fall back to the head
+            with pytest.raises(FileNotFoundError, match="expired or never"):
+                read_snapshot(spark, path, version=ver)
