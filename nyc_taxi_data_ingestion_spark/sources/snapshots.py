@@ -188,7 +188,13 @@ def snapshot_write(
             "partition_by": partition_by,
             "commits": commits,
         }
-        tmp = _manifest_path(path, version) + f".tmp.{os.getpid()}"
+        # unique per ATTEMPT (pid alone collides across threads of one
+        # process racing the same version: the winner's cleanup would
+        # unlink the loser's temp out from under its os.link)
+        tmp = (
+            _manifest_path(path, version)
+            + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         try:

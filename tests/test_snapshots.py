@@ -400,3 +400,45 @@ def test_snapshot_dml_inherits_head_partitioning(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_concurrent_merges_lose_no_updates(spark, tmp_path):
+    """Two writers interleaving merges on the SAME table: the commit
+    CAS + re-plan loop must serialize them with zero lost updates —
+    every key every writer merged is present at the head with its
+    final value. This is the guarantee the per-attempt commit dirs
+    and EXPECT_NO_PARENT sentinel exist for."""
+    import threading
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_merge,
+    )
+
+    path = str(tmp_path / "t")
+    errors: list[Exception] = []
+
+    def writer(offset: int) -> None:
+        try:
+            for i in range(3):
+                k = offset + i
+                snapshot_merge(
+                    spark, path,
+                    _kv(spark, [(k, f"w{offset}-{i}", i)]),
+                    keys=["k"], order_col="ts",
+                )
+        except Exception as exc:  # surface in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(o,)) for o in (0, 100)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r.k: r.v for r in read_snapshot(spark, path).collect()}
+    assert got == {
+        0: "w0-0", 1: "w0-1", 2: "w0-2",
+        100: "w100-0", 101: "w100-1", 102: "w100-2",
+    }
+    # six merges → six committed versions, each a serialized superset
+    assert current_version(path) == 6
