@@ -446,6 +446,91 @@ def snapshot_compact(
     )
 
 
+def read_appends_between(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption of an append-mode table: read ONLY the
+    rows committed after ``from_version`` up to ``to_version``/head —
+    the streaming-consumer pattern (Delta's startingVersion / Iceberg
+    incremental scan) at file granularity: the plan touches just the
+    NEW commit dirs' files (set difference of the two manifests'
+    commit keys), so a consumer that polls a 100 TB append table reads
+    each increment once, never the accumulated history. Raises if any
+    version in between was an OVERWRITE (incremental reads are only
+    sound over pure appends — an overwrite rewrites history and the
+    consumer must re-sync from a full read)."""
+    to_version = (
+        to_version if to_version is not None else current_version(path)
+    )
+    if to_version is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    for s in list_snapshots(path):
+        if from_version < s["version"] <= to_version and s["operation"] != "append":
+            raise ValueError(
+                f"v{s['version']} is {s['operation']!r}, not append: "
+                f"incremental read is unsound across rewrites — re-sync "
+                f"with read_snapshot()"
+            )
+    old = set(_load_manifest(path, from_version)["commits"])
+    new_manifest = _load_manifest(path, to_version)
+    parts: list[DataFrame] = []
+    for commit_rel, files in sorted(new_manifest["commits"].items()):
+        if commit_rel in old:
+            continue
+        commit_abs = os.path.join(path, commit_rel)
+        parts.append(
+            spark.read.option("basePath", commit_abs).parquet(
+                *[os.path.join(commit_abs, f) for f in files]
+            )
+        )
+    if not parts:
+        return read_snapshot(spark, path, version=to_version).limit(0)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def snapshot_rollback(path: str, to_version: int) -> int:
+    """Roll the table back to a prior version as a NEW commit whose
+    file set is exactly that version's — Iceberg's
+    ``rollback_to_snapshot``: metadata-only (no data rewritten, no
+    files touched), instant at any table size, and itself
+    time-travelable (the bad head stays inspectable until expiry).
+    Returns the new head version."""
+    target = _load_manifest(path, to_version)
+    for _ in range(5):
+        cur = current_version(path)
+        version = (cur or 0) + 1
+        manifest = {
+            "version": version,
+            "parent": cur,
+            "operation": "rollback",
+            "rolled_back_to": to_version,
+            "timestamp": time.time(),
+            "partition_by": target["partition_by"],
+            "commits": target["commits"],
+        }
+        tmp = (
+            _manifest_path(path, version)
+            + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, _manifest_path(path, version))
+            return version
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
+    raise ConcurrentSnapshotError(
+        f"rollback at {path} lost 5 optimistic races"
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,

@@ -442,3 +442,57 @@ def test_concurrent_merges_lose_no_updates(spark, tmp_path):
     }
     # six merges → six committed versions, each a serialized superset
     assert current_version(path) == 6
+
+
+def test_read_appends_between_reads_only_new_commits(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 3, "a"), path)
+    snapshot_write(_frame(spark, 3, 5, "b"), path, mode="append")
+    snapshot_write(_frame(spark, 5, 6, "c"), path, mode="append")
+    inc = _rows(read_appends_between(spark, path, from_version=1))
+    assert inc == [(3, "b"), (4, "b"), (5, "c")]
+    assert _rows(read_appends_between(spark, path, 1, 2)) == [
+        (3, "b"), (4, "b")
+    ]
+    # same-version window: empty frame, correct schema
+    empty = read_appends_between(spark, path, 3, 3)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "tag"}
+    # an overwrite in the window poisons incremental consumption
+    snapshot_write(_frame(spark, 9, 10, "z"), path, mode="overwrite")
+    with pytest.raises(ValueError, match="not append"):
+        read_appends_between(spark, path, from_version=1)
+
+
+def test_snapshot_rollback_is_metadata_only_and_reversible(spark, tmp_path):
+    import glob as _glob
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_rollback,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 4, "good"), path)
+    snapshot_write(_frame(spark, 100, 101, "bad"), path)
+    n_files_before = len(
+        _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    v3 = snapshot_rollback(path, to_version=1)
+    assert v3 == 3
+    # head reads the good data again; no data files were written
+    assert _rows(read_snapshot(spark, path)) == [(i, "good") for i in range(4)]
+    n_files_after = len(
+        _glob.glob(os.path.join(path, "data", "**", "*.parquet"),
+                   recursive=True)
+    )
+    assert n_files_after == n_files_before
+    # the bad head stays inspectable until expiry
+    assert _rows(read_snapshot(spark, path, version=2)) == [(100, "bad")]
+    # and expiry keeps the files the rollback manifest re-references
+    report = expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [1, 2]
+    assert _rows(read_snapshot(spark, path)) == [(i, "good") for i in range(4)]
