@@ -6703,6 +6703,100 @@ def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_TEMPLATE.format(orders="tpch_orders_v"))
 
 
+_TPCH_Q15_TEMPLATE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+              AS DOUBLE) AS total_revenue
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM {supplier}, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "tpch_q15_sql",
+    _TPCH_Q15_TEMPLATE.format(lineitem="lineitem", supplier="supplier"),
+    tags=["A3", "J2", "sql"],
+)
+def q_tpch_q15_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) through spark.sql(): one CTE consumed
+    TWICE — as the join input and inside the scalar MAX subquery —
+    the view-reuse pattern (the spec's CREATE VIEW) Catalyst must
+    either reuse or recompute consistently; the arg-max-with-ties
+    select keeps every supplier at the maximum. The revenue rounding
+    happens once in the CTE so the equality comparison is between
+    identical doubles on both engines."""
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q15_TEMPLATE.format(
+            lineitem="tpch_lineitem_v", supplier="tpch_supplier_v"
+        )
+    )
+
+
+_TPCH_Q21_TEMPLATE = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM {supplier}, {lineitem} l1, {orders}, {nation}
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM {lineitem} l2
+    WHERE l2.l_orderkey = o_orderkey
+      AND l2.l_suppkey <> s_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {lineitem} l3
+    WHERE l3.l_orderkey = o_orderkey
+      AND l3.l_suppkey <> s_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_1'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+_TPCH_Q21_TABLES = ("supplier", "lineitem", "orders", "nation")
+
+
+@register(
+    "tpch_q21_sql",
+    _TPCH_Q21_TEMPLATE.format(**{t: t for t in _TPCH_Q21_TABLES}),
+    tags=["J4", "A11", "sql"],
+)
+def q_tpch_q21_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) through
+    spark.sql(): the DOUBLE correlated quantifier — EXISTS (another
+    supplier contributed to the order) AND NOT EXISTS (no OTHER
+    supplier was also late), both correlated on the outer orderkey
+    AND carrying non-equi predicates against outer columns
+    (l3.l_shipdate > o_orderdate + 60 days; lateness adapted to the
+    testdata's columns — no commit/receipt dates). Catalyst must
+    decorrelate one into a left-semi and one into a left-anti join
+    over the same fact table. The hardest subquery shape in the TPC-H
+    suite, previously unproven here."""
+    for t in _TPCH_Q21_TABLES:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q21_TEMPLATE.format(
+            **{t: f"tpch_{t}_v" for t in _TPCH_Q21_TABLES}
+        )
+    )
+
+
 _SNAPSHOT_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -6884,6 +6978,71 @@ def q_snapshot_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         return (
             read_snapshot(spark, path)
             .select("doc_id", "lang", "source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_CDC_ORACLE = """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'removed'
+            WHEN o_orderpriority = '1-URGENT' THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM orders
+UNION ALL
+SELECT o_orderkey + 1000000 AS k, 'added' AS status
+FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+@register("snapshot_cdc", _SNAPSHOT_CDC_ORACLE, tags=["M1", "Q12", "sql"])
+def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-addressed CHANGE DATA CAPTURE
+    (snapshots.snapshot_changes — Delta table_changes semantics):
+    commit all orders as v1; produce v2 by doubling urgent totals
+    (changed), deleting every 7th key (removed), and inserting shifted
+    copies of the low-priority keys (added); the v1→v2 changelog must
+    label every key with exactly the status the oracle derives from
+    the base table. Proves the full loop: two pinned manifest reads →
+    one key co-shuffle → per-row status."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    v2 = (
+        base.where(F.col("k") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            base.where(F.col("o_orderpriority") == "5-LOW").withColumn(
+                "k", F.col("k") + 1000000
+            )
+        )
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapcdc_")
+    try:
+        snapshot_write(base, path)
+        snapshot_write(v2, path, mode="overwrite")
+        return (
+            snapshot_changes(
+                spark, path, from_version=1, keys=["k"],
+                compare_cols=["o_totalprice"],
+            )
             .localCheckpoint(eager=True)
         )
     finally:
