@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -94,10 +95,25 @@ def list_snapshots(path: str) -> list[dict[str, Any]]:
     return out
 
 
+def _version_numbers(path: str) -> list[int]:
+    """Committed version numbers (ascending) from manifest FILENAMES —
+    no JSON parsing, so version polling stays O(listing) however large
+    the manifests grow."""
+    root = _snap_root(path)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"v(\d{8})\.json", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
 def current_version(path: str) -> int | None:
     """Newest committed version number, or None if no snapshots."""
-    snaps = list_snapshots(path)
-    return snaps[-1]["version"] if snaps else None
+    versions = _version_numbers(path)
+    return versions[-1] if versions else None
 
 
 def _load_manifest(path: str, version: int) -> dict[str, Any]:
@@ -188,28 +204,35 @@ def snapshot_write(
             "partition_by": partition_by,
             "commits": commits,
         }
-        # unique per ATTEMPT (pid alone collides across threads of one
-        # process racing the same version: the winner's cleanup would
-        # unlink the loser's temp out from under its os.link)
-        tmp = (
-            _manifest_path(path, version)
-            + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        )
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        try:
-            # atomic fail-if-exists commit: the one writer whose link
-            # lands owns version N; a racer retries against the new head
-            os.link(tmp, _manifest_path(path, version))
+        if _commit_manifest(path, version, manifest):
             return version
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(tmp)
-    raise RuntimeError(
+    raise ConcurrentSnapshotError(
         f"snapshot commit lost {max_commit_retries} optimistic-concurrency "
         f"races at {path} — a writer loop is outrunning this one"
     )
+
+
+def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
+    """THE commit step, shared by every manifest writer: land the
+    manifest atomically with fail-if-exists CAS, returning False on a
+    lost race (callers loop against the new head). The temp name is
+    unique per ATTEMPT — pid alone collides across threads of one
+    process racing the same version, and the winner's cleanup would
+    unlink the loser's temp out from under its os.link. On S3, swap
+    the os.link for a conditional PUT — this is the only place."""
+    tmp = (
+        _manifest_path(path, version)
+        + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def read_snapshot(
@@ -241,8 +264,18 @@ def read_snapshot(
         else:
             version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
+    return _read_commits(spark, path, manifest["commits"])
+
+
+def _read_commits(
+    spark: SparkSession, path: str, commits: dict[str, list[str]]
+) -> DataFrame:
+    """Plan a read over manifest-listed commit dirs — the one place
+    file lists become DataFrames (read_snapshot AND incremental reads
+    go through here, so read planning can never diverge between
+    them). ``commits`` must be non-empty."""
     parts: list[DataFrame] = []
-    for commit_rel, files in sorted(manifest["commits"].items()):
+    for commit_rel, files in sorted(commits.items()):
         commit_abs = os.path.join(path, commit_rel)
         parts.append(
             spark.read.option("basePath", commit_abs).parquet(
@@ -461,39 +494,64 @@ def read_appends_between(
     each increment once, never the accumulated history. Raises if any
     version in between was an OVERWRITE (incremental reads are only
     sound over pure appends — an overwrite rewrites history and the
-    consumer must re-sync from a full read)."""
+    consumer must re-sync from a full read).
+
+    ``from_version=0`` is the BOOTSTRAP cursor (Delta's
+    startingVersion=0): consume everything from the table's creation —
+    the first version is exempt from the append-only rule, since
+    nothing precedes it for an overwrite to rewrite. An inverted
+    window (from > to) raises instead of silently returning an empty
+    increment, so a consumer whose cursor ran ahead can never
+    "successfully" drop data. Cost per poll is O(window): only the
+    manifests inside (from, to] are parsed (version discovery is
+    filename-based), never the table's whole history."""
     to_version = (
         to_version if to_version is not None else current_version(path)
     )
     if to_version is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    for s in list_snapshots(path):
-        if from_version < s["version"] <= to_version and s["operation"] != "append":
-            raise ValueError(
-                f"v{s['version']} is {s['operation']!r}, not append: "
-                f"incremental read is unsound across rewrites — re-sync "
-                f"with read_snapshot()"
-            )
-    old = set(_load_manifest(path, from_version)["commits"])
-    new_manifest = _load_manifest(path, to_version)
-    parts: list[DataFrame] = []
-    for commit_rel, files in sorted(new_manifest["commits"].items()):
-        if commit_rel in old:
-            continue
-        commit_abs = os.path.join(path, commit_rel)
-        parts.append(
-            spark.read.option("basePath", commit_abs).parquet(
-                *[os.path.join(commit_abs, f) for f in files]
-            )
+    if from_version < 0 or from_version > to_version:
+        raise ValueError(
+            f"bad incremental window ({from_version}, {to_version}]: "
+            f"from_version must be in [0, to_version] — a cursor ahead "
+            f"of the target means the consumer must re-sync"
         )
-    if not parts:
-        return read_snapshot(spark, path, version=to_version).limit(0)
-    return reduce(
-        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    versions = _version_numbers(path)
+    first = min(versions, default=None)
+    new_manifest = _load_manifest(path, to_version)
+    # validate + collect exactly the window's SURVIVING manifests (the
+    # newest one is already loaded; expired ones below the window's
+    # floor are fine — their commits are either chained into the head
+    # manifest or gone, and a bootstrap read uses the head's file set)
+    window = {to_version: new_manifest}
+    for v in versions:
+        if from_version < v < to_version:
+            window[v] = _load_manifest(path, v)
+    for v, m in window.items():
+        if m["operation"] != "append" and v != first:
+            raise ValueError(
+                f"v{v} is {m['operation']!r}, not append: incremental "
+                f"read is unsound across rewrites — re-sync with "
+                f"read_snapshot()"
+            )
+    old_commits = (
+        set(_load_manifest(path, from_version)["commits"])
+        if from_version > 0
+        else set()
     )
+    fresh = {
+        rel: files
+        for rel, files in new_manifest["commits"].items()
+        if rel not in old_commits
+    }
+    if not fresh:
+        return read_snapshot(spark, path, version=to_version).limit(0)
+    return _read_commits(spark, path, fresh)
 
 
-def snapshot_rollback(path: str, to_version: int) -> int:
+def snapshot_rollback(
+    path: str, to_version: int, max_commit_retries: int = 5
+) -> int:
     """Roll the table back to a prior version as a NEW commit whose
     file set is exactly that version's — Iceberg's
     ``rollback_to_snapshot``: metadata-only (no data rewritten, no
@@ -501,7 +559,7 @@ def snapshot_rollback(path: str, to_version: int) -> int:
     time-travelable (the bad head stays inspectable until expiry).
     Returns the new head version."""
     target = _load_manifest(path, to_version)
-    for _ in range(5):
+    for _ in range(max_commit_retries):
         cur = current_version(path)
         version = (cur or 0) + 1
         manifest = {
@@ -510,24 +568,13 @@ def snapshot_rollback(path: str, to_version: int) -> int:
             "operation": "rollback",
             "rolled_back_to": to_version,
             "timestamp": time.time(),
-            "partition_by": target["partition_by"],
+            "partition_by": target.get("partition_by"),
             "commits": target["commits"],
         }
-        tmp = (
-            _manifest_path(path, version)
-            + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        )
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        try:
-            os.link(tmp, _manifest_path(path, version))
+        if _commit_manifest(path, version, manifest):
             return version
-        except FileExistsError:
-            continue
-        finally:
-            os.unlink(tmp)
     raise ConcurrentSnapshotError(
-        f"rollback at {path} lost 5 optimistic races"
+        f"rollback at {path} lost {max_commit_retries} optimistic races"
     )
 
 

@@ -496,3 +496,20 @@ def test_snapshot_rollback_is_metadata_only_and_reversible(spark, tmp_path):
     report = expire_snapshots(path, keep_last=1)
     assert report["expired_versions"] == [1, 2]
     assert _rows(read_snapshot(spark, path)) == [(i, "good") for i in range(4)]
+
+
+def test_read_appends_bootstrap_and_inverted_window(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 2, "a"), path)  # creation overwrite
+    snapshot_write(_frame(spark, 2, 3, "b"), path, mode="append")
+    # bootstrap cursor 0: everything, the creation overwrite exempt
+    assert _rows(read_appends_between(spark, path, from_version=0)) == [
+        (0, "a"), (1, "a"), (2, "b")
+    ]
+    # inverted window must raise, never silently return empty
+    with pytest.raises(ValueError, match="bad incremental window"):
+        read_appends_between(spark, path, from_version=5, to_version=2)
