@@ -6797,6 +6797,104 @@ def q_tpch_q21_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q22_TEMPLATE = """
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+  FROM {customer}
+  WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+               / COUNT(c_acctbal)
+      FROM {customer} WHERE c_acctbal > 0.0
+    )
+) custsale
+WHERE NOT EXISTS (
+  SELECT 1 FROM {orders}
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register(
+    "tpch_q22_sql",
+    _TPCH_Q22_TEMPLATE.format(customer="customer", orders="orders"),
+    tags=["J4", "A4", "sql"],
+)
+def q_tpch_q22_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) through spark.sql(): the
+    UNCORRELATED scalar aggregate subquery (above-average balance
+    threshold — decimal-exact average so the > boundary is the same
+    double on both engines) composed with a correlated NOT EXISTS
+    anti-join against orders (no RECENT orders — an unwindowed
+    NOT EXISTS is degenerate here, every customer has ordered), then
+    re-aggregated by country code (nationkey mod 10 — the testdata
+    has no phone column). With this,
+    every TPC-H query expressible on the testdata's schema (no
+    partsupp/shipmode/phone) is registered and oracle-checked:
+    1,3,4,5,6,7,8,10,13,14(promo),15,18,19,21,22."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q22_TEMPLATE.format(
+            customer="tpch_customer_v", orders="tpch_orders_v"
+        )
+    )
+
+
+_SNAPSHOT_INCR_READ_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_orderkey % 3 <> 0
+"""
+
+
+@register(
+    "snapshot_incremental_read", _SNAPSHOT_INCR_READ_ORACLE,
+    tags=["M1", "S15", "sql"],
+)
+def q_snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append consumption
+    (snapshots.read_appends_between — Delta startingVersion /
+    Iceberg incremental scan): orders land in three commits (thirds
+    by key mod), a consumer whose cursor is at v1 reads versions
+    (1, head] — exactly the two appended slices, planned from the
+    manifest DIFF so only the new commits' files are touched. The
+    oracle recomputes the same two thirds directly."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapincrd_")
+    try:
+        snapshot_write(base.where(F.col("o_orderkey") % 3 == 0), path)
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 3 == 1), path, mode="append"
+        )
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 3 == 2), path, mode="append"
+        )
+        return read_appends_between(
+            spark, path, from_version=1
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_TT_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
