@@ -6797,6 +6797,44 @@ def q_tpch_q21_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q17_TEMPLATE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 4)
+            AS DOUBLE) / 7 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM {lineitem}, {part}
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(12,4)) * 5
+      * (SELECT COUNT(*) FROM {lineitem} l2
+         WHERE l2.l_partkey = p_partkey)
+    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(30,4)))
+       FROM {lineitem} l3 WHERE l3.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "tpch_q17_sql",
+    _TPCH_Q17_TEMPLATE.format(lineitem="lineitem", part="part"),
+    tags=["A5", "J2", "sql"],
+)
+def q_tpch_q17_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) through spark.sql():
+    TWO correlated scalar aggregate subqueries over the FACT table,
+    correlated on the dim key — each must decorrelate into a
+    per-partkey aggregate joined back, never a per-row re-scan. The
+    spec's ``l_quantity < 0.2·avg(l_quantity)`` is algebraically
+    cross-multiplied to ``5·qty·cnt < sum`` so the threshold
+    comparison is DECIMAL-exact on both engines (a double average's
+    last ulp could flip boundary rows between Spark's and DuckDB's
+    summation orders — measured bit-identical in this form; the
+    container filter is dropped, brand-only, no p_container column)."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q17_TEMPLATE.format(lineitem="tpch_lineitem_v", part="tpch_part_v")
+    )
+
+
 _TPCH_Q22_TEMPLATE = """
 SELECT cntrycode,
        CAST(COUNT(*) AS BIGINT) AS numcust,
@@ -6834,9 +6872,11 @@ def q_tpch_q22_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT EXISTS is degenerate here, every customer has ordered), then
     re-aggregated by country code (nationkey mod 10 — the testdata
     has no phone column). With this,
-    every TPC-H query expressible on the testdata's schema (no
-    partsupp/shipmode/phone) is registered and oracle-checked:
-    1,3,4,5,6,7,8,10,13,14(promo),15,18,19,21,22."""
+    every TPC-H query expressible on the testdata's schema is
+    registered and oracle-checked —
+    1,3,4,5,6,7,8,10,13,14(promo),15,17,18,19,21,22; the rest
+    (2,9,11,16,20) require the partsupp table, and 12 the l_shipmode
+    column, which the testdata does not carry."""
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
     return spark.sql(
