@@ -135,6 +135,7 @@ def snapshot_write(
     partition_by: list[str] | None = None,
     max_commit_retries: int = 5,
     expected_parent: int | _ExpectNoParent | None = None,
+    stream_state: dict[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version of the table at
     ``path``; returns the committed version number.
@@ -152,6 +153,14 @@ def snapshot_write(
     validate-snapshot-id). Pass :data:`EXPECT_NO_PARENT` to require an
     empty table (None means "no check"). Without a CAS, a lost
     optimistic race simply retries against the new head.
+
+    ``stream_state`` records per-source high-water marks in the
+    manifest ({source_id: last_applied_batch_id} — Delta's txn
+    appId/version): the streaming snapshot sink reads it back to skip
+    replayed micro-batches. Every commit CARRIES the parent's
+    stream_state forward (merged with this write's entries), so a
+    compaction or merge between stream batches can never erase the
+    marker and re-open the table to a duplicate replay.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -190,12 +199,14 @@ def snapshot_write(
                     files.append(
                         os.path.relpath(os.path.join(dirpath, n), commit_abs)
                     )
+        parent = _load_manifest(path, cur) if cur is not None else {}
         commits: dict[str, list[str]] = {}
         if mode == "append" and cur is not None:
-            parent = _load_manifest(path, cur)
             commits.update(parent["commits"])
         commits[commit_rel] = sorted(files)
 
+        merged_state = dict(parent.get("stream_state") or {})
+        merged_state.update(stream_state or {})
         manifest = {
             "version": version,
             "parent": cur,
@@ -204,6 +215,8 @@ def snapshot_write(
             "partition_by": partition_by,
             "commits": commits,
         }
+        if merged_state:
+            manifest["stream_state"] = merged_state
         if _commit_manifest(path, version, manifest):
             return version
     raise ConcurrentSnapshotError(
@@ -285,6 +298,17 @@ def _read_commits(
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
+
+
+def stream_state(path: str, version: int | None = None) -> dict[str, int]:
+    """The per-source streaming high-water marks recorded at a version
+    (default: head) — {source_id: last_applied_batch_id}. Empty dict
+    for a table no stream has written to (or an empty table)."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            return {}
+    return dict(_load_manifest(path, version).get("stream_state") or {})
 
 
 def snapshot_merge(
@@ -571,6 +595,12 @@ def snapshot_rollback(
             "partition_by": target.get("partition_by"),
             "commits": target["commits"],
         }
+        # stream markers rewind WITH the data: batches committed after
+        # ``to_version`` are un-applied by the rollback, so their
+        # high-water marks must not survive it — a replay (from a
+        # correspondingly rewound checkpoint) can then re-land them
+        if target.get("stream_state"):
+            manifest["stream_state"] = target["stream_state"]
         if _commit_manifest(path, version, manifest):
             return version
     raise ConcurrentSnapshotError(

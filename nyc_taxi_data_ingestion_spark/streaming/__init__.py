@@ -12,8 +12,10 @@ makes the streaming results oracle-comparable to batch SQL.
 
 from nyc_taxi_data_ingestion_spark.streaming.ingest import (  # noqa: F401
     category_drift_scores,
+    commit_stream_batch,
     read_parquet_stream,
     run_available_now,
+    snapshot_append_sink,
     running_totals_stream,
     silver_stream,
     sliding_counts,

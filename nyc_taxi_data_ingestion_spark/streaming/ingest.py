@@ -318,6 +318,106 @@ def stream_upsert_sink(
             q.stop()
 
 
+def commit_stream_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    source_id: str,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """Idempotently land ONE micro-batch as an append commit on a
+    versioned snapshot table — the foreachBatch body of
+    :func:`snapshot_append_sink`, exposed separately so crash-replay
+    (same ``batch_id`` delivered twice) is directly testable.
+
+    Exactly-once protocol (Delta's txn appId/version): the head
+    manifest's ``stream_state[source_id]`` is the last batch id this
+    source applied. A batch at or below it is a replay — skipped
+    (returns None). Otherwise the append commits with the head CAS and
+    the advanced marker IN THE SAME manifest, so "check marker" and
+    "write data" are one atomic commit: a concurrent writer landing
+    in between forces a re-plan (re-reading the marker), never a
+    duplicate or lost batch. Batch ids are monotone per streaming
+    CHECKPOINT — restarting a query from a fresh checkpoint resets
+    them to 0, so ``source_id`` must name the (query, checkpoint)
+    lineage, not just the query.
+    """
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        EXPECT_NO_PARENT,
+        ConcurrentSnapshotError,
+        current_version,
+        snapshot_write,
+        stream_state,
+    )
+
+    for _ in range(5):
+        head = current_version(path)
+        if stream_state(path, head).get(source_id, -1) >= batch_id:
+            return None
+        try:
+            return snapshot_write(
+                batch_df,
+                path,
+                mode="append",
+                partition_by=partition_by,
+                expected_parent=head if head is not None else EXPECT_NO_PARENT,
+                stream_state={source_id: batch_id},
+            )
+        except ConcurrentSnapshotError:
+            continue
+    raise ConcurrentSnapshotError(
+        f"stream batch {batch_id} ({source_id}) lost 5 commit races at "
+        f"{path} — a writer loop is outrunning this stream"
+    )
+
+
+def snapshot_append_sink(
+    stream_df: DataFrame,
+    path: str,
+    source_id: str,
+    partition_by: list[str] | None = None,
+    query_name: str = "snapshot_append",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Exactly-once streaming ingest into a versioned snapshot table:
+    each micro-batch appends as its own snapshot commit, with the
+    batch id recorded in the manifest (see :func:`commit_stream_batch`
+    for the protocol). Downstream consumers get everything the
+    snapshot layer offers over a live stream — time travel across
+    micro-batches, :func:`read_appends_between` as an incremental
+    changelog, concurrent compaction that can never tear a reader.
+
+    This is the Delta-sink shape for engines without one: checkpointed
+    source offsets give at-least-once delivery, the manifest-recorded
+    batch id de-duplicates the overlap — together, exactly-once.
+    Runs with AvailableNow (drain-then-stop) for deterministic tests;
+    production swaps the trigger.
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(
+        prefix=f"ckpt_{query_name}_"
+    )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_stream_batch(batch_df, batch_id, path, source_id, partition_by)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming query {query_name} did not finish in {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def stateful_profile(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -476,3 +476,88 @@ def test_running_totals_transform_with_state(spark, sf_dir):
         .collect()
     }
     assert final == want
+
+
+def test_snapshot_append_sink_exactly_once(spark, tmp_path):
+    """Streaming ingest into a versioned snapshot table: each
+    micro-batch is one append commit with its batch id in the manifest;
+    a replayed batch id is a no-op (exactly-once over an at-least-once
+    delivery), and the marker survives an interleaved compaction."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        snapshot_compact,
+        stream_state,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming import (
+        commit_stream_batch,
+        read_parquet_stream,
+        snapshot_append_sink,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "a")], "k long, v string").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame([(2, "b")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    tbl = str(tmp_path / "tbl")
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=1)
+    snapshot_append_sink(stream, tbl, source_id="ingest@ckpt1")
+
+    head = current_version(tbl)
+    assert head == 2  # one commit per micro-batch (1 file each)
+    assert read_snapshot(spark, tbl).count() == 2
+    assert stream_state(tbl) == {"ingest@ckpt1": 1}  # batch ids 0, 1
+
+    # crash-replay of the last batch: same batch id arrives again
+    replay = spark.createDataFrame([(2, "b")], "k long, v string")
+    assert commit_stream_batch(replay, 1, tbl, "ingest@ckpt1") is None
+    assert current_version(tbl) == head
+    assert read_snapshot(spark, tbl).count() == 2
+
+    # a compaction between stream batches must carry the marker forward
+    snapshot_compact(spark, tbl, target_partitions=1)
+    assert stream_state(tbl) == {"ingest@ckpt1": 1}
+    assert commit_stream_batch(replay, 1, tbl, "ingest@ckpt1") is None
+
+    # the NEXT batch id still lands, on top of the compacted head
+    nxt = spark.createDataFrame([(3, "c")], "k long, v string")
+    v = commit_stream_batch(nxt, 2, tbl, "ingest@ckpt1")
+    assert v == current_version(tbl)
+    assert read_snapshot(spark, tbl).count() == 3
+    assert stream_state(tbl) == {"ingest@ckpt1": 2}
+
+    # a second independent source keeps its own high-water mark
+    other = spark.createDataFrame([(9, "z")], "k long, v string")
+    assert commit_stream_batch(other, 0, tbl, "backfill@ckpt9") is not None
+    assert stream_state(tbl) == {"ingest@ckpt1": 2, "backfill@ckpt9": 0}
+
+
+def test_snapshot_rollback_rewinds_stream_markers(spark, tmp_path):
+    """Rolling back un-commits the rolled-back batches' data, so their
+    high-water marks must rewind with it — a re-delivery of those
+    batch ids (from a correspondingly rewound checkpoint) re-lands."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_rollback,
+        stream_state,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming import commit_stream_batch
+
+    tbl = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+    v0 = commit_stream_batch(b0, 0, tbl, "src@ck")
+    commit_stream_batch(b1, 1, tbl, "src@ck")
+    assert stream_state(tbl) == {"src@ck": 1}
+
+    snapshot_rollback(tbl, v0)
+    assert stream_state(tbl) == {"src@ck": 0}
+    assert read_snapshot(spark, tbl).count() == 1
+    # batch 1 is re-deliverable after the rewind
+    assert commit_stream_batch(b1, 1, tbl, "src@ck") is not None
+    assert read_snapshot(spark, tbl).count() == 2
