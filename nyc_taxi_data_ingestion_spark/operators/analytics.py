@@ -330,3 +330,63 @@ def event_transitions(
         "n",
         (F.col("n") / F.sum("n").over(wf).cast("double")).alias("share"),
     )
+
+
+def min_hop_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Directed transitive closure with minimum hop counts — level-
+    synchronous BFS from EVERY node at once (the iterative-algorithm
+    class Spark SQL's linear-recursion-only ``WITH RECURSIVE`` cannot
+    express over a cyclic graph): returns (src, dst, min_hops) for
+    every pair reachable in 1..max_hops hops, cycles included
+    (a→…→a yields a self-pair).
+
+    Per level: one edge-key shuffle (frontier ⋈ edges), a distinct on
+    the discovered pairs, and an anti-join against everything already
+    reached — BFS discovers each pair first at its minimum depth, so
+    no re-visit or min-aggregation is needed. Each frontier is
+    eagerly localCheckpoint-ed: iteration ``i`` must not re-derive
+    levels 1..i-1 through an unbounded lineage (the same discipline as
+    the connected-components loop in llm/dedup.py). Terminates when a
+    frontier empties (diameter levels) or at ``max_hops``.
+
+    Scale shape: levels are sequential barriers — the right tool for
+    diameter-bounded closures (event-type graphs, lineage/impact
+    graphs, org trees). For web-scale graphs, hash-to-min CC or
+    pointer-doubling (O(log V) rounds) replace per-level BFS; the
+    edge-key shuffle per round is the same.
+    """
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        e.select(F.col("__s").alias("__root"), F.col("__d").alias("__node"))
+        .distinct()
+        .withColumn("__hops", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    reached = frontier
+    for hops in range(2, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["__node"] == e["__s"])
+            .select("__root", F.col("__d").alias("__node"))
+            .distinct()
+            .join(reached, ["__root", "__node"], "left_anti")
+            .withColumn("__hops", F.lit(hops))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    return reached.select(
+        F.col("__root").alias(src),
+        F.col("__node").alias(dst),
+        F.col("__hops").cast("int").alias("min_hops"),
+    )

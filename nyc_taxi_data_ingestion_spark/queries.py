@@ -5854,6 +5854,69 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+_REACHABILITY_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+ranked AS (
+  SELECT from_type, to_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY from_type
+           ORDER BY COUNT(*) DESC, to_type
+         ) AS rn
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+edges AS (
+  SELECT from_type, to_type FROM ranked WHERE rn <= 2
+),
+r AS (
+  SELECT from_type, to_type, 1 AS hops FROM edges
+  UNION
+  SELECT r.from_type, e.to_type, r.hops + 1
+  FROM r JOIN edges e ON r.to_type = e.from_type
+  WHERE r.hops < 32
+)
+SELECT from_type, to_type, CAST(MIN(hops) AS INT) AS min_hops
+FROM r GROUP BY from_type, to_type
+"""
+
+
+@register("transition_reachability", _REACHABILITY_ORACLE, tags=["events", "graph"])
+def q_transition_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the DOMINANT event-type transition graph
+    with minimum hop counts (operators/analytics.min_hop_closure):
+    keep each state's top-2 next states (by count, to_type tie-break —
+    the raw graph is complete at this cardinality, so closure over it
+    is trivially all-pairs-at-1), then ask which states can LEAD to
+    which through dominant paths, and how directly. The Spark side is
+    level-synchronous BFS (an iterative DataFrame loop — Spark's SQL
+    recursion is linear-only and unsafe on cyclic graphs); the oracle
+    is DuckDB's recursive CTE with UNION-distinct dedup and the same
+    32-hop cap, MIN-aggregated to the same minimum-depth semantics."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        event_transitions,
+        min_hop_closure,
+    )
+
+    w = Window.partitionBy("from_type").orderBy(
+        F.desc("n"), F.asc("to_type")
+    )
+    edges = (
+        event_transitions(_t(spark, sf_dir, "events"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("from_type", "to_type")
+    )
+    return min_hop_closure(edges, src="from_type", dst="to_type")
+
+
 _SEASONAL_ORACLE = """
 WITH cells AS (
   SELECT event_id,

@@ -380,3 +380,43 @@ def test_partial_agg_state_merge_equals_full(spark, sf_dir):
     # the state keeps its sum in exact decimal — the merge-order
     # insensitivity contract
     assert isinstance(ab_c.schema["s"].dataType, T.DecimalType)
+
+
+def test_min_hop_closure_semantics(spark):
+    """BFS closure on a known graph: chain a→b→c→d, a 2-cycle x↔y,
+    and an isolated self-loop z→z — min hops are shortest-path depths,
+    cycles produce self-pairs, unreachable pairs are absent."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        min_hop_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("y", "x"),
+         ("z", "z"), ("a", "b")],  # duplicate edge must not matter
+        "src string, dst string",
+    )
+    got = {
+        (r.src, r.dst): r.min_hops for r in min_hop_closure(edges).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3,
+        ("b", "c"): 1, ("b", "d"): 2,
+        ("c", "d"): 1,
+        ("x", "y"): 1, ("y", "x"): 1, ("x", "x"): 2, ("y", "y"): 2,
+        ("z", "z"): 1,
+    }
+
+
+def test_min_hop_closure_max_hops_truncates(spark):
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        min_hop_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        (r.src, r.dst): r.min_hops
+        for r in min_hop_closure(chain, max_hops=2).collect()
+    }
+    assert ("a", "d") not in got and got[("a", "c")] == 2
