@@ -195,3 +195,118 @@ def run_maintenance(
                 row["orphan_error"] = str(exc)
         report.append(row)
     return report
+
+
+def skipping_report(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower: Any | None = None,
+    upper: Any | None = None,
+) -> "DataFrame":
+    """Per-file parquet min/max data-skipping audit for the predicate
+    ``lower <= column <= upper`` (either bound optional): for each data
+    file, how many row groups the scan MUST read vs how many the
+    footer statistics alone prove empty. This measures the thing
+    :func:`~nyc_taxi_data_ingestion_spark.sources.sinks.compact_parquet_dir`'s
+    sort/Z-order layouts exist to improve — on a well-clustered table a
+    selective predicate skips almost every row group; on a random
+    layout every row group's [min,max] straddles the predicate and the
+    scan reads 100 TB to return 1 GB.
+
+    Footer reads are DISTRIBUTED (one task per file batch via
+    ``mapInPandas`` — a 100 TB table has 10⁵+ footers; reading them on
+    the driver is the non-scalable shape), and only metadata is
+    touched: cost is O(files), not O(bytes).
+
+    Missing statistics (or the column absent from a file's schema) are
+    counted must-read — pruning claims stay conservative. Returns one
+    row per file: (file, row_groups, rows, prunable_row_groups,
+    prunable_rows).
+    """
+    import pandas as pd
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    files = []
+    for dirpath, _dirs, names in os.walk(path):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(os.path.join(dirpath, n))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                meta = pq.ParquetFile(f).metadata
+                names = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                ci = names.get(column)
+                rg_total = meta.num_row_groups
+                rows_total, rg_prun, rows_prun = 0, 0, 0
+                for g in range(rg_total):
+                    rg = meta.row_group(g)
+                    rows_total += rg.num_rows
+                    if ci is None:
+                        continue  # column absent: must-read
+                    st = rg.column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        continue  # no stats: must-read
+                    below = upper is not None and st.min > upper
+                    above = lower is not None and st.max < lower
+                    if below or above:
+                        rg_prun += 1
+                        rows_prun += rg.num_rows
+                out.append((f, rg_total, rows_total, rg_prun, rows_prun))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "row_groups", "rows",
+                    "prunable_row_groups", "prunable_rows",
+                ],
+            )
+
+    listing = spark.createDataFrame([(f,) for f in files], "file string")
+    # salt the file list across tasks: a footer read is ~ms, so one
+    # task per DEFAULT-PARALLELISM slice, not one per file
+    n_slices = min(len(files), spark.sparkContext.defaultParallelism)
+    return listing.repartition(n_slices).mapInPandas(
+        scan,
+        schema=(
+            "file string, row_groups long, rows long, "
+            "prunable_row_groups long, prunable_rows long"
+        ),
+    )
+
+
+def skipping_summary(report: "DataFrame") -> dict[str, Any]:
+    """Collapse a :func:`skipping_report` into the numbers a layout
+    decision needs: total/prunable row groups and rows, and the
+    prunable fractions (0.0 when the table has no rows)."""
+    from pyspark.sql import functions as F
+
+    row = report.agg(
+        F.count("*").alias("files"),
+        F.sum("row_groups").alias("rg"),
+        F.sum("rows").alias("rows"),
+        F.sum("prunable_row_groups").alias("rg_p"),
+        F.sum("prunable_rows").alias("rows_p"),
+    ).collect()[0]
+    return {
+        "files": row.files,
+        "row_groups": row.rg,
+        "rows": row.rows,
+        "prunable_row_groups": row.rg_p,
+        "prunable_rows": row.rows_p,
+        "prunable_row_group_fraction": (
+            row.rg_p / row.rg if row.rg else 0.0
+        ),
+        "prunable_row_fraction": (
+            row.rows_p / row.rows if row.rows else 0.0
+        ),
+    }

@@ -93,3 +93,61 @@ def test_run_maintenance_cycle_and_fault_isolation(spark, tmp_path):
     out = spark.read.parquet(good)
     assert out.count() == 10
     assert out.filter(F.col("partition_day") == "2026-08-13").count() == 5
+
+
+def test_skipping_report_measures_clustering(spark, sf_dir, tmp_path):
+    """The footer-stats audit must show what clustering buys: a range
+    predicate prunes most files of a write_clustered layout and ~none
+    of a hash-shuffled one; prunability never overstates (prunable
+    files contain zero matching rows)."""
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        skipping_report,
+        skipping_summary,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.sources.sinks import write_clustered
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    lo, hi = 30.0, 31.0  # narrow l_quantity band
+
+    rnd = str(tmp_path / "random")
+    li.repartition(8).write.parquet(rnd)
+    clu = str(tmp_path / "clustered")
+    write_clustered(li, clu, sort_cols=["l_quantity"], target_files=8)
+
+    s_rnd = skipping_summary(skipping_report(spark, rnd, "l_quantity", lo, hi))
+    s_clu = skipping_summary(skipping_report(spark, clu, "l_quantity", lo, hi))
+    assert s_rnd["rows"] == s_clu["rows"] == li.count()
+    # hash-shuffled: every file spans the full quantity range
+    assert s_rnd["prunable_row_groups"] == 0
+    # clustered: the band lives in ~1 of 8 range slices
+    assert s_clu["prunable_row_group_fraction"] >= 0.5
+    # soundness: pruning must never drop matching rows — matching rows
+    # all live in non-prunable files
+    import pyspark.sql.functions as F
+
+    matching = li.filter(F.col("l_quantity").between(lo, hi)).count()
+    readable = (
+        skipping_report(spark, clu, "l_quantity", lo, hi)
+        .filter("prunable_row_groups < row_groups")
+        .select("file")
+        .collect()
+    )
+    kept = spark.read.parquet(*[r.file for r in readable]).filter(
+        F.col("l_quantity").between(lo, hi)
+    )
+    assert kept.count() == matching
+
+
+def test_skipping_report_conservative_on_missing_column(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        skipping_report,
+        skipping_summary,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(100).write.parquet(p)
+    s = skipping_summary(skipping_report(spark, p, "no_such_col", 0, 1))
+    assert s["prunable_row_groups"] == 0 and s["rows"] == 100
