@@ -257,9 +257,19 @@ def skipping_report(
                     st = rg.column(ci).statistics
                     if st is None or not st.has_min_max:
                         continue  # no stats: must-read
-                    below = upper is not None and st.min > upper
-                    above = lower is not None and st.max < lower
-                    if below or above:
+                    try:
+                        entirely_above = (
+                            upper is not None and st.min > upper
+                        )
+                        entirely_below = (
+                            lower is not None and st.max < lower
+                        )
+                    except TypeError:
+                        # stats/bound types incomparable (schema drift,
+                        # mistyped bound): conservative must-read, the
+                        # audit itself must never fail
+                        continue
+                    if entirely_above or entirely_below:
                         rg_prun += 1
                         rows_prun += rg.num_rows
                 out.append((f, rg_total, rows_total, rg_prun, rows_prun))

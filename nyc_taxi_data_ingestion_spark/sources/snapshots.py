@@ -199,7 +199,14 @@ def snapshot_write(
                     files.append(
                         os.path.relpath(os.path.join(dirpath, n), commit_abs)
                     )
-        parent = _load_manifest(path, cur) if cur is not None else {}
+        try:
+            parent = _load_manifest(path, cur) if cur is not None else {}
+        except FileNotFoundError:
+            # cur's manifest expired between the head poll and this
+            # read — the head has necessarily moved on, so this is a
+            # lost optimistic race, not an error: re-poll and retry
+            # (with a CAS the re-polled head fails the check cleanly)
+            continue
         commits: dict[str, list[str]] = {}
         if mode == "append" and cur is not None:
             commits.update(parent["commits"])

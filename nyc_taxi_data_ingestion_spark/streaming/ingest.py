@@ -352,7 +352,11 @@ def commit_stream_batch(
 
     for _ in range(5):
         head = current_version(path)
-        if stream_state(path, head).get(source_id, -1) >= batch_id:
+        try:
+            marks = stream_state(path, head)
+        except FileNotFoundError:
+            continue  # head's manifest expired under us: re-poll
+        if marks.get(source_id, -1) >= batch_id:
             return None
         try:
             return snapshot_write(
