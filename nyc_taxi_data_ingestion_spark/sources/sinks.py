@@ -305,6 +305,46 @@ def zorder_key_quantile(df: DataFrame, cols: list[str], bits: int = 8):
     )
 
 
+def clustered_plan(
+    df: DataFrame,
+    sort_cols: list[str] | None = None,
+    zorder: tuple[list[str], dict[str, tuple[float, float]]] | None = None,
+    zorder_auto: list[str] | None = None,
+    target_files: int | None = None,
+) -> DataFrame:
+    """The layout-shaping half of :func:`write_clustered`, writer-free
+    so any sink (plain parquet, snapshot commits) can cluster:
+    range-repartition + sortWithinPartitions on exactly one of a linear
+    sort key, a fixed-bounds Z-order key, or a quantile-quantized
+    Z-order key. Returns the re-planned frame; the caller writes it."""
+    assert (
+        sum(x is not None for x in (sort_cols, zorder, zorder_auto)) == 1
+    ), "exactly one of sort_cols / zorder / zorder_auto"
+    made_zkey = False
+    if zorder is not None:
+        zcols, zbounds = zorder
+        df = df.withColumn("__zkey", zorder_key(zcols, zbounds))
+        keys = ["__zkey"]
+        made_zkey = True
+    elif zorder_auto is not None:
+        df = zorder_key_quantile(df, zorder_auto)
+        keys = ["__zkey"]
+        made_zkey = True
+    else:
+        keys = list(sort_cols)
+    if target_files:
+        df = df.repartitionByRange(target_files, *keys)
+    else:
+        df = df.repartitionByRange(*keys)
+    df = df.sortWithinPartitions(*keys)
+    if made_zkey:
+        # drop only the key WE created — a user column that happens to
+        # be named __zkey on the sort_cols path must survive the write
+        df = df.drop("__zkey")
+        # the sort order survives the projection; files stay clustered
+    return df
+
+
 def write_clustered(
     df: DataFrame,
     path: str,
@@ -332,31 +372,13 @@ def write_clustered(
     data. repartitionByRange samples the key (one extra pass over the
     keys, not the payload) to build balanced ranges.
     """
-    assert (
-        sum(x is not None for x in (sort_cols, zorder, zorder_auto)) == 1
-    ), "exactly one of sort_cols / zorder / zorder_auto"
-    made_zkey = False
-    if zorder is not None:
-        zcols, zbounds = zorder
-        df = df.withColumn("__zkey", zorder_key(zcols, zbounds))
-        keys = ["__zkey"]
-        made_zkey = True
-    elif zorder_auto is not None:
-        df = zorder_key_quantile(df, zorder_auto)
-        keys = ["__zkey"]
-        made_zkey = True
-    else:
-        keys = list(sort_cols)
-    if target_files:
-        df = df.repartitionByRange(target_files, *keys)
-    else:
-        df = df.repartitionByRange(*keys)
-    df = df.sortWithinPartitions(*keys)
-    if made_zkey:
-        # drop only the key WE created — a user column that happens to
-        # be named __zkey on the sort_cols path must survive the write
-        df = df.drop("__zkey")
-        # the sort order survives the projection; files stay clustered
+    df = clustered_plan(
+        df,
+        sort_cols=sort_cols,
+        zorder=zorder,
+        zorder_auto=zorder_auto,
+        target_files=target_files,
+    )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -454,6 +454,8 @@ def snapshot_compact(
     target_partitions: int | None = None,
     partition_by: list[str] | None = None,
     target_file_bytes: int | None = None,
+    sort_cols: list[str] | None = None,
+    zorder_auto: list[str] | None = None,
 ) -> int:
     """Transactional small-file compaction for a versioned table —
     the snapshot-aware form of ``sinks.compact_parquet_dir`` and the
@@ -468,7 +470,16 @@ def snapshot_compact(
     parallelism. ``partition_by`` defaults to the HEAD manifest's own
     partitioning — callers never have to re-state (and can never
     accidentally strip) the table's layout; same for
-    :func:`snapshot_delete` and :func:`snapshot_merge`."""
+    :func:`snapshot_delete` and :func:`snapshot_merge`.
+
+    ``sort_cols`` / ``zorder_auto`` make the rewrite a CLUSTERING
+    compaction — Delta's ``OPTIMIZE ... ZORDER BY`` on the versioned
+    layer: the head is range-repartitioned and sorted (see
+    ``sinks.clustered_plan``) so the new version's files carry narrow
+    min/max footer ranges and selective scans prune (measure with
+    ``maintenance.skipping_report``). Rows stay bit-identical; only
+    the layout changes — history and concurrent readers are untouched
+    as with any compaction."""
     for _ in range(5):
         head = current_version(path)
         if head is None:
@@ -489,7 +500,20 @@ def snapshot_compact(
             n = max(1, -(-total // target_file_bytes))  # ceil
         else:
             n = spark.sparkContext.defaultParallelism
-        compacted = read_snapshot(spark, path, version=head).coalesce(n)
+        head_df = read_snapshot(spark, path, version=head)
+        if sort_cols is not None or zorder_auto is not None:
+            from nyc_taxi_data_ingestion_spark.sources.sinks import (
+                clustered_plan,
+            )
+
+            compacted = clustered_plan(
+                head_df,
+                sort_cols=sort_cols,
+                zorder_auto=zorder_auto,
+                target_files=n,
+            )
+        else:
+            compacted = head_df.coalesce(n)
         try:
             return snapshot_write(
                 compacted,

@@ -513,3 +513,50 @@ def test_read_appends_bootstrap_and_inverted_window(spark, tmp_path):
     # inverted window must raise, never silently return empty
     with pytest.raises(ValueError, match="bad incremental window"):
         read_appends_between(spark, path, from_version=5, to_version=2)
+
+
+def test_snapshot_compact_clustering_improves_skipping(spark, sf_dir, tmp_path):
+    """OPTIMIZE-ZORDER analogue: a clustering compaction must keep the
+    rows bit-identical while making a selective range scan prunable by
+    footer stats, measured with skipping_report on the new version's
+    commit dir."""
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        skipping_report,
+        skipping_summary,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(li.repartition(8), tbl)  # hash-shuffled layout
+
+    def head_commit_dir(version):
+        m = _load_manifest(tbl, version)
+        (commit_rel,) = m["commits"].keys()
+        return f"{tbl}/{commit_rel}"
+
+    before = skipping_summary(
+        skipping_report(spark, head_commit_dir(1), "l_quantity", 30.0, 31.0)
+    )
+    v2 = snapshot_compact(
+        spark, tbl, target_partitions=8, sort_cols=["l_quantity"]
+    )
+    after = skipping_summary(
+        skipping_report(spark, head_commit_dir(v2), "l_quantity", 30.0, 31.0)
+    )
+    assert before["prunable_row_groups"] == 0
+    assert after["prunable_row_group_fraction"] >= 0.5
+    assert after["rows"] == before["rows"]
+
+    # rows bit-identical across the rewrite
+    a = read_snapshot(spark, tbl, version=1)
+    b = read_snapshot(spark, tbl, version=v2)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
