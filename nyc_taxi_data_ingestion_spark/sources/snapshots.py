@@ -669,6 +669,53 @@ def snapshot_changes(
     return snapshot_diff(old, new, keys, compare_cols)
 
 
+def erase_rows(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    partition_by: list[str] | None = None,
+    orphan_grace_hours: float = 24.0,
+) -> dict[str, Any]:
+    """HARD erasure (GDPR right-to-be-forgotten): delete matching rows
+    AND destroy every historical copy, then verify. A plain
+    :func:`snapshot_delete` is copy-on-write — the deleted rows stay
+    readable via time travel until expiry, which is exactly what a
+    compliance erasure must not allow. This composes the three steps
+    the reference's maintenance cycle would run for it:
+
+    1. ``snapshot_delete(predicate)`` — the new head has no matching
+       rows and (being copy-on-write) references ONLY fresh files;
+    2. ``expire_snapshots(keep_last=1)`` — every pre-erasure manifest
+       dies and its commit dirs are deleted from disk (the bytes are
+       gone, not just unreferenced);
+    3. a verification scan of the head counts surviving matches
+       (0 by construction; the report states it as evidence).
+
+    Run it without concurrent writers, like any expiry: a racer's
+    commit landing between steps could become the sole survivor of
+    ``keep_last=1``. Never-referenced commit dirs younger than
+    ``orphan_grace_hours`` survive (in-flight-write guard), so a
+    truly idle table is fully scrubbed while a racing writer is not
+    corrupted. Returns {version, expired_versions,
+    removed_commit_dirs, remaining_matches}.
+    """
+    version = snapshot_delete(spark, path, predicate, partition_by)
+    gc = expire_snapshots(
+        path, keep_last=1, orphan_grace_hours=orphan_grace_hours
+    )
+    remaining = (
+        read_snapshot(spark, path, version=version)
+        .where(predicate.eqNullSafe(True))
+        .count()
+    )
+    return {
+        "version": version,
+        "expired_versions": gc["expired_versions"],
+        "removed_commit_dirs": gc["removed_commit_dirs"],
+        "remaining_matches": remaining,
+    }
+
+
 def expire_snapshots(
     path: str,
     keep_last: int = 1,

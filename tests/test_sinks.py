@@ -251,3 +251,30 @@ def test_catalog_survives_process_restart(tmp_path):
         )
         assert out.returncode == 0, (phase, out.stdout[-2000:], out.stderr[-2000:])
         assert f"PHASE_OK {phase}" in out.stdout
+
+
+def test_write_partitioned_bloom_filters(spark, tmp_path):
+    """Bloom-filter options must reach the parquet writer (the filter
+    is stored per row group and inflates the file by ~its bitset size
+    — pyarrow does not expose bloom offsets, so size delta is the
+    observable) and must not perturb the data read back."""
+    import glob
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources.sinks import (
+        write_partitioned,
+    )
+
+    df = spark.range(200_000).withColumnRenamed("id", "k").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_partitioned(df, plain, [])
+    write_partitioned(df, bloomed, [], bloom_cols={"k": 200_000})
+
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+    )
+    # ndv=200k bloom bitset is ~200+ KB; plain file is well under that delta
+    assert size(bloomed) > size(plain) + 100_000
+    got = spark.read.parquet(bloomed).filter("k = 123456").collect()
+    assert [r.k for r in got] == [123456]
+    assert spark.read.parquet(bloomed).count() == 200_000

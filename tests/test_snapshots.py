@@ -560,3 +560,48 @@ def test_snapshot_compact_clustering_improves_skipping(spark, sf_dir, tmp_path):
     a = read_snapshot(spark, tbl, version=1)
     b = read_snapshot(spark, tbl, version=v2)
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_erase_rows_destroys_history_bytes(spark, tmp_path):
+    """GDPR erasure: after erase_rows, the key is absent from the head,
+    absent from EVERY parquet file still on disk (the bytes are gone,
+    not just unreferenced), and time travel to pre-erasure versions is
+    impossible."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        erase_rows,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    users = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "uid long, name string"
+    )
+    snapshot_write(users, tbl)
+    snapshot_write(
+        spark.createDataFrame([(4, "dave")], "uid long, name string"),
+        tbl,
+        mode="append",
+    )
+
+    report = erase_rows(
+        spark, tbl, F.col("uid") == 2, orphan_grace_hours=0.0
+    )
+    assert report["remaining_matches"] == 0
+    assert sorted(report["expired_versions"]) == [1, 2]
+
+    head = read_snapshot(spark, tbl)
+    assert head.filter("uid = 2").isEmpty()
+    assert head.count() == 3  # alice, carol, dave survive
+
+    # the bytes are gone: every parquet file still under the table
+    # root is free of the erased key
+    leftover = spark.read.parquet(f"{tbl}/data/*")
+    assert leftover.filter("uid = 2").isEmpty()
+    assert leftover.count() == 3
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, tbl, version=1)
