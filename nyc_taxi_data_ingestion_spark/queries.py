@@ -7392,6 +7392,215 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS c,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s, c) AS BIGINT) AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(s) AS total,
+         SUM(i * s) AS weighted
+  FROM ranked
+)
+SELECT n AS n_customers,
+       CAST(total AS DOUBLE) AS total_spend,
+       CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+         / CAST(n * total AS DOUBLE) AS gini
+FROM agg
+"""
+
+
+@register("gini_concentration", _GINI_ORACLE, tags=["A6", "stats"])
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the standard inequality
+    measure over the per-customer revenue distribution, computed by
+    the sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    (one pass over sorted values, no O(n²) pairwise differences).
+    Ranks tie-break on custkey for determinism, but the weighted sum
+    is tie-order independent (equal values swap weights within a tied
+    block), so the statistic is well-defined. All sums are exact
+    decimals; the single final division is IEEE-identical
+    cross-engine. The global rank window runs over the AGGREGATED
+    per-customer table (|customers| rows, dim-sized) — for a
+    billion-key distribution swap in the partitioned prefix-sum
+    (operators/incremental.py) the sequence packer uses."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("s", "c")
+    ranked = spend.select(
+        "s", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").alias("total"),
+        F.sum(F.col("i") * F.col("s")).alias("weighted"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").cast("double").alias("total_spend"),
+        (
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total"))
+            .cast("double")
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS c,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT s,
+         SUM(s) OVER (
+           ORDER BY s DESC, c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running
+  FROM spend
+),
+tot AS (SELECT SUM(s) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM spend)
+SELECT t.n AS n_customers,
+       CAST(
+         (SELECT COUNT(*) FROM cum
+          WHERE running - s < CAST(0.8 AS DECIMAL(2,1)) * t.total)
+         AS BIGINT) AS n_top,
+       CAST(
+         (SELECT COUNT(*) FROM cum
+          WHERE running - s < CAST(0.8 AS DECIMAL(2,1)) * t.total)
+         AS DOUBLE) / CAST(t.n AS DOUBLE) AS top_fraction
+FROM tot t
+"""
+
+
+@register("pareto_share", _PARETO_ORACLE, tags=["A4", "stats"])
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 check): how many of the
+    highest-spending customers cover 80% of total revenue. A customer
+    is in the covering set while the revenue ACCUMULATED BEFORE them
+    (running − own) is still short of the 0.8·total threshold — i.e.
+    the minimal desc-ordered prefix reaching 80%. Cumulative sums and
+    the 0.8 multiplier are exact decimals (0.8 as DECIMAL(2,1), never
+    a binary float); the only division is the final fraction. Window
+    runs over the dim-sized per-customer aggregate, as with the Gini."""
+    from pyspark.sql import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    )
+    w = (
+        Window.orderBy(F.desc("s"), F.asc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spend.select("s", F.sum("s").over(w).alias("running"))
+    thr = F.lit("0.8").cast("decimal(2,1)")
+    agg = cum.crossJoin(
+        F.broadcast(spend.agg(F.sum("s").alias("total")))
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("running") - F.col("s") < thr * F.col("total"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_top"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("n_top"),
+        (
+            F.col("n_top").cast("double") / F.col("n").cast("double")
+        ).alias("top_fraction"),
+    )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey AS c,
+         MAX(o_orderdate) AS recency,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT c, monetary,
+         NTILE(5) OVER (ORDER BY recency, c)   AS r_q,
+         NTILE(5) OVER (ORDER BY frequency, c) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary, c)  AS m_q
+  FROM rfm
+)
+SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_monetary
+FROM scored
+GROUP BY 1
+ORDER BY n_customers DESC, segment
+LIMIT 25
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE, tags=["A12", "W1", "retail"])
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic mart-layer customer scoring:
+    quintile each customer on Recency (last order), Frequency (order
+    count) and Monetary (exact-decimal spend), concatenate the three
+    quintiles into a segment code, and profile the largest segments.
+    NTILE ties break on custkey so bucket assignment is total-ordered
+    and cross-engine identical; avg_monetary is one division of an
+    exact decimal sum by an exact count. Three windows over the SAME
+    dim-sized aggregate — Catalyst shares the scan; each window is its
+    own sort of |customers| rows."""
+    from pyspark.sql import Window
+
+    rfm = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.max("o_orderdate").alias("recency"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency", "c")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "c")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "c")).alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")
+            ).cast("int").alias("segment")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            (
+                F.sum("monetary").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_monetary"),
+        )
+        .orderBy(F.desc("n_customers"), "segment")
+        .limit(25)
+    )
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is
