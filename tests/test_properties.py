@@ -586,3 +586,103 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
             # never silently fall back to the head
             with pytest.raises(FileNotFoundError, match="expired or never"):
                 read_snapshot(spark, path, version=ver)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdef"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.34, 0.5, 0.8]),
+)
+def test_blocked_jaccard_matches_naive_all_pairs(spark, texts, tau):
+    """Prefix filtering (AllPairs candidate rule) must be LOSSLESS vs
+    the naive O(n²) set-Jaccard join on random short token streams —
+    heavy repeats make many docs share every token, tiny docs make the
+    prefix length degenerate to 1."""
+    import re as _re
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        blocked_jaccard_pairs,
+    )
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in blocked_jaccard_pairs(
+            df, block_cols=["lang", "source"], k=1, threshold=tau
+        ).collect()
+    }
+    toks = {
+        i: set(_re.sub(r"\s+", " ", t.strip().lower()).split(" "))
+        for i, t, *_ in rows
+    }
+    want = {}
+    for i in toks:
+        for j in toks:
+            if i >= j:
+                continue
+            inter = len(toks[i] & toks[j])
+            union = len(toks[i] | toks[j])
+            jac = inter / union if union else 0.0
+            if jac >= tau:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_min_hop_closure_matches_naive_bfs(spark, edges):
+    """Level-synchronous DataFrame BFS must equal a per-source python
+    BFS on random directed graphs with cycles and self-loops."""
+    from collections import deque
+
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        min_hop_closure,
+    )
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {
+        (r.src, r.dst): r.min_hops for r in min_hop_closure(df).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    want = {}
+    for root in {f"n{a}" for a, _ in edges}:
+        q = deque([(root, 0)])
+        seen = set()
+        while q:
+            node, d = q.popleft()
+            for nxt in adj.get(node, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    want[(root, nxt)] = d + 1
+                    q.append((nxt, d + 1))
+    assert got == want
