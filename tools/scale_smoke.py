@@ -1,0 +1,116 @@
+"""10× scale smoke: replicate sf0.1 into an sf≈1 layout and measure
+how the headline operator families actually scale, not just argue it.
+
+Builds ``/tmp/spark_graft_sf1x/<table>.parquet`` by unioning ten
+id-shifted copies of each sf0.1 fact table (documents get a per-replica
+tag token so cross-replica texts are near-dups of each other only
+through their real content, never byte-identical; embeddings keep
+exact duplicate structure deliberately), leaves dims as-is, then runs a
+representative query per family at 1× and 10× on the same session and
+prints the wall-clock ratio. A family whose ratio is ≫ the data ratio
+has a superlinear term the plan audit missed; ~10× (or the output-bound
+families' edge-count growth) is the pass condition recorded in
+docs/SCALE.md.
+
+Usage: python tools/scale_smoke.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BIG_DIR = "/tmp/spark_graft_sf1x"
+REPLICAS = 10
+
+# fact tables: (id columns to shift, optional text tag column)
+_FACTS = {
+    "documents": (["doc_id"], "text"),
+    "events": (["event_id", "user_id"], None),
+    "orders": (["o_orderkey", "o_custkey"], None),
+    "lineitem": (["l_orderkey"], None),
+    "customer": (["c_custkey"], None),
+    "embeddings": (["vec_id"], None),
+}
+_DIMS = ["part", "supplier", "nation", "region"]
+
+QUERIES = [
+    "daily_stats",          # fact scan + multi-measure groupBy
+    "tpch_q3_sql",          # fact-fact join + top-k
+    "market_basket",        # self-join co-occurrence
+    "sessionize_batch",     # user-key window
+    "gini_concentration",   # global rank window over dim-sized agg
+    "lang_id",              # per-row text scoring
+    "minhash_near_dup",     # sketch + band join
+    "blocked_jaccard",      # prefix-filter + verify (output grows too)
+    "dedup_clusters",       # edges + iterative CC
+    "ivfpq_topk",           # ANN train/encode/search
+]
+
+
+def build(spark) -> None:
+    from nyc_taxi_data_ingestion_spark.sources.readers import read_table
+
+    os.makedirs(BIG_DIR, exist_ok=True)
+    for name, (id_cols, tag_col) in _FACTS.items():
+        out = f"{BIG_DIR}/{name}.parquet"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        base = read_table(spark, SF_DIR, name)
+        parts = []
+        for i in range(REPLICAS):
+            df = base
+            for c in id_cols:
+                df = df.withColumn(c, F.col(c) + F.lit(i * 10**9))
+            if tag_col is not None and i > 0:
+                df = df.withColumn(
+                    tag_col, F.concat(F.col(tag_col), F.lit(f" r{i}"))
+                )
+            parts.append(df)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionByName(p)
+        big.write.parquet(out)
+        print(f"built {name}: {spark.read.parquet(out).count()} rows")
+    for name in _DIMS:
+        out = f"{BIG_DIR}/{name}.parquet"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        read_table(spark, SF_DIR, name).write.parquet(out)
+
+
+def main() -> None:
+    from nyc_taxi_data_ingestion_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    if "--rebuild" in sys.argv or not os.path.isdir(BIG_DIR):
+        build(spark)
+    qs = entry.queries()
+    print(f"\n{'query':24s} {'1x sec':>8s} {'10x sec':>9s} {'ratio':>6s}")
+    for name in QUERIES:
+        q = qs[name]
+        q(spark, SF_DIR).count()  # warm (codegen, file listing)
+        t0 = time.time()
+        n1 = q(spark, SF_DIR).count()
+        t1 = time.time()
+        n10 = q(spark, BIG_DIR).count()
+        t2 = time.time()
+        small, big_t = t1 - t0, t2 - t1
+        print(
+            f"{name:24s} {small:8.2f} {big_t:9.2f} {big_t / small:6.1f}"
+            f"   rows {n1} -> {n10}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
