@@ -7111,6 +7111,60 @@ def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_ERASE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_custkey % 7 <> 0
+"""
+
+
+@register("snapshot_erase", _SNAPSHOT_ERASE_ORACLE, tags=["S15", "quality"])
+def q_snapshot_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/DML — hard GDPR erasure end-to-end through the snapshot
+    layer (``snapshots.erase_rows``): commit orders as two appended
+    batches (so real multi-commit history exists), erase every row of
+    the custkey%7 cohort INCLUDING its history (delete + expire +
+    verify — the bytes leave the disk, tested in test_snapshots), and
+    read the surviving head. The oracle recomputes the survivors
+    directly from the source table, certifying the delete predicate's
+    row-level semantics through plan → rewrite → manifest read. Same
+    driver-local lifecycle as q_pipeline_full."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        erase_rows,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snaperase_")
+    try:
+        snapshot_write(base.where("o_orderkey % 2 = 1"), path)
+        snapshot_write(
+            base.where("o_orderkey % 2 = 0"), path, mode="append"
+        )
+        erase_rows(
+            spark, path, F.col("o_custkey") % 7 == 0,
+            orphan_grace_hours=0.0,
+        )
+        return (
+            read_snapshot(spark, path)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_INCR_ORACLE = r"""
 WITH corp AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
 batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
