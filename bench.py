@@ -61,6 +61,12 @@ def main() -> None:
     for name, q in sorted(REGISTRY.items()):
         runs: list[float] = []
         n = 0
+        # release dead localCheckpoint blocks before measuring: the
+        # ContextCleaner unpersists them only after a driver GC notices
+        # the RDD is unreachable, and 180+ queries' worth of retained
+        # blocks otherwise build memory pressure that inflates later
+        # queries (observed: a 3 s query measuring 17 s late-session)
+        spark.sparkContext._jvm.System.gc()
         try:
             while len(runs) < 4:
                 t0 = time.time()

@@ -99,6 +99,9 @@ def main() -> None:
     for name in QUERIES:
         q = qs[name]
         q(spark, SF_DIR).count()  # warm (codegen, file listing)
+        # drop dead checkpoint blocks from prior queries before timing
+        # (see bench.py: retained blocks inflate late-session queries)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         n1 = q(spark, SF_DIR).count()
         t1 = time.time()
