@@ -10,6 +10,7 @@ check does, minus the pandas conversion.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,7 +66,13 @@ def main() -> None:
         # ContextCleaner unpersists them only after a driver GC notices
         # the RDD is unreachable, and 180+ queries' worth of retained
         # blocks otherwise build memory pressure that inflates later
-        # queries (observed: a 3 s query measuring 17 s late-session)
+        # queries (observed: a 3 s query measuring 17 s late-session).
+        # Drop OUR reference to the previous query's frame first — the
+        # py4j handle pins its checkpoint RDD as reachable — then
+        # collect both heaps (cleaner processing stays async; this is
+        # best-effort pressure relief, not a guarantee).
+        df = None
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
         try:
             while len(runs) < 4:

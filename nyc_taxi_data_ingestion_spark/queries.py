@@ -7560,11 +7560,20 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.desc("s"), F.asc("c"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = spend.select("s", F.sum("s").over(w).alias("running"))
+    # the grand total as an unbounded window over the SAME (global,
+    # dim-sized) exchange the running sum uses — a separate .agg()
+    # branch would re-scan orders and re-run the groupBy shuffle
+    # (Catalyst shares no subplan across DataFrame references)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = spend.select(
+        "s",
+        F.sum("s").over(w).alias("running"),
+        F.sum("s").over(w_all).alias("total"),
+    )
     thr = F.lit("0.8").cast("decimal(2,1)")
-    agg = cum.crossJoin(
-        F.broadcast(spend.agg(F.sum("s").alias("total")))
-    ).agg(
+    agg = cum.agg(
         F.count("*").cast("long").alias("n"),
         F.sum(
             F.when(

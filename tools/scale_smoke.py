@@ -17,6 +17,7 @@ Usage: python tools/scale_smoke.py [--rebuild]
 
 from __future__ import annotations
 
+import gc
 import os
 import shutil
 import sys
@@ -55,9 +56,18 @@ QUERIES = [
 ]
 
 
+_SENTINEL = "_BUILT"
+
+
 def build(spark) -> None:
     from nyc_taxi_data_ingestion_spark.sources.readers import read_table
 
+    # a crashed build leaves a half-populated dir; the sentinel is
+    # written last so reruns rebuild instead of measuring a partial
+    # (or stale different-SF) corpus
+    sentinel = os.path.join(BIG_DIR, _SENTINEL)
+    if os.path.exists(sentinel):
+        os.unlink(sentinel)
     os.makedirs(BIG_DIR, exist_ok=True)
     for name, (id_cols, tag_col) in _FACTS.items():
         out = f"{BIG_DIR}/{name}.parquet"
@@ -84,6 +94,8 @@ def build(spark) -> None:
         if os.path.exists(out):
             shutil.rmtree(out)
         read_table(spark, SF_DIR, name).write.parquet(out)
+    with open(os.path.join(BIG_DIR, _SENTINEL), "w") as fh:
+        fh.write(SF_DIR)
 
 
 def main() -> None:
@@ -92,22 +104,30 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark()
-    if "--rebuild" in sys.argv or not os.path.isdir(BIG_DIR):
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(BIG_DIR, _SENTINEL)
+    ):
         build(spark)
+
+    def measured(q, sf_dir):
+        """Warm once, then best-of-2 (min) with heap hygiene before
+        each timing — the same shared-VM steal guard bench.py uses;
+        a single sample per leg can flip a family's conclusion."""
+        q(spark, sf_dir).count()  # warm: codegen, listing, page cache
+        best, n = float("inf"), 0
+        for _ in range(2):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.time()
+            n = q(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best, n
+
     qs = entry.queries()
     print(f"\n{'query':24s} {'1x sec':>8s} {'10x sec':>9s} {'ratio':>6s}")
     for name in QUERIES:
-        q = qs[name]
-        q(spark, SF_DIR).count()  # warm (codegen, file listing)
-        # drop dead checkpoint blocks from prior queries before timing
-        # (see bench.py: retained blocks inflate late-session queries)
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.time()
-        n1 = q(spark, SF_DIR).count()
-        t1 = time.time()
-        n10 = q(spark, BIG_DIR).count()
-        t2 = time.time()
-        small, big_t = t1 - t0, t2 - t1
+        small, n1 = measured(qs[name], SF_DIR)
+        big_t, n10 = measured(qs[name], BIG_DIR)
         print(
             f"{name:24s} {small:8.2f} {big_t:9.2f} {big_t / small:6.1f}"
             f"   rows {n1} -> {n10}"
