@@ -7480,25 +7480,32 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tie-order independent (equal values swap weights within a tied
     block), so the statistic is well-defined. All sums are exact
     decimals; the single final division is IEEE-identical
-    cross-engine. The global rank window runs over the AGGREGATED
-    per-customer table (|customers| rows, dim-sized) — for a
-    billion-key distribution swap in the partitioned prefix-sum
-    (operators/incremental.py) the sequence packer uses."""
+    cross-engine. NO global rank window: the rank weight i is 1 + the
+    exclusive prefix COUNT in (s, custkey) order, computed by the
+    two-pass bucketed scan (operators/transform.partitioned_prefix_sum)
+    over a unique numeric surrogate s·10¹⁰ + custkey — a
+    billion-customer distribution never lands in one task (the
+    plan-audit sweep gates this); the oracle's ROW_NUMBER states the
+    same math in SQL."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
+
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        # unique ascending surrogate for (s, c) — custkey < 10^10 in
+        # this schema; decimal headroom keeps the product exact
+        .withColumn("__ord", F.col("s") * F.lit(10**10) + F.col("c"))
+        .withColumn("__g", F.lit(1))
+        .withColumn("__one", F.lit(1).cast("long"))
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("s", "c")
-    ranked = spend.select(
-        "s", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = partitioned_prefix_sum(spend, ["__g"], "__ord", "__one", "__i0")
     agg = ranked.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("s").alias("total"),
-        F.sum(F.col("i") * F.col("s")).alias("weighted"),
+        F.sum((F.col("__i0") + 1) * F.col("s")).alias("weighted"),
     )
     return agg.select(
         F.col("n").alias("n_customers"),
@@ -7547,38 +7554,34 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (running − own) is still short of the 0.8·total threshold — i.e.
     the minimal desc-ordered prefix reaching 80%. Cumulative sums and
     the 0.8 multiplier are exact decimals (0.8 as DECIMAL(2,1), never
-    a binary float); the only division is the final fraction. Window
-    runs over the dim-sized per-customer aggregate, as with the Gini."""
-    from pyspark.sql import Window
+    a binary float); the only division is the final fraction. NO
+    global ordered window: the exclusive running sum comes from the
+    two-pass bucketed prefix scan in (s desc, custkey asc) order via
+    the surrogate custkey − s·10¹⁰; the total/count pass and the
+    threshold pass both read the scan's materialized output, never
+    re-scanning orders."""
+    from nyc_taxi_data_ingestion_spark.operators.transform import (
+        partitioned_prefix_sum,
+    )
 
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        # ascending surrogate for (s DESC, c ASC); unique since c is
+        .withColumn("__ord", F.col("c") - F.col("s") * F.lit(10**10))
+        .withColumn("__g", F.lit(1))
     )
-    w = (
-        Window.orderBy(F.desc("s"), F.asc("c"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # the grand total as an unbounded window over the SAME (global,
-    # dim-sized) exchange the running sum uses — a separate .agg()
-    # branch would re-scan orders and re-run the groupBy shuffle
-    # (Catalyst shares no subplan across DataFrame references)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = spend.select(
-        "s",
-        F.sum("s").over(w).alias("running"),
-        F.sum("s").over(w_all).alias("total"),
+    cum = partitioned_prefix_sum(spend, ["__g"], "__ord", "s", "__before")
+    tot = cum.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s").alias("total"),
     )
     thr = F.lit("0.8").cast("decimal(2,1)")
-    agg = cum.agg(
-        F.count("*").cast("long").alias("n"),
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n").alias("n"),
         F.sum(
-            F.when(
-                F.col("running") - F.col("s") < thr * F.col("total"), 1
-            ).otherwise(0)
+            F.when(F.col("__before") < thr * F.col("total"), 1).otherwise(0)
         ).cast("long").alias("n_top"),
     )
     return agg.select(
@@ -7593,17 +7596,32 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RFM_ORACLE = """
 WITH rfm AS (
   SELECT o_custkey AS c,
-         MAX(o_orderdate) AS recency,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(MAX(o_orderdate) AS DATE)) AS DOUBLE)
+           AS recency,
+         CAST(COUNT(*) AS DOUBLE) AS frequency,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
   FROM orders GROUP BY o_custkey
 ),
-scored AS (
-  SELECT c, monetary,
-         NTILE(5) OVER (ORDER BY recency, c)   AS r_q,
-         NTILE(5) OVER (ORDER BY frequency, c) AS f_q,
-         NTILE(5) OVER (ORDER BY monetary, c)  AS m_q
+q AS (
+  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(CAST(monetary AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mq
   FROM rfm
+),
+scored AS (
+  SELECT monetary,
+         1 + CAST(recency > rq[1] AS INT) + CAST(recency > rq[2] AS INT)
+           + CAST(recency > rq[3] AS INT) + CAST(recency > rq[4] AS INT)
+           AS r_q,
+         1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+           + CAST(frequency > fq[3] AS INT) + CAST(frequency > fq[4] AS INT)
+           AS f_q,
+         1 + CAST(CAST(monetary AS DOUBLE) > mq[1] AS INT)
+           + CAST(CAST(monetary AS DOUBLE) > mq[2] AS INT)
+           + CAST(CAST(monetary AS DOUBLE) > mq[3] AS INT)
+           + CAST(CAST(monetary AS DOUBLE) > mq[4] AS INT) AS m_q
+  FROM rfm, q
 )
 SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -7622,29 +7640,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintile each customer on Recency (last order), Frequency (order
     count) and Monetary (exact-decimal spend), concatenate the three
     quintiles into a segment code, and profile the largest segments.
-    NTILE ties break on custkey so bucket assignment is total-ordered
-    and cross-engine identical; avg_monetary is one division of an
-    exact decimal sum by an exact count. Three windows over the SAME
-    dim-sized aggregate — Catalyst shares the scan; each window is its
-    own sort of |customers| rows."""
-    from pyspark.sql import Window
+    Buckets are VALUE quintiles against exact distributed cut points
+    (functions/numeric.exact_quantiles — the same quantile_cont
+    contract the oracle computes), broadcast onto the per-customer
+    aggregate: no global NTILE sort ever lands a billion customers in
+    one task, and ties sit in one bucket by value, deterministically.
+    avg_monetary is one division of an exact decimal sum by an exact
+    count."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
 
     rfm = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(
-            F.max("o_orderdate").alias("recency"),
-            F.count("*").cast("long").alias("frequency"),
+            # days-since-epoch: DATE arithmetic is timezone-free on
+            # both engines (epoch_us/unix_micros would shift with the
+            # session TZ on the driver's vanilla session, and the raw
+            # column is TIMESTAMP_NTZ)
+            F.datediff(
+                F.max("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("double").alias("recency"),
+            F.count("*").cast("double").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
                 "monetary"
             ),
         )
+        .withColumn("mon_d", F.col("monetary").cast("double"))
+        # three quantile selections + the scoring pass read this frame:
+        # materialize the dim-sized aggregate once
+        .localCheckpoint(eager=True)
     )
-    scored = rfm.select(
+    fr = [0.2, 0.4, 0.6, 0.8]
+    cuts = (
+        exact_quantiles(rfm, "recency", fr, out_prefix="rq")
+        .crossJoin(exact_quantiles(rfm, "frequency", fr, out_prefix="fq"))
+        .crossJoin(exact_quantiles(rfm, "mon_d", fr, out_prefix="mq"))
+    )
+
+    def bucket(v: str, prefix: str):
+        q = F.lit(1)
+        for i in range(4):
+            q = q + (F.col(v) > F.col(f"{prefix}{i}")).cast("int")
+        return q
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
         "monetary",
-        F.ntile(5).over(Window.orderBy("recency", "c")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy("frequency", "c")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy("monetary", "c")).alias("m_q"),
+        bucket("recency", "rq").alias("r_q"),
+        bucket("frequency", "fq").alias("f_q"),
+        bucket("mon_d", "mq").alias("m_q"),
     )
     return (
         scored.groupBy(
