@@ -7495,11 +7495,28 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
-        # unique ascending surrogate for (s, c) — custkey < 10^10 in
-        # this schema; decimal headroom keeps the product exact
-        .withColumn("__ord", F.col("s") * F.lit(10**10) + F.col("c"))
+        # unique ascending surrogate for (s, c): spend in CENTS (the
+        # type's own granularity, so one custkey unit < one spend
+        # step) times 10^12, plus custkey — exact decimal arithmetic,
+        # and the assert_true makes the custkey < 10^12 domain bound
+        # a loud failure instead of a silent rank inversion
+        .withColumn(
+            "__ord",
+            F.when(
+                F.assert_true(
+                    F.col("c") < F.lit(10**12),
+                    "gini surrogate needs custkey < 10^12",
+                ).isNull(),
+                (F.col("s") * 100).cast("decimal(25,0)") * F.lit(10**12)
+                + F.col("c"),
+            ),
+        )
         .withColumn("__g", F.lit(1))
         .withColumn("__one", F.lit(1).cast("long"))
+        # three passes read this dim-sized frame (the scan's internal
+        # projection build, plus the returned plan's join back):
+        # materialize once instead of re-running the orders groupBy
+        .localCheckpoint(eager=True)
     )
     ranked = partitioned_prefix_sum(spend, ["__g"], "__ord", "__one", "__i0")
     agg = ranked.agg(
@@ -7568,9 +7585,22 @@ def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("c"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
-        # ascending surrogate for (s DESC, c ASC); unique since c is
-        .withColumn("__ord", F.col("c") - F.col("s") * F.lit(10**10))
+        # ascending surrogate for (s DESC, c ASC): cents-scaled spend
+        # (one custkey unit < one spend step under the guarded
+        # custkey < 10^12 bound — see q_gini_concentration)
+        .withColumn(
+            "__ord",
+            F.when(
+                F.assert_true(
+                    F.col("c") < F.lit(10**12),
+                    "pareto surrogate needs custkey < 10^12",
+                ).isNull(),
+                F.col("c")
+                - (F.col("s") * 100).cast("decimal(25,0)") * F.lit(10**12),
+            ),
+        )
         .withColumn("__g", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     cum = partitioned_prefix_sum(spend, ["__g"], "__ord", "s", "__before")
     tot = cum.agg(

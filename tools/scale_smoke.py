@@ -47,7 +47,7 @@ QUERIES = [
     "tpch_q3_sql",          # fact-fact join + top-k
     "market_basket",        # self-join co-occurrence
     "sessionize_batch",     # user-key window
-    "gini_concentration",   # global rank window over dim-sized agg
+    "gini_concentration",   # two-pass bucketed prefix scan (rank stat)
     "lang_id",              # per-row text scoring
     "minhash_near_dup",     # sketch + band join
     "blocked_jaccard",      # prefix-filter + verify (output grows too)
@@ -104,9 +104,15 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark()
-    if "--rebuild" in sys.argv or not os.path.exists(
-        os.path.join(BIG_DIR, _SENTINEL)
-    ):
+    sentinel = os.path.join(BIG_DIR, _SENTINEL)
+    built_from = None
+    if os.path.exists(sentinel):
+        with open(sentinel) as fh:
+            built_from = fh.read().strip()
+    # rebuild on demand, on a missing/partial build, AND when the
+    # existing build derives from a different base SF — otherwise the
+    # 1x leg would measure one corpus and the 10x leg another
+    if "--rebuild" in sys.argv or built_from != SF_DIR:
         build(spark)
 
     def measured(q, sf_dir):
