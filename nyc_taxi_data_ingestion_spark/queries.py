@@ -7704,19 +7704,26 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     fr = [0.2, 0.4, 0.6, 0.8]
-    cuts = (
-        exact_quantiles(rfm, "recency", fr, out_prefix="rq")
-        .crossJoin(exact_quantiles(rfm, "frequency", fr, out_prefix="fq"))
-        .crossJoin(exact_quantiles(rfm, "mon_d", fr, out_prefix="mq"))
-    )
+    # the 12 cut points are driver-visible scalars by construction
+    # (exact_quantiles materializes them) — inline as LITERALS. Do NOT
+    # chain the one-row frames through crossJoin: a 3-way single-row
+    # cartesian measures 14-17 s of pure overhead on this Spark build
+    # (and un-coalesced it plans a 32^3-task stage; measured 500 s).
+    cuts = {
+        p: exact_quantiles(rfm, col, fr, out_prefix=p).collect()[0]
+        for p, col in (("rq", "recency"), ("fq", "frequency"),
+                       ("mq", "mon_d"))
+    }
 
     def bucket(v: str, prefix: str):
         q = F.lit(1)
         for i in range(4):
-            q = q + (F.col(v) > F.col(f"{prefix}{i}")).cast("int")
+            q = q + (
+                F.col(v) > F.lit(cuts[prefix][f"{prefix}{i}"])
+            ).cast("int")
         return q
 
-    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+    scored = rfm.select(
         "monetary",
         bucket("recency", "rq").alias("r_q"),
         bucket("frequency", "fq").alias("f_q"),
