@@ -7747,6 +7747,179 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAILING_WINDOW_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS INT) AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day,
+       CAST(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY day
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d
+FROM o
+"""
+
+
+@register("trailing_window_revenue", _TRAILING_WINDOW_ORACLE,
+          tags=["W2", "sql"])
+def q_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per order via a RANGE window frame —
+    physically distinct from every ROWS-frame query in the registry:
+    the frame boundary is a VALUE offset on the order key (all orders
+    within 29 days), so peer rows (same customer, same day) always
+    aggregate together and the result is row-order independent — the
+    property that makes a value-framed running aggregate exactly
+    checkable cross-engine. Partitioned by customer: per-key volumes
+    are bounded, no global sort. Day index is timezone-free date
+    arithmetic; the sum is exact decimal, cast once at the edge."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("int").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("price").over(w).cast("double").alias("trailing_30d"),
+    )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH sub AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+  FROM lineitem
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (
+           PARTITION BY flag ORDER BY price
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM sub
+)
+SELECT flag,
+       CAST(MIN(price) AS DOUBLE) AS weighted_median,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY flag
+"""
+
+
+@register("weighted_median", _WEIGHTED_MEDIAN_ORACLE, tags=["A7", "stats"])
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the lower
+    weighted median (first value whose cumulative weight reaches half
+    the total), exact by construction: weights and prices aggregate as
+    decimals, the threshold test is the integer-ish cross-multiply
+    2·cw ≥ tw, and the answer is a MIN over qualifying rows. The
+    per-flag ordered window runs over the (flag, price) SUBTOTAL
+    table — the ks_drift precedent: the fact table never enters a
+    window; rows per flag are bounded by the price domain, not the
+    row count."""
+    from pyspark.sql import Window
+
+    sub = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("flag")
+    cum = sub.select(
+        "flag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+    )
+
+
+_MODE_PER_GROUP_ORACLE = """
+WITH counts AS (
+  SELECT p_brand, p_size, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_brand, p_size, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY p_brand ORDER BY n DESC, p_size
+         ) AS rn
+  FROM counts
+)
+SELECT p_brand, p_size AS mode_size, n AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("mode_per_group", _MODE_PER_GROUP_ORACLE, tags=["A8", "stats"])
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent part size per brand with a deterministic
+    (count desc, size asc) tie-break — the mode, computed WITHOUT any
+    window: two partial-aggregating groupBys, the second folding each
+    brand's candidates through MIN over a (−count, size) struct
+    (lexicographic struct comparison IS the tie-break rule). The
+    oracle states the same rule as ROW_NUMBER...=1; the Spark plan
+    map-side combines both stages and never materializes a per-brand
+    ordering — the arg-min shape that survives a hot brand where a
+    partitioned window would not."""
+    counts = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    best = (
+        counts.groupBy("p_brand")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"),
+                    F.col("p_size").alias("sz"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "p_brand",
+        F.col("b.sz").alias("mode_size"),
+        (-F.col("b.neg_n")).cast("long").alias("mode_count"),
+    )
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is
