@@ -8008,16 +8008,38 @@ _GREEN_R05 = [
     "token_shards", "topk_per_group", "topk_per_group_salted",
     "value_counts", "zscore_outliers",
 ]
+# Hash-green in CORRECTNESS_r06.json (certified at r6 HEAD — includes
+# the snapshot layer, windowless mode/weighted-median, and the RFM/
+# pareto single-scan rewrites).
+_GREEN_R06 = [
+    "asof_join", "bronze_ingest", "containment_pairs",
+    "edit_near_dup", "error_capture", "gini_concentration",
+    "gopher_filter", "group_sample", "grouping_sets_agg",
+    "line_dedup", "market_basket", "mode_per_group",
+    "multimodal_frames", "pareto_share", "pii_redact",
+    "recursive_month_spine", "repetition_stats", "rfm_segments",
+    "scalar_subquery_agg", "sequence_pack", "sessionize_batch",
+    "snapshot_cdc", "snapshot_erase", "snapshot_incremental_ingest",
+    "snapshot_incremental_read", "snapshot_merge_upsert", "snapshot_time_travel",
+    "span_removal", "sql_model_mart", "stratified_sample",
+    "stream_late_data", "stream_session_windows", "stream_stateful_profile",
+    "token_diversity", "tpch_q10_sql", "tpch_q13_sql",
+    "tpch_q15_sql", "tpch_q17_sql", "tpch_q19_sql",
+    "tpch_q21_sql", "tpch_q22_sql", "tpch_q4_sql",
+    "tpch_q7_sql", "tpch_q8_sql", "trailing_window_revenue",
+    "transition_reachability", "variant_extract_agg", "weighted_median",
+    "window_dedup", "winsorize",
+]
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r05 certified
-# the final round-5 HEAD, so this starts empty for round 6; add any
-# green whose implementing path is edited this round.
+# re-certifies them against the code as it stands now. r06 certified
+# the final round-6 HEAD; add any green whose implementing path is
+# edited this round (round 7).
 _REFRESH_FIRST: list[str] = []
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
-_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05
+_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
 
 
 def _export_order() -> list[str]:
@@ -8032,6 +8054,7 @@ def _export_order() -> list[str]:
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
+        (_GREEN_R06, 6),
         (_GREEN_R05, 5),
         (_GREEN_R04, 4),
         (_GREEN_R03, 3),

@@ -61,3 +61,26 @@ def test_unverified_oracle_queries_fit_driver_budget():
     # green/refresh lists must reference real registry entries only
     assert prior <= set(REGISTRY), sorted(prior - set(REGISTRY))
     assert set(_REFRESH_FIRST) <= set(REGISTRY)
+
+
+def test_doc_counts_match_registry():
+    """README.md and SURVEY.md self-report the registry size; keep the
+    prose in lockstep with len(queries())/len(oracle_sql()) so the
+    counts can't silently drift (r6 verdict item 4)."""
+    import re
+
+    import __spark_entry__ as e
+
+    n_q, n_o = len(e.queries()), len(e.oracle_sql())
+    readme = open("README.md").read()
+    survey = open("SURVEY.md").read()
+    m = re.search(r"(\d+) named queries: (\d+) hash-checked", readme)
+    assert m, "README.md lost its registry-count sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"README.md says {m.groups()}, registry is ({n_q}, {n_o})"
+    )
+    m = re.search(r"Registry: (\d+) driver queries, (\d+)\s*\nDuckDB", survey)
+    assert m, "SURVEY.md lost its registry-count sentence"
+    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
+        f"SURVEY.md says {m.groups()}, registry is ({n_q}, {n_o})"
+    )
