@@ -378,6 +378,7 @@ def ivf_topk(
     num_cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index: corpus vectors live in
     their nearest-centroid cell; each query scores only its `nprobe`
@@ -386,7 +387,15 @@ def ivf_topk(
 
     Scale shape: training is sample-bounded; assignment is a narrow
     Arrow-batched map; the only wide op is the (cell)-keyed equi-join,
-    so cost is |corpus|·nprobe/num_cells candidate rows, not |Q|·|N|."""
+    so cost is |corpus|·nprobe/num_cells candidate rows, not |Q|·|N|.
+
+    ``broadcast_queries`` hints the exploded query frame broadcast-able
+    (right for the interactive small-Q case, where in-memory frames may
+    carry no size stats). Pass False when the query side is
+    corpus-proportional — e.g. label propagation over a whole corpus —
+    so the cell join stays a size-aware equi-join (AQE still
+    auto-broadcasts if the side turns out small; an unconditional hint
+    would OOM a 1000-executor cluster on a corpus-sized build side)."""
     from pyspark.sql import Window
 
     cent = train_centroids(
@@ -409,7 +418,7 @@ def ivf_topk(
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q) if broadcast_queries else q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -1018,6 +1027,15 @@ def prototype_prune(
     )
 
 
+# Largest unlabeled/query frame the exact brute-force kNN path may
+# broadcast (brute_force_topk ships the query side to every executor —
+# fine for a bounded batch, fatal when it is a corpus-proportional
+# slice). Past this, `method="auto"` routes through the IVF index and
+# `method="exact"` refuses — the same guard discipline as pq_topk's
+# max_queries and semantic_dedup's _EXACT_ALLPAIRS_MAX_ROWS.
+_KNN_EXACT_MAX_QUERY_ROWS = 100_000
+
+
 def knn_label_propagation(
     labeled: DataFrame,
     unlabeled: DataFrame,
@@ -1025,6 +1043,11 @@ def knn_label_propagation(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "auto",
+    max_exact_rows: int = _KNN_EXACT_MAX_QUERY_ROWS,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Propagate labels from a labeled seed set to unlabeled vectors by
     majority vote of the k nearest labeled neighbors (cosine) — the
@@ -1036,22 +1059,64 @@ def knn_label_propagation(
     among the k neighbors. Ties break to the SMALLEST label —
     deterministic, engine-portable.
 
-    Scale shape: neighbor search is :func:`brute_force_topk` (labeled
-    side broadcasts — seed sets are small by definition; swap in
-    ivf_topk when the labeled set outgrows a broadcast); the vote is a
-    (query, label) partial-agg plus a per-query top-1 window — no
-    vector ever shuffles."""
+    Neighbor search routes by ``method``:
+
+    - ``"exact"`` — :func:`brute_force_topk`. Broadcasts the unlabeled
+      frame, so it REFUSES (ValueError) past ``max_exact_rows``: an
+      unbounded exact path silently becomes an O(|U|·|L|) scan with a
+      corpus-sized broadcast at 100×. This is the oracle-twin path.
+    - ``"ivf"`` — :func:`ivf_topk` with ``broadcast_queries=False``:
+      sample-trained centroids, cell-keyed size-aware equi-join,
+      nothing hinted broadcast-able. The default at corpus scale.
+    - ``"auto"`` — one count() of the unlabeled side picks exact under
+      ``max_exact_rows``, IVF above it.
+
+    The vote is a (query, label) partial-agg plus a per-query top-1
+    window — no vector ever shuffles. The labeled (id → label) join is
+    hint-free on the scale path: AQE broadcasts it only if it is
+    actually small (a seed set), never because we promised it was."""
     from pyspark.sql import Window
 
-    nn = brute_force_topk(
-        unlabeled, labeled, k=k, id_col=id_col, vec_col=vec_col
-    )
+    n_q = None
+    if method == "auto":
+        n_q = unlabeled.count()
+        method = "exact" if n_q <= max_exact_rows else "ivf"
+    if method == "exact":
+        # bounded-broadcast contract; auto has already proven it, an
+        # explicit exact call must prove it here
+        if n_q is None:
+            n_q = unlabeled.count()
+        if n_q > max_exact_rows:
+            raise ValueError(
+                f"knn_label_propagation(method='exact'): {n_q} query rows "
+                f"exceed max_exact_rows={max_exact_rows}; the exact path "
+                "broadcasts the query frame. Use method='ivf' (or 'auto')."
+            )
+        nn = brute_force_topk(
+            unlabeled, labeled, k=k, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "ivf":
+        nn = ivf_topk(
+            unlabeled,
+            labeled,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_cells=num_cells,
+            nprobe=nprobe,
+            seed=seed,
+            broadcast_queries=False,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__lab"),
     )
+    # no broadcast hint: the labeled frame is corpus-proportional in
+    # whole-corpus propagation; AQE broadcasts genuinely small seed sets
     votes = (
-        nn.join(F.broadcast(lab), "neighbor_id")
+        nn.join(lab, "neighbor_id")
         .groupBy("query_id", "__lab")
         .agg(
             F.count("*").alias("votes"),

@@ -5400,15 +5400,19 @@ FROM (
 """
 
 
-@register("knn_label_prop", _KNN_LABEL_ORACLE, tags=["llm-similarity"])
+@register("knn_label_prop", None, tags=["llm-similarity"])
 def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label propagation: vectors with vec_id % 3 == 0 lose their
-    label and recover it by majority vote of their 5 nearest labeled
-    neighbors (cosine), ties to the smallest label
-    (llm/similarity.knn_label_propagation) — bootstrapping corpus
-    labels from a small annotated seed set. Exact-neighbor oracle;
-    cosine fold order matches list_reduce (the embedding_topk
-    contract)."""
+    """kNN label propagation, IVF-routed (the corpus-scale default):
+    vectors with vec_id % 3 == 0 lose their label and recover it by
+    majority vote of their 5 nearest labeled neighbors found through
+    the IVF index (llm/similarity.knn_label_propagation,
+    method="ivf"). The query side here is a corpus-proportional slice,
+    so NOTHING is hinted broadcast-able — the cell join and the
+    id→label vote join are size-aware equi-joins (r6 verdict item 1).
+    Rows-only: k-means cell routing is not SQL-expressible; pytest
+    gates agreement vs the exact twin and the hint-free plan, and
+    knn_label_prop_exact is the hash-checked oracle twin through the
+    identical vote path."""
     from nyc_taxi_data_ingestion_spark.llm.similarity import (
         knn_label_propagation,
     )
@@ -5418,6 +5422,33 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 3 != 0),
         emb.filter(F.col("vec_id") % 3 == 0),
         k=5,
+        method="ivf",
+        num_cells=16,
+        nprobe=12,
+    )
+    return out.select(
+        "vec_id", "predicted_label", "votes",
+        F.round("top_sim", 8).alias("top_sim"),
+    )
+
+
+@register("knn_label_prop_exact", _KNN_LABEL_ORACLE, tags=["llm-similarity"])
+def q_knn_label_prop_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-neighbor twin of knn_label_prop: brute-force cosine kNN
+    (guarded — llm/similarity.knn_label_propagation method="exact"
+    refuses past max_exact_rows, the pq_topk discipline), identical
+    majority-vote path, hash-checked against the DuckDB oracle. Cosine
+    fold order matches list_reduce (the embedding_topk contract)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_label_propagation(
+        emb.filter(F.col("vec_id") % 3 != 0),
+        emb.filter(F.col("vec_id") % 3 == 0),
+        k=5,
+        method="exact",
     )
     return out.select(
         "vec_id", "predicted_label", "votes",
@@ -7974,7 +8005,11 @@ _GREEN_R04 = [
     "domain_mixture", "dup_rate_by_source", "embedding_centroids",
     "event_transitions", "fingerprint_collisions", "funnel_counts",
     "group_holdout_split", "incremental_agg_state", "incremental_dedup_exact",
-    "json_extract_agg", "keyword_extract", "knn_label_prop",
+    "json_extract_agg", "keyword_extract",
+    # knn_label_prop's r4 green was earned by the exact-neighbor
+    # semantics that now live under knn_label_prop_exact (the default
+    # became IVF-routed in r7) — the green moved out with the rename
+    # and the new default re-earns its evidence as rows-only + pytest.
     "ks_drift", "ks_drift_grouped", "lang_token_stats",
     "mad_outliers_exact", "media_dedup", "media_shard_pack",
     "pipeline_full", "profile_columns", "promo_revenue",

@@ -1070,3 +1070,88 @@ def test_load_ann_index_rejects_foreign_dir(spark, tmp_path):
         json.dump({"format": "something-else"}, f)
     with pytest.raises(ValueError, match="not an ANN index"):
         load_ann_index(spark, path)
+
+
+# -- kNN label propagation routing guard (r6 verdict item 1) ----------------
+
+
+def _knn_inputs(emb):
+    labeled = emb.filter("vec_id % 3 <> 0")
+    unlabeled = emb.filter("vec_id % 3 = 0")
+    return labeled, unlabeled
+
+
+def test_knn_exact_refuses_past_broadcast_bound(emb):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    labeled, unlabeled = _knn_inputs(emb)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        knn_label_propagation(
+            labeled, unlabeled, k=5, method="exact", max_exact_rows=3
+        )
+
+
+def test_knn_auto_routes_to_ivf_past_bound(emb):
+    """Auto with a tiny bound must pick the IVF plan (no crash, same
+    output schema) — the corpus-proportional broadcast can't sneak back
+    in through the default method."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    labeled, unlabeled = _knn_inputs(emb)
+    out = knn_label_propagation(
+        labeled, unlabeled, k=5, method="auto", max_exact_rows=3,
+        num_cells=4, nprobe=4,
+    )
+    assert out.columns == ["vec_id", "predicted_label", "votes", "top_sim"]
+    assert out.count() == unlabeled.count()
+
+
+def test_knn_ivf_plan_is_hint_free(emb):
+    """The registered corpus-scale default must not carry a user
+    broadcast HINT anywhere (size-aware auto-broadcast by AQE is fine
+    and expected at test scale; an unconditional hint on a
+    corpus-proportional frame is the scale-killer being gated)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    labeled, unlabeled = _knn_inputs(emb)
+    out = knn_label_propagation(
+        labeled, unlabeled, k=5, method="ivf", num_cells=4, nprobe=2
+    )
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed
+
+
+def test_knn_ivf_agrees_with_exact(emb):
+    """IVF-routed propagation with the registered default's generous
+    probe (nprobe=12 of 16 cells) must reproduce the exact twin's
+    labels for most queries. The testdata embeddings are near-uniform
+    random (worst case for any cell-based index — true neighbors are
+    near-ties scattered across cells), so the gate is 0.8; measured
+    0.87 at sf0.01 / 0.92 at sf0.001."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        knn_label_propagation,
+    )
+
+    labeled, unlabeled = _knn_inputs(emb)
+    exact = {
+        r.vec_id: r.predicted_label
+        for r in knn_label_propagation(
+            labeled, unlabeled, k=5, method="exact"
+        ).collect()
+    }
+    ivf = {
+        r.vec_id: r.predicted_label
+        for r in knn_label_propagation(
+            labeled, unlabeled, k=5, method="ivf", num_cells=16, nprobe=12
+        ).collect()
+    }
+    assert set(ivf) == set(exact)
+    agree = sum(ivf[i] == exact[i] for i in ivf) / len(ivf)
+    assert agree >= 0.8, f"IVF/exact label agreement {agree:.3f} < 0.8"
