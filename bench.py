@@ -48,34 +48,42 @@ def main() -> None:
             except Exception as exc:  # never let warmup break the bench
                 print(f"# warmup {name}: {exc}", file=sys.stderr)
 
-    # adaptive best-of-N per query: this box is a shared VM with
-    # transient neighbor CPU steal (observed 5-10x inflation windows
-    # lasting minutes — e.g. the same query measuring 2.6 s and 9.8 s
-    # within the hour). Two runs, then keep re-running while the two
-    # fastest disagree by >25% (up to 4), and report the min: that
-    # measures the engine, not the neighbors.
+    # Per-query ISOLATION fence (r6 verdict item 3 — session-order
+    # sensitivity): before each query's cold run, drop our handle on
+    # the previous frame, clear EVERY cached/persisted block
+    # (clearCache unpersists cross-query cache residue a shared session
+    # accumulates — the r6 artifacts disagreed 9x on knn_label_prop
+    # purely by position in the sweep), and GC both heaps so the
+    # ContextCleaner releases dead localCheckpoint blocks (180+
+    # queries' worth otherwise build memory pressure that inflates
+    # late-session numbers — observed: a 3 s query measuring 17 s).
+    # Then record COLD = first fenced run, and WARM = best-of-N of the
+    # following runs (adaptive: this box is a shared VM with transient
+    # neighbor CPU steal — observed 5-10x inflation windows lasting
+    # minutes — so two warm runs, re-running while the two fastest
+    # disagree by >25%, up to 3, reporting the min: that measures the
+    # engine, not the neighbors). Deliberate cross-RUN artifacts (the
+    # persisted ANN index) stay: cold includes their probe/build, warm
+    # shows the steady state — both are real deployments.
     # fault-isolated per query: one broken query must never zero the
     # whole artifact (round 2 lost all bench evidence to a single
     # streaming failure) — record the error string and keep going.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
-        runs: list[float] = []
-        n = 0
-        # release dead localCheckpoint blocks before measuring: the
-        # ContextCleaner unpersists them only after a driver GC notices
-        # the RDD is unreachable, and 180+ queries' worth of retained
-        # blocks otherwise build memory pressure that inflates later
-        # queries (observed: a 3 s query measuring 17 s late-session).
-        # Drop OUR reference to the previous query's frame first — the
-        # py4j handle pins its checkpoint RDD as reachable — then
-        # collect both heaps (cleaner processing stays async; this is
-        # best-effort pressure relief, not a guarantee).
         df = None
+        spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        runs: list[float] = []
+        n = 0
         try:
-            while len(runs) < 4:
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            cold[name] = round(time.time() - t0, 3)
+            while len(runs) < 3:
                 t0 = time.time()
                 df = q.fn(spark, sf_dir)
                 n = df.count()
@@ -89,7 +97,10 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(min(runs), 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows, cold {cold[name]}s, warm {timings[name]}s",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -104,6 +115,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "timing_method": (
+                    "per-query fence (clearCache+GC); cold = first fenced "
+                    "run; queries{} = warm best-of-adaptive-3"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "baseline_comparable_pipeline_sec": round(
                     sum(timings.get(q, 0.0) for q in medallion), 3

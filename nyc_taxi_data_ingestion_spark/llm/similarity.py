@@ -835,6 +835,33 @@ def build_ann_index(
         shutil.rmtree(os.path.join(path, old_codes), ignore_errors=True)
 
 
+def source_fingerprint(path: str) -> str:
+    """Content fingerprint of a corpus file/directory WITHOUT reading
+    data: md5 over each member file's (relative name, size, mtime_ns).
+    Changes whenever any file is rewritten, added, or removed — the
+    cache-key ingredient that keeps a persisted ANN index honest when
+    the corpus changes under unchanged build params (an index loaded
+    against different content silently serves wrong neighbors; r6
+    verdict item 7). Metadata-only, so it costs microseconds against a
+    100 TB corpus where hashing content would cost a full read."""
+    import hashlib
+    import os
+
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
 class AnnIndex:
     """A loaded at-rest ANN index: the codes DataFrame (lazy, cell-
     partitioned parquet) plus the driver-side trained model arrays."""

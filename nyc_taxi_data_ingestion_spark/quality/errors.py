@@ -76,8 +76,25 @@ def capture_errors(
     )
 
 
-def persist_errors(errors: DataFrame, path: str) -> None:
-    """Append to the (partition_day, layer)-partitioned error table."""
+def persist_errors(
+    errors: DataFrame, path: str, csv_dir: str | None = None
+) -> None:
+    """Append to the (partition_day, layer)-partitioned error table.
+
+    ``csv_dir``: optionally ALSO export the batch as CSV — the
+    reference persists failing-row samples both to its error table and
+    to a flat CSV for spreadsheet triage (ErrorTracker.save_to_csv,
+    ``error_tracking.py:199-202``). Error frames are bounded samples
+    (≤100/check, ≤1000/run), so a coalesce(1) single-file export is
+    safe by construction — this is a human-triage artifact, never a
+    data path."""
+    if csv_dir is not None:
+        (
+            errors.coalesce(1)
+            .write.mode("append")
+            .option("header", "true")
+            .csv(csv_dir)
+        )
     append_table(errors, path, partition_by=["partition_day", "layer"])
 
 

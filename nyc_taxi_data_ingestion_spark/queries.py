@@ -1724,7 +1724,10 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is bit-identical to the ephemeral ivfpq_topk (asserted in
     tests). Rows-only like the other approximate ANN surfaces; this
     entry proves the at-rest index lifecycle under the driver
-    contract. The index is CACHED per (sf, build params) — a
+    contract. The index is CACHED per (sf, build params, corpus
+    CONTENT fingerprint — size/mtime of the embeddings parquet, so a
+    corpus rewritten under the same path+params gets a fresh build
+    instead of silently-wrong neighbors from a stale index) — a
     production index builds once and serves many query batches, so
     repeat runs measure the steady state: load + probe + score, not a
     rebuild per batch. Cache hits are VALIDATED (meta params match,
@@ -1743,12 +1746,14 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_index_topk,
         build_ann_index,
         load_ann_index,
+        source_fingerprint,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     params = {"num_cells": 16, "m": 16, "nbits": 8, "seed": 42}
+    content = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     digest = hashlib.md5(
-        f"annidx:{sf_dir}:{sorted(params.items())}".encode()
+        f"annidx:{sf_dir}:{content}:{sorted(params.items())}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_annidx_{digest}"

@@ -98,7 +98,9 @@ def jdbc_confs(
 
 
 def durable_catalog_confs(
-    warehouse_dir: str, metastore_dir: str | None = None
+    warehouse_dir: str,
+    metastore_dir: str | None = None,
+    metastore_uris: str | None = None,
 ) -> dict[str, str]:
     """Persistent multi-session catalog confs (SURVEY §1.4; the
     reference's Hive-metastore catalog —
@@ -108,16 +110,30 @@ def durable_catalog_confs(
     processes: metadata lives in a Hive metastore instead of the
     default in-memory session catalog.
 
-    Locally/CI the metastore is an embedded Derby database at
-    ``metastore_dir`` (no external service, single writer at a time —
-    Derby's lock, same as spark-shell's default); on a cluster, drop
-    ``metastore_dir`` and add ``spark.hadoop.hive.metastore.uris``
-    pointing at the shared thrift service — everything else is
-    identical. Pass the result to ``get_spark(extra_confs=...)``;
-    cross-process durability is proven in
-    ``tests/test_sinks.py`` (write in one python process, read from a
-    fresh one).
+    Two deployments, one conf surface:
+
+    - **Local/CI** — ``metastore_dir``: an embedded Derby database (no
+      external service; SINGLE WRITER at a time — Derby takes an
+      exclusive db.lck, so concurrent sessions must share one
+      metastore-owning process, same bound as spark-shell's default).
+      Cross-process durability is proven in ``tests/test_sinks.py``
+      (write in one python process, read from a fresh one).
+    - **Cluster** — ``metastore_uris``: the shared thrift Hive
+      metastore service (the reference's deployment —
+      ``bronze_to_silver.py:138-195`` + the docker-compose
+      hive-metastore), e.g. ``"thrift://metastore:9083"``.
+      Multi-writer semantics come from the service; everything else
+      (create_table, scans, partition specs) is identical. Unreachable
+      in this sandbox, so only conf assembly is tested — like S3/JDBC.
+
+    Passing both is a contradiction (two different metastores) and
+    raises. Pass the result to ``get_spark(extra_confs=...)``.
     """
+    if metastore_dir and metastore_uris:
+        raise ValueError(
+            "pass metastore_dir (embedded Derby) OR metastore_uris "
+            "(shared thrift service), not both"
+        )
     confs = {
         "spark.sql.warehouse.dir": warehouse_dir,
         "spark.sql.catalogImplementation": "hive",
@@ -126,6 +142,8 @@ def durable_catalog_confs(
         confs["spark.hadoop.javax.jdo.option.ConnectionURL"] = (
             f"jdbc:derby:;databaseName={metastore_dir};create=true"
         )
+    if metastore_uris:
+        confs["spark.hadoop.hive.metastore.uris"] = metastore_uris
     return confs
 
 

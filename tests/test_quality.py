@@ -530,3 +530,110 @@ def test_sequence_gap_stats_counts_runs_and_missing(spark):
     dense = spark.createDataFrame([(i,) for i in range(5)], "seq long")
     row = sequence_gap_stats(dense, "seq").first()
     assert row["n_missing"] == 0 and row["n_gaps"] == 0
+
+
+def test_persist_errors_csv_export_roundtrip(spark, tmp_path):
+    """persist_errors(csv_dir=...) mirrors the reference's dual sink:
+    error samples land in the partitioned parquet table AND a flat CSV
+    for spreadsheet triage (error_tracking.py:199-202,295-325). The CSV
+    must survive a read-back with the full 14-column schema and the
+    JSON row payload intact through quoting."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.quality.errors import (
+        ERROR_COLUMNS,
+        capture_errors,
+        persist_errors,
+        read_errors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ok, with comma"), (3, None)], "id long, val string"
+    )
+    errs = capture_errors(
+        df,
+        F.col("val").isNull(),
+        layer="silver",
+        table_name="t",
+        check_name="val_not_null",
+        check_type="null_check",
+        column_name="val",
+        batch_id="b1",
+    )
+    pq = str(tmp_path / "errors_pq")
+    csv_dir = str(tmp_path / "errors_csv")
+    persist_errors(errs, pq, csv_dir=csv_dir)
+    back_pq = read_errors(spark, pq)
+    assert back_pq.count() == 2
+    back_csv = (
+        spark.read.option("header", "true").csv(csv_dir)
+    )
+    assert back_csv.count() == 2
+    assert set(back_csv.columns) == set(ERROR_COLUMNS)
+    payloads = [r.row_data for r in back_csv.collect()]
+    import json as _json
+
+    ids = sorted(_json.loads(p)["id"] for p in payloads)
+    assert ids == [1, 3]
+    # appending a second batch must not clobber the first
+    persist_errors(errs, pq, csv_dir=csv_dir)
+    assert spark.read.option("header", "true").csv(csv_dir).count() == 4
+
+
+def test_quality_score_monotonic_across_layers(spark):
+    """The reference's one e2e assertion not previously mirrored:
+    silver overall quality score >= bronze on the corrupted fixture,
+    with fewer (but >0) silver rows
+    (tests/e2e/test_medallion_pipeline.py:99,147,337; defect mix from
+    FIXTURES.md §2 — 5% null passenger_count, 2% negative fare, 3% zero
+    distance, 2% over-capacity, 1% impossible distance)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.quality.checks import (
+        NullCheck,
+        PositiveCheck,
+        RangeCheck,
+    )
+    from nyc_taxi_data_ingestion_spark.quality.orchestrator import (
+        ValidationConfig,
+        validate_table,
+    )
+
+    n = 200
+    rows = []
+    for i in range(n):
+        passenger = None if i % 20 == 0 else (10 if i % 50 == 7 else 2)
+        fare = -10.0 if i % 50 == 3 else 12.5
+        dist = 0.0 if i % 33 == 5 else (999.99 if i % 100 == 11 else 3.2)
+        rows.append((i, passenger, fare, dist))
+    bronze = spark.createDataFrame(
+        rows,
+        "trip_id long, passenger_count int, fare_amount double, "
+        "trip_distance double",
+    )
+    cfg = ValidationConfig(
+        checks=[
+            NullCheck("passenger_count"),
+            PositiveCheck("fare_amount"),
+            PositiveCheck("trip_distance"),
+            RangeCheck("passenger_count", min_value=1, max_value=6),
+            RangeCheck("trip_distance", max_value=100.0),
+        ],
+    )
+    bronze_report = validate_table(bronze, cfg, "bronze_taxi")
+    assert not bronze_report["passed"]  # dirty table must flag errors
+
+    # the reference's silver filter chain (test_medallion_pipeline.py:132-137)
+    silver = bronze.filter(
+        (F.col("fare_amount") > 0)
+        & (F.col("trip_distance") > 0)
+        & (F.col("trip_distance") <= 100.0)
+        & F.col("passenger_count").between(1, 6)
+    )
+    silver_report = validate_table(silver, cfg, "silver_taxi")
+
+    assert 0 < silver.count() < bronze.count()
+    assert silver_report["passed"]
+    assert (
+        silver_report["score"]["score"] >= bronze_report["score"]["score"]
+    ), (silver_report["score"], bronze_report["score"])

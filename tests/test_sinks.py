@@ -278,3 +278,30 @@ def test_write_partitioned_bloom_filters(spark, tmp_path):
     got = spark.read.parquet(bloomed).filter("k = 123456").collect()
     assert [r.k for r in got] == [123456]
     assert spark.read.parquet(bloomed).count() == 200_000
+
+
+def test_durable_catalog_thrift_passthrough():
+    """Cluster deployment path: metastore_uris wires the shared thrift
+    service (the reference's hive-metastore compose service,
+    bronze_to_silver.py:138-195) instead of embedded Derby. Service
+    unreachable in-sandbox, so this checks conf assembly only — the
+    S3/JDBC discipline. Derby stays the local default and the two are
+    mutually exclusive (two different metastores)."""
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.session import durable_catalog_confs
+
+    confs = durable_catalog_confs(
+        "/wh", metastore_uris="thrift://metastore:9083"
+    )
+    assert confs["spark.hadoop.hive.metastore.uris"] == (
+        "thrift://metastore:9083"
+    )
+    assert confs["spark.sql.catalogImplementation"] == "hive"
+    assert confs["spark.sql.warehouse.dir"] == "/wh"
+    assert "spark.hadoop.javax.jdo.option.ConnectionURL" not in confs
+    local = durable_catalog_confs("/wh", metastore_dir="/ms")
+    assert "derby" in local["spark.hadoop.javax.jdo.option.ConnectionURL"]
+    with _pytest.raises(ValueError, match="not both"):
+        durable_catalog_confs("/wh", metastore_dir="/ms",
+                              metastore_uris="thrift://m:9083")
