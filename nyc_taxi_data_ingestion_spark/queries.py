@@ -7956,6 +7956,269 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 12 (r7) — Pareto frontier, time-weighted averages, graph
+# triangles, classifier lift.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH s AS (
+  SELECT l_suppkey AS suppkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(6,4))), 4)
+         AS DOUBLE) AS revenue,
+    CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*)
+      AS avg_disc
+  FROM lineitem GROUP BY 1
+),
+sky AS (
+  SELECT * FROM s s1 WHERE NOT EXISTS (
+    SELECT 1 FROM s s2
+    WHERE s2.revenue >= s1.revenue AND s2.avg_disc <= s1.avg_disc
+      AND (s2.revenue > s1.revenue OR s2.avg_disc < s1.avg_disc)
+  )
+)
+SELECT suppkey, revenue, avg_disc FROM sky s1
+WHERE suppkey = (
+  SELECT min(suppkey) FROM sky s3
+  WHERE s3.revenue = s1.revenue AND s3.avg_disc = s1.avg_disc
+)
+"""
+
+
+@register("skyline_suppliers", _SKYLINE_ORACLE, tags=["analytics", "T2"])
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier over per-supplier aggregates: the
+    suppliers no rival strictly dominates on (revenue up, average
+    discount down) — operators/analytics.skyline_2d, the
+    distributed-prefix-scan form (bucket offsets + per-bucket window;
+    no global sort, no O(N²) self-join). The oracle is the textbook
+    NOT-EXISTS dominance — quadratic but fine at oracle scale, and
+    semantics-defining: exact-measure ties keep the smallest suppkey.
+    Measures are exact: revenue a rounded decimal sum, avg_disc one
+    double division of a decimal sum by a count."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        skyline_2d,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(6,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_disc"),
+    )
+    return skyline_2d(per_supp, "revenue", "avg_disc", "suppkey")
+
+
+_TWAP_ORACLE = """
+WITH o AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+         (LEAD(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+          ) - epoch_us(ts)) // 1000 AS dur_ms
+  FROM events
+)
+SELECT user_id,
+  COUNT(*) AS n_intervals,
+  CAST(SUM(dur_ms) AS BIGINT) AS total_dur_ms,
+  CAST(SUM(cents * dur_ms) AS DOUBLE)
+    / CAST(SUM(dur_ms) AS DOUBLE) / 100.0 AS twap
+FROM o WHERE dur_ms IS NOT NULL
+GROUP BY user_id HAVING SUM(dur_ms) > 0
+"""
+
+
+@register("twap_by_user", _TWAP_ORACLE, tags=["analytics", "W2"])
+def q_twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — each reading holds until
+    the next one, so its weight is the interval length (the standard
+    TWAP/metrics-rollup semantics; a plain AVG over-weights bursts of
+    rapid events). One LEAD window per user key (never global).
+
+    Exactness contract: durations are whole MILLISECONDS via integer
+    division of unix_micros (float division or second-truncation would
+    diverge between engines), values are cents via one shared
+    double·100 round — so both sums are integers under 2⁵³ at any
+    per-user span (cents·ms of a year ≈ 10¹⁴) and their double casts
+    are exact; twap is the same two-division IEEE sequence on both
+    engines, bit-identical. (A decimal(38,2)·micros sum overflows the
+    exact-double range and DuckDB's two-step decimal→double cast then
+    differs from Java's correctly-rounded one by 1 ulp — measured.)
+    Last event per user has no next reading and is excluded; users
+    whose every gap is sub-millisecond drop with the zero-weight
+    guard."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr(
+            "(lead(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)"
+            " - unix_micros(ts)) div 1000"
+        ).alias("dur_ms"),
+    ).filter(F.col("dur_ms").isNotNull())
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_ms").alias("total_dur_ms"),
+            (
+                F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms").cast("double")
+                / F.lit(100.0)
+            ).alias("twap"),
+        )
+        .filter(F.col("total_dur_ms") > 0)
+    )
+
+
+_TRIANGLES_ORACLE = """
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1
+  JOIN e e2 ON e2.pa = e1.pb
+  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT part AS partkey, COUNT(*) AS tri_cnt
+FROM (
+  SELECT x AS part FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY 1
+"""
+
+
+@register("graph_triangles", _TRIANGLES_ORACLE, tags=["analytics", "graph"])
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the part co-purchase graph
+    (edge = two parts in >= 2 common orders; triangle = three mutually
+    connected parts): the standard graph-mining primitive for cohesion
+    / community strength, here extending the market_basket pair
+    analysis one hop. Enumeration is the compact-forward id-oriented
+    join (each triangle found exactly once as x<y<z): edges list
+    e(x,y) joined to e(y,z) joined back to the closing e(x,z) — two
+    equi-join shuffles keyed on part ids, never a cartesian.
+
+    100 TB shape: co-occurrence generation is keyed by order (bounded
+    by basket size — explode is |basket|² per order, capped data-side,
+    not corpus-side); support >= 2 prunes the edge list before any
+    triangle join; heavy-degree parts are the known skew risk — AQE
+    skew-join handles moderate skew, and the standard refinement
+    (orient edges low-degree -> high-degree instead of by id) bounds
+    the join fan-out at sqrt(m) without changing results (triangles
+    are orientation-invariant); kept by-id here for oracle-identical
+    determinism at these scales."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    verts = tri.select(F.col("x").alias("part")).unionAll(
+        tri.select(F.col("y").alias("part"))
+    ).unionAll(tri.select(F.col("z").alias("part")))
+    return verts.groupBy(F.col("part").alias("partkey")).agg(
+        F.count("*").alias("tri_cnt")
+    )
+
+
+@register("classifier_lift", None, tags=["llm-curation", "A7"])
+def q_classifier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the quality classifier: documents bucketed
+    into score deciles against EXACT distributed cut points
+    (functions/numeric.exact_quantiles inlined as literals — the
+    rfm_segments discipline; never a global NTILE sort), then per
+    decile: doc count and average document length. The model-eval
+    read-out that tells you whether score actually orders quality
+    proxies. Oracle registered below via the shared template (the
+    decile cuts are data-derived on both engines)."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        exact_quantiles,
+    )
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs, dim=1024, keep_cols=["n_chars"]).select(
+        "doc_id", "score", "n_chars"
+    ).localCheckpoint(eager=True)
+    fr = [i / 10 for i in range(1, 10)]
+    cuts = exact_quantiles(scored, "score", fr, out_prefix="c").collect()[0]
+    decile = F.lit(1)
+    for i in range(9):
+        decile = decile + (F.col("score") > F.lit(cuts[f"c{i}"])).cast(
+            "int"
+        )
+    return (
+        scored.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("doc_cnt"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_len"),
+        )
+    )
+
+
+def _classifier_lift_oracle() -> str:
+    from nyc_taxi_data_ingestion_spark.llm.curation import (
+        classifier_oracle_sql,
+    )
+
+    cuts = ", ".join(str(i / 10) for i in range(1, 10))
+    decile = " + ".join(
+        f"CAST(score > c[{i}] AS INT)" for i in range(1, 10)
+    )
+    return f"""
+WITH scored AS ({classifier_oracle_sql(dim=1024)}),
+j AS (
+  SELECT s.doc_id, s.score, d.n_chars
+  FROM scored s JOIN documents d USING (doc_id)
+),
+q AS (SELECT quantile_cont(score, [{cuts}]) AS c FROM j),
+b AS (SELECT n_chars, 1 + {decile} AS decile FROM j, q)
+SELECT decile, COUNT(*) AS doc_cnt,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_len
+FROM b GROUP BY 1
+"""
+
+
+REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is

@@ -420,3 +420,35 @@ def test_min_hop_closure_max_hops_truncates(spark):
         for r in min_hop_closure(chain, max_hops=2).collect()
     }
     assert ("a", "d") not in got and got[("a", "c")] == 2
+
+
+def test_skyline_2d_known_frontier(spark):
+    """Dominance semantics on a hand-built set: strict dominance in
+    either measure removes a row; exact (max,min) ties dedupe to the
+    smallest key; incomparable rows all survive; NULL measures drop."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import skyline_2d
+
+    rows = [
+        # key, maxm (revenue-like), minm (cost-like)
+        (1, 100.0, 5.0),   # frontier
+        (2, 100.0, 5.0),   # exact tie of 1 -> deduped (key 1 wins)
+        (3, 100.0, 4.0),   # dominates 1/2 at equal max -> 1,2 out? no:
+                           # 3 has lower min at same max => 1,2 dominated
+        (4, 90.0, 3.0),    # frontier (lower max, lower min)
+        (5, 90.0, 3.5),    # dominated by 4 (same max, higher min)
+        (6, 80.0, 3.0),    # dominated by 4 (lower max, same min)
+        (7, 120.0, 9.0),   # frontier (highest max)
+        (8, 70.0, 1.0),    # frontier (lowest min)
+        (9, None, 1.0),    # null measure -> dropped
+        (10, 60.0, None),  # null measure -> dropped
+    ]
+    df = spark.createDataFrame(rows, "k long, maxm double, minm double")
+    got = sorted(
+        r.k for r in skyline_2d(df, "maxm", "minm", "k", n_buckets=4).collect()
+    )
+    assert got == [3, 4, 7, 8], got
+    # single row survives; empty input returns empty
+    one = spark.createDataFrame([(1, 1.0, 1.0)], "k long, maxm double, minm double")
+    assert [r.k for r in skyline_2d(one, "maxm", "minm", "k").collect()] == [1]
+    empty = one.filter("k < 0")
+    assert skyline_2d(empty, "maxm", "minm", "k").count() == 0
