@@ -79,7 +79,7 @@ def test_doc_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
         f"README.md says {m.groups()}, registry is ({n_q}, {n_o})"
     )
-    m = re.search(r"Registry: (\d+) driver queries, (\d+)\s*\nDuckDB", survey)
+    m = re.search(r"Registry: (\d+) driver queries, (\d+)\s+DuckDB", survey)
     assert m, "SURVEY.md lost its registry-count sentence"
     assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
         f"SURVEY.md says {m.groups()}, registry is ({n_q}, {n_o})"
