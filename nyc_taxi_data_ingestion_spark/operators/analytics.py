@@ -423,9 +423,13 @@ def skyline_2d(
     window."""
     from pyspark.sql import Window
 
+    # three consumers read this frame (boundary sketch, bucket mins,
+    # the scored pass) — materialize the comparable rows once instead
+    # of re-running an arbitrary upstream plan per branch (the
+    # partitioned_prefix_sum discipline)
     d = df.filter(
         F.col(max_col).isNotNull() & F.col(min_col).isNotNull()
-    )
+    ).localCheckpoint(eager=True)
     fracs = F.array(
         *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
     )
