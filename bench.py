@@ -94,6 +94,10 @@ def main() -> None:
                         break
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # keep queries/queries_cold key sets identical: a cold run
+            # that succeeded before a warm re-run failed must not leave
+            # a timing for an errored query
+            cold.pop(name, None)
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(min(runs), 3)

@@ -836,17 +836,32 @@ def build_ann_index(
 
 
 def source_fingerprint(path: str) -> str:
-    """Content fingerprint of a corpus file/directory WITHOUT reading
-    data: md5 over each member file's (relative name, size, mtime_ns).
-    Changes whenever any file is rewritten, added, or removed — the
-    cache-key ingredient that keeps a persisted ANN index honest when
-    the corpus changes under unchanged build params (an index loaded
-    against different content silently serves wrong neighbors; r6
-    verdict item 7). Metadata-only, so it costs microseconds against a
-    100 TB corpus where hashing content would cost a full read."""
+    """Content fingerprint of a LOCAL corpus file/directory WITHOUT
+    reading data: md5 over each member file's (relative name, size,
+    mtime_ns, inode). Changes on any rewrite, add, remove, or
+    replace-by-rename that the filesystem can observe — the cache-key
+    ingredient that keeps a persisted ANN index honest when the corpus
+    changes under unchanged build params (an index loaded against
+    different content silently serves wrong neighbors; r6 verdict
+    item 7). Metadata-only, so it costs microseconds against a corpus
+    where hashing content would cost a full read.
+
+    Bounds: local-filesystem paths only (os.stat — raises
+    FileNotFoundError rather than silently fingerprinting nothing; for
+    s3://... / hdfs://... corpora, key the cache on the table's
+    snapshot/version id instead, which is what a versioned store is
+    for). An in-place same-size rewrite inside one mtime tick of a
+    coarse-grained filesystem is the classic make-style blind spot;
+    st_mtime_ns + inode narrows it to same-inode sub-tick rewrites."""
     import hashlib
     import os
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"source_fingerprint: {path} does not exist locally; for "
+            "object-store corpora key the index cache on a snapshot/"
+            "version id instead"
+        )
     entries = []
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
@@ -854,11 +869,15 @@ def source_fingerprint(path: str) -> str:
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 entries.append(
-                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}"
+                    f"{os.path.relpath(p, path)}:{st.st_size}:"
+                    f"{st.st_mtime_ns}:{st.st_ino}"
                 )
     else:
         st = os.stat(path)
-        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+        entries.append(
+            f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}:"
+            f"{st.st_ino}"
+        )
     return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
 
 

@@ -1751,12 +1751,16 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     params = {"num_cells": 16, "m": 16, "nbits": 8, "seed": 42}
+    # two-part cache dir name: a STABLE prefix per (sf, params) and a
+    # CONTENT suffix — so a corpus rewrite both misses the cache (new
+    # suffix) and lets us reclaim the superseded build (same prefix,
+    # different suffix) instead of leaking one index copy per rewrite
     content = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    digest = hashlib.md5(
-        f"annidx:{sf_dir}:{content}:{sorted(params.items())}".encode()
+    stable = hashlib.md5(
+        f"annidx:{sf_dir}:{sorted(params.items())}".encode()
     ).hexdigest()[:16]
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_annidx_{digest}"
+        tempfile.gettempdir(), f"spark_graft_annidx_{stable}_{content}"
     )
 
     def _cache_valid() -> bool:
@@ -1776,6 +1780,18 @@ def q_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if not _cache_valid():
         build_ann_index(emb, path, **params)
+        # reclaim indexes of SUPERSEDED corpus content under the same
+        # (sf, params) prefix — best-effort; a concurrent reader of an
+        # old suffix self-heals by rebuilding
+        import shutil
+
+        for stale in glob.glob(
+            os.path.join(
+                tempfile.gettempdir(), f"spark_graft_annidx_{stable}_*"
+            )
+        ):
+            if os.path.abspath(stale) != os.path.abspath(path):
+                shutil.rmtree(stale, ignore_errors=True)
     idx = load_ann_index(spark, path)
     q = emb.filter(F.col("vec_id") < 10)
     return ann_index_topk(q, idx, k=5, nprobe=8).localCheckpoint(eager=True)

@@ -74,10 +74,15 @@ def test_doc_counts_match_registry():
     n_q, n_o = len(e.queries()), len(e.oracle_sql())
     readme = open("README.md").read()
     survey = open("SURVEY.md").read()
-    m = re.search(r"(\d+) named queries: (\d+) hash-checked", readme)
+    m = re.search(
+        r"(\d+) named queries: (\d+) hash-checked.*?(\d+) rows-only",
+        readme,
+        re.S,
+    )
     assert m, "README.md lost its registry-count sentence"
-    assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
-        f"README.md says {m.groups()}, registry is ({n_q}, {n_o})"
+    assert tuple(int(g) for g in m.groups()) == (n_q, n_o, n_q - n_o), (
+        f"README.md says {m.groups()}, registry is "
+        f"({n_q}, {n_o}, {n_q - n_o})"
     )
     m = re.search(r"Registry: (\d+) driver queries, (\d+)\s+DuckDB", survey)
     assert m, "SURVEY.md lost its registry-count sentence"
