@@ -812,13 +812,15 @@ def build_ann_index(
         .parquet(os.path.join(path, codes_rel))
     )
     meta_path = os.path.join(path, "meta.json")
-    old_codes = None
+    old_dirs: list[str] = []
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
-            old_codes = json.load(f).get("codes_dir")
+            old = json.load(f)
+        old_dirs = [old.get("codes_dir")] + old.get("appended_dirs", [])
     meta = {
         "format": "spark-graft-ivfpq-v1",
         "codes_dir": codes_rel,
+        "appended_dirs": [],
         "num_cells": num_cells,
         "m": m,
         "nbits": nbits,
@@ -830,9 +832,70 @@ def build_ann_index(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path)
-    if old_codes and old_codes != codes_rel:
-        # best-effort reclaim of the superseded build's codes
-        shutil.rmtree(os.path.join(path, old_codes), ignore_errors=True)
+    for d in old_dirs:
+        if d and d != codes_rel:
+            # best-effort reclaim of the superseded build's codes
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def append_ann_index(
+    increment: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: encode a NEW batch of vectors
+    against the index's ALREADY-TRAINED model (IVF centroids + PQ
+    codebooks from meta.json) and add it as one more codes directory —
+    no retraining, no re-encoding of the existing corpus. This is how
+    production IVF indexes absorb daily corpus growth (FAISS
+    add-without-train): the trained model is a property of the
+    distribution, not the rows, so appends reuse it until drift
+    justifies a rebuild (watch centroid_shift for that signal).
+
+    Atomicity contract matches build_ann_index: the new codes dir is
+    unique per append and meta lands last via atomic replace — a
+    crashed append leaves the old index fully readable (orphan dir
+    aside). Callers appending the SAME rows twice get duplicate
+    neighbors (dedupe upstream or rebuild); searches see appended
+    vectors immediately after the meta replace.
+
+    Scale shape: one narrow Arrow-batched pass over the increment
+    (assign + encode, model in-closure), one cell-partitioned parquet
+    write of m bytes/vector — O(|increment|), independent of index
+    size."""
+    import json
+    import os
+    import uuid
+
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("format") != "spark-graft-ivfpq-v1":
+        raise ValueError(f"not an ANN index dir: {path}")
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    assign1 = _nearest_cells_udf(cent, 1)
+    encode = _pq_encode_udf(books)
+    codes_rel = f"codes-append-{uuid.uuid4().hex[:8]}"
+    (
+        increment.repartition(
+            increment.sparkSession.sparkContext.defaultParallelism
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+            encode(F.col(vec_col)).alias("codes"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, codes_rel))
+    )
+    meta["appended_dirs"] = meta.get("appended_dirs", []) + [codes_rel]
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
 
 
 def source_fingerprint(path: str) -> str:
@@ -892,9 +955,11 @@ class AnnIndex:
 
 
 def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
-    """Open a :func:`build_ann_index` directory. The codes table stays
-    a lazy parquet scan — a query batch that probes few cells reads
-    few partitions (Hive-style pruning on the cell key)."""
+    """Open a :func:`build_ann_index` directory (plus any
+    :func:`append_ann_index` increments — the codes table is the union
+    of the base and appended dirs). The codes table stays a lazy
+    parquet scan — a query batch that probes few cells reads few
+    partitions (Hive-style pruning on the cell key)."""
     import json
     import os
 
@@ -902,7 +967,14 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
         meta = json.load(f)
     if meta.get("format") != "spark-graft-ivfpq-v1":
         raise ValueError(f"not an ANN index dir: {path}")
-    codes = spark.read.parquet(os.path.join(path, meta["codes_dir"]))
+    dirs = [meta["codes_dir"]] + meta.get("appended_dirs", [])
+    # one read per codes dir, unioned: each dir is its own Hive
+    # partition tree (multi-path discovery rejects sibling roots), and
+    # per-dir reads keep cell-pruning working on every member
+    frames = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
+    codes = frames[0]
+    for f in frames[1:]:
+        codes = codes.unionByName(f)
     return AnnIndex(
         codes,
         np.asarray(meta["centroids"], dtype=np.float64),

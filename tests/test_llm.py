@@ -1184,3 +1184,68 @@ def test_source_fingerprint_tracks_content_changes(tmp_path):
     fpd = source_fingerprint(str(d))
     (d / "part-1.parquet").write_bytes(b"yy")
     assert source_fingerprint(str(d)) != fpd
+
+
+def test_append_ann_index_encode_only_parity(emb, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half — searches over the union must be bit-identical to
+    an IVFADC search whose codes were all encoded under the SAME
+    (half-trained) model, the FAISS add-without-train contract. A
+    rebuild reclaims appended dirs."""
+    import json
+    import os
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        _ivfadc_search,
+        _nearest_cells_udf,
+        _pq_encode_udf,
+        ann_index_topk,
+        append_ann_index,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "annidx")
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    build_ann_index(half1, path, num_cells=8, m=16, nbits=8, seed=42)
+    append_ann_index(half2, path)
+    idx = load_ann_index(spark, path)
+    assert idx.codes.count() == emb.count()
+
+    q = emb.filter(F.col("vec_id") < 6)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine_sim, 10))
+        for r in ann_index_topk(q, idx, k=5, nprobe=4).collect()
+    }
+    # reference: every vector encoded under the half1-trained model
+    assign1 = _nearest_cells_udf(idx.centroids, 1)
+    encode = _pq_encode_udf(idx.books)
+    manual = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(assign1(F.col("embedding")), 1).alias("cell"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine_sim, 10))
+        for r in _ivfadc_search(
+            manual, idx.centroids, idx.books, q, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == want
+    # appended neighbors (odd ids) are actually reachable
+    assert any(n % 2 == 1 for (_, n, _, _) in got)
+
+    # a rebuild resets appended_dirs and reclaims their directories
+    before = {
+        d for d in os.listdir(path) if d.startswith("codes-append-")
+    }
+    assert before
+    build_ann_index(emb, path, num_cells=8, m=16, nbits=8, seed=42)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["appended_dirs"] == []
+    after = {
+        d for d in os.listdir(path) if d.startswith("codes-append-")
+    }
+    assert not after

@@ -53,6 +53,10 @@ QUERIES = [
     "blocked_jaccard",      # prefix-filter + verify (output grows too)
     "dedup_clusters",       # edges + iterative CC
     "ivfpq_topk",           # ANN train/encode/search
+    "knn_label_prop",       # IVF-routed label transfer (r7 rewrite)
+    "skyline_suppliers",    # bucket-offset prefix-min frontier (r7)
+    "graph_triangles",      # co-occurrence edges + 2-join closure (r7)
+    "twap_by_user",         # user-key LEAD window + exact sums (r7)
 ]
 
 
