@@ -8235,6 +8235,66 @@ FROM b GROUP BY 1
 REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
 
 
+_SNAPSHOT_PRUNED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice <= 20000.0
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_pruned_scan", _SNAPSHOT_PRUNED_ORACLE, tags=["S14", "S15"]
+)
+def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/S15 — manifest-level data skipping end-to-end: orders land
+    range-clustered on o_totalprice in a versioned table with
+    ``stats_cols`` bounds recorded per file; a selective range scan
+    (scan_snapshot) PRUNES the proven-empty files from the plan before
+    Spark sees them (asserted: the manifest audit must drop most of
+    the 8 range files) and still returns the exact range aggregate —
+    the oracle recomputes it straight from orders, so the driver
+    certifies pruning never changes results. At 100 TB this is the
+    read path that avoids even OPENING non-matching files (footer
+    pruning still touches every footer)."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="spark_graft_snapprune_")
+    try:
+        snapshot_write(
+            orders.repartitionByRange(8, "o_totalprice"),
+            path,
+            stats_cols=["o_totalprice"],
+        )
+        st = scan_prune_stats(path, "o_totalprice", upper=20000.0)
+        assert st["pruned_files"] >= st["total_files"] // 2, st
+        scanned = scan_snapshot(
+            spark, path, "o_totalprice", upper=20000.0
+        )
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is
@@ -8352,9 +8412,15 @@ _GREEN_R06 = [
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
 # re-certifies them against the code as it stands now. r06 certified
-# the final round-6 HEAD; add any green whose implementing path is
-# edited this round (round 7).
-_REFRESH_FIRST: list[str] = []
+# the final round-6 HEAD; round 7 edited snapshot_write (manifest
+# stats collection — additive, parent-inherit default) and
+# persist_errors (csv_dir param), so every r6 green through those
+# paths re-earns its verdict first.
+_REFRESH_FIRST: list[str] = [
+    "snapshot_time_travel", "snapshot_merge_upsert", "snapshot_cdc",
+    "snapshot_erase", "snapshot_incremental_read",
+    "snapshot_incremental_ingest", "error_capture",
+]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
@@ -8365,7 +8431,7 @@ def _export_order() -> list[str]:
     """Order the registry so the driver's bounded correctness prefix is
     spent where it buys the most evidence: (1) greens whose code
     churned after their verdict, (2) oracle queries with no verdict on
-    record (new this round), (3) stalest greens first (r02 … r05),
+    record (new this round), (3) stalest greens first (r02 … r06),
     (4) rows-only queries last. Registration order is preserved within
     each tier. A query green in several rounds takes its FRESHEST
     round's tier (later lists iterate first; setdefault keeps the

@@ -128,6 +128,91 @@ def _load_manifest(path: str, version: int) -> dict[str, Any]:
         return json.load(f)
 
 
+def _collect_file_stats(
+    spark: SparkSession,
+    commit_abs: str,
+    files: list[str],
+    stats_cols: list[str],
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for each of ``stats_cols``, read from the
+    parquet FOOTERS of a just-landed commit — the manifest-level data
+    skipping ingredient (Iceberg's per-file column bounds). Footer
+    reads are distributed like :func:`maintenance.skipping_report`
+    (one task per file slice, metadata-only: O(files), not O(bytes)).
+
+    JSON-manifest typing: numbers and strings pass through;
+    date/datetime become ISO strings (lexicographic == chronological);
+    bytes decode best-effort; anything else is skipped (conservative —
+    a column without recorded stats is never pruned on). A column
+    missing from a file, or a file with no usable stats, simply has no
+    entry for it."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    def _jsonable(v):
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            try:
+                return v.decode()
+            except UnicodeDecodeError:
+                return None
+        return None
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["file"]:
+                meta = pq.ParquetFile(
+                    os.path.join(commit_abs, rel)
+                ).metadata
+                names = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                for col in stats_cols:
+                    ci = names.get(col)
+                    if ci is None:
+                        continue
+                    lo = hi = None
+                    ok = True
+                    for g in range(meta.num_row_groups):
+                        st = meta.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    if not ok or lo is None:
+                        continue
+                    jlo, jhi = _jsonable(lo), _jsonable(hi)
+                    if jlo is None or jhi is None:
+                        continue
+                    out.append((rel, col, json.dumps([jlo, jhi])))
+            yield pd.DataFrame(
+                out, columns=["file", "col", "bounds"]
+            )
+
+    listing = spark.createDataFrame([(f,) for f in files], "file string")
+    n_slices = max(
+        1, min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    rows = (
+        listing.repartition(n_slices)
+        .mapInPandas(scan, schema="file string, col string, bounds string")
+        .collect()
+    )
+    stats: dict[str, dict[str, list]] = {}
+    for r in rows:
+        stats.setdefault(r.file, {})[r.col] = json.loads(r.bounds)
+    return stats
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -136,6 +221,7 @@ def snapshot_write(
     max_commit_retries: int = 5,
     expected_parent: int | _ExpectNoParent | None = None,
     stream_state: dict[str, int] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version of the table at
     ``path``; returns the committed version number.
@@ -161,6 +247,17 @@ def snapshot_write(
     stream_state forward (merged with this write's entries), so a
     compaction or merge between stream batches can never erase the
     marker and re-open the table to a duplicate replay.
+
+    ``stats_cols`` turns on manifest-level DATA SKIPPING (Iceberg's
+    per-file column bounds): each committed file's [min, max] for the
+    named columns lands in the manifest, and :func:`scan_snapshot`
+    prunes whole files against a predicate before Spark ever plans the
+    read — at 100 TB, footer-level row-group pruning still has to OPEN
+    every file; manifest pruning doesn't. The setting is a TABLE
+    property: once set it persists in the manifest and every later
+    commit (merge/delete/compact included — they all route through
+    here) keeps collecting, so ``stats_cols=None`` means "inherit",
+    and ``stats_cols=[]`` explicitly turns collection off.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -208,9 +305,23 @@ def snapshot_write(
             # (with a CAS the re-polled head fails the check cleanly)
             continue
         commits: dict[str, list[str]] = {}
+        stats: dict[str, dict[str, dict[str, list]]] = {}
         if mode == "append" and cur is not None:
             commits.update(parent["commits"])
+            # carried commits keep their recorded bounds
+            stats.update(parent.get("stats") or {})
         commits[commit_rel] = sorted(files)
+
+        # table property: explicit list wins, None inherits the parent's
+        effective_stats_cols = (
+            stats_cols
+            if stats_cols is not None
+            else parent.get("stats_cols") or []
+        )
+        if effective_stats_cols and files:
+            stats[commit_rel] = _collect_file_stats(
+                df.sparkSession, commit_abs, files, effective_stats_cols
+            )
 
         merged_state = dict(parent.get("stream_state") or {})
         merged_state.update(stream_state or {})
@@ -222,6 +333,9 @@ def snapshot_write(
             "partition_by": partition_by,
             "commits": commits,
         }
+        if effective_stats_cols:
+            manifest["stats_cols"] = effective_stats_cols
+            manifest["stats"] = stats
         if merged_state:
             manifest["stream_state"] = merged_state
         if _commit_manifest(path, version, manifest):
@@ -285,6 +399,110 @@ def read_snapshot(
             version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
     return _read_commits(spark, path, manifest["commits"])
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range-predicate read (``lower <= column <= upper``, either bound
+    optional) with MANIFEST-LEVEL file pruning: any file whose recorded
+    [min, max] bounds prove it empty for the range is dropped from the
+    plan before Spark sees it — the Iceberg data-skipping read path
+    over :func:`snapshot_write`'s ``stats_cols`` bounds. The predicate
+    is ALSO applied as a real WHERE, so results are correct whether or
+    not stats exist; pruning only shrinks the file list (files without
+    recorded bounds are conservatively kept — schema drift, unstatted
+    types, stats turned on mid-history). On a clustered table
+    (``snapshot_compact(sort_cols=...)``) a selective range touches a
+    handful of files out of 10⁵.
+
+    Bound typing must match the recorded bounds' JSON form: numbers
+    against numeric columns, strings against strings, ISO strings
+    against date/timestamp columns. Incomparable pairs keep the file
+    (never a crash, never a wrong prune)."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        snaps = list_snapshots(path)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        version = snaps[-1]["version"]
+    manifest = _load_manifest(path, version)
+    stats = manifest.get("stats") or {}
+    pruned: dict[str, list[str]] = {}
+    for commit_rel, files in manifest["commits"].items():
+        cstats = stats.get(commit_rel) or {}
+        keep = []
+        for f in files:
+            bounds = (cstats.get(f) or {}).get(column)
+            if bounds is not None:
+                lo, hi = bounds
+                try:
+                    if upper is not None and lo > upper:
+                        continue
+                    if lower is not None and hi < lower:
+                        continue
+                except TypeError:
+                    pass  # incomparable bound types: keep the file
+            keep.append(f)
+        if keep:
+            pruned[commit_rel] = keep
+    if not pruned:
+        # every file proven empty: an empty frame with the head schema
+        base = _read_commits(spark, path, manifest["commits"])
+        return base.where(F.lit(False))
+    out = _read_commits(spark, path, pruned)
+    if lower is not None:
+        out = out.where(F.col(column) >= F.lit(lower))
+    if upper is not None:
+        out = out.where(F.col(column) <= F.lit(upper))
+    return out
+
+
+def scan_prune_stats(
+    path: str,
+    column: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+) -> dict[str, int]:
+    """How much :func:`scan_snapshot` would prune: {total_files,
+    pruned_files, kept_files} from the manifest alone (no Spark, no
+    I/O) — the planning-time audit next to the footer-level
+    :func:`maintenance.skipping_report`."""
+    if version is None:
+        snaps = list_snapshots(path)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        version = snaps[-1]["version"]
+    manifest = _load_manifest(path, version)
+    stats = manifest.get("stats") or {}
+    total = pruned_n = 0
+    for commit_rel, files in manifest["commits"].items():
+        cstats = stats.get(commit_rel) or {}
+        for f in files:
+            total += 1
+            bounds = (cstats.get(f) or {}).get(column)
+            if bounds is None:
+                continue
+            lo, hi = bounds
+            try:
+                if (upper is not None and lo > upper) or (
+                    lower is not None and hi < lower
+                ):
+                    pruned_n += 1
+            except TypeError:
+                pass
+    return {
+        "total_files": total,
+        "pruned_files": pruned_n,
+        "kept_files": total - pruned_n,
+    }
 
 
 def _read_commits(

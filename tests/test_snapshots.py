@@ -605,3 +605,74 @@ def test_erase_rows_destroys_history_bytes(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, tbl, version=1)
+
+
+def test_manifest_stats_prune_inherit_and_correctness(spark, tmp_path):
+    """Manifest-level data skipping (r7): stats_cols records per-file
+    [min,max] bounds at commit; scan_snapshot prunes proven-empty
+    files BEFORE Spark plans the read and still filters for
+    correctness; the setting is a table property inherited by every
+    later commit (append/compact route through snapshot_write); files
+    without bounds are conservatively kept."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        read_snapshot,
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .withColumn("v", (F.col("id") * 2).cast("double"))
+        .repartitionByRange(4, "id")  # disjoint per-file id ranges
+    )
+    v1 = snapshot_write(df, path, stats_cols=["id"])
+    st = scan_prune_stats(path, "id", lower=0, upper=10)
+    assert st["total_files"] >= 4
+    assert st["pruned_files"] >= st["total_files"] - 1  # selective range
+    out = scan_snapshot(spark, path, "id", lower=0, upper=10)
+    assert sorted(r.id for r in out.collect()) == list(range(0, 11))
+
+    # append WITHOUT restating stats_cols: inherited, new files statted
+    snapshot_write(
+        spark.range(5000, 5100).withColumn("v", F.lit(0.0)),
+        path,
+        mode="append",
+    )
+    m = _load_manifest(path, current_version(path))
+    assert m["stats_cols"] == ["id"]
+    assert len(m["stats"]) == len(m["commits"])  # both commits statted
+    st2 = scan_prune_stats(path, "id", lower=5000, upper=5100)
+    assert st2["pruned_files"] >= 4  # every v1 file proven empty
+    got = scan_snapshot(spark, path, "id", lower=5000, upper=5100)
+    assert got.count() == 100
+
+    # range matching nothing: empty frame, schema intact, zero rows
+    none = scan_snapshot(spark, path, "id", lower=10**9)
+    assert none.count() == 0 and set(none.columns) == {"id", "v"}
+
+    # unstatted column: prunes nothing, still filters correctly
+    # (11 base rows with v = 2·id <= 20, plus all 100 appended v=0.0)
+    stv = scan_prune_stats(path, "v", upper=20.0)
+    assert stv["pruned_files"] == 0
+    assert scan_snapshot(spark, path, "v", upper=20.0).count() == 111
+
+    # clustering compaction keeps collecting (table property carries)
+    snapshot_compact(spark, path, target_partitions=3, sort_cols=["id"])
+    m3 = _load_manifest(path, current_version(path))
+    assert m3["stats_cols"] == ["id"] and m3["stats"]
+    assert (
+        read_snapshot(spark, path).count()
+        == scan_snapshot(spark, path, "id").count()
+        == 1100
+    )
+    # history still scannable at the pinned version
+    assert scan_snapshot(
+        spark, path, "id", lower=0, upper=10, version=v1
+    ).count() == 11
