@@ -8235,6 +8235,72 @@ FROM b GROUP BY 1
 REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
 
 
+_SNAPSHOT_STREAM_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_stream_tail", _SNAPSHOT_STREAM_ORACLE,
+    tags=["streaming", "S15"],
+)
+def q_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM a versioned table (sources/pydatasource.
+    SnapshotStreamDataSource — the Delta table-as-stream read path):
+    orders land as THREE append commits, the stream tails the table
+    with version-number offsets under Trigger.AvailableNow, and the
+    streamed rows aggregate to exactly the batch answer the oracle
+    computes from raw orders — every append consumed exactly once, no
+    directory listing, no file-arrival races. Exactly-once across
+    RESTARTS and rewrite rejection are pytest-proven
+    (tests/test_pydatasource.py)."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_write,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    register_snapshot_stream(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapstream_")
+    try:
+        for r in range(3):
+            snapshot_write(
+                orders.filter(F.col("o_orderkey") % 3 == r),
+                path,
+                mode="append",
+            )
+        streamed = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", path)
+            .load()
+        )
+        agg = streamed.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        return run_available_now(
+            agg, "snapshot_stream_tail", output_mode="complete"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_PRUNED_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

@@ -34,7 +34,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _VOCAB = [
     "data", "spark", "corpus", "token", "model", "train", "shard",
@@ -138,3 +143,150 @@ class SyntheticCorpusDataSource(DataSource):
 def register_synthetic_corpus(spark) -> None:
     """Idempotently register the source with a session."""
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+# -- streaming FROM a versioned snapshot table --------------------------------
+#
+# The Delta-style "table as a stream" read path: a Structured Streaming
+# source that TAILS a sources/snapshots.py table, emitting each APPEND
+# commit's rows exactly once. Offsets are snapshot versions (the same
+# integers read_appends_between consumes), so the checkpoint and the
+# table agree on progress by construction: a micro-batch is the fresh
+# commit dirs between two manifest versions — deterministic replay,
+# no directory listing, no file-arrival races.
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file_abs: str):
+        self.file_abs = file_abs
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Partition-planned stream reader over a snapshot table.
+
+    - ``initialOffset`` = version 0 (nothing consumed; bootstrap batch
+      is the whole head file set — Delta's startingVersion=latest is a
+      caller-side choice of checkpoint, not a reader mode).
+    - ``latestOffset`` = current head version.
+    - ``partitions(start, end)`` plans ONE InputPartition per fresh
+      data file between the two versions (metadata-only, from
+      manifests); every surviving manifest in the window must be an
+      ``append`` — a rewrite (merge/compact/overwrite/rollback) makes
+      incremental tailing unsound and raises, the
+      ``read_appends_between`` contract.
+    - ``read`` streams the file's row groups as Arrow batches
+      (executor-side pyarrow; the driver never touches data).
+
+    Partitioned tables are rejected: their parquet files do not carry
+    the partition columns (Hive layout) and this reader does not
+    reconstruct directory-encoded values. Tail the unpartitioned form
+    or consume via read_appends_between + foreachBatch instead."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"version": 0}
+
+    def latestOffset(self) -> dict:
+        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+        return {"version": S.current_version(self._path) or 0}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+        sv, ev = int(start["version"]), int(end["version"])
+        if ev <= sv:
+            return []
+        head = S._load_manifest(self._path, ev)
+        versions = S._version_numbers(self._path)
+        first = min(versions, default=None)
+        window = {ev: head}
+        for v in versions:
+            if sv < v < ev:
+                window[v] = S._load_manifest(self._path, v)
+        for v, m in sorted(window.items()):
+            if m.get("partition_by"):
+                raise ValueError(
+                    f"snapshot_stream: v{v} is partitioned by "
+                    f"{m['partition_by']} — partition columns are not "
+                    "in the data files; stream the unpartitioned form"
+                )
+            if m["operation"] != "append" and v != first and sv != 0:
+                raise ValueError(
+                    f"snapshot_stream: v{v} is {m['operation']!r}, not "
+                    "append — incremental tailing is unsound across "
+                    "rewrites; restart the stream from a fresh "
+                    "checkpoint (bootstrap re-reads the head)"
+                )
+        if sv == 0:
+            fresh = head["commits"]
+        else:
+            old = set(S._load_manifest(self._path, sv)["commits"])
+            fresh = {
+                rel: files
+                for rel, files in head["commits"].items()
+                if rel not in old
+            }
+        parts = []
+        for rel, files in sorted(fresh.items()):
+            for f in files:
+                parts.append(
+                    _FilePartition(os.path.join(self._path, rel, f))
+                )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file_abs)
+        yield from pf.iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the Spark checkpoint, not the table
+
+
+class SnapshotStreamDataSource(DataSource):
+    """``spark.readStream.format("snapshot_stream").option("path", t)``
+    after ``spark.dataSource.register(SnapshotStreamDataSource)`` —
+    exactly-once tailing of a versioned table's append commits.
+    Pairs with the WRITE side (streaming/ingest.snapshot_append_sink)
+    to chain versioned tables into a streaming medallion."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_stream"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_stream requires .option('path', …)")
+        head = S.current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = S._load_manifest(path, head)
+        import os
+
+        for rel, files in sorted(manifest["commits"].items()):
+            if files:
+                first = os.path.join(path, rel, files[0])
+                return from_arrow_schema(
+                    pq.ParquetFile(first).schema_arrow
+                )
+        raise FileNotFoundError(f"no data files in head of {path}")
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SnapshotStreamReader(self.options["path"])
+
+
+def register_snapshot_stream(spark) -> None:
+    """Idempotently register the snapshot stream source."""
+    spark.dataSource.register(SnapshotStreamDataSource)

@@ -64,3 +64,99 @@ def test_planted_duplicates_exact_count(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import exact_dedup
 
     assert exact_dedup(df).count() == df.count() - extra
+
+
+def test_snapshot_stream_tails_appends_exactly_once(spark, tmp_path):
+    """Streaming FROM a versioned table (the Delta table-as-stream read
+    path): offsets are snapshot versions, so across restarts each
+    append commit's rows land exactly once; a rewrite between runs
+    fails the stream instead of silently double-reading."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    snapshot_write(
+        spark.range(0, 100).withColumn("v", F.col("id") * 2),
+        path,
+        mode="append",
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 100
+    # second append lands exactly once on restart from the checkpoint
+    snapshot_write(
+        spark.range(100, 250).withColumn("v", F.col("id") * 2),
+        path,
+        mode="append",
+    )
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 250
+    assert got.select("id").distinct().count() == 250
+    assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(250))
+    # no new commits: an idle run adds nothing
+    run_once()
+    assert spark.read.parquet(sink).count() == 250
+    # a rewrite breaks incremental soundness and must FAIL the stream
+    snapshot_compact(spark, path, target_partitions=1)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="not append"):
+        run_once()
+
+
+def test_snapshot_stream_rejects_partitioned_tables(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import snapshot_write
+
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 10).withColumn("p", F.col("id") % 2),
+        path,
+        mode="append",
+        partition_by=["p"],
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="partitioned"):
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", path)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
