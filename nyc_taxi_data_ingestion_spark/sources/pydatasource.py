@@ -182,8 +182,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
     reconstruct directory-encoded values. Tail the unpartitioned form
     or consume via read_appends_between + foreachBatch instead."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, arrow_schema=None):
         self._path = path
+        self._arrow_schema = arrow_schema
 
     def initialOffset(self) -> dict:
         return {"version": 0}
@@ -243,7 +244,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.file_abs)
-        yield from pf.iter_batches()
+        for b in pf.iter_batches():
+            yield (
+                _conform_batch(b, self._arrow_schema)
+                if self._arrow_schema is not None
+                else b
+            )
 
     def commit(self, end: dict) -> None:
         pass  # progress lives in the Spark checkpoint, not the table
@@ -284,9 +290,208 @@ class SnapshotStreamDataSource(DataSource):
         raise FileNotFoundError(f"no data files in head of {path}")
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return SnapshotStreamReader(self.options["path"])
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return SnapshotStreamReader(
+            self.options["path"], to_arrow_schema(schema)
+        )
 
 
 def register_snapshot_stream(spark) -> None:
     """Idempotently register the snapshot stream source."""
     spark.dataSource.register(SnapshotStreamDataSource)
+
+
+# -- batch read of a versioned snapshot table ---------------------------------
+
+
+class SnapshotBatchReader(DataSourceReader):
+    """Manifest-planned batch reader with FILE-LEVEL FILTER PUSHDOWN:
+    ``pushFilters`` intersects Spark's comparison filters with the
+    manifest's per-file column bounds (``snapshot_write(stats_cols=)``)
+    and drops proven-empty files from the plan — the same data skipping
+    ``scan_snapshot`` does, surfaced through the engine's own pushdown
+    hook so ANY ``df.filter(...)`` benefits without a special API. All
+    filters are returned as unhandled (Spark still evaluates them), so
+    pruning is advisory-safe: strict/non-strict edges and files
+    without bounds can only KEEP extra files, never drop live rows."""
+
+    def __init__(self, path: str, manifest: dict, arrow_schema=None):
+        self._path = path
+        self._manifest = manifest
+        self._arrow_schema = arrow_schema
+        self._lo: dict = {}
+        self._hi: dict = {}
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col, v = attr[0], getattr(f, "value", None)
+            if v is None:
+                continue
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                self._lo[col] = max(self._lo.get(col, v), v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                self._hi[col] = min(self._hi.get(col, v), v)
+            elif isinstance(f, EqualTo):
+                self._lo[col] = max(self._lo.get(col, v), v)
+                self._hi[col] = min(self._hi.get(col, v), v)
+        return filters  # Spark applies everything; pruning is bonus
+
+    def _keep(self, bounds_by_col: dict) -> bool:
+        for col, lo in self._lo.items():
+            b = bounds_by_col.get(col)
+            if b is not None:
+                try:
+                    if b[1] < lo:
+                        return False
+                except TypeError:
+                    pass
+        for col, hi in self._hi.items():
+            b = bounds_by_col.get(col)
+            if b is not None:
+                try:
+                    if b[0] > hi:
+                        return False
+                except TypeError:
+                    pass
+        return True
+
+    def partitions(self):
+        import os
+
+        stats = self._manifest.get("stats") or {}
+        parts = []
+        for rel, files in sorted(self._manifest["commits"].items()):
+            cstats = stats.get(rel) or {}
+            for f in files:
+                if self._keep(cstats.get(f) or {}):
+                    parts.append(
+                        _FilePartition(os.path.join(self._path, rel, f))
+                    )
+        # an all-pruned plan still needs >=1 partition for an empty scan
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        if not partition.file_abs:
+            return
+        pf = pq.ParquetFile(partition.file_abs)
+        for b in pf.iter_batches():
+            yield (
+                _conform_batch(b, self._arrow_schema)
+                if self._arrow_schema is not None
+                else b
+            )
+
+
+class SnapshotDataSource(DataSource):
+    """``spark.read.format("snapshot").option("path", t)`` after
+    ``spark.dataSource.register(SnapshotDataSource)`` — batch reads of
+    a versioned table through the format API, with time travel
+    (``.option("version", N)`` / ``.option("asOfTimestamp", epoch)``)
+    and manifest-bounds file pruning pushed through Spark's own filter
+    hook. Partitioned tables are rejected (files do not carry their
+    partition columns) — read those via snapshots.read_snapshot."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def _manifest(self):
+        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot format requires .option('path', …)")
+        version = self.options.get("version")
+        if version is not None:
+            m = S._load_manifest(path, int(version))
+        else:
+            as_of = self.options.get("asoftimestamp")
+            snaps = S.list_snapshots(path)
+            if not snaps:
+                raise FileNotFoundError(f"no snapshots at {path}")
+            if as_of is not None:
+                snaps = [
+                    s for s in snaps if s["timestamp"] <= float(as_of)
+                ]
+                if not snaps:
+                    raise FileNotFoundError(
+                        f"no snapshot at or before {as_of} at {path}"
+                    )
+            m = S._load_manifest(path, snaps[-1]["version"])
+        if m.get("partition_by"):
+            raise ValueError(
+                f"snapshot format: table is partitioned by "
+                f"{m['partition_by']} — partition columns are not in "
+                "the data files; use snapshots.read_snapshot"
+            )
+        return path, m
+
+    def schema(self):
+        import os
+
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path, m = self._manifest()
+        for rel, files in sorted(m["commits"].items()):
+            if files:
+                return from_arrow_schema(
+                    pq.ParquetFile(
+                        os.path.join(path, rel, files[0])
+                    ).schema_arrow
+                )
+        raise FileNotFoundError(f"no data files in that version of {path}")
+
+    def reader(self, schema) -> DataSourceReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        path, m = self._manifest()
+        return SnapshotBatchReader(path, m, to_arrow_schema(schema))
+
+
+def register_snapshot_format(spark) -> None:
+    """Idempotently register the batch snapshot source. Python-source
+    filter pushdown ships disabled by default (Spark 4.1) — flip the
+    runtime-settable conf here so ``pushFilters`` actually receives
+    the comparison filters; without it Spark refuses to plan a reader
+    that implements the hook."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+
+
+def _conform_batch(batch, target_schema):
+    """Cast an Arrow batch to the table's declared schema (by field
+    NAME, then type) — appends written with a drifted-but-castable
+    type (int32 vs int64, float vs double) must still stream as one
+    table, the same lossless-widening contract as
+    operators.transform.conform_schema. Missing fields become nulls;
+    extra fields are dropped; an uncastable type raises (the narrowing
+    case is an error, not silent corruption)."""
+    import pyarrow as pa
+
+    if batch.schema == target_schema:
+        return batch
+    cols = []
+    names = set(batch.schema.names)
+    for field in target_schema:
+        if field.name in names:
+            cols.append(
+                batch.column(field.name).cast(field.type)
+            )
+        else:
+            cols.append(pa.nulls(batch.num_rows, type=field.type))
+    return pa.RecordBatch.from_arrays(cols, schema=target_schema)
