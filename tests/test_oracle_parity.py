@@ -84,7 +84,9 @@ def test_doc_counts_match_registry():
         f"README.md says {m.groups()}, registry is "
         f"({n_q}, {n_o}, {n_q - n_o})"
     )
-    m = re.search(r"Registry: (\d+) driver queries, (\d+)\s+DuckDB", survey)
+    m = re.search(
+        r"Registry:\s+(\d+)\s+driver\s+queries,\s+(\d+)\s+DuckDB", survey
+    )
     assert m, "SURVEY.md lost its registry-count sentence"
     assert (int(m.group(1)), int(m.group(2))) == (n_q, n_o), (
         f"SURVEY.md says {m.groups()}, registry is ({n_q}, {n_o})"
