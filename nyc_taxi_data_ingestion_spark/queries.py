@@ -8235,6 +8235,43 @@ FROM b GROUP BY 1
 REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
 
 
+_LATERAL_TOPN_SQL = """
+SELECT c_custkey, o.o_orderkey, o.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) o
+WHERE c_custkey % 100 = 0
+"""
+
+
+@register(
+    "lateral_topn",
+    _LATERAL_TOPN_SQL.format(customer="customer", orders="orders"),
+    tags=["sql", "T2", "J1"],
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through spark.sql() — per-customer
+    top-3 orders, the canonical top-N-per-entity SQL users write when
+    they DON'T want to hand-roll a window. Catalyst decorrelates it
+    into partial+final WindowGroupLimit (map-side top-k before the
+    shuffle — no per-customer re-execution, the naive reading of
+    LATERAL) under a broadcast join of the filtered customer side, and
+    even pushes the outer customer filter into the orders branch. The
+    oracle runs the IDENTICAL SQL (DuckDB LATERAL), so the driver
+    certifies the decorrelation is semantics-preserving. Total order
+    under LIMIT via the (o_totalprice DESC, o_orderkey) tie-break."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}_v")
+    return spark.sql(
+        _LATERAL_TOPN_SQL.format(
+            customer="lat_customer_v", orders="lat_orders_v"
+        )
+    )
+
+
 _SNAPSHOT_STREAM_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
