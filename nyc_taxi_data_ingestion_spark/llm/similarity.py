@@ -762,6 +762,63 @@ def _ivfadc_search(
     )
 
 
+class ConcurrentIndexRebuildError(RuntimeError):
+    """A rebuild replaced the trained model while an append was
+    encoding against the old one; the append aborted cleanly."""
+
+
+class _MetaLock:
+    """Exclusive advisory lock for an ANN index's meta.json
+    read-modify-write (O_CREAT|O_EXCL lockfile). Without it, two
+    concurrent appends both read appended_dirs=[], and the loser's
+    vectors silently vanish from the index (its codes dir becomes an
+    unreferenced orphan). Crash-safe: a lock older than ``stale_sec``
+    is presumed abandoned (holder died between create and unlink) and
+    taken over. On shared object storage, swap for the same
+    conditional-PUT the snapshot layer's _commit_manifest documents."""
+
+    def __init__(self, path: str, timeout_sec: float = 60.0,
+                 stale_sec: float = 300.0):
+        import os
+
+        self._lock = os.path.join(path, "meta.lock")
+        self._timeout = timeout_sec
+        self._stale = stale_sec
+
+    def __enter__(self):
+        import os
+        import time
+
+        deadline = time.time() + self._timeout
+        while True:
+            try:
+                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self._lock).st_mtime
+                    if age > self._stale:
+                        os.unlink(self._lock)  # abandoned holder
+                        continue
+                except OSError:
+                    continue  # lock vanished between open and stat
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"ANN index meta lock busy for {self._timeout}s: "
+                        f"{self._lock}"
+                    )
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.unlink(self._lock)
+        return False
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -812,30 +869,37 @@ def build_ann_index(
         .parquet(os.path.join(path, codes_rel))
     )
     meta_path = os.path.join(path, "meta.json")
-    old_dirs: list[str] = []
-    if os.path.isfile(meta_path):
-        with open(meta_path) as f:
-            old = json.load(f)
-        old_dirs = [old.get("codes_dir")] + old.get("appended_dirs", [])
-    meta = {
-        "format": "spark-graft-ivfpq-v1",
-        "codes_dir": codes_rel,
-        "appended_dirs": [],
-        "num_cells": num_cells,
-        "m": m,
-        "nbits": nbits,
-        "seed": seed,
-        "centroids": cent.tolist(),
-        "books": books.tolist(),
-    }
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
-    for d in old_dirs:
-        if d and d != codes_rel:
-            # best-effort reclaim of the superseded build's codes
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # the meta read→publish→reclaim must be exclusive: an append
+    # landing its dir between our read and our reclaim would otherwise
+    # be orphaned by a reclaim that never saw it listed
+    with _MetaLock(path):
+        old_dirs: list[str] = []
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                old = json.load(f)
+            old_dirs = (
+                [old.get("codes_dir")] + old.get("appended_dirs", [])
+            )
+        meta = {
+            "format": "spark-graft-ivfpq-v1",
+            "build_id": uuid.uuid4().hex,
+            "codes_dir": codes_rel,
+            "appended_dirs": [],
+            "num_cells": num_cells,
+            "m": m,
+            "nbits": nbits,
+            "seed": seed,
+            "centroids": cent.tolist(),
+            "books": books.tolist(),
+        }
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        for d in old_dirs:
+            if d and d != codes_rel:
+                # best-effort reclaim of the superseded build's codes
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def append_ann_index(
@@ -891,11 +955,36 @@ def append_ann_index(
         .partitionBy("cell")
         .parquet(os.path.join(path, codes_rel))
     )
-    meta["appended_dirs"] = meta.get("appended_dirs", []) + [codes_rel]
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    # exclusive read-merge-publish: two concurrent appends must BOTH
+    # end up in appended_dirs — an unguarded read-modify-write loses
+    # the race loser's vectors silently (searches just miss them).
+    # The encode job above stays outside the lock (long); the
+    # re-read + merge + replace inside is milliseconds.
+    with _MetaLock(path):
+        with open(meta_path) as f:
+            current = json.load(f)
+        if current.get("build_id") != meta.get("build_id"):
+            # a REBUILD landed while we encoded: our codes carry the
+            # OLD model's codebooks — publishing them under the new
+            # model would serve garbage scores. Drop the work, tell
+            # the caller to re-append against the new model.
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(path, codes_rel), ignore_errors=True
+            )
+            raise ConcurrentIndexRebuildError(
+                f"index at {path} was rebuilt during this append; "
+                "re-run append_ann_index against the new model"
+            )
+        meta = current
+        meta["appended_dirs"] = (
+            meta.get("appended_dirs", []) + [codes_rel]
+        )
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
 
 
 def source_fingerprint(path: str) -> str:

@@ -33,6 +33,7 @@ the ground-truth invariant.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -161,6 +162,57 @@ class _FilePartition(InputPartition):
         self.file_abs = file_abs
 
 
+def _reject_partitioned_file(rel_path: str) -> None:
+    """A Hive-layout data file (``col=value/…/part.parquet``) does not
+    CARRY its partition columns; neither snapshot source reconstructs
+    directory-encoded values, so reject exactly the files that sit
+    under partition dirs — per FILE, not per manifest, so a table
+    whose history once was partitioned but whose current/fresh files
+    are flat streams fine."""
+    if any("=" in seg for seg in rel_path.split(os.sep)[:-1]):
+        raise ValueError(
+            f"snapshot source: data file {rel_path!r} sits under Hive "
+            "partition directories — its partition columns are not in "
+            "the file; read partitioned tables via "
+            "snapshots.read_snapshot instead"
+        )
+
+
+def _table_arrow_schema(path: str, manifest: dict):
+    """The table's Arrow schema = PERMISSIVE UNION of every commit's
+    file schema (one footer per commit — files within a commit share a
+    writer schema): later appends may add columns or losslessly widen
+    types (int32→int64), and anchoring to any single commit either
+    silently drops the new columns or crashes the vectorized reader on
+    the widened ones (both measured). A genuinely conflicting pair
+    (string vs long) fails here, at planning, with pyarrow's error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas = []
+    for rel, files in sorted(manifest["commits"].items()):
+        if files:
+            schemas.append(
+                pq.ParquetFile(
+                    os.path.join(path, rel, files[0])
+                ).schema_arrow
+            )
+    if not schemas:
+        raise FileNotFoundError(f"no data files in that version of {path}")
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except TypeError:  # pyarrow without promote_options: exact match only
+        unified = pa.unify_schemas(schemas)
+    # every field NULLABLE: a column added by a later append is null in
+    # earlier commits' rows, but its own file schema says non-null (it
+    # was written from a literal) — keeping that flag makes Spark's
+    # unsafe-row writer NPE on the null-filled rows. Matches Spark's
+    # own parquet behavior (reads treat everything nullable).
+    return pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in unified]
+    )
+
+
 class SnapshotStreamReader(DataSourceStreamReader):
     """Partition-planned stream reader over a snapshot table.
 
@@ -202,39 +254,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         sv, ev = int(start["version"]), int(end["version"])
         if ev <= sv:
             return []
-        head = S._load_manifest(self._path, ev)
-        versions = S._version_numbers(self._path)
-        first = min(versions, default=None)
-        window = {ev: head}
-        for v in versions:
-            if sv < v < ev:
-                window[v] = S._load_manifest(self._path, v)
-        for v, m in sorted(window.items()):
-            if m.get("partition_by"):
-                raise ValueError(
-                    f"snapshot_stream: v{v} is partitioned by "
-                    f"{m['partition_by']} — partition columns are not "
-                    "in the data files; stream the unpartitioned form"
-                )
-            if m["operation"] != "append" and v != first and sv != 0:
-                raise ValueError(
-                    f"snapshot_stream: v{v} is {m['operation']!r}, not "
-                    "append — incremental tailing is unsound across "
-                    "rewrites; restart the stream from a fresh "
-                    "checkpoint (bootstrap re-reads the head)"
-                )
-        if sv == 0:
-            fresh = head["commits"]
-        else:
-            old = set(S._load_manifest(self._path, sv)["commits"])
-            fresh = {
-                rel: files
-                for rel, files in head["commits"].items()
-                if rel not in old
-            }
+        # planning + append-only validation SHARED with the batch
+        # incremental path (snapshots.fresh_append_commits) — the two
+        # consumers can never drift on window semantics
+        try:
+            _, fresh = S.fresh_append_commits(self._path, sv, ev)
+        except ValueError as exc:
+            raise ValueError(
+                f"snapshot_stream: {exc} — restart the stream from a "
+                "fresh checkpoint (bootstrap re-reads the head)"
+            ) from exc
         parts = []
         for rel, files in sorted(fresh.items()):
             for f in files:
+                _reject_partitioned_file(f)
                 parts.append(
                     _FilePartition(os.path.join(self._path, rel, f))
                 )
@@ -267,7 +300,6 @@ class SnapshotStreamDataSource(DataSource):
         return "snapshot_stream"
 
     def schema(self):
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         from nyc_taxi_data_ingestion_spark.sources import snapshots as S
@@ -279,15 +311,7 @@ class SnapshotStreamDataSource(DataSource):
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
         manifest = S._load_manifest(path, head)
-        import os
-
-        for rel, files in sorted(manifest["commits"].items()):
-            if files:
-                first = os.path.join(path, rel, files[0])
-                return from_arrow_schema(
-                    pq.ParquetFile(first).schema_arrow
-                )
-        raise FileNotFoundError(f"no data files in head of {path}")
+        return from_arrow_schema(_table_arrow_schema(path, manifest))
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -349,22 +373,17 @@ class SnapshotBatchReader(DataSourceReader):
         return filters  # Spark applies everything; pruning is bonus
 
     def _keep(self, bounds_by_col: dict) -> bool:
-        for col, lo in self._lo.items():
-            b = bounds_by_col.get(col)
-            if b is not None:
-                try:
-                    if b[1] < lo:
-                        return False
-                except TypeError:
-                    pass
-        for col, hi in self._hi.items():
-            b = bounds_by_col.get(col)
-            if b is not None:
-                try:
-                    if b[0] > hi:
-                        return False
-                except TypeError:
-                    pass
+        from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+            bounds_exclude,
+        )
+
+        for col in set(self._lo) | set(self._hi):
+            if bounds_exclude(
+                bounds_by_col.get(col),
+                self._lo.get(col),
+                self._hi.get(col),
+            ):
+                return False
         return True
 
     def partitions(self):
@@ -375,6 +394,7 @@ class SnapshotBatchReader(DataSourceReader):
         for rel, files in sorted(self._manifest["commits"].items()):
             cstats = stats.get(rel) or {}
             for f in files:
+                _reject_partitioned_file(f)
                 if self._keep(cstats.get(f) or {}):
                     parts.append(
                         _FilePartition(os.path.join(self._path, rel, f))
@@ -410,6 +430,8 @@ class SnapshotDataSource(DataSource):
         return "snapshot"
 
     def _manifest(self):
+        if getattr(self, "_resolved", None) is not None:
+            return self._resolved
         from nyc_taxi_data_ingestion_spark.sources import snapshots as S
 
         path = self.options.get("path")
@@ -432,29 +454,18 @@ class SnapshotDataSource(DataSource):
                         f"no snapshot at or before {as_of} at {path}"
                     )
             m = S._load_manifest(path, snaps[-1]["version"])
-        if m.get("partition_by"):
-            raise ValueError(
-                f"snapshot format: table is partitioned by "
-                f"{m['partition_by']} — partition columns are not in "
-                "the data files; use snapshots.read_snapshot"
-            )
-        return path, m
+        # per-FILE partition-layout rejection happens at planning
+        # (_reject_partitioned_file); resolve once per read — schema()
+        # and reader() must see the SAME pinned manifest even if a
+        # commit lands between the two calls
+        self._resolved = (path, m)
+        return self._resolved
 
     def schema(self):
-        import os
-
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path, m = self._manifest()
-        for rel, files in sorted(m["commits"].items()):
-            if files:
-                return from_arrow_schema(
-                    pq.ParquetFile(
-                        os.path.join(path, rel, files[0])
-                    ).schema_arrow
-                )
-        raise FileNotFoundError(f"no data files in that version of {path}")
+        return from_arrow_schema(_table_arrow_schema(path, m))
 
     def reader(self, schema) -> DataSourceReader:
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -162,54 +162,70 @@ def _collect_file_stats(
                 return None
         return None
 
-    def scan(batches):
+    def _file_stats(rel: str) -> list[tuple]:
         import pyarrow.parquet as pq
 
-        for pdf in batches:
-            out = []
-            for rel in pdf["file"]:
-                meta = pq.ParquetFile(
-                    os.path.join(commit_abs, rel)
-                ).metadata
-                names = {
-                    meta.schema.column(i).name: i
-                    for i in range(meta.num_columns)
-                }
-                for col in stats_cols:
-                    ci = names.get(col)
-                    if ci is None:
-                        continue
-                    lo = hi = None
-                    ok = True
-                    for g in range(meta.num_row_groups):
-                        st = meta.row_group(g).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    if not ok or lo is None:
-                        continue
-                    jlo, jhi = _jsonable(lo), _jsonable(hi)
-                    if jlo is None or jhi is None:
-                        continue
-                    out.append((rel, col, json.dumps([jlo, jhi])))
-            yield pd.DataFrame(
-                out, columns=["file", "col", "bounds"]
-            )
+        meta = pq.ParquetFile(os.path.join(commit_abs, rel)).metadata
+        names = {
+            meta.schema.column(i).name: i
+            for i in range(meta.num_columns)
+        }
+        out = []
+        for col in stats_cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            ok = True
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            jlo, jhi = _jsonable(lo), _jsonable(hi)
+            if jlo is None or jhi is None:
+                continue
+            out.append((rel, col, json.dumps([jlo, jhi])))
+        return out
 
-    listing = spark.createDataFrame([(f,) for f in files], "file string")
-    n_slices = max(
-        1, min(len(files), spark.sparkContext.defaultParallelism)
-    )
-    rows = (
-        listing.repartition(n_slices)
-        .mapInPandas(scan, schema="file string, col string, bounds string")
-        .collect()
-    )
+    # a footer read is ~ms: below a handful of files a Spark job's
+    # scheduling overhead dwarfs the work, and streaming micro-batch
+    # appends (1-4 files each) route through here on every commit of a
+    # stats-enabled table — read those driver-side; fan out only when
+    # the commit is genuinely wide
+    if len(files) <= 8:
+        rows = [t for rel in files for t in _file_stats(rel)]
+    else:
+
+        def scan(batches):
+            for pdf in batches:
+                out = []
+                for rel in pdf["file"]:
+                    out.extend(_file_stats(rel))
+                yield pd.DataFrame(
+                    out, columns=["file", "col", "bounds"]
+                )
+
+        listing = spark.createDataFrame(
+            [(f,) for f in files], "file string"
+        )
+        n_slices = max(
+            1, min(len(files), spark.sparkContext.defaultParallelism)
+        )
+        rows = (
+            listing.repartition(n_slices)
+            .mapInPandas(
+                scan, schema="file string, col string, bounds string"
+            )
+            .collect()
+        )
     stats: dict[str, dict[str, list]] = {}
-    for r in rows:
-        stats.setdefault(r.file, {})[r.col] = json.loads(r.bounds)
+    for file, col, bounds in rows:
+        stats.setdefault(file, {})[col] = json.loads(bounds)
     return stats
 
 
@@ -401,6 +417,82 @@ def read_snapshot(
     return _read_commits(spark, path, manifest["commits"])
 
 
+def bounds_exclude(bounds, lower=None, upper=None) -> bool:
+    """True iff a file whose recorded [min, max] is ``bounds`` provably
+    holds NO rows in ``lower <= col <= upper`` (either bound optional).
+    THE prune predicate — scan_snapshot, scan_prune_stats, and the
+    batch-format pushFilters path all call this one function, so the
+    audit can never disagree with the scan and an edge-semantics fix
+    lands once. Missing bounds or incomparable types → False (keep the
+    file): pruning must stay conservative."""
+    if bounds is None:
+        return False
+    lo, hi = bounds
+    try:
+        if upper is not None and lo > upper:
+            return True
+        if lower is not None and hi < lower:
+            return True
+    except TypeError:
+        pass  # bound/stat types incomparable: keep
+    return False
+
+
+def fresh_append_commits(
+    path: str, from_version: int, to_version: int | None = None
+) -> tuple[int, dict[str, list[str]]]:
+    """THE shared planning step for every incremental consumer (batch
+    ``read_appends_between`` and the ``snapshot_stream`` source):
+    resolve ``to_version`` (None → head) and return
+    ``(to_version, fresh_commits)`` — the commit dirs added in the
+    window ``(from_version, to_version]`` — after validating the
+    window is sound to consume incrementally.
+
+    ``from_version = 0`` is the BOOTSTRAP cursor: the increment is the
+    head state's ENTIRE file set, which is sound regardless of what
+    rewrites happened earlier in history (the consumer starts from the
+    current state, it does not replay history), so the append-only
+    rule is not applied. For any other cursor, every surviving
+    manifest in the window must be an ``append`` (the table's first
+    version exempt — nothing precedes it to rewrite); a rewrite
+    (overwrite/merge/compact/rollback) raises ValueError because file
+    set differences no longer equal row additions. An inverted window
+    raises instead of silently returning an empty increment."""
+    to_version = (
+        to_version if to_version is not None else current_version(path)
+    )
+    if to_version is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if from_version < 0 or from_version > to_version:
+        raise ValueError(
+            f"bad incremental window ({from_version}, {to_version}]: "
+            f"from_version must be in [0, to_version] — a cursor ahead "
+            f"of the target means the consumer must re-sync"
+        )
+    new_manifest = _load_manifest(path, to_version)
+    if from_version == 0:
+        return to_version, dict(new_manifest["commits"])
+    versions = _version_numbers(path)
+    first = min(versions, default=None)
+    window = {to_version: new_manifest}
+    for v in versions:
+        if from_version < v < to_version:
+            window[v] = _load_manifest(path, v)
+    for v, m in window.items():
+        if m["operation"] != "append" and v != first:
+            raise ValueError(
+                f"v{v} is {m['operation']!r}, not append: incremental "
+                f"read is unsound across rewrites — re-sync with "
+                f"read_snapshot()"
+            )
+    old_commits = set(_load_manifest(path, from_version)["commits"])
+    return to_version, {
+        rel: files
+        for rel, files in new_manifest["commits"].items()
+        if rel not in old_commits
+    }
+
+
 def scan_snapshot(
     spark: SparkSession,
     path: str,
@@ -437,19 +529,13 @@ def scan_snapshot(
     pruned: dict[str, list[str]] = {}
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
-        keep = []
-        for f in files:
-            bounds = (cstats.get(f) or {}).get(column)
-            if bounds is not None:
-                lo, hi = bounds
-                try:
-                    if upper is not None and lo > upper:
-                        continue
-                    if lower is not None and hi < lower:
-                        continue
-                except TypeError:
-                    pass  # incomparable bound types: keep the file
-            keep.append(f)
+        keep = [
+            f
+            for f in files
+            if not bounds_exclude(
+                (cstats.get(f) or {}).get(column), lower, upper
+            )
+        ]
         if keep:
             pruned[commit_rel] = keep
     if not pruned:
@@ -487,17 +573,10 @@ def scan_prune_stats(
         cstats = stats.get(commit_rel) or {}
         for f in files:
             total += 1
-            bounds = (cstats.get(f) or {}).get(column)
-            if bounds is None:
-                continue
-            lo, hi = bounds
-            try:
-                if (upper is not None and lo > upper) or (
-                    lower is not None and hi < lower
-                ):
-                    pruned_n += 1
-            except TypeError:
-                pass
+            if bounds_exclude(
+                (cstats.get(f) or {}).get(column), lower, upper
+            ):
+                pruned_n += 1
     return {
         "total_files": total,
         "pruned_files": pruned_n,
@@ -770,53 +849,18 @@ def read_appends_between(
     consumer must re-sync from a full read).
 
     ``from_version=0`` is the BOOTSTRAP cursor (Delta's
-    startingVersion=0): consume everything from the table's creation —
-    the first version is exempt from the append-only rule, since
-    nothing precedes it for an overwrite to rewrite. An inverted
-    window (from > to) raises instead of silently returning an empty
-    increment, so a consumer whose cursor ran ahead can never
+    startingVersion=0): consume the head state's whole file set —
+    sound regardless of rewrites earlier in history, since the
+    consumer starts from current state rather than replaying it. An
+    inverted window (from > to) raises instead of silently returning
+    an empty increment, so a consumer whose cursor ran ahead can never
     "successfully" drop data. Cost per poll is O(window): only the
     manifests inside (from, to] are parsed (version discovery is
-    filename-based), never the table's whole history."""
-    to_version = (
-        to_version if to_version is not None else current_version(path)
-    )
-    if to_version is None:
-        raise FileNotFoundError(f"no snapshots at {path}")
-    if from_version < 0 or from_version > to_version:
-        raise ValueError(
-            f"bad incremental window ({from_version}, {to_version}]: "
-            f"from_version must be in [0, to_version] — a cursor ahead "
-            f"of the target means the consumer must re-sync"
-        )
-    versions = _version_numbers(path)
-    first = min(versions, default=None)
-    new_manifest = _load_manifest(path, to_version)
-    # validate + collect exactly the window's SURVIVING manifests (the
-    # newest one is already loaded; expired ones below the window's
-    # floor are fine — their commits are either chained into the head
-    # manifest or gone, and a bootstrap read uses the head's file set)
-    window = {to_version: new_manifest}
-    for v in versions:
-        if from_version < v < to_version:
-            window[v] = _load_manifest(path, v)
-    for v, m in window.items():
-        if m["operation"] != "append" and v != first:
-            raise ValueError(
-                f"v{v} is {m['operation']!r}, not append: incremental "
-                f"read is unsound across rewrites — re-sync with "
-                f"read_snapshot()"
-            )
-    old_commits = (
-        set(_load_manifest(path, from_version)["commits"])
-        if from_version > 0
-        else set()
-    )
-    fresh = {
-        rel: files
-        for rel, files in new_manifest["commits"].items()
-        if rel not in old_commits
-    }
+    filename-based), never the table's whole history. Planning and
+    validation live in :func:`fresh_append_commits`, SHARED with the
+    ``snapshot_stream`` streaming source so the batch and stream
+    incremental paths can never drift."""
+    to_version, fresh = fresh_append_commits(path, from_version, to_version)
     if not fresh:
         return read_snapshot(spark, path, version=to_version).limit(0)
     return _read_commits(spark, path, fresh)

@@ -1249,3 +1249,74 @@ def test_append_ann_index_encode_only_parity(emb, tmp_path):
         d for d in os.listdir(path) if d.startswith("codes-append-")
     }
     assert not after
+
+
+def test_ann_meta_lock_exclusive_and_stale_takeover(tmp_path):
+    from nyc_taxi_data_ingestion_spark.llm.similarity import _MetaLock
+
+    path = str(tmp_path)
+    with _MetaLock(path):
+        with pytest.raises(TimeoutError):
+            with _MetaLock(path, timeout_sec=0.2):
+                pass
+    # released: can take again
+    with _MetaLock(path):
+        pass
+    # a stale lock (abandoned holder) is taken over, not waited on
+    import os
+
+    lock = os.path.join(path, "meta.lock")
+    open(lock, "w").close()
+    os.utime(lock, ns=(1, 1))  # ancient mtime
+    with _MetaLock(path, timeout_sec=1.0, stale_sec=10.0):
+        pass
+
+
+def test_append_aborts_cleanly_when_rebuild_wins_the_race(emb, tmp_path):
+    """A rebuild replacing the trained model while an append encodes
+    against the old one must ABORT the append (its codes carry stale
+    codebooks — publishing them would serve garbage scores), reclaim
+    the orphan codes dir, and leave the rebuilt index fully usable."""
+    import json
+    import os
+
+    from nyc_taxi_data_ingestion_spark.llm import similarity as sim
+
+    path = str(tmp_path / "annidx")
+    half1 = emb.filter("vec_id % 2 = 0")
+    half2 = emb.filter("vec_id % 2 = 1")
+    sim.build_ann_index(half1, path, num_cells=8, m=16, nbits=8, seed=42)
+
+    real_lock = sim._MetaLock
+    state = {"fired": False}
+
+    class RebuildOnFirstLock(real_lock):
+        def __enter__(self):
+            r = real_lock.__enter__(self)
+            if not state["fired"]:
+                state["fired"] = True
+                real_lock.__exit__(self)
+                sim.build_ann_index(
+                    half1, path, num_cells=8, m=16, nbits=8, seed=7
+                )
+                real_lock.__enter__(self)
+            return r
+
+    sim._MetaLock = RebuildOnFirstLock
+    try:
+        with pytest.raises(sim.ConcurrentIndexRebuildError):
+            sim.append_ann_index(half2, path)
+    finally:
+        sim._MetaLock = real_lock
+
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["seed"] == 7 and meta["appended_dirs"] == []
+    assert not [
+        d for d in os.listdir(path) if d.startswith("codes-append-")
+    ]  # the aborted append reclaimed its codes
+    idx = sim.load_ann_index(emb.sparkSession, path)
+    assert idx.codes.count() == half1.count()
+    # a re-append against the NEW model now lands normally
+    sim.append_ann_index(half2, path)
+    idx = sim.load_ann_index(emb.sparkSession, path)
+    assert idx.codes.count() == emb.count()

@@ -221,3 +221,123 @@ def test_snapshot_batch_format_time_travel_and_pushdown(spark, tmp_path):
     assert list(unhandled)  # everything returned for Spark to re-check
     kept = len(r_rng.partitions())
     assert kept < total and kept >= 1
+
+
+def test_snapshot_format_schema_union_across_evolved_appends(spark, tmp_path):
+    """Schema is the PERMISSIVE UNION across commits: appends that add
+    a column or losslessly widen a type must read back whole — the
+    oldest-commit anchoring previously dropped new columns silently
+    and crashed on widened ints (both measured). Applies to the batch
+    format and the stream source alike."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import snapshot_write
+
+    register_snapshot_format(spark)
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 10).select(
+            F.col("id"), F.col("id").cast("int").alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    snapshot_write(
+        spark.range(10, 20).select(
+            F.col("id"),
+            (F.lit(2**40) + F.col("id")).alias("v"),  # widened to long
+            F.lit("fresh").alias("w"),  # new column
+        ),
+        path,
+        mode="append",
+    )
+    df = spark.read.format("snapshot").option("path", path).load()
+    assert set(df.columns) == {"id", "v", "w"}
+    assert dict(df.dtypes)["v"] == "bigint"
+    rows = {r.id: (r.v, r.w) for r in df.collect()}
+    assert rows[0] == (0, None)  # old rows: widened v, null new column
+    assert rows[15] == (2**40 + 15, "fresh")
+
+    # the stream source derives the same union schema
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.count() == 20
+    assert got.filter("w = 'fresh'").count() == 10
+
+
+def test_snapshot_stream_bootstraps_over_rewritten_history(spark, tmp_path):
+    """A stream starting fresh on a table whose HISTORY contains
+    rewrites (or partitioned versions) must bootstrap from the head
+    state — only the head's files are read, so only they matter."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    # history: partitioned v1, appended v2, compacting REWRITE v3
+    snapshot_write(
+        spark.range(0, 50).withColumn("p", F.col("id") % 2),
+        path,
+        mode="append",
+        partition_by=["p"],
+    )
+    snapshot_write(
+        spark.range(50, 80).withColumn("p", F.lit(0)), path, mode="append",
+        partition_by=[],
+    )
+    snapshot_compact(spark, path, target_partitions=2, partition_by=[])
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 80  # full head state, history rewrites ignored
+    # incremental continuation still works after bootstrap
+    snapshot_write(
+        spark.range(80, 90).withColumn("p", F.lit(0)), path, mode="append",
+        partition_by=[],
+    )
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 90
