@@ -8235,6 +8235,80 @@ FROM b GROUP BY 1
 REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
 
 
+_ATTRIBUTION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM o
+),
+f AS (
+  SELECT *, FIRST_VALUE(event_type) OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id
+         ) AS channel
+  FROM s
+)
+SELECT channel,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST((value) AS DECIMAL(30,4))) AS DOUBLE)
+         AS attributed_value
+FROM f WHERE event_type = 'purchase'
+GROUP BY channel
+"""
+
+
+@register(
+    "attribution_first_touch", _ATTRIBUTION_ORACLE,
+    tags=["analytics", "W2"],
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — the marketing-analytics composition
+    over sessionization: each purchase's value is credited to the
+    event type that OPENED its session (30-min inactivity gap, the
+    sessionize_batch boundary contract), then revenue rolls up per
+    acquisition channel. Three windows over ONE user-key shuffle
+    (gap flag → running session id → per-session first touch — all
+    partitioned by user, never global), one decimal-exact value sum.
+    The oracle rebuilds the identical gaps-and-islands chain in SQL,
+    so the driver certifies session boundaries, first-touch selection,
+    and credit sums all at once."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        >= 30 * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("__brk", brk).withColumn(
+        "__sid", F.sum("__brk").over(ws)
+    )
+    wf = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
+    touched = sess.withColumn(
+        "channel", F.first("event_type").over(wf)
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("value").alias("attributed_value"),
+        )
+    )
+
+
 _LATERAL_TOPN_SQL = """
 SELECT c_custkey, o.o_orderkey, o.o_totalprice
 FROM {customer} c,
