@@ -474,3 +474,94 @@ def skyline_2d(
         (F.col("__prev").isNull() | (F.col("__prev") > F.col(min_col)))
         & (F.col("__off").isNull() | (F.col("__off") > F.col(min_col)))
     ).drop("__b", "__off", "__prev")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank by power iteration over an edge list — the standard
+    importance measure for link/citation/co-occurrence graphs, joining
+    the repo's graph family (connected components, BFS closure,
+    triangles). Returns (node, rank) with ranks summing to ~1.
+    Dangling nodes (no out-edges) redistribute their mass uniformly,
+    the textbook correction — without it rank mass leaks every
+    iteration and the vector no longer sums to 1.
+
+    Scale shape per iteration: contributions = one (src)-keyed join of
+    the rank vector onto the out-degree-weighted edge list, then one
+    (dst)-keyed partial agg — two shuffles of (node, double), never
+    the full adjacency payload; the rank vector is localCheckpoint-ed
+    each round so iteration i never re-derives i-1's lineage (the CC
+    loop's discipline). Convergence is checked on the L1 delta
+    (one-row agg) every iteration; floats here are honest numerics —
+    power iteration is approximate by nature, so this operator is a
+    rows-only/pytest surface, not an exact-oracle one."""
+    from pyspark.sql import functions as F
+
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["__s"], "left"
+        )
+        # mass from dangling nodes (no out-edges) spreads uniformly
+        dangling = (
+            with_deg.filter(F.col("__deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            with_deg.filter(F.col("__deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .join(e, F.col("node") == F.col("__s"))
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(
+                F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

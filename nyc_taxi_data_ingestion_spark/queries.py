@@ -8235,6 +8235,44 @@ FROM b GROUP BY 1
 REGISTRY["classifier_lift"].oracle = _classifier_lift_oracle()
 
 
+@register("pagerank_parts", None, tags=["analytics", "graph"])
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (same support>=2 edge
+    derivation as graph_triangles, both directions — PageRank wants a
+    directed list): the importance ranking view of the basket graph,
+    completing the graph family (CC, BFS closure, triangles, ranks).
+    Rows-only by nature — power iteration's floats are honest numerics
+    with no SQL twin; pytest pins the operator bit-for-bit against a
+    pure-python power iteration with identical damping and
+    dangling-mass handling. Returns the top 25 parts by rank
+    (total-ordered on (rank DESC, partkey))."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    ranks = pagerank(e, max_iter=15, tol=1e-9)
+    return (
+        ranks.select(
+            F.col("node").alias("partkey"),
+            F.round("rank", 10).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("partkey"))
+        .limit(25)
+    )
+
+
 _ATTRIBUTION_ORACLE = """
 WITH o AS (
   SELECT user_id, event_id, ts, event_type, value,

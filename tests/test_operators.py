@@ -452,3 +452,44 @@ def test_skyline_2d_known_frontier(spark):
     assert [r.k for r in skyline_2d(one, "maxm", "minm", "k").collect()] == [1]
     empty = one.filter("k < 0")
     assert skyline_2d(empty, "maxm", "minm", "k").count() == 0
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """pagerank == a pure-python power iteration with the same damping
+    and dangling-mass redistribution, on a graph with a cycle, a hub,
+    and a dangling node; ranks sum to ~1."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import pagerank
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),   # cycle
+        (1, 4), (2, 4), (3, 4),   # 4 is a hub...
+        # ...and dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, max_iter=50, tol=1e-12).collect()
+    }
+
+    nodes = [1, 2, 3, 4]
+    out = {1: [2, 4], 2: [3, 4], 3: [1, 4], 4: []}
+    d, n = 0.85, len(nodes)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(50):
+        dangling = sum(ranks[v] for v in nodes if not out[v])
+        new = {}
+        for v in nodes:
+            inflow = sum(
+                ranks[u] / len(out[u]) for u in nodes if v in out[u]
+            )
+            new[v] = (1 - d) / n + d * (inflow + dangling / n)
+        if sum(abs(new[v] - ranks[v]) for v in nodes) < 1e-12:
+            ranks = new
+            break
+        ranks = new
+
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # the hub everything points at outranks the cycle members
+    assert got[4] > max(got[1], got[2], got[3])
