@@ -517,25 +517,29 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    outdeg = e.groupBy("__s").agg(
+        F.count("*").alias("__deg")
+    ).localCheckpoint(eager=True)
+    # the DANGLING SET (no out-edges) is static across iterations —
+    # derive it once; per round only its current MASS is aggregated
+    dangling_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["__s"], "left_anti"
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
     for i in range(max_iter):
-        with_deg = ranks.join(
-            outdeg, ranks["node"] == outdeg["__s"], "left"
-        )
-        # mass from dangling nodes (no out-edges) spreads uniformly —
-        # carried as a broadcast ONE-ROW aggregate inside the plan, not
-        # a per-iteration driver collect (2 extra jobs/round measured
+        # mass from dangling nodes spreads uniformly — carried as a
+        # broadcast ONE-ROW aggregate inside the plan, not a
+        # per-iteration driver collect (2 extra jobs/round measured
         # ~2x the whole iteration cost on a dim-sized graph)
         dangling = F.broadcast(
-            with_deg.filter(F.col("__deg").isNull()).agg(
+            ranks.join(dangling_nodes, "node", "left_semi").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
             )
         )
         contrib = (
-            with_deg.filter(F.col("__deg").isNotNull())
+            ranks.join(outdeg, ranks["node"] == outdeg["__s"])
             .select("node", (F.col("rank") / F.col("__deg")).alias("__c"))
             .join(e, F.col("node") == F.col("__s"))
             .groupBy(F.col("__d").alias("node"))
@@ -558,10 +562,11 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         old, ranks = ranks, new_ranks
-        # L1 convergence probe every 5th round (and the last): each
-        # probe is an extra join+agg job, and power iteration's
-        # geometric convergence makes per-round checks mostly wasted
-        if i % 5 == 4 or i == max_iter - 1:
+        # L1 convergence probe every 5th round: each probe is an extra
+        # join+agg job, power iteration converges geometrically so
+        # per-round checks are mostly wasted, and a probe on the final
+        # pass could only break out of an already-finished loop
+        if i % 5 == 4 and i != max_iter - 1:
             delta = (
                 ranks.alias("a")
                 .join(old.alias("b"), "node")

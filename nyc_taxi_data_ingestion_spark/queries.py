@@ -3469,6 +3469,29 @@ def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_ids(ev: DataFrame) -> DataFrame:
+    """THE 30-minute-gap session contract, shared by every consumer
+    (sessionize_batch, attribution_first_touch; mirrored by the
+    stream_session_windows oracle): gaps-and-islands over the total
+    event order (user_id, ts, event_id) — LAG gap flag → running
+    break-sum → ``__sid``. Microsecond-exact gap test (casting ts to
+    long truncates to seconds and mis-classifies gaps within 1s of the
+    boundary). One helper so the boundary rule can never diverge
+    between the queries that promise identical sessions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        >= 30 * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.withColumn("__brk", brk).withColumn(
+        "__sid", F.sum("__brk").over(ws)
+    )
+
+
 @register("sessionize_batch", _STREAM_SESSION_ORACLE, tags=["W1", "W2", "A12"])
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via gaps-and-islands windows (LAG → break
@@ -3477,21 +3500,8 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark windows, Spark session_window streaming state, DuckDB SQL)
     agree on identical session boundaries. Two window passes over one
     key shuffle; no state store needed in batch."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # microsecond-exact gap test (casting ts to long truncates to
-    # seconds and mis-classifies gaps within 1s of the boundary)
-    brk = F.when(
-        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-        >= 30 * 60 * 1_000_000,
-        1,
-    ).otherwise(0)
-    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = ev.withColumn("__brk", brk).withColumn("__sid", F.sum("__brk").over(ws))
+    sess = _with_session_ids(ev)
     return sess.groupBy("user_id", "__sid").agg(
         F.min("ts").alias("session_start"),
         (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
@@ -8242,10 +8252,10 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     directed list): the importance ranking view of the basket graph,
     completing the graph family (CC, BFS closure, triangles, ranks).
     Rows-only by nature — power iteration's floats are honest numerics
-    with no SQL twin; pytest pins the operator bit-for-bit against a
-    pure-python power iteration with identical damping and
-    dangling-mass handling. Returns the top 25 parts by rank
-    (total-ordered on (rank DESC, partkey))."""
+    with no SQL twin; pytest pins the operator to 1e-9 per-node
+    agreement with a pure-python power iteration using identical
+    damping and dangling-mass handling. Returns the top 25 parts by
+    rank (total-ordered on (rank DESC, partkey))."""
     from nyc_taxi_data_ingestion_spark.operators.analytics import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
@@ -8326,16 +8336,7 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    brk = F.when(
-        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
-        >= 30 * 60 * 1_000_000,
-        1,
-    ).otherwise(0)
-    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.withColumn("__brk", brk).withColumn(
-        "__sid", F.sum("__brk").over(ws)
-    )
+    sess = _with_session_ids(ev)  # THE shared 30-min boundary contract
     wf = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
     touched = sess.withColumn(
         "channel", F.first("event_type").over(wf)
@@ -8638,6 +8639,8 @@ _REFRESH_FIRST: list[str] = [
     "snapshot_time_travel", "snapshot_merge_upsert", "snapshot_cdc",
     "snapshot_erase", "snapshot_incremental_read",
     "snapshot_incremental_ingest", "error_capture",
+    # r7 also factored the session-id chain into _with_session_ids
+    "sessionize_batch",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
