@@ -8146,12 +8146,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: co-occurrence generation is keyed by order (bounded
     by basket size — explode is |basket|² per order, capped data-side,
     not corpus-side); support >= 2 prunes the edge list before any
-    triangle join; heavy-degree parts are the known skew risk — AQE
-    skew-join handles moderate skew, and the standard refinement
-    (orient edges low-degree -> high-degree instead of by id) bounds
-    the join fan-out at sqrt(m) without changing results (triangles
-    are orientation-invariant); kept by-id here for oracle-identical
-    determinism at these scales."""
+    triangle join; heavy-degree parts are the skew risk, so the edge
+    list is DEGREE-oriented (each edge points at its higher-degree
+    endpoint — operators/analytics.triangle_counts orient="degree"),
+    bounding the y-keyed join fan-out at sqrt(m) on power-law graphs
+    where a hub key would otherwise make one shuffle partition
+    quadratic. Results are orientation-invariant (the oracle's
+    id-oriented SQL enumerates the same triangle set;
+    tests/test_operators.py asserts degree == id counts on a
+    hub-skewed graph)."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        triangle_counts,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -8166,15 +8173,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__sup") >= 2)
         .select("pa", "pb")
     )
-    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
-    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
-    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    verts = tri.select(F.col("x").alias("part")).unionAll(
-        tri.select(F.col("y").alias("part"))
-    ).unionAll(tri.select(F.col("z").alias("part")))
-    return verts.groupBy(F.col("part").alias("partkey")).agg(
-        F.count("*").alias("tri_cnt")
+    return triangle_counts(e, a="pa", b="pb", orient="degree").select(
+        F.col("node").alias("partkey"), "tri_cnt"
     )
 
 
@@ -8628,24 +8628,45 @@ _GREEN_R06 = [
     "transition_reachability", "variant_extract_agg", "weighted_median",
     "window_dedup", "winsorize",
 ]
+# Hash-green in CORRECTNESS_r07.json (certified at r7 HEAD — includes
+# the lakehouse read surface, graph family, TWAP/skyline/attribution,
+# and the fenced bench methodology).
+_GREEN_R07 = [
+    "attribution_first_touch", "benford_drift", "chi_square_drift",
+    "classifier_lift", "contamination_check", "corr_stats",
+    "cube_agg", "daily_stats", "domain_mixture",
+    "error_capture", "graph_triangles", "heavy_hitters",
+    "histogram_fixed", "incremental_dedup_exact", "intersect_keys",
+    "interval_join", "json_extract_agg", "knn_label_prop_exact",
+    "ks_drift", "ks_drift_grouped", "lateral_topn",
+    "mad_outliers_exact", "media_shard_pack", "ngram_novelty",
+    "pivot_agg", "quality_classifier", "rollup_agg",
+    "scd2_history", "schema_evolution", "sessionize_batch",
+    "silver_transform", "skew_report", "skyline_suppliers",
+    "snapshot_cdc", "snapshot_erase", "snapshot_incremental_ingest",
+    "snapshot_incremental_read", "snapshot_merge_upsert",
+    "snapshot_pruned_scan", "snapshot_stream_tail", "snapshot_time_travel",
+    "stream_dedup", "stream_drift_monitor", "stream_sliding_counts",
+    "stream_stream_join", "top_groups", "tpch_q1_sql",
+    "twap_by_user", "union_all_tagged", "window_deltas",
+]
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r06 certified
-# the final round-6 HEAD; round 7 edited snapshot_write (manifest
-# stats collection — additive, parent-inherit default) and
-# persist_errors (csv_dir param), so every r6 green through those
-# paths re-earns its verdict first.
+# re-certifies them against the code as it stands now. r07 certified
+# the final round-7 HEAD; round-8 entries are added here as their
+# implementing code churns this round.
 _REFRESH_FIRST: list[str] = [
-    "snapshot_time_travel", "snapshot_merge_upsert", "snapshot_cdc",
-    "snapshot_erase", "snapshot_incremental_read",
-    "snapshot_incremental_ingest", "error_capture",
-    # r7 also factored the session-id chain into _with_session_ids
-    "sessionize_batch",
+    # r8 degree-oriented the triangle enumeration (same result set,
+    # sqrt(m)-bounded join fan-out) — re-earn the r7 green on the new plan
+    "graph_triangles",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
-_PRIOR_GREEN = _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
+_PRIOR_GREEN = (
+    _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
+    + _GREEN_R07
+)
 
 
 def _export_order() -> list[str]:
@@ -8660,6 +8681,7 @@ def _export_order() -> list[str]:
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
+        (_GREEN_R07, 7),
         (_GREEN_R06, 6),
         (_GREEN_R05, 5),
         (_GREEN_R04, 4),

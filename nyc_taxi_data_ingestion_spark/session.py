@@ -37,6 +37,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python-datasource filter pushdown, set at BUILD time so it is not
+    # a per-registration session-global surprise (see
+    # sources/pydatasource.register_snapshot_format, which still sets
+    # it at runtime as the vanilla-session fallback)
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",

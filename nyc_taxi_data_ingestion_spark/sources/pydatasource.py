@@ -42,6 +42,17 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+# Module-level, NOT inside methods: the snapshot sources execute inside
+# Spark-spawned python processes (the driver-side streaming-source
+# runner, executor workers) that inherit neither the registering
+# process's sys.path nor its cwd. register_* marks this module and
+# snapshots for cloudpickle BY-VALUE serialization, which inlines the
+# class code and its module-global references into the pickle — but a
+# runtime `from nyc_taxi_… import` inside a method would still need the
+# package importable in the host process and fail with
+# ModuleNotFoundError at plan time when it isn't.
+from nyc_taxi_data_ingestion_spark.sources import snapshots as _S
+
 _VOCAB = [
     "data", "spark", "corpus", "token", "model", "train", "shard",
     "batch", "quality", "filter", "sample", "index", "vector", "merge",
@@ -242,15 +253,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"version": 0}
 
     def latestOffset(self) -> dict:
-        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
-
-        return {"version": S.current_version(self._path) or 0}
+        return {"version": _S.current_version(self._path) or 0}
 
     def partitions(self, start: dict, end: dict):
-        import os
-
-        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
-
         sv, ev = int(start["version"]), int(end["version"])
         if ev <= sv:
             return []
@@ -258,7 +263,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # incremental path (snapshots.fresh_append_commits) — the two
         # consumers can never drift on window semantics
         try:
-            _, fresh = S.fresh_append_commits(self._path, sv, ev)
+            _, fresh = _S.fresh_append_commits(self._path, sv, ev)
         except ValueError as exc:
             raise ValueError(
                 f"snapshot_stream: {exc} — restart the stream from a "
@@ -302,15 +307,13 @@ class SnapshotStreamDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
-
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_stream requires .option('path', …)")
-        head = S.current_version(path)
+        head = _S.current_version(path)
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
-        manifest = S._load_manifest(path, head)
+        manifest = _S._load_manifest(path, head)
         return from_arrow_schema(_table_arrow_schema(path, manifest))
 
     def streamReader(self, schema) -> DataSourceStreamReader:
@@ -321,8 +324,33 @@ class SnapshotStreamDataSource(DataSource):
         )
 
 
+def _pickle_sources_by_value() -> None:
+    """Make the snapshot sources SELF-CONTAINED under cloudpickle.
+
+    Spark ships a registered Python DataSource to other python
+    processes by pickling it: the driver-side streaming-source runner
+    (plans every micro-batch) and executor workers (run ``read``).
+    Those processes inherit neither the registering process's sys.path
+    nor its cwd, so the default by-REFERENCE pickle ("import
+    nyc_taxi_data_ingestion_spark… and look the class up") fails with
+    ModuleNotFoundError at plan time whenever the repo package isn't
+    independently importable there. Registering this module and
+    sources.snapshots (its only repo dependency) for BY-VALUE pickling
+    inlines the class code and the module globals it references into
+    the pickle itself — the sources then plan and read correctly
+    regardless of how the host process was launched. Idempotent;
+    ~12 KB per pickled source."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_S)
+
+
 def register_snapshot_stream(spark) -> None:
     """Idempotently register the snapshot stream source."""
+    _pickle_sources_by_value()
     spark.dataSource.register(SnapshotStreamDataSource)
 
 
@@ -373,12 +401,8 @@ class SnapshotBatchReader(DataSourceReader):
         return filters  # Spark applies everything; pruning is bonus
 
     def _keep(self, bounds_by_col: dict) -> bool:
-        from nyc_taxi_data_ingestion_spark.sources.snapshots import (
-            bounds_exclude,
-        )
-
         for col in set(self._lo) | set(self._hi):
-            if bounds_exclude(
+            if _S.bounds_exclude(
                 bounds_by_col.get(col),
                 self._lo.get(col),
                 self._hi.get(col),
@@ -432,17 +456,15 @@ class SnapshotDataSource(DataSource):
     def _manifest(self):
         if getattr(self, "_resolved", None) is not None:
             return self._resolved
-        from nyc_taxi_data_ingestion_spark.sources import snapshots as S
-
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot format requires .option('path', …)")
         version = self.options.get("version")
         if version is not None:
-            m = S._load_manifest(path, int(version))
+            m = _S._load_manifest(path, int(version))
         else:
             as_of = self.options.get("asoftimestamp")
-            snaps = S.list_snapshots(path)
+            snaps = _S.list_snapshots(path)
             if not snaps:
                 raise FileNotFoundError(f"no snapshots at {path}")
             if as_of is not None:
@@ -453,7 +475,7 @@ class SnapshotDataSource(DataSource):
                     raise FileNotFoundError(
                         f"no snapshot at or before {as_of} at {path}"
                     )
-            m = S._load_manifest(path, snaps[-1]["version"])
+            m = _S._load_manifest(path, snaps[-1]["version"])
         # per-FILE partition-layout rejection happens at planning
         # (_reject_partitioned_file); resolve once per read — schema()
         # and reader() must see the SAME pinned manifest even if a
@@ -479,7 +501,17 @@ def register_snapshot_format(spark) -> None:
     filter pushdown ships disabled by default (Spark 4.1) — flip the
     runtime-settable conf here so ``pushFilters`` actually receives
     the comparison filters; without it Spark refuses to plan a reader
-    that implements the hook."""
+    that implements the hook.
+
+    NOTE this conf is SESSION-GLOBAL: it also enables filter pushdown
+    for every other registered Python data source in the session (for
+    sources without a ``pushFilters`` hook Spark keeps the default
+    no-pushdown planning, so this is additive, not behavior-changing —
+    but a third-party source with a buggy hook would start receiving
+    filters). Sessions built via ``session.get_spark`` set it at build
+    time instead; this runtime set is the fallback for vanilla
+    sessions."""
+    _pickle_sources_by_value()
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
 

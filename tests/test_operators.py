@@ -493,3 +493,53 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     # the hub everything points at outranks the cycle members
     assert got[4] > max(got[1], got[2], got[3])
+
+
+def test_triangle_counts_degree_orientation_matches_id(spark):
+    """Degree-oriented and id-oriented enumeration count the SAME
+    triangles (orientation invariance) on a hub-skewed graph: one hub
+    vertex 0 connected to everything (the power-law worst case the
+    degree orientation exists for) plus a chain of hub-incident
+    triangles and one hub-free triangle. Also pins exact per-vertex
+    counts against a brute-force python enumeration."""
+    from itertools import combinations
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        triangle_counts,
+    )
+
+    # hub 0 -- 1..8; ring edges (i, i+1) close triangles through the
+    # hub; (6,7,8) is a hub-free triangle; plus a pendant (9) with no
+    # triangle; duplicate + reversed edges exercise canonicalization
+    edges = (
+        [(0, i) for i in range(1, 9)]
+        + [(1, 2), (2, 3), (3, 4), (4, 5)]
+        + [(6, 7), (7, 8), (8, 6)]
+        + [(8, 9), (2, 1), (0, 3)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+
+    undirected = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for x, y in undirected:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    expect = {}
+    for tri in combinations(sorted(adj), 3):
+        p, q, r = tri
+        if q in adj[p] and r in adj[p] and r in adj[q]:
+            for v in tri:
+                expect[v] = expect.get(v, 0) + 1
+
+    by_degree = {
+        r.node: r.tri_cnt
+        for r in triangle_counts(df, orient="degree").collect()
+    }
+    by_id = {
+        r.node: r.tri_cnt
+        for r in triangle_counts(df, orient="id").collect()
+    }
+    assert by_degree == expect, (by_degree, expect)
+    assert by_id == expect, (by_id, expect)
+    # hub participates in every hub-incident triangle: 4 through the
+    # ring edges (1,2)(2,3)(3,4)(4,5) + 3 through the (6,7,8) clique
+    assert by_degree[0] == 7
