@@ -287,6 +287,25 @@ def embedding_near_dups(
 # -- IVF (inverted-file) ANN --------------------------------------------------
 
 
+def auto_num_cells(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
+    """IVF cell count for an ``n_rows`` corpus: ⌈√N⌉ clamped to
+    [lo, hi] — the standard IVF sizing (FAISS guidance is K ∈
+    [4√N, 16√N]; the conservative 1·√N end keeps training-sample needs
+    modest). With cells ∝ √N, per-query candidate work
+    |corpus|·nprobe/cells grows as √N instead of linearly, so total
+    search work scales N^1.5 rather than N² when both sides grow —
+    a FIXED cell count is the measured 10×-data → 100×-work cliff
+    (docs/SCALE.md knn row). The clamp floor keeps tiny corpora from
+    degenerating to one cell per row; the ceiling bounds the centroid
+    matrix every query batch scores against (4096 × dim doubles ≈ a
+    few MB broadcast)."""
+    import math
+
+    if n_rows <= 1:
+        return lo
+    return max(lo, min(hi, math.isqrt(n_rows - 1) + 1))
+
+
 def train_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -302,7 +321,13 @@ def train_centroids(
     trains on ~max(10k, 256·cells) vectors even for billion-vector
     indexes) — the distributed part of IVF is assignment, not training.
     The sample is the `sample` lowest xxhash64(id, seed) rows: stable
-    under partitioning, re-runs, and engine versions."""
+    under partitioning, re-runs, and engine versions. When
+    ``num_cells`` is large (auto-sized √N corpora), the sample widens
+    to FAISS's ~39 points/centroid floor, capped at 200k rows so the
+    driver-side collect stays bounded (200k × 64-dim doubles ≈ 100 MB)
+    — callers passing ``num_cells <= 256`` see the historical 10k
+    sample unchanged (oracle-twin stability)."""
+    sample = max(sample, min(39 * num_cells, 200_000))
     rows = (
         corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
         .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
@@ -375,7 +400,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int = 4,
     seed: int = 42,
     broadcast_queries: bool = True,
@@ -385,9 +410,15 @@ def ivf_topk(
     nearest cells. Recall/cost dial is nprobe/num_cells (nprobe =
     num_cells ⇒ exact). Same output schema as brute_force_topk.
 
+    ``num_cells=None`` (default) derives :func:`auto_num_cells`
+    (⌈√N⌉, clamped) from one ``corpus.count()`` — callers that already
+    hold the count (or need reproducible cell geometry across corpora,
+    e.g. oracle twins) pass it explicitly and skip the count job.
+
     Scale shape: training is sample-bounded; assignment is a narrow
     Arrow-batched map; the only wide op is the (cell)-keyed equi-join,
-    so cost is |corpus|·nprobe/num_cells candidate rows, not |Q|·|N|.
+    so cost is |corpus|·nprobe/num_cells candidate rows, not |Q|·|N|;
+    with cells ∝ √N that candidate volume grows √N-fold, not N-fold.
 
     ``broadcast_queries`` hints the exploded query frame broadcast-able
     (right for the interactive small-Q case, where in-memory frames may
@@ -398,6 +429,8 @@ def ivf_topk(
     would OOM a 1000-executor cluster on a corpus-sized build side)."""
     from pyspark.sql import Window
 
+    if num_cells is None:
+        num_cells = auto_num_cells(corpus.count())
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -653,7 +686,7 @@ def ivfpq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int = 4,
     m: int = 16,
     nbits: int = 8,
@@ -672,6 +705,8 @@ def ivfpq_topk(
     """
     from pyspark.sql import Window
 
+    if num_cells is None:
+        num_cells = auto_num_cells(corpus.count())
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -767,6 +802,13 @@ class ConcurrentIndexRebuildError(RuntimeError):
     encoding against the old one; the append aborted cleanly."""
 
 
+# Grace before a superseded codes dir is physically reclaimed (by the
+# NEXT rebuild's publish): long enough for any lazily-planned reader of
+# the old index to finish its scan, short enough that storage doesn't
+# accumulate more than one superseded build in steady state.
+_RETIRED_GRACE_SEC = 300.0
+
+
 class _MetaLock:
     """Exclusive advisory lock for an ANN index's meta.json
     read-modify-write (O_CREAT|O_EXCL lockfile). Without it, two
@@ -780,12 +822,19 @@ class _MetaLock:
     def __init__(self, path: str, timeout_sec: float = 60.0,
                  stale_sec: float = 300.0):
         import os
+        import uuid
 
         self._lock = os.path.join(path, "meta.lock")
         self._timeout = timeout_sec
         self._stale = stale_sec
+        # unique holder token, written into the lockfile: release and
+        # takeover are guarded on it, so a slow-but-alive holder whose
+        # lock was presumed stale can never unlink the usurper's fresh
+        # lock on its way out (the lost-update the lock exists to stop)
+        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
 
     def __enter__(self):
+        import contextlib
         import os
         import time
 
@@ -793,13 +842,27 @@ class _MetaLock:
         while True:
             try:
                 fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, self._token.encode())
+                finally:
+                    os.close(fd)
                 return self
             except FileExistsError:
                 try:
                     age = time.time() - os.stat(self._lock).st_mtime
                     if age > self._stale:
-                        os.unlink(self._lock)  # abandoned holder
+                        # abandoned holder: take over via rename-to-
+                        # unique — atomic, so of N waiters racing on
+                        # the same stale lock exactly ONE succeeds
+                        # (the rest see ENOENT and re-contend on the
+                        # fresh lock); never a double-unlink window
+                        grave = f"{self._lock}.stale-{self._token}"
+                        try:
+                            os.rename(self._lock, grave)
+                        except OSError:
+                            continue  # another waiter won the takeover
+                        with contextlib.suppress(OSError):
+                            os.unlink(grave)
                         continue
                 except OSError:
                     continue  # lock vanished between open and stat
@@ -815,6 +878,9 @@ class _MetaLock:
         import os
 
         with contextlib.suppress(OSError):
+            with open(self._lock) as f:
+                if f.read() != self._token:
+                    return False  # taken over mid-hold: not ours to drop
             os.unlink(self._lock)
         return False
 
@@ -822,7 +888,7 @@ class _MetaLock:
 def build_ann_index(
     corpus: DataFrame,
     path: str,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     m: int = 16,
     nbits: int = 8,
     id_col: str = "vec_id",
@@ -844,6 +910,8 @@ def build_ann_index(
     import shutil
     import uuid
 
+    if num_cells is None:
+        num_cells = auto_num_cells(corpus.count())
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -873,6 +941,7 @@ def build_ann_index(
     # landing its dir between our read and our reclaim would otherwise
     # be orphaned by a reclaim that never saw it listed
     with _MetaLock(path):
+        old: dict = {}
         old_dirs: list[str] = []
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
@@ -880,11 +949,30 @@ def build_ann_index(
             old_dirs = (
                 [old.get("codes_dir")] + old.get("appended_dirs", [])
             )
+        # superseded dirs are RETIRED, not deleted at publish:
+        # load_ann_index is lazy, so a concurrent reader may still hold
+        # an unexecuted plan over the old codes — an immediate rmtree
+        # makes its scan fail mid-flight with missing files. Retired
+        # dirs are reclaimed by the NEXT publish once older than
+        # _RETIRED_GRACE_SEC (the snapshot layer's expiry pattern:
+        # age-guarded GC, never delete what a live plan can reference).
+        import time
+
+        retired = dict(old.get("retired_dirs") or {})
+        now = time.time()
+        for d in old_dirs:
+            if d and d != codes_rel:
+                retired.setdefault(d, now)
+        for d, ts in list(retired.items()):
+            if now - ts > _RETIRED_GRACE_SEC:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                del retired[d]
         meta = {
             "format": "spark-graft-ivfpq-v1",
             "build_id": uuid.uuid4().hex,
             "codes_dir": codes_rel,
             "appended_dirs": [],
+            "retired_dirs": retired,
             "num_cells": num_cells,
             "m": m,
             "nbits": nbits,
@@ -896,10 +984,6 @@ def build_ann_index(
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, meta_path)
-        for d in old_dirs:
-            if d and d != codes_rel:
-                # best-effort reclaim of the superseded build's codes
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def append_ann_index(
@@ -1048,7 +1132,15 @@ def load_ann_index(spark: SparkSession, path: str) -> AnnIndex:
     :func:`append_ann_index` increments — the codes table is the union
     of the base and appended dirs). The codes table stays a lazy
     parquet scan — a query batch that probes few cells reads few
-    partitions (Hive-style pruning on the cell key)."""
+    partitions (Hive-style pruning on the cell key).
+
+    Laziness vs rebuilds: a rebuild RETIRES this index's dirs rather
+    than deleting them, and the retired set is only reclaimed by a
+    subsequent publish after ``_RETIRED_GRACE_SEC`` — so a plan opened
+    here stays scannable through one concurrent rebuild. A caller that
+    holds the frame LONGER than the grace (caching it across batches)
+    should eagerly materialize (``localCheckpoint(eager=True)``, as
+    q_ann_index_search does) or reload per batch."""
     import json
     import os
 
@@ -1252,7 +1344,7 @@ def knn_label_propagation(
     label_col: str = "label",
     method: str = "auto",
     max_exact_rows: int = _KNN_EXACT_MAX_QUERY_ROWS,
-    num_cells: int = 16,
+    num_cells: int | None = None,
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:

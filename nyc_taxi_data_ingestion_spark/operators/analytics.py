@@ -563,6 +563,81 @@ def triangle_counts(
     return verts.groupBy("node").agg(F.count("*").alias("tri_cnt"))
 
 
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank power iteration in FIXED-POINT integer arithmetic —
+    every quantity is a BIGINT in units of 1/``scale``, every step is
+    an integer sum (exact, order-independent) or integer division
+    (deterministic truncation), so the result is BIT-IDENTICAL across
+    engines and an exact SQL oracle twin exists (chained CTEs, one per
+    iteration — the ``twap_by_user`` integer-exactness discipline
+    applied to an iterative algorithm). Returns (node, rank_fp) where
+    rank_fp ≈ rank · scale; truncation error per step is < 1 unit of
+    1/scale per term, so at the default 10⁻¹² granularity the ranking
+    order matches the float form far beyond any realistic tie.
+
+    Same plan shape per iteration as :func:`pagerank`: one (src)-keyed
+    join of the rank vector onto the out-degree'd edge list, one
+    (dst)-keyed partial agg, dangling mass as an in-plan broadcast
+    one-row aggregate, rank vector localCheckpoint-ed per round.
+    Damping is the standard 0.85 expressed as ·85 div 100."""
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    outdeg = e.groupBy("__s").agg(
+        F.count("*").alias("__deg")
+    ).localCheckpoint(eager=True)
+    dangling_nodes = nodes.join(
+        outdeg, nodes["node"] == outdeg["__s"], "left_anti"
+    ).localCheckpoint(eager=True)
+    tele = (15 * scale) // (100 * n)  # (1-d)/n in fixed point, exact
+    r = nodes.selectExpr("node", f"CAST({scale // n} AS BIGINT) AS r")
+    r = r.localCheckpoint(eager=True)
+    for _ in range(iters):
+        dang = F.broadcast(
+            r.join(dangling_nodes, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0))
+                .cast("long")
+                .alias("__dang")
+            )
+        )
+        contrib = (
+            r.join(outdeg, r["node"] == outdeg["__s"])
+            .selectExpr("node", "r div __deg AS __c")
+            .join(e, F.col("node") == F.col("__s"))
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__c").cast("long").alias("__in"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dang)
+            .selectExpr(
+                "node",
+                f"CAST({tele} AS BIGINT)"
+                f" + (85 * (coalesce(__in, CAST(0 AS BIGINT))"
+                f" + (__dang div {n}))) div 100 AS r",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.col("r").alias("rank_fp"))
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -5439,7 +5439,10 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF index (llm/similarity.knn_label_propagation,
     method="ivf"). The query side here is a corpus-proportional slice,
     so NOTHING is hinted broadcast-able — the cell join and the
-    id→label vote join are size-aware equi-joins (r6 verdict item 1).
+    id→label vote join are size-aware equi-joins (r6 verdict item 1),
+    and num_cells is NOT pinned: it auto-sizes ⌈√N⌉ from the labeled
+    corpus (similarity.auto_num_cells — r7 verdict item 3's fixed-16
+    tuning cliff, where constant cells made 10× data ~100× work).
     Rows-only: k-means cell routing is not SQL-expressible; pytest
     gates agreement vs the exact twin and the hint-free plan, and
     knn_label_prop_exact is the hash-checked oracle twin through the
@@ -5454,7 +5457,6 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 3 == 0),
         k=5,
         method="ivf",
-        num_cells=16,
         nprobe=12,
     )
     return out.select(
@@ -8286,6 +8288,96 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pagerank_exact", None, tags=["analytics", "graph"])
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the part co-purchase graph — the
+    hash-checked oracle twin pagerank_parts (float power iteration,
+    rows-only by nature) cannot be: operators/analytics.
+    pagerank_fixedpoint does the whole iteration in BIGINT units of
+    10⁻¹² with integer sums and `div`, so both engines compute the
+    SAME bits and the DuckDB oracle is the same 5 iterations unrolled
+    as chained CTEs (each level: per-source r div deg contributions,
+    dst-grouped integer sum, dangling mass as an anti-join scalar).
+    Top 25 parts by fixed-point rank, total-ordered."""
+    from nyc_taxi_data_ingestion_spark.operators.analytics import (
+        pagerank_fixedpoint,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("pa"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    fp = pagerank_fixedpoint(e, iters=5)
+    return (
+        fp.select(F.col("node").alias("partkey"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), F.asc("partkey"))
+        .limit(25)
+    )
+
+
+def _pagerank_exact_oracle(iters: int = 5, scale: int = 10**12) -> str:
+    """The fixed-iteration power loop unrolled as one CTE per level —
+    no recursion needed (the iteration count is a constant of the
+    query), every op integer, matching pagerank_fixedpoint bit for
+    bit."""
+    levels = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        levels.append(f"""
+r{k} AS (
+  SELECT nd.node,
+         CAST(t.tele + (85 * (COALESCE(inf.s, 0) + dang.d // nn.c))
+              // 100 AS BIGINT) AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.r // o.deg) AS BIGINT) AS s
+    FROM {prev} p
+    JOIN outdeg o ON o.src = p.node
+    JOIN edges e ON e.src = p.node
+    GROUP BY e.dst
+  ) inf ON inf.node = nd.node
+  CROSS JOIN (
+    SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS d
+    FROM {prev} p LEFT JOIN outdeg o ON o.src = p.node
+    WHERE o.src IS NULL
+  ) dang
+  CROSS JOIN nn CROSS JOIN t
+)""")
+        prev = f"r{k}"
+    chain = ",".join(levels)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT a.p AS src, b.p AS dst
+  FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS c FROM nodes),
+t AS (SELECT (15 * {scale}) // (100 * c) AS tele FROM nn),
+r0 AS (SELECT node, CAST({scale} // c AS BIGINT) AS r FROM nodes, nn),
+{chain}
+SELECT node AS partkey, r AS rank_fp
+FROM {prev}
+ORDER BY r DESC, node
+LIMIT 25
+"""
+
+
+REGISTRY["pagerank_exact"].oracle = _pagerank_exact_oracle()
+
+
 _ATTRIBUTION_ORACLE = """
 WITH o AS (
   SELECT user_id, event_id, ts, event_type, value,
@@ -8498,10 +8590,239 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["o_totalprice"],
         )
         st = scan_prune_stats(path, "o_totalprice", upper=20000.0)
-        assert st["pruned_files"] >= st["total_files"] // 2, st
+        # a real exception, not assert: `python -O` strips asserts and
+        # would silently turn the prune-effectiveness gate into a no-op
+        if st["pruned_files"] < st["total_files"] // 2:
+            raise RuntimeError(f"manifest pruning ineffective: {st}")
         scanned = scan_snapshot(
             spark, path, "o_totalprice", upper=20000.0
         )
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_PRUNED_2D_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice <= 250000.0 AND o_orderkey <= 7500
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_pruned_scan_2d", _SNAPSHOT_PRUNED_2D_ORACLE,
+    tags=["S14", "S15"],
+)
+def q_snapshot_pruned_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — MULTI-COLUMN manifest data skipping (r7 verdict item 5):
+    orders land as four quadrant commits — split on (o_totalprice,
+    o_orderkey) cuts — with per-file bounds recorded for BOTH columns;
+    a conjunctive 2-D range scan (scan_snapshot(predicates=[…])) must
+    prune the three quadrants either conjunct proves empty. The
+    in-query gate requires the 2-D prune to beat EACH single-column
+    prune (each alone can only drop two quadrants), so a regression
+    that intersects on just one column fails the query, not only a
+    pytest. The oracle recomputes the aggregate straight from orders —
+    pruning can never change results."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    price_cut, key_cut = 250000.0, 7500
+    preds = [
+        ("o_totalprice", None, price_cut),
+        ("o_orderkey", None, key_cut),
+    ]
+    path = tempfile.mkdtemp(prefix="spark_graft_snapprune2d_")
+    try:
+        lo_p = F.col("o_totalprice") <= price_cut
+        lo_k = F.col("o_orderkey") <= key_cut
+        quadrants = [
+            lo_p & lo_k, lo_p & ~lo_k, ~lo_p & lo_k, ~lo_p & ~lo_k,
+        ]
+        for i, q in enumerate(quadrants):
+            snapshot_write(
+                orders.filter(q).coalesce(2),
+                path,
+                mode="overwrite" if i == 0 else "append",
+                stats_cols=["o_totalprice", "o_orderkey"],
+            )
+        st2 = scan_prune_stats(path, predicates=preds)
+        st_price = scan_prune_stats(path, predicates=[preds[0]])
+        st_key = scan_prune_stats(path, predicates=[preds[1]])
+        if not (
+            st2["pruned_files"] > st_price["pruned_files"]
+            and st2["pruned_files"] > st_key["pruned_files"]
+            and st2["pruned_files"] * 4 >= st2["total_files"] * 3
+        ):
+            raise RuntimeError(
+                f"2-D pruning must require both conjuncts: "
+                f"2d={st2} price-only={st_price} key-only={st_key}"
+            )
+        scanned = scan_snapshot(spark, path, predicates=preds)
+        return (
+            scanned.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_FMT_WRITE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderkey <= 7500
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_format_write", _SNAPSHOT_FMT_WRITE_ORACLE,
+    tags=["S8", "S9", "S15"],
+)
+def q_snapshot_format_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the snapshot format API (r8 —
+    pydatasource.SnapshotBatchWriter): ``df.write.format("snapshot")``
+    streams Arrow batches into staged parquet on the EXECUTORS (one
+    file per non-empty task, rows never transit the driver), and the
+    driver commit lands the manifest through
+    snapshots.commit_staged_files — the Iceberg write pattern
+    (distributed data, transactional metadata). Orders go in
+    key-clustered with statsCols bounds; the read back goes through
+    the format's pushFilters path, so the filter prunes staged files
+    via the same manifest bounds the write just recorded —
+    write-side stats and read-side skipping proven against each other,
+    with the oracle recomputing from raw orders."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+
+    register_snapshot_format(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapfmtw_") + "/t"
+    try:
+        (
+            orders.repartitionByRange(8, "o_orderkey")
+            .write.format("snapshot")
+            .mode("append")
+            .option("path", path)
+            .option("statsCols", "o_orderkey")
+            .save()
+        )
+        got = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .load()
+            .filter(F.col("o_orderkey") <= 7500)
+        )
+        return (
+            got.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+_SNAPSHOT_ZORDER_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+  AND o_orderkey BETWEEN 1500 AND 7500
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_zorder_scan_2d", _SNAPSHOT_ZORDER_ORACLE,
+    tags=["S14", "S15"],
+)
+def q_snapshot_zorder_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering × multi-column data skipping — the
+    production 100 TB layout story end-to-end: orders land in an
+    arbitrary layout, ``snapshot_compact(zorder_auto=…)`` rewrites the
+    head along the interleaved (o_totalprice, o_orderkey) quantile
+    curve with bounds for BOTH columns, and a selective 2-D box scan
+    (scan_snapshot(predicates=[…])) must prune files the box provably
+    misses — which only works because Z-order keeps BOTH dimensions'
+    per-file ranges narrow (a linear sort on one column leaves the
+    other's bounds table-wide; cf. snapshot_pruned_scan_2d, which gets
+    2-D purity from explicit quadrant commits instead). Gate: the 2-D
+    scan prunes ≥ a quarter of the z-ordered files (RuntimeError, not
+    assert). Oracle recomputes the box aggregate from raw orders."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    preds = [
+        ("o_totalprice", 100000.0, 150000.0),
+        ("o_orderkey", 1500, 7500),
+    ]
+    path = tempfile.mkdtemp(prefix="spark_graft_snapzord_")
+    try:
+        # arbitrary (hash) layout in, clustered layout out
+        snapshot_write(orders.repartition(8), path)
+        snapshot_compact(
+            spark,
+            path,
+            target_partitions=16,
+            zorder_auto=["o_totalprice", "o_orderkey"],
+            stats_cols=["o_totalprice", "o_orderkey"],
+        )
+        st = scan_prune_stats(path, predicates=preds)
+        if st["pruned_files"] * 4 < st["total_files"]:
+            raise RuntimeError(
+                f"z-order 2-D box should prune >= 1/4 of files: {st}"
+            )
+        scanned = scan_snapshot(spark, path, predicates=preds)
         return (
             scanned.groupBy("o_orderpriority")
             .agg(
@@ -8659,6 +8980,16 @@ _REFRESH_FIRST: list[str] = [
     # r8 degree-oriented the triangle enumeration (same result set,
     # sqrt(m)-bounded join fan-out) — re-earn the r7 green on the new plan
     "graph_triangles",
+    # r8 generalized scan_snapshot/scan_prune_stats to multi-column
+    # predicates (single-column path now routes through the shared
+    # conjunct machinery) and replaced the prune gate's assert
+    "snapshot_pruned_scan",
+    # r8 split snapshot_write into stage + commit_staged_files
+    # (manifest-only retries; the python-DataSource writer's commit
+    # path) — every query through the commit path re-earns its verdict
+    "snapshot_time_travel", "snapshot_merge_upsert", "snapshot_cdc",
+    "snapshot_erase", "snapshot_incremental_read",
+    "snapshot_incremental_ingest", "snapshot_stream_tail",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME

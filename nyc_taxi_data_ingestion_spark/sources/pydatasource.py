@@ -37,9 +37,11 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # Module-level, NOT inside methods: the snapshot sources execute inside
@@ -494,6 +496,107 @@ class SnapshotDataSource(DataSource):
 
         path, m = self._manifest()
         return SnapshotBatchReader(path, m, to_arrow_schema(schema))
+
+    def writer(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot format requires .option('path', …)")
+        return SnapshotBatchWriter(path, overwrite, self.options)
+
+
+class _SnapshotCommitMessage(WriterCommitMessage):
+    """One task's staged files (paths relative to the commit dir)."""
+
+    def __init__(self, files: list, rows: int):
+        self.files = files
+        self.rows = rows
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    """Distributed write INTO a versioned table through the format API:
+    ``df.write.format("snapshot").mode("append"|"overwrite")
+    .option("path", t).save()`` — the write half of the Iceberg
+    pattern: executor tasks stream Arrow batches into parquet files
+    under a staging commit dir (one file per non-empty task, data
+    never moves through the driver), then the driver-side ``commit``
+    lands the manifest via snapshots.commit_staged_files — the same
+    optimistic-CAS versioning, stats_cols inheritance, and
+    stream-state carry every engine-side write gets. A failed job
+    aborts by dropping the staging dir; a half-written staging dir
+    from a crash is never referenced by any manifest (expiry's GC
+    sweeps it).
+
+    Options: ``statsCols`` (comma list) enables manifest bounds for
+    this commit and onward (None inherits the table property, the
+    snapshot_write contract). Partitioned (Hive-layout) writes are not
+    supported through the format — the snapshot readers reject files
+    under partition dirs; use snapshots.snapshot_write(partition_by=…)
+    and read via read_snapshot. Storage must be shared across
+    executors and driver (the layer-wide assumption; on object stores
+    swap the manifest link for a conditional PUT)."""
+
+    def __init__(self, path: str, overwrite: bool, options: dict):
+        self._path = path
+        self._mode = "overwrite" if overwrite else "append"
+        sc = options.get("statscols")
+        self._stats_cols = (
+            [c.strip() for c in sc.split(",") if c.strip()]
+            if sc is not None
+            else None
+        )
+        head = _S.current_version(path) or 0
+        import uuid
+
+        self._commit_rel = os.path.join(
+            _S._DATA_DIR, f"c{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        commit_abs = os.path.join(self._path, self._commit_rel)
+        os.makedirs(commit_abs, exist_ok=True)
+        rel = f"part-{uuid.uuid4().hex[:16]}.parquet"
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(commit_abs, rel), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        # empty task -> no file: zero-row parquet files would bloat the
+        # manifest and every future scan's plan
+        return _SnapshotCommitMessage(
+            files=[rel] if writer is not None else [], rows=rows
+        )
+
+    def commit(self, messages):
+        files = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        _S.commit_staged_files(
+            self._path,
+            self._commit_rel,
+            files,
+            mode=self._mode,
+            stats_cols=self._stats_cols,
+        )
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._path, self._commit_rel),
+            ignore_errors=True,
+        )
 
 
 def register_snapshot_format(spark) -> None:

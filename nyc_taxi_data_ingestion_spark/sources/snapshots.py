@@ -129,7 +129,7 @@ def _load_manifest(path: str, version: int) -> dict[str, Any]:
 
 
 def _collect_file_stats(
-    spark: SparkSession,
+    spark: SparkSession | None,
     commit_abs: str,
     files: list[str],
     stats_cols: list[str],
@@ -196,8 +196,10 @@ def _collect_file_stats(
     # scheduling overhead dwarfs the work, and streaming micro-batch
     # appends (1-4 files each) route through here on every commit of a
     # stats-enabled table — read those driver-side; fan out only when
-    # the commit is genuinely wide
-    if len(files) <= 8:
+    # the commit is genuinely wide. spark=None (commit_staged_files
+    # from a python-DataSource writer's commit hook, where no session
+    # is reachable) always takes the sequential path.
+    if spark is None or len(files) <= 8:
         rows = [t for rel in files for t in _file_stats(rel)]
     else:
 
@@ -280,38 +282,97 @@ def snapshot_write(
     partition_by = partition_by or []
     os.makedirs(_snap_root(path), exist_ok=True)
 
+    cur = current_version(path)
+    _check_expected_parent(path, cur, expected_parent)
+    # the commit dir is unique PER WRITE, never shared: two racers
+    # targeting the same version number must never share a directory —
+    # an orphaned dir (failed commit) is left untouched (it may be
+    # ANOTHER writer's already-committed data) and swept by expiry's
+    # age-guarded GC once it is provably unreferenced. The version in
+    # the name is the head+1 at staging time — cosmetic (nothing
+    # parses it): a lost optimistic race retries the MANIFEST only,
+    # the staged data is never rewritten.
+    commit_rel = os.path.join(
+        _DATA_DIR, f"c{(cur or 0) + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    commit_abs = os.path.join(path, commit_rel)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_abs)
+
+    files = []
+    for dirpath, _dirs, names in os.walk(commit_abs):
+        for n in sorted(names):
+            if n.endswith(".parquet"):
+                files.append(
+                    os.path.relpath(os.path.join(dirpath, n), commit_abs)
+                )
+    return commit_staged_files(
+        path,
+        commit_rel,
+        files,
+        mode=mode,
+        partition_by=partition_by,
+        max_commit_retries=max_commit_retries,
+        expected_parent=expected_parent,
+        stream_state=stream_state,
+        stats_cols=stats_cols,
+        spark=df.sparkSession,
+    )
+
+
+def _check_expected_parent(path, cur, expected_parent) -> None:
+    if expected_parent is None:
+        return
+    want = None if expected_parent is EXPECT_NO_PARENT else expected_parent
+    if cur != want:
+        raise ConcurrentSnapshotError(
+            f"commit derived from "
+            f"{'an empty table' if want is None else f'v{want}'} "
+            f"but head is v{cur} at {path}: rebase and retry"
+        )
+
+
+def commit_staged_files(
+    path: str,
+    commit_rel: str,
+    files: list[str],
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_commit_retries: int = 5,
+    expected_parent: int | _ExpectNoParent | None = None,
+    stream_state: dict[str, int] | None = None,
+    stats_cols: list[str] | None = None,
+    spark: SparkSession | None = None,
+) -> int:
+    """THE manifest-commit half of :func:`snapshot_write`, public:
+    commit ``files`` (parquet, ALREADY staged under
+    ``path/commit_rel``) as a new version — Iceberg's ``add_files``:
+    any writer that can land parquet in a fresh dir (a python
+    DataSource writer's executor tasks, an external job, a backfill
+    copy) gets the same transactional versioning, CAS, stream-state
+    carry, and stats collection as an engine-side write, without
+    routing rows through a DataFrame.
+
+    Retries are MANIFEST-ONLY: a lost optimistic race re-polls the
+    head and re-lands the same staged files under the next version —
+    data is never rewritten. ``spark=None`` collects file stats
+    driver-side sequentially (footer reads are ~ms each); pass a
+    session to fan wide commits out. Other parameters as
+    :func:`snapshot_write`."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_by = partition_by or []
+    os.makedirs(_snap_root(path), exist_ok=True)
+    commit_abs = os.path.join(path, commit_rel)
+    # stats cache across retries, keyed by the effective column list —
+    # a retry against a new parent may inherit DIFFERENT stats_cols
+    stats_cache: dict[tuple, dict] = {}
     for _ in range(max_commit_retries):
         cur = current_version(path)
-        if expected_parent is not None:
-            want = None if expected_parent is EXPECT_NO_PARENT else expected_parent
-            if cur != want:
-                raise ConcurrentSnapshotError(
-                    f"commit derived from "
-                    f"{'an empty table' if want is None else f'v{want}'} "
-                    f"but head is v{cur} at {path}: rebase and retry"
-                )
+        _check_expected_parent(path, cur, expected_parent)
         version = (cur or 0) + 1
-        # the commit dir is unique PER ATTEMPT, not per version: two
-        # racers targeting the same version number must never share a
-        # directory — the loser's orphaned dir is left untouched (it
-        # may be ANOTHER writer's already-committed data) and swept by
-        # expiry's age-guarded GC once it is provably unreferenced
-        commit_rel = os.path.join(
-            _DATA_DIR, f"c{version:08d}-{uuid.uuid4().hex[:8]}"
-        )
-        commit_abs = os.path.join(path, commit_rel)
-        writer = df.write.mode("error")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(commit_abs)
-
-        files = []
-        for dirpath, _dirs, names in os.walk(commit_abs):
-            for n in sorted(names):
-                if n.endswith(".parquet"):
-                    files.append(
-                        os.path.relpath(os.path.join(dirpath, n), commit_abs)
-                    )
         try:
             parent = _load_manifest(path, cur) if cur is not None else {}
         except FileNotFoundError:
@@ -335,9 +396,12 @@ def snapshot_write(
             else parent.get("stats_cols") or []
         )
         if effective_stats_cols and files:
-            stats[commit_rel] = _collect_file_stats(
-                df.sparkSession, commit_abs, files, effective_stats_cols
-            )
+            key = tuple(effective_stats_cols)
+            if key not in stats_cache:
+                stats_cache[key] = _collect_file_stats(
+                    spark, commit_abs, files, effective_stats_cols
+                )
+            stats[commit_rel] = stats_cache[key]
 
         merged_state = dict(parent.get("stream_state") or {})
         merged_state.update(stream_state or {})
@@ -493,13 +557,48 @@ def fresh_append_commits(
     }
 
 
+def _norm_scan_predicates(column, lower, upper, predicates):
+    """Shared argument normalization for the scan/audit pair: either
+    the single-column (column, lower, upper) form or ``predicates`` —
+    a list of (column, lower, upper) range conjuncts — never both.
+    Returns the conjunct list."""
+    if predicates is not None:
+        if column is not None or lower is not None or upper is not None:
+            raise ValueError(
+                "pass either (column, lower, upper) or predicates=…, "
+                "not both"
+            )
+        preds = [tuple(p) for p in predicates]
+        if not preds or any(len(p) != 3 for p in preds):
+            raise ValueError(
+                "predicates must be a non-empty list of "
+                "(column, lower, upper) triples"
+            )
+        return preds
+    if column is None:
+        raise ValueError("a column (or predicates=…) is required")
+    return [(column, lower, upper)]
+
+
+def _file_provably_empty(file_stats: dict, preds) -> bool:
+    """True iff ANY range conjunct proves the file empty — conjunct
+    survival intersects, mirroring SnapshotBatchReader._keep so the
+    programmatic scan and the format's pushFilters can never disagree
+    on multi-column pruning."""
+    return any(
+        bounds_exclude(file_stats.get(col), lo, hi)
+        for col, lo, hi in preds
+    )
+
+
 def scan_snapshot(
     spark: SparkSession,
     path: str,
-    column: str,
+    column: str | None = None,
     lower=None,
     upper=None,
     version: int | None = None,
+    predicates=None,
 ) -> DataFrame:
     """Range-predicate read (``lower <= column <= upper``, either bound
     optional) with MANIFEST-LEVEL file pruning: any file whose recorded
@@ -513,12 +612,21 @@ def scan_snapshot(
     (``snapshot_compact(sort_cols=...)``) a selective range touches a
     handful of files out of 10⁵.
 
+    Multi-column conjunctions: pass ``predicates=[(col, lo, hi), …]``
+    instead of the single-column triple — file survival INTERSECTS
+    (a file is dropped when ANY conjunct's bounds prove it empty),
+    and every conjunct is applied as a WHERE. Manifests record bounds
+    per stats column, so a 2-D range over a table clustered on one
+    column still prunes on both (the second column's bounds are
+    per-file incidental ranges, Iceberg-style).
+
     Bound typing must match the recorded bounds' JSON form: numbers
     against numeric columns, strings against strings, ISO strings
     against date/timestamp columns. Incomparable pairs keep the file
     (never a crash, never a wrong prune)."""
     from pyspark.sql import functions as F
 
+    preds = _norm_scan_predicates(column, lower, upper, predicates)
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:
@@ -532,9 +640,7 @@ def scan_snapshot(
         keep = [
             f
             for f in files
-            if not bounds_exclude(
-                (cstats.get(f) or {}).get(column), lower, upper
-            )
+            if not _file_provably_empty(cstats.get(f) or {}, preds)
         ]
         if keep:
             pruned[commit_rel] = keep
@@ -543,24 +649,30 @@ def scan_snapshot(
         base = _read_commits(spark, path, manifest["commits"])
         return base.where(F.lit(False))
     out = _read_commits(spark, path, pruned)
-    if lower is not None:
-        out = out.where(F.col(column) >= F.lit(lower))
-    if upper is not None:
-        out = out.where(F.col(column) <= F.lit(upper))
+    for col, lo, hi in preds:
+        if lo is not None:
+            out = out.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(col) <= F.lit(hi))
     return out
 
 
 def scan_prune_stats(
     path: str,
-    column: str,
+    column: str | None = None,
     lower=None,
     upper=None,
     version: int | None = None,
+    predicates=None,
 ) -> dict[str, int]:
     """How much :func:`scan_snapshot` would prune: {total_files,
     pruned_files, kept_files} from the manifest alone (no Spark, no
     I/O) — the planning-time audit next to the footer-level
-    :func:`maintenance.skipping_report`."""
+    :func:`maintenance.skipping_report`. Takes the same single-column
+    or ``predicates=[(col, lo, hi), …]`` forms as the scan and shares
+    its survival rule, so the audit can never disagree with the
+    plan."""
+    preds = _norm_scan_predicates(column, lower, upper, predicates)
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:
@@ -573,9 +685,7 @@ def scan_prune_stats(
         cstats = stats.get(commit_rel) or {}
         for f in files:
             total += 1
-            if bounds_exclude(
-                (cstats.get(f) or {}).get(column), lower, upper
-            ):
+            if _file_provably_empty(cstats.get(f) or {}, preds):
                 pruned_n += 1
     return {
         "total_files": total,
@@ -590,14 +700,26 @@ def _read_commits(
     """Plan a read over manifest-listed commit dirs — the one place
     file lists become DataFrames (read_snapshot AND incremental reads
     go through here, so read planning can never diverge between
-    them). ``commits`` must be non-empty."""
+    them). ``commits`` must hold at least one data file: zero-file
+    commit entries (an empty frame written through the format API —
+    engine-side writes always stage a schema-carrying empty part) are
+    skipped; a version with NO files anywhere has no schema to plan
+    and raises."""
     parts: list[DataFrame] = []
     for commit_rel, files in sorted(commits.items()):
+        if not files:
+            continue
         commit_abs = os.path.join(path, commit_rel)
         parts.append(
             spark.read.option("basePath", commit_abs).parquet(
                 *[os.path.join(commit_abs, f) for f in files]
             )
+        )
+    if not parts:
+        raise FileNotFoundError(
+            f"no data files in this version of {path}: an empty table "
+            "written through the format API carries no schema to plan "
+            "an empty frame from"
         )
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
@@ -745,6 +867,45 @@ def snapshot_delete(
     )
 
 
+def stats_coverage(path: str, version: int | None = None) -> dict:
+    """How much of a version's file set actually carries prunable
+    bounds, per stats column — the audit that makes silent
+    no-coverage visible: ``snapshot_write(stats_cols=…)`` only stats
+    files from the enabling commit onward, so a table that turned
+    stats on mid-history scans correctly but prunes nothing for its
+    older files (kept conservatively). Returns ``{"total_files": n,
+    "stats_cols": [...], "covered": {col: files_with_bounds},
+    "fully_covered_files": files_with_bounds_for_every_stats_col}``.
+    Backfill with :func:`snapshot_compact` (``stats_cols=`` or plain,
+    if the table property is already set): the rewrite lands every row
+    in fresh, statted files."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    manifest = _load_manifest(path, version)
+    cols = list(manifest.get("stats_cols") or [])
+    stats = manifest.get("stats") or {}
+    total = full = 0
+    covered = {c: 0 for c in cols}
+    for commit_rel, files in manifest["commits"].items():
+        cstats = stats.get(commit_rel) or {}
+        for f in files:
+            total += 1
+            fs = cstats.get(f) or {}
+            have = [c for c in cols if c in fs]
+            for c in have:
+                covered[c] += 1
+            if cols and len(have) == len(cols):
+                full += 1
+    return {
+        "total_files": total,
+        "stats_cols": cols,
+        "covered": covered,
+        "fully_covered_files": full,
+    }
+
+
 def snapshot_compact(
     spark: SparkSession,
     path: str,
@@ -753,6 +914,7 @@ def snapshot_compact(
     target_file_bytes: int | None = None,
     sort_cols: list[str] | None = None,
     zorder_auto: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Transactional small-file compaction for a versioned table —
     the snapshot-aware form of ``sinks.compact_parquet_dir`` and the
@@ -776,7 +938,15 @@ def snapshot_compact(
     min/max footer ranges and selective scans prune (measure with
     ``maintenance.skipping_report``). Rows stay bit-identical; only
     the layout changes — history and concurrent readers are untouched
-    as with any compaction."""
+    as with any compaction.
+
+    ``stats_cols`` is the STATS BACKFILL path: files written before
+    manifest bounds were enabled have none (kept conservatively —
+    correct but invisible to pruning; audit with
+    :func:`stats_coverage`). Because this rewrite lands every row in
+    fresh files, passing ``stats_cols=[...]`` (or leaving ``None`` on
+    a table whose property is already set — snapshot_write inherits)
+    yields a version with 100% bounds coverage."""
     for _ in range(5):
         head = current_version(path)
         if head is None:
@@ -822,6 +992,7 @@ def snapshot_compact(
                     else manifest.get("partition_by")
                 ),
                 expected_parent=head,
+                stats_cols=stats_cols,
             )
         except ConcurrentSnapshotError:
             continue

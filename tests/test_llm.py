@@ -1146,10 +1146,12 @@ def test_knn_ivf_agrees_with_exact(emb):
             labeled, unlabeled, k=5, method="exact"
         ).collect()
     }
+    # num_cells NOT pinned — the registered default auto-sizes ⌈√N⌉
+    # from the labeled corpus, so the gate covers that configuration
     ivf = {
         r.vec_id: r.predicted_label
         for r in knn_label_propagation(
-            labeled, unlabeled, k=5, method="ivf", num_cells=16, nprobe=12
+            labeled, unlabeled, k=5, method="ivf", nprobe=12
         ).collect()
     }
     assert set(ivf) == set(exact)
@@ -1237,7 +1239,10 @@ def test_append_ann_index_encode_only_parity(emb, tmp_path):
     # appended neighbors (odd ids) are actually reachable
     assert any(n % 2 == 1 for (_, n, _, _) in got)
 
-    # a rebuild resets appended_dirs and reclaims their directories
+    # a rebuild resets appended_dirs but RETIRES the superseded dirs
+    # instead of deleting them at publish (a lazy reader of the old
+    # index may still hold a plan over them); they are reclaimed by a
+    # LATER publish once past the grace window
     before = {
         d for d in os.listdir(path) if d.startswith("codes-append-")
     }
@@ -1245,6 +1250,16 @@ def test_append_ann_index_encode_only_parity(emb, tmp_path):
     build_ann_index(emb, path, num_cells=8, m=16, nbits=8, seed=42)
     meta = json.load(open(os.path.join(path, "meta.json")))
     assert meta["appended_dirs"] == []
+    assert before <= set(meta["retired_dirs"])
+    still = {
+        d for d in os.listdir(path) if d.startswith("codes-append-")
+    }
+    assert still == before  # grace window: nothing deleted yet
+    # age the retirement stamps past the grace; the next publish GCs
+    meta["retired_dirs"] = {d: 0.0 for d in meta["retired_dirs"]}
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    build_ann_index(emb, path, num_cells=8, m=16, nbits=8, seed=42)
     after = {
         d for d in os.listdir(path) if d.startswith("codes-append-")
     }
@@ -1320,3 +1335,20 @@ def test_append_aborts_cleanly_when_rebuild_wins_the_race(emb, tmp_path):
     sim.append_ann_index(half2, path)
     idx = sim.load_ann_index(emb.sparkSession, path)
     assert idx.codes.count() == emb.count()
+
+
+def test_auto_num_cells_derivation():
+    """⌈√N⌉ clamped to [16, 4096]: the IVF sizing rule (r7 verdict
+    item 3) — cells ∝ √N keeps candidate volume √N-proportional."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import auto_num_cells
+
+    assert auto_num_cells(0) == 16
+    assert auto_num_cells(1) == 16
+    assert auto_num_cells(256) == 16          # √256 = 16, at the floor
+    assert auto_num_cells(257) == 17          # ceil kicks in
+    assert auto_num_cells(100) == 16          # below floor -> clamp
+    assert auto_num_cells(10_000) == 100
+    assert auto_num_cells(9_999) == 100       # ceil of non-square
+    assert auto_num_cells(1_000_000) == 1000
+    assert auto_num_cells(10**9) == 4096      # ceiling clamp
+    assert auto_num_cells(500, lo=4, hi=8) == 8

@@ -341,3 +341,81 @@ def test_snapshot_stream_bootstraps_over_rewritten_history(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 90
+
+
+def test_snapshot_format_write_roundtrip_and_stats(spark, tmp_path):
+    """The write half of the format API (r8): executor tasks stage
+    Arrow batches as parquet under a fresh commit dir; the driver-side
+    commit lands the manifest through snapshots.commit_staged_files —
+    append/overwrite versioning, statsCols option enabling manifest
+    bounds, empty tasks contributing no file."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        list_snapshots,
+        read_snapshot,
+        scan_prune_stats,
+        stats_coverage,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    (
+        base.repartitionByRange(4, "id")
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .option("statsCols", "id")
+        .save()
+    )
+    assert current_version(path) == 1
+    got = read_snapshot(spark, path)
+    assert got.count() == 100 and set(got.columns) == {"id", "v"}
+    cov = stats_coverage(path)
+    assert cov["stats_cols"] == ["id"]
+    assert cov["fully_covered_files"] == cov["total_files"] >= 4
+
+    # append inherits the stats property; format read sees the union
+    (
+        spark.range(100, 150).withColumn("v", F.col("id") * 2)
+        .coalesce(1)
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    assert current_version(path) == 2
+    via_format = spark.read.format("snapshot").option("path", path).load()
+    assert via_format.count() == 150
+    st = scan_prune_stats(path, "id", lower=100)
+    assert st["pruned_files"] >= 4  # v1's range files all proven empty
+
+    # overwrite replaces the file set as a NEW version; history stays
+    (
+        spark.range(0, 7).withColumn("v", F.lit(0).cast("long"))
+        .coalesce(1)
+        .write.format("snapshot")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    assert current_version(path) == 3
+    assert read_snapshot(spark, path).count() == 7
+    assert read_snapshot(spark, path, version=2).count() == 150
+    assert [s["version"] for s in list_snapshots(path)] == [1, 2, 3]
+
+    # empty frame: a version with zero files, not a crash
+    (
+        base.filter("id < 0")
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    assert current_version(path) == 4
+    assert read_snapshot(spark, path).count() == 7

@@ -676,3 +676,134 @@ def test_manifest_stats_prune_inherit_and_correctness(spark, tmp_path):
     assert scan_snapshot(
         spark, path, "id", lower=0, upper=10, version=v1
     ).count() == 11
+
+
+def test_scan_snapshot_multi_column_predicates(spark, tmp_path):
+    """Multi-column conjunct pruning (r7 verdict item 5): four
+    quadrant commits split on (id, v) cuts, bounds recorded for both
+    columns; a 2-D range must prune strictly more files than either
+    single-column form (each alone can only rule out two quadrants),
+    results stay exact, and the batch format's pushFilters intersects
+    per column through the same bounds_exclude rule."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 400).withColumn(
+        "v", ((F.col("id") * 7) % 400).cast("long")
+    )
+    lo_id, lo_v = F.col("id") < 200, F.col("v") < 200
+    for i, q in enumerate(
+        [lo_id & lo_v, lo_id & ~lo_v, ~lo_id & lo_v, ~lo_id & ~lo_v]
+    ):
+        snapshot_write(
+            base.filter(q).coalesce(1),
+            path,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["id", "v"],
+        )
+    preds = [("id", None, 150), ("v", None, 150)]
+    st2 = scan_prune_stats(path, predicates=preds)
+    st_id = scan_prune_stats(path, "id", upper=150)
+    st_v = scan_prune_stats(path, "v", upper=150)
+    assert st2["total_files"] == 4
+    assert st_id["pruned_files"] == 2 and st_v["pruned_files"] == 2
+    assert st2["pruned_files"] == 3  # only the (lo,lo) quadrant survives
+    out = scan_snapshot(spark, path, predicates=preds)
+    # results exact: both WHERE conjuncts applied, not just pruning
+    # (the surviving quadrant file also holds rows past either cut)
+    expect = sorted(
+        r.id
+        for r in base.filter(
+            (F.col("id") <= 150) & ((F.col("id") * 7) % 400 <= 150)
+        ).collect()
+    )
+    assert sorted(r.id for r in out.collect()) == expect and expect
+
+    # mixing forms is rejected; malformed predicates are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scan_prune_stats(path, "id", upper=1, predicates=preds)
+    with _pytest.raises(ValueError):
+        scan_prune_stats(path, predicates=[("id", 1)])
+
+    # pushFilters: per-column intersection through the same rule
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    m = _load_manifest(path, current_version(path))
+    r = SnapshotBatchReader(path, m)
+    unhandled = r.pushFilters(
+        [LessThanOrEqual(("id",), 150), LessThanOrEqual(("v",), 150)]
+    )
+    assert list(unhandled)
+    real = [p for p in r.partitions() if p.file_abs]
+    assert len(real) == 1  # same single surviving quadrant
+
+
+def test_stats_coverage_audit_and_compact_backfill(spark, tmp_path):
+    """stats_coverage makes mid-history stats enablement visible (old
+    files carry no bounds — correct scans, zero pruning), and a
+    compact with stats_cols backfills: the rewrite lands every row in
+    fresh statted files, after which the same selective range actually
+    prunes."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_compact,
+        snapshot_write,
+        stats_coverage,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    # v1: stats never enabled
+    snapshot_write(df.repartitionByRange(4, "id"), path)
+    cov0 = stats_coverage(path)
+    assert cov0["total_files"] >= 4 and cov0["stats_cols"] == []
+    assert cov0["fully_covered_files"] == 0
+    # v2: append WITH stats — only the new files carry bounds
+    snapshot_write(
+        spark.range(1000, 1100).withColumn("v", F.col("id") * 2),
+        path,
+        mode="append",
+        stats_cols=["id"],
+    )
+    cov1 = stats_coverage(path)
+    assert cov1["stats_cols"] == ["id"]
+    assert 0 < cov1["covered"]["id"] < cov1["total_files"]
+    st = scan_prune_stats(path, "id", lower=0, upper=10)
+    assert st["pruned_files"] < st["total_files"] - 1  # v1 files kept
+    # compact-backfill: plain compact inherits the table property and
+    # rewrites everything statted
+    snapshot_compact(spark, path, target_partitions=4, sort_cols=["id"])
+    cov2 = stats_coverage(path)
+    assert cov2["fully_covered_files"] == cov2["total_files"] > 0
+    st2 = scan_prune_stats(path, "id", lower=0, upper=10)
+    assert st2["pruned_files"] >= st2["total_files"] - 1  # now prunes
+    out = scan_snapshot(spark, path, "id", lower=0, upper=10)
+    assert sorted(r.id for r in out.collect()) == list(range(0, 11))
+    # explicit stats_cols on compact ADDS a column on a never-statted
+    # table (the from-zero backfill)
+    path2 = str(tmp_path / "t2")
+    snapshot_write(df.repartitionByRange(4, "id"), path2)
+    assert stats_coverage(path2)["stats_cols"] == []
+    snapshot_compact(
+        spark, path2, target_partitions=4, sort_cols=["v"],
+        stats_cols=["v"],
+    )
+    cov3 = stats_coverage(path2)
+    assert cov3["stats_cols"] == ["v"]
+    assert cov3["fully_covered_files"] == cov3["total_files"] > 0

@@ -134,8 +134,12 @@ def main() -> None:
         return best, n
 
     qs = entry.queries()
+    # positional args (non-flag) select a subset of QUERIES — re-measure
+    # one family after a targeted change without paying the full sweep
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_list = [n for n in QUERIES if not wanted or n in wanted]
     print(f"\n{'query':24s} {'1x sec':>8s} {'10x sec':>9s} {'ratio':>6s}")
-    for name in QUERIES:
+    for name in run_list:
         small, n1 = measured(qs[name], SF_DIR)
         big_t, n10 = measured(qs[name], BIG_DIR)
         print(
