@@ -8759,6 +8759,87 @@ def q_snapshot_format_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+_SNAPSHOT_FMT_CHAIN_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_format_stream_chain", _SNAPSHOT_FMT_CHAIN_ORACLE,
+    tags=["streaming", "S15"],
+)
+def q_snapshot_format_stream_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A versioned MEDALLION CHAIN through format APIs alone (r8):
+    orders land in table A as three append commits; a streaming query
+    reads A through the ``snapshot_stream`` source (version offsets)
+    and writes B through ``writeStream.format("snapshot")``
+    (pydatasource.SnapshotStreamWriter — per-micro-batch append
+    commits carrying the stream_state high-water mark, so replays
+    dedup and the chain is exactly-once end-to-end); the aggregate
+    over B must equal the oracle's aggregate over raw orders. This is
+    the bronze→silver topology every lakehouse runs, with BOTH hops
+    versioned and incremental."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    register_snapshot_stream(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_snapchain_")
+    src, dst = f"{root}/a", f"{root}/b"
+    try:
+        for r in range(3):
+            snapshot_write(
+                orders.filter(F.col("o_orderkey") % 3 == r),
+                src,
+                mode="append",
+            )
+        q = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", src)
+            .load()
+            .writeStream.format("snapshot")
+            .option("path", dst)
+            .option("sourceId", "snapshot_format_stream_chain")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("format stream chain did not drain in 300s")
+        return (
+            read_snapshot(spark, dst)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _SNAPSHOT_ZORDER_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -503,6 +504,12 @@ class SnapshotDataSource(DataSource):
             raise ValueError("snapshot format requires .option('path', …)")
         return SnapshotBatchWriter(path, overwrite, self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot format requires .option('path', …)")
+        return SnapshotStreamWriter(path, self.options)
+
 
 class _SnapshotCommitMessage(WriterCommitMessage):
     """One task's staged files (paths relative to the commit dir)."""
@@ -597,6 +604,98 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             os.path.join(self._path, self._commit_rel),
             ignore_errors=True,
         )
+
+
+class SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """EXACTLY-ONCE streaming writes into a versioned table through
+    the format API: ``df.writeStream.format("snapshot")
+    .option("path", t).option("checkpointLocation", …).start()`` —
+    the Delta-sink shape, completing the format's matrix (batch
+    read/write, stream read via ``snapshot_stream``, stream write
+    here). Per micro-batch, executor tasks stage Arrow batches as
+    parquet under ``_staging/`` (unique names — the per-batch commit
+    dir isn't known until the driver's ``commit(batchId)``); the
+    driver moves them into a per-batch commit dir and lands the
+    manifest through snapshots.commit_staged_stream_batch: the
+    manifest's ``stream_state[source_id]`` high-water mark makes a
+    replayed batch id a SKIP (staged files dropped), so checkpointed
+    at-least-once delivery + manifest dedup = exactly-once, the same
+    protocol as streaming.ingest.snapshot_append_sink.
+
+    Options: ``sourceId`` names the (query, checkpoint) lineage for
+    the high-water mark — REQUIRED for multiple streams into one
+    table; defaults to ``snapshot_format_sink:<path>``. Restarting
+    from a FRESH checkpoint resets Spark's batch ids to 0, so a fresh
+    checkpoint needs a fresh sourceId (the snapshot_append_sink
+    contract). Storage must be shared across executors and driver."""
+
+    def __init__(self, path: str, options: dict):
+        self._path = path
+        self._source_id = (
+            options.get("sourceid") or f"snapshot_format_sink:{path}"
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        stage_abs = os.path.join(self._path, "_staging")
+        os.makedirs(stage_abs, exist_ok=True)
+        rel = f"part-{uuid.uuid4().hex[:16]}.parquet"
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(stage_abs, rel), batch.schema
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return _SnapshotCommitMessage(
+            files=[rel] if writer is not None else [], rows=rows
+        )
+
+    def commit(self, messages, batchId: int):
+        import uuid
+
+        staged = [f for m in messages if m is not None for f in m.files]
+        commit_rel = os.path.join(
+            _S._DATA_DIR, f"cs{batchId:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        commit_abs = os.path.join(self._path, commit_rel)
+        os.makedirs(commit_abs, exist_ok=True)
+        files = []
+        for rel in staged:
+            os.rename(
+                os.path.join(self._path, "_staging", rel),
+                os.path.join(commit_abs, rel),
+            )
+            files.append(rel)
+        v = _S.commit_staged_stream_batch(
+            self._path, commit_rel, sorted(files),
+            self._source_id, batchId,
+        )
+        if v is None:
+            # replayed batch: the manifest high-water mark already
+            # covers it — this batch's files must NOT land twice
+            import shutil
+
+            shutil.rmtree(commit_abs, ignore_errors=True)
+
+    def abort(self, messages, batchId: int):
+        import contextlib
+
+        for m in messages:
+            for rel in (m.files if m is not None else []):
+                with contextlib.suppress(OSError):
+                    os.unlink(
+                        os.path.join(self._path, "_staging", rel)
+                    )
 
 
 def register_snapshot_format(spark) -> None:

@@ -322,6 +322,52 @@ def snapshot_write(
     )
 
 
+def commit_staged_stream_batch(
+    path: str,
+    commit_rel: str,
+    files: list[str],
+    source_id: str,
+    batch_id: int,
+    partition_by: list[str] | None = None,
+) -> int | None:
+    """:func:`commit_staged_files` under the exactly-once streaming
+    protocol (streaming.ingest.commit_stream_batch's loop, for files
+    already staged by a python-DataSource stream writer's tasks): the
+    head manifest's ``stream_state[source_id]`` is the last batch this
+    source applied — a batch at or below it is a replay, skipped
+    (returns None; the caller drops its staged files). Otherwise the
+    append commits with the head CAS and the advanced marker in the
+    SAME manifest, so marker-check and data-write are one atomic
+    commit."""
+    for _ in range(5):
+        head = current_version(path)
+        try:
+            marks = stream_state(path, head)
+        except FileNotFoundError:
+            continue  # head's manifest expired under us: re-poll
+        if marks.get(source_id, -1) >= batch_id:
+            return None
+        try:
+            return commit_staged_files(
+                path,
+                commit_rel,
+                files,
+                mode="append",
+                partition_by=partition_by,
+                max_commit_retries=1,
+                expected_parent=(
+                    head if head is not None else EXPECT_NO_PARENT
+                ),
+                stream_state={source_id: batch_id},
+            )
+        except ConcurrentSnapshotError:
+            continue
+    raise ConcurrentSnapshotError(
+        f"stream batch {batch_id} ({source_id}) lost 5 commit races at "
+        f"{path} — a writer loop is outrunning this stream"
+    )
+
+
 def _check_expected_parent(path, cur, expected_parent) -> None:
     if expected_parent is None:
         return

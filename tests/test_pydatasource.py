@@ -419,3 +419,82 @@ def test_snapshot_format_write_roundtrip_and_stats(spark, tmp_path):
     )
     assert current_version(path) == 4
     assert read_snapshot(spark, path).count() == 7
+
+
+def test_snapshot_format_stream_write_exactly_once(spark, tmp_path):
+    """The stream-write half of the format API (r8): snapshot table A
+    streamed through the snapshot_stream source into table B via
+    writeStream.format('snapshot') under AvailableNow — a versioned
+    medallion chain through format APIs alone. Each micro-batch is one
+    append commit carrying the stream_state high-water mark; a
+    REPLAYED batch id is skipped with its staged files dropped
+    (manifest dedup over checkpointed at-least-once = exactly-once)."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamWriter,
+        _SnapshotCommitMessage,
+        register_snapshot_format,
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        read_snapshot,
+        snapshot_write,
+        stream_state,
+    )
+
+    register_snapshot_format(spark)
+    register_snapshot_stream(spark)
+    src = str(tmp_path / "a")
+    dst = str(tmp_path / "b")
+    for lo, hi in [(0, 40), (40, 70), (70, 100)]:
+        snapshot_write(
+            spark.range(lo, hi).withColumn("v", F.col("id") * 3),
+            src,
+            mode="append",
+        )
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", src)
+        .load()
+        .writeStream.format("snapshot")
+        .option("path", dst)
+        .option("sourceId", "test_chain")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert sorted(r.id for r in read_snapshot(spark, dst).collect()) == list(
+        range(100)
+    )
+    marks = stream_state(dst)
+    assert marks.get("test_chain", -1) >= 0
+
+    # replay unit: committing an ALREADY-APPLIED batch id must skip —
+    # version unchanged, staged file dropped, no duplicate rows
+    w = SnapshotStreamWriter(dst, {"sourceid": "test_chain"})
+    os.makedirs(os.path.join(dst, "_staging"), exist_ok=True)
+    stale = "part-replay.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"id": [999], "v": [0]}),
+        os.path.join(dst, "_staging", stale),
+    )
+    head = current_version(dst)
+    w.commit(
+        [_SnapshotCommitMessage(files=[stale], rows=1)],
+        marks["test_chain"],  # an already-applied batch id
+    )
+    assert current_version(dst) == head  # no new version
+    assert read_snapshot(spark, dst).filter("id = 999").count() == 0
+    time.sleep(0)  # staged file was consumed (moved then dropped)
+    assert not os.path.exists(os.path.join(dst, "_staging", stale))
