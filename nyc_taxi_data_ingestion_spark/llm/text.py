@@ -618,3 +618,101 @@ def bm25_rank(
     return ranked.withColumn("rank", F.row_number().over(w)).select(
         "term", "rank", "doc_id", "score"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the slicing step every
+    RAG indexing / context-window training pipeline runs before
+    embedding or packing: each document becomes ``1 + ceil(max(0,
+    n_tokens - window) / stride)`` chunks of up to ``window``
+    whitespace tokens, consecutive chunks overlapping by ``window -
+    stride`` tokens so no boundary-spanning passage is lost. Returns
+    (id_col, chunk_idx, chunk_text, chunk_tokens); a document at or
+    under ``window`` tokens yields exactly one chunk (itself); empty
+    text yields one empty chunk (callers filter upstream if unwanted).
+
+    Scale shape: pure JVM expressions end to end — split, one
+    ``sequence``+``explode`` (fan-out bounded by n/stride per row,
+    data-side), ``slice``/``array_join`` per chunk. No Python in the
+    row path, no shuffle at all: chunking is embarrassingly parallel
+    and stays in the scan stage (whole-stage codegen). The UDTF twin
+    (:func:`chunk_documents_udtf_parity` in tests) exists to exercise
+    the Spark 4 python-UDTF surface and measures as the SLOW path —
+    the relational form is the production one."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"need 1 <= stride <= window, got window={window} "
+            f"stride={stride} (stride > window would DROP the tokens "
+            f"between consecutive windows)"
+        )
+    toks = tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.size(toks).alias("__n"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(
+                        f"(greatest(__n - {window}, 0) + {stride - 1}) "
+                        f"div {stride}"
+                    ).cast("int"),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    window,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    window,
+                )
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def chunking_udtf():
+    """The same chunking as a Spark 4 python UDTF
+    (``@udtf`` lateral-join surface) — registered for the API-parity
+    test only: per-row Python with pickled row transport is the slow
+    path next to :func:`chunk_documents`' pure-JVM plan, and the
+    pytest that asserts identical output also documents that contract.
+    Returns the UDTF class (caller registers/invokes)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, chunk_idx int, chunk_text string, "
+        "chunk_tokens int"
+    ))
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str, window: int, stride: int):
+            toks = text.strip().split() if text and text.strip() else []
+            n = len(toks)
+            cnt = 1 + max(0, (max(n - window, 0) + stride - 1) // stride)
+            for i in range(cnt):
+                sl = toks[i * stride : i * stride + window]
+                yield doc_id, i, " ".join(sl), len(sl)
+
+    return ChunkDocs

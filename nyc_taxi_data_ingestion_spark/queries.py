@@ -8916,6 +8916,51 @@ def q_snapshot_zorder_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_CHUNK_WINDOWS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+x AS (
+  SELECT doc_id, toks, i AS chunk_idx
+  FROM c,
+       LATERAL unnest(
+         range(0, 1 + (greatest(n - 32, 0) + 23) // 24)
+       ) AS u(i)
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(
+         list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '
+       ) AS chunk_text,
+       CAST(len(
+         list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)
+       ) AS INT) AS chunk_tokens
+FROM x
+"""
+
+
+@register("chunk_windows", _CHUNK_WINDOWS_ORACLE, tags=["llm-text"])
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking over the documents corpus
+    (llm/text.chunk_documents, window=32 stride=24): the slicing step
+    RAG indexing and context-window training pipelines run before
+    embedding/packing — consecutive chunks overlap by 8 tokens so no
+    boundary-spanning passage is lost. Pure-JVM plan (split →
+    sequence+explode → slice/array_join), no Python in the row path,
+    no shuffle: chunking stays inside the scan stage. A Spark 4
+    python-UDTF twin exists purely as API-surface parity
+    (tests/test_llm.py) — it is the documented slow path."""
+    from nyc_taxi_data_ingestion_spark.llm.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=32, stride=24)
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is

@@ -1352,3 +1352,54 @@ def test_auto_num_cells_derivation():
     assert auto_num_cells(1_000_000) == 1000
     assert auto_num_cells(10**9) == 4096      # ceiling clamp
     assert auto_num_cells(500, lo=4, hi=8) == 8
+
+
+def test_chunk_documents_relational_vs_udtf(spark, docs):
+    """chunk_documents (pure-JVM: split → sequence+explode → slice) and
+    the Spark 4 python-UDTF twin produce IDENTICAL chunk tables — the
+    UDTF exists to exercise the lateral-join UDTF surface and to
+    document that per-row Python is the slow path; the relational form
+    is the registered one. Also pins the overlap contract: every token
+    index is covered, consecutive chunks share window-stride tokens."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.text import (
+        chunk_documents,
+        chunking_udtf,
+    )
+
+    sample = docs.limit(120)
+    rel = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in chunk_documents(sample, window=32, stride=24).collect()
+    }
+    ChunkDocs = chunking_udtf()
+    spark.udtf.register("chunk_docs_udtf", ChunkDocs)
+    sample.createOrReplaceTempView("chunk_src")
+    via_udtf = {
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in spark.sql(
+            "SELECT t.* FROM chunk_src, "
+            "LATERAL chunk_docs_udtf(doc_id, text, 32, 24) t"
+        ).collect()
+    }
+    assert rel and rel == via_udtf
+
+    # overlap/coverage contract on a known token stream
+    one = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.chunk_idx, r.chunk_text.split())
+        for r in chunk_documents(one, window=32, stride=24).collect()
+    )
+    assert [i for i, _ in got] == [0, 1, 2]
+    assert got[0][1][0] == "t0" and got[1][1][0] == "t24"
+    assert got[2][1][-1] == "t79"  # tail covered
+    assert got[0][1][24:] == got[1][1][:8]  # 8-token overlap
+    # stride > window would silently drop tokens: rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(one, window=8, stride=9)
