@@ -30,10 +30,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _flag_value(name: str) -> str | None:
+    """Value of ``name <value>`` in argv. A flag present WITHOUT a
+    value exits loudly — silently ignoring `--round` would recreate
+    the exact mislabeled-artifact failure the flag exists to prevent."""
     if name in sys.argv:
         i = sys.argv.index(name)
-        if i + 1 < len(sys.argv):
-            return sys.argv[i + 1]
+        if i + 1 >= len(sys.argv):
+            print(f"error: {name} requires a value", file=sys.stderr)
+            sys.exit(2)
+        return sys.argv[i + 1]
     return None
 
 
@@ -139,6 +144,19 @@ def _single(name: str) -> None:
 
 
 def main() -> None:
+    # validate flags BEFORE the (long) sweep: a malformed --round must
+    # fail in milliseconds, not after 15 minutes of measurement
+    explicit_round = _flag_value("--round")
+    if explicit_round is not None:
+        try:
+            explicit_round = int(explicit_round)
+        except ValueError:
+            print(
+                f"error: --round must be an integer, got "
+                f"{explicit_round!r}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     single = _flag_value("--single")
     if single is not None:
         _single(single)
@@ -251,12 +269,10 @@ def main() -> None:
     # wins; otherwise newest CORRECTNESS artifact + 1 (the bench for
     # round N runs before the driver writes CORRECTNESS_r{N}) — the
     # inference a stale artifact can shift, hence the flag.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = explicit_round
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        explicit = _flag_value("--round")
-        if explicit is not None:
-            rnd = int(explicit)
-        else:
+        if rnd is None:
             import glob
             import re
 

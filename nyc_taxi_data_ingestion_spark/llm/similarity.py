@@ -306,6 +306,26 @@ def auto_num_cells(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
     return max(lo, min(hi, math.isqrt(n_rows - 1) + 1))
 
 
+def auto_nprobe(num_cells: int, lo: int = 8) -> int:
+    """Probe count for an IVF index with ``num_cells`` cells:
+    max(lo, ⌈√cells⌉), capped at the cell count. The FAISS-practice
+    regime: for CLUSTERED data (the production case) recall at a
+    given nprobe degrades only slowly as nlist grows, because true
+    neighbors concentrate in the query's few nearest cells — so nprobe
+    grows ~N^(1/4) while candidate volume stays
+    N·nprobe/cells ≈ nprobe·√N, sublinear. The honest caveat, gated
+    in tests: on near-UNIFORM vectors (no cluster structure — the
+    worst case for any cell-based index) recall tracks the probed
+    FRACTION nprobe/cells, which this rule lets fall as corpora grow;
+    callers on unstructured data should pass nprobe explicitly (or use
+    the exact path) rather than inherit a silent recall slide."""
+    import math
+
+    if num_cells <= 1:
+        return 1
+    return min(num_cells, max(lo, math.isqrt(num_cells - 1) + 1))
+
+
 def train_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -401,7 +421,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     seed: int = 42,
     broadcast_queries: bool = True,
 ) -> DataFrame:
@@ -431,6 +451,8 @@ def ivf_topk(
 
     if num_cells is None:
         num_cells = auto_num_cells(corpus.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(num_cells)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -687,7 +709,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     m: int = 16,
     nbits: int = 8,
     seed: int = 42,
@@ -707,6 +729,8 @@ def ivfpq_topk(
 
     if num_cells is None:
         num_cells = auto_num_cells(corpus.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(num_cells)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -811,77 +835,61 @@ _RETIRED_GRACE_SEC = 300.0
 
 class _MetaLock:
     """Exclusive advisory lock for an ANN index's meta.json
-    read-modify-write (O_CREAT|O_EXCL lockfile). Without it, two
-    concurrent appends both read appended_dirs=[], and the loser's
-    vectors silently vanish from the index (its codes dir becomes an
-    unreferenced orphan). Crash-safe: a lock older than ``stale_sec``
-    is presumed abandoned (holder died between create and unlink) and
-    taken over. On shared object storage, swap for the same
+    read-modify-write, via ``fcntl.flock`` on a persistent lockfile.
+    Without it, two concurrent appends both read appended_dirs=[], and
+    the loser's vectors silently vanish from the index (its codes dir
+    becomes an unreferenced orphan).
+
+    flock is the right local-filesystem primitive: acquisition is
+    ATOMIC in the kernel (no create/stat/unlink TOCTOU windows — the
+    r7 O_EXCL-lockfile form had a takeover race where a presumed-stale
+    holder could unlink the usurper's fresh lock on exit), release on
+    process death is automatic (no staleness heuristic at all — a
+    SIGKILLed holder's lock evaporates with its fd), and two opens in
+    ONE process also exclude each other (per open-file-description
+    semantics). ``stale_sec`` is retained in the signature for
+    compatibility but unused — there is no stale state to reclaim.
+    On shared object storage (flock-less), swap for the same
     conditional-PUT the snapshot layer's _commit_manifest documents."""
 
     def __init__(self, path: str, timeout_sec: float = 60.0,
                  stale_sec: float = 300.0):
         import os
-        import uuid
 
         self._lock = os.path.join(path, "meta.lock")
         self._timeout = timeout_sec
-        self._stale = stale_sec
-        # unique holder token, written into the lockfile: release and
-        # takeover are guarded on it, so a slow-but-alive holder whose
-        # lock was presumed stale can never unlink the usurper's fresh
-        # lock on its way out (the lost-update the lock exists to stop)
-        self._token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        self._fd: int | None = None
 
     def __enter__(self):
-        import contextlib
+        import fcntl
         import os
         import time
 
         deadline = time.time() + self._timeout
-        while True:
-            try:
-                fd = os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        fd = os.open(self._lock, os.O_CREAT | os.O_WRONLY, 0o644)
+        try:
+            while True:
                 try:
-                    os.write(fd, self._token.encode())
-                finally:
-                    os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(self._lock).st_mtime
-                    if age > self._stale:
-                        # abandoned holder: take over via rename-to-
-                        # unique — atomic, so of N waiters racing on
-                        # the same stale lock exactly ONE succeeds
-                        # (the rest see ENOENT and re-contend on the
-                        # fresh lock); never a double-unlink window
-                        grave = f"{self._lock}.stale-{self._token}"
-                        try:
-                            os.rename(self._lock, grave)
-                        except OSError:
-                            continue  # another waiter won the takeover
-                        with contextlib.suppress(OSError):
-                            os.unlink(grave)
-                        continue
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    self._fd = fd
+                    return self
                 except OSError:
-                    continue  # lock vanished between open and stat
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"ANN index meta lock busy for {self._timeout}s: "
-                        f"{self._lock}"
-                    )
-                time.sleep(0.05)
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"ANN index meta lock busy for "
+                            f"{self._timeout}s: {self._lock}"
+                        ) from None
+                    time.sleep(0.05)
+        except BaseException:
+            os.close(fd)
+            raise
 
     def __exit__(self, *exc):
-        import contextlib
         import os
 
-        with contextlib.suppress(OSError):
-            with open(self._lock) as f:
-                if f.read() != self._token:
-                    return False  # taken over mid-hold: not ours to drop
-            os.unlink(self._lock)
+        if self._fd is not None:
+            os.close(self._fd)  # closes the description -> releases
+            self._fd = None
         return False
 
 
@@ -912,6 +920,8 @@ def build_ann_index(
 
     if num_cells is None:
         num_cells = auto_num_cells(corpus.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(num_cells)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )
@@ -1345,7 +1355,7 @@ def knn_label_propagation(
     method: str = "auto",
     max_exact_rows: int = _KNN_EXACT_MAX_QUERY_ROWS,
     num_cells: int | None = None,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Propagate labels from a labeled seed set to unlabeled vectors by

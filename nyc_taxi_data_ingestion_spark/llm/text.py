@@ -634,8 +634,11 @@ def chunk_documents(
     whitespace tokens, consecutive chunks overlapping by ``window -
     stride`` tokens so no boundary-spanning passage is lost. Returns
     (id_col, chunk_idx, chunk_text, chunk_tokens); a document at or
-    under ``window`` tokens yields exactly one chunk (itself); empty
-    text yields one empty chunk (callers filter upstream if unwanted).
+    under ``window`` tokens yields exactly one chunk (itself); EMPTY
+    text yields one empty chunk (callers filter upstream if unwanted);
+    NULL text yields no chunks at all (explicit filter — Spark's
+    NULL-ignoring ``greatest`` would otherwise manufacture one NULL
+    chunk; the UDTF twin mirrors the no-chunks contract).
 
     Scale shape: pure JVM expressions end to end — split, one
     ``sequence``+``explode`` (fan-out bounded by n/stride per row,
@@ -653,7 +656,8 @@ def chunk_documents(
         )
     toks = tokens(F.col(text_col))
     return (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             toks.alias("__toks"),
             F.size(toks).alias("__n"),
@@ -708,7 +712,12 @@ def chunking_udtf():
     ))
     class ChunkDocs:
         def eval(self, doc_id: int, text: str, window: int, stride: int):
-            toks = text.strip().split() if text and text.strip() else []
+            if text is None:
+                # NULL text yields NO chunks (the relational form
+                # filters NULLs; an EMPTY string still yields one
+                # empty chunk in both forms)
+                return
+            toks = text.strip().split() if text.strip() else []
             n = len(toks)
             cnt = 1 + max(0, (max(n - window, 0) + stride - 1) // stride)
             for i in range(cnt):

@@ -8923,6 +8923,7 @@ WITH t AS (
               THEN CAST([] AS VARCHAR[])
               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
   FROM documents
+  WHERE text IS NOT NULL
 ),
 c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
 x AS (

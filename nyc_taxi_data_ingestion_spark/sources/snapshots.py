@@ -1262,7 +1262,25 @@ def expire_snapshots(
                     continue
             shutil.rmtree(full)
             removed_dirs.append(rel)
+    # _staging holds the format stream writer's per-task files between
+    # stage and commit; a failed/zombie task attempt's file appears in
+    # no commit message, so nothing else ever removes it — sweep here
+    # under the same age guard (an in-flight micro-batch commits in
+    # seconds, never hours)
+    removed_staging: list[str] = []
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        for name in sorted(os.listdir(staging_root)):
+            full = os.path.join(staging_root, name)
+            try:
+                if os.path.getmtime(full) >= grace_ts:
+                    continue
+                os.unlink(full)
+            except OSError:
+                continue
+            removed_staging.append(name)
     return {
         "expired_versions": [s["version"] for s in expired],
         "removed_commit_dirs": removed_dirs,
+        "removed_staging_files": removed_staging,
     }

@@ -1266,7 +1266,16 @@ def test_append_ann_index_encode_only_parity(emb, tmp_path):
     assert not after
 
 
-def test_ann_meta_lock_exclusive_and_stale_takeover(tmp_path):
+def test_ann_meta_lock_exclusive_and_crash_release(tmp_path):
+    """flock semantics: mutual exclusion (even two opens in one
+    process), release on clean exit, and AUTOMATIC release when the
+    holder process dies (SIGKILL) — no staleness heuristic, so the
+    r7 O_EXCL form's stale-takeover TOCTOU cannot exist."""
+    import multiprocessing as mp
+    import os
+    import signal
+    import time
+
     from nyc_taxi_data_ingestion_spark.llm.similarity import _MetaLock
 
     path = str(tmp_path)
@@ -1277,13 +1286,27 @@ def test_ann_meta_lock_exclusive_and_stale_takeover(tmp_path):
     # released: can take again
     with _MetaLock(path):
         pass
-    # a stale lock (abandoned holder) is taken over, not waited on
-    import os
 
-    lock = os.path.join(path, "meta.lock")
-    open(lock, "w").close()
-    os.utime(lock, ns=(1, 1))  # ancient mtime
-    with _MetaLock(path, timeout_sec=1.0, stale_sec=10.0):
+    # a lockfile LEFT ON DISK by a dead holder does not block (flock
+    # state died with the holder's fd; the file itself is inert)
+    def _hold(p, ev):
+        lk = _MetaLock(p)
+        lk.__enter__()
+        ev.set()
+        time.sleep(60)
+
+    ev = mp.get_context("fork").Event()
+    proc = mp.get_context("fork").Process(target=_hold, args=(path, ev))
+    proc.start()
+    assert ev.wait(10)
+    # holder alive: lock busy
+    with pytest.raises(TimeoutError):
+        with _MetaLock(path, timeout_sec=0.3):
+            pass
+    os.kill(proc.pid, signal.SIGKILL)
+    proc.join(10)
+    # holder killed: kernel released the lock, waiter acquires at once
+    with _MetaLock(path, timeout_sec=2.0):
         pass
 
 
@@ -1368,11 +1391,20 @@ def test_chunk_documents_relational_vs_udtf(spark, docs):
         chunking_udtf,
     )
 
-    sample = docs.limit(120)
+    # include NULL and empty-string texts: NULL yields NO chunks in
+    # both forms; empty string yields one empty chunk in both
+    spark_edge = docs.sparkSession.createDataFrame(
+        [(90001, None), (90002, "")], "doc_id long, text string"
+    )
+    sample = docs.limit(120).select("doc_id", "text").unionByName(spark_edge)
     rel = {
         (r.doc_id, r.chunk_idx, r.chunk_text, r.chunk_tokens)
         for r in chunk_documents(sample, window=32, stride=24).collect()
     }
+    assert (90001, 0, "", 0) not in rel and not any(
+        d == 90001 for d, *_ in rel
+    )
+    assert (90002, 0, "", 0) in rel
     ChunkDocs = chunking_udtf()
     spark.udtf.register("chunk_docs_udtf", ChunkDocs)
     sample.createOrReplaceTempView("chunk_src")
@@ -1403,3 +1435,64 @@ def test_chunk_documents_relational_vs_udtf(spark, docs):
 
     with _pytest.raises(ValueError):
         chunk_documents(one, window=8, stride=9)
+
+
+def test_knn_auto_regime_above_floor_agrees_with_exact(spark):
+    """Gates the AUTO-SIZED IVF regime above the clamp floor (the r8
+    review finding: the sf-scale agreement test only ever exercised
+    16 cells, the old pinned value): 2000 clustered vectors derive
+    ~45 cells and an auto nprobe of ~8, and on clustered data — the
+    production case the auto rule is designed for — label transfer
+    must still reproduce the exact twin almost everywhere."""
+    import numpy as np
+
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        auto_nprobe,
+        auto_num_cells,
+        knn_label_propagation,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(40, 16) * 5.0
+    rows = []
+    for i in range(2000):
+        c = i % 40
+        v = centers[c] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v], f"lab{c % 7}"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    labeled = df.filter("vec_id % 5 != 0")
+    unlabeled = df.filter("vec_id % 5 = 0").drop("label")
+    cells = auto_num_cells(labeled.count())
+    assert cells > 16, "regime under test must sit ABOVE the clamp floor"
+    assert 4 <= auto_nprobe(cells) < cells
+    exact = {
+        r.vec_id: r.predicted_label
+        for r in knn_label_propagation(
+            labeled, unlabeled, k=5, method="exact"
+        ).collect()
+    }
+    ivf = {
+        r.vec_id: r.predicted_label
+        for r in knn_label_propagation(
+            labeled, unlabeled, k=5, method="ivf"  # all-auto sizing
+        ).collect()
+    }
+    assert set(ivf) == set(exact)
+    agree = sum(ivf[i] == exact[i] for i in ivf) / len(ivf)
+    # 0.8 = the same gate the sf-scale test uses; measured 0.855 here
+    # (k-means occasionally splits a true cluster across cells and a
+    # split neighbor set straddles the probe cut)
+    assert agree >= 0.8, f"auto-regime agreement {agree:.3f} < 0.8"
+
+
+def test_auto_nprobe_derivation():
+    from nyc_taxi_data_ingestion_spark.llm.similarity import auto_nprobe
+
+    assert auto_nprobe(1) == 1
+    assert auto_nprobe(16) == 8        # floor
+    assert auto_nprobe(64) == 8        # sqrt at the floor boundary
+    assert auto_nprobe(100) == 10
+    assert auto_nprobe(4096) == 64
+    assert auto_nprobe(6, lo=8) == 6   # capped at the cell count

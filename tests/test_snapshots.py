@@ -807,3 +807,33 @@ def test_stats_coverage_audit_and_compact_backfill(spark, tmp_path):
     cov3 = stats_coverage(path2)
     assert cov3["stats_cols"] == ["v"]
     assert cov3["fully_covered_files"] == cov3["total_files"] > 0
+
+
+def test_expire_sweeps_aged_staging_debris(spark, tmp_path):
+    """A failed/zombie stream-write task's staged file appears in no
+    commit message, so only expire_snapshots can reclaim it — swept
+    under the same age guard that protects in-flight commits."""
+    import os
+    import time
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        expire_snapshots,
+        read_snapshot,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 10), path)
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging)
+    old_f = os.path.join(staging, "part-zombie.parquet")
+    new_f = os.path.join(staging, "part-inflight.parquet")
+    for f in (old_f, new_f):
+        with open(f, "wb") as fh:
+            fh.write(b"x")
+    os.utime(old_f, (time.time() - 90000, time.time() - 90000))
+    out = expire_snapshots(path, keep_last=5, orphan_grace_hours=24.0)
+    assert out["removed_staging_files"] == ["part-zombie.parquet"]
+    assert not os.path.exists(old_f)
+    assert os.path.exists(new_f)  # young file: in-flight, protected
+    assert read_snapshot(spark, path).count() == 10
