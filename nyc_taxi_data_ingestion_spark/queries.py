@@ -8916,6 +8916,98 @@ def q_snapshot_zorder_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_FMT_PART_ORACLE = """
+SELECT o_orderpriority,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "snapshot_format_partitioned", _SNAPSHOT_FMT_PART_ORACLE,
+    tags=["S14", "S15"],
+)
+def q_snapshot_format_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive-partitioned tables through the format API (r8 — previously
+    rejected): orders land partitioned by priority, the format read
+    reconstructs the partition column from the directory-encoded
+    values, and the priority filter prunes whole partition directories
+    through pushFilters (a file's partition value is an exact [v, v]
+    bound through the same bounds_exclude rule as recorded stats) —
+    Hive partition pruning without opening a single pruned file.
+    In-query gate: the two-priority filter must plan fewer files than
+    the full scan. Oracle recomputes from raw orders."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        _table_arrow_schema,
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapfmtp_") + "/t"
+    try:
+        snapshot_write(orders, path, partition_by=["o_orderpriority"])
+        # plan-level gate: the partition predicate must prune files
+        from pyspark.sql.datasource import EqualTo
+
+        m = _load_manifest(path, current_version(path))
+        schema = _table_arrow_schema(path, m)
+        full = len(
+            [p for p in SnapshotBatchReader(path, m, schema).partitions()
+             if p.file_abs]
+        )
+        pruned_r = SnapshotBatchReader(path, m, schema)
+        pruned_r.pushFilters([EqualTo(("o_orderpriority",), "1-URGENT")])
+        kept = len(
+            [p for p in pruned_r.partitions() if p.file_abs]
+        )
+        if not 0 < kept < full:
+            raise RuntimeError(
+                f"partition pruning ineffective: kept {kept} of {full}"
+            )
+        got = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .load()
+            .filter(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            )
+        )
+        return (
+            got.groupBy(
+                "o_orderpriority",
+                F.year("o_orderdate").alias("order_year"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 _CHUNK_WINDOWS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

@@ -172,24 +172,113 @@ def register_synthetic_corpus(spark) -> None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_abs: str):
+    def __init__(self, file_abs: str, part_values: dict | None = None):
         self.file_abs = file_abs
+        # Hive-encoded partition values parsed from the file's path
+        # (raw strings / None) — attached as constant columns at read
+        self.part_values = part_values or {}
 
 
-def _reject_partitioned_file(rel_path: str) -> None:
-    """A Hive-layout data file (``col=value/…/part.parquet``) does not
-    CARRY its partition columns; neither snapshot source reconstructs
-    directory-encoded values, so reject exactly the files that sit
-    under partition dirs — per FILE, not per manifest, so a table
-    whose history once was partitioned but whose current/fresh files
-    are flat streams fine."""
-    if any("=" in seg for seg in rel_path.split(os.sep)[:-1]):
-        raise ValueError(
-            f"snapshot source: data file {rel_path!r} sits under Hive "
-            "partition directories — its partition columns are not in "
-            "the file; read partitioned tables via "
-            "snapshots.read_snapshot instead"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel_path: str) -> dict:
+    """Hive-encoded partition values from a data file's path within
+    its commit dir (``col=value/…/part.parquet``): URL-unescaped, with
+    Hive's null sentinel mapped to None. Values stay RAW STRINGS here;
+    typing happens once per table in :func:`_infer_partition_fields`
+    (per-file casting is Arrow-side at read)."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            vals[k] = None if v == _HIVE_NULL else v
+    return vals
+
+
+def _infer_partition_fields(manifest: dict) -> list:
+    """Arrow fields for the Hive-encoded partition columns of a
+    version, typed by Spark-style inference over every raw dir value
+    in the manifest: int32 when every value fits, else int64, else
+    float64, else string (dates/timestamps stay strings — narrower
+    than Spark's own inference, so a date-partitioned table reads its
+    partition column as string through the format; use
+    snapshots.read_snapshot when typed dates matter). Inference is
+    over the WHOLE version so mixed commits can't flip a column's
+    type file-to-file."""
+    import pyarrow as pa
+
+    raw: dict[str, list] = {}
+    order: list[str] = []
+    for _rel, files in sorted(manifest["commits"].items()):
+        for f in files:
+            for k, v in _partition_values(f).items():
+                if k not in raw:
+                    raw[k] = []
+                    order.append(k)
+                raw[k].append(v)
+    fields = []
+    for k in order:
+        vals = [v for v in raw[k] if v is not None]
+        typ = pa.string()
+        if vals:
+            try:
+                ints = [int(v) for v in vals]
+                typ = (
+                    pa.int32()
+                    if all(-(2**31) <= i < 2**31 for i in ints)
+                    else pa.int64()
+                )
+            except ValueError:
+                try:
+                    [float(v) for v in vals]
+                    typ = pa.float64()
+                except ValueError:
+                    typ = pa.string()
+        fields.append(pa.field(k, typ, nullable=True))
+    return fields
+
+
+def _typed_partition_value(raw, pa_type):
+    """One raw dir value as the python scalar matching the inferred
+    Arrow type (None passes through)."""
+    import pyarrow as pa
+
+    if raw is None:
+        return None
+    if pa.types.is_integer(pa_type):
+        return int(raw)
+    if pa.types.is_floating(pa_type):
+        return float(raw)
+    return raw
+
+
+def _attach_partition_columns(batch, part_fields, part_values):
+    """Extend an Arrow batch with its file's partition columns as
+    constant arrays (the values Hive layout strips out of the file) —
+    only the fields the batch doesn't already carry, so a history that
+    mixes flat commits (column in-file) and partitioned commits
+    (column in-path) reads as one table."""
+    import pyarrow as pa
+
+    names = set(batch.schema.names)
+    cols = list(batch.columns)
+    fields = list(batch.schema)
+    n = batch.num_rows
+    for f in part_fields:
+        if f.name in names:
+            continue
+        v = _typed_partition_value(part_values.get(f.name), f.type)
+        cols.append(
+            pa.nulls(n, type=f.type)
+            if v is None
+            else pa.array([v] * n, type=f.type)
         )
+        fields.append(f)
+    return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
 
 
 def _table_arrow_schema(path: str, manifest: dict):
@@ -222,9 +311,15 @@ def _table_arrow_schema(path: str, manifest: dict):
     # was written from a literal) — keeping that flag makes Spark's
     # unsafe-row writer NPE on the null-filled rows. Matches Spark's
     # own parquet behavior (reads treat everything nullable).
-    return pa.schema(
-        [pa.field(f.name, f.type, nullable=True) for f in unified]
-    )
+    fields = [pa.field(f.name, f.type, nullable=True) for f in unified]
+    # Hive-layout partition columns live in the PATHS, not the footers —
+    # append them (a column some flat commit also carries in-file keeps
+    # its footer type; the path value only fills files that lack it)
+    names = {f.name for f in fields}
+    fields += [
+        f for f in _infer_partition_fields(manifest) if f.name not in names
+    ]
+    return pa.schema(fields)
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -243,10 +338,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
     - ``read`` streams the file's row groups as Arrow batches
       (executor-side pyarrow; the driver never touches data).
 
-    Partitioned tables are rejected: their parquet files do not carry
-    the partition columns (Hive layout) and this reader does not
-    reconstruct directory-encoded values. Tail the unpartitioned form
-    or consume via read_appends_between + foreachBatch instead."""
+    Partitioned (Hive-layout) tables stream whole: the partition
+    columns their files don't carry are reconstructed from the
+    directory-encoded values and attached as constant Arrow columns
+    per file (typing via _infer_partition_fields at schema time —
+    int32/int64/float64/string)."""
 
     def __init__(self, path: str, arrow_schema=None):
         self._path = path
@@ -275,17 +371,32 @@ class SnapshotStreamReader(DataSourceStreamReader):
         parts = []
         for rel, files in sorted(fresh.items()):
             for f in files:
-                _reject_partitioned_file(f)
                 parts.append(
-                    _FilePartition(os.path.join(self._path, rel, f))
+                    _FilePartition(
+                        os.path.join(self._path, rel, f),
+                        _partition_values(f),
+                    )
                 )
         return parts
 
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
+        part_fields = (
+            [
+                f
+                for f in self._arrow_schema
+                if f.name in partition.part_values
+            ]
+            if self._arrow_schema is not None
+            else []
+        )
         pf = pq.ParquetFile(partition.file_abs)
         for b in pf.iter_batches():
+            if part_fields:
+                b = _attach_partition_columns(
+                    b, part_fields, partition.part_values
+                )
             yield (
                 _conform_batch(b, self._arrow_schema)
                 if self._arrow_schema is not None
@@ -413,18 +524,50 @@ class SnapshotBatchReader(DataSourceReader):
                 return False
         return True
 
+    def _part_fields(self, part_values: dict) -> list:
+        """The negotiated schema's fields for this file's path-encoded
+        partition columns — read-time typing comes from the schema the
+        source already published, never re-inferred per file."""
+        if self._arrow_schema is None:
+            return []
+        return [
+            f for f in self._arrow_schema if f.name in part_values
+        ]
+
     def partitions(self):
         import os
 
+        part_types = (
+            {f.name: f.type for f in self._arrow_schema}
+            if self._arrow_schema is not None
+            else {}
+        )
         stats = self._manifest.get("stats") or {}
         parts = []
         for rel, files in sorted(self._manifest["commits"].items()):
             cstats = stats.get(rel) or {}
             for f in files:
-                _reject_partitioned_file(f)
-                if self._keep(cstats.get(f) or {}):
+                pv = _partition_values(f)
+                bounds = dict(cstats.get(f) or {})
+                # a file's partition value is an exact [v, v] bound —
+                # pushFilters prunes on partition columns through the
+                # SAME rule as recorded stats (Hive partition pruning
+                # through the format API); NULL partitions carry no
+                # bound (never pruned — filters can't prove them out)
+                for k, raw in pv.items():
+                    if raw is not None and k in part_types:
+                        try:
+                            tv = _typed_partition_value(
+                                raw, part_types[k]
+                            )
+                        except ValueError:
+                            continue  # malformed dir value: keep file
+                        bounds.setdefault(k, (tv, tv))
+                if self._keep(bounds):
                     parts.append(
-                        _FilePartition(os.path.join(self._path, rel, f))
+                        _FilePartition(
+                            os.path.join(self._path, rel, f), pv
+                        )
                     )
         # an all-pruned plan still needs >=1 partition for an empty scan
         return parts or [_FilePartition("")]
@@ -434,8 +577,13 @@ class SnapshotBatchReader(DataSourceReader):
 
         if not partition.file_abs:
             return
+        part_fields = self._part_fields(partition.part_values)
         pf = pq.ParquetFile(partition.file_abs)
         for b in pf.iter_batches():
+            if part_fields:
+                b = _attach_partition_columns(
+                    b, part_fields, partition.part_values
+                )
             yield (
                 _conform_batch(b, self._arrow_schema)
                 if self._arrow_schema is not None
@@ -449,8 +597,14 @@ class SnapshotDataSource(DataSource):
     a versioned table through the format API, with time travel
     (``.option("version", N)`` / ``.option("asOfTimestamp", epoch)``)
     and manifest-bounds file pruning pushed through Spark's own filter
-    hook. Partitioned tables are rejected (files do not carry their
-    partition columns) — read those via snapshots.read_snapshot."""
+    hook. Partitioned (Hive-layout) tables read whole — partition
+    columns are reconstructed from the directory-encoded values,
+    attached per file, and PRUNED ON by pushFilters (a file's
+    partition value is an exact [v, v] bound through the same
+    bounds_exclude rule as recorded stats). Partition typing is
+    int32/int64/float64/string inference; date-typed partition columns
+    read as strings here (snapshots.read_snapshot gives Spark's own
+    typed inference)."""
 
     @classmethod
     def name(cls) -> str:
@@ -479,10 +633,9 @@ class SnapshotDataSource(DataSource):
                         f"no snapshot at or before {as_of} at {path}"
                     )
             m = _S._load_manifest(path, snaps[-1]["version"])
-        # per-FILE partition-layout rejection happens at planning
-        # (_reject_partitioned_file); resolve once per read — schema()
-        # and reader() must see the SAME pinned manifest even if a
-        # commit lands between the two calls
+        # resolve once per read — schema() and reader() must see the
+        # SAME pinned manifest even if a commit lands between the two
+        # calls
         self._resolved = (path, m)
         return self._resolved
 

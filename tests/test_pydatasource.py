@@ -130,14 +130,19 @@ def test_snapshot_stream_tails_appends_exactly_once(spark, tmp_path):
         run_once()
 
 
-def test_snapshot_stream_rejects_partitioned_tables(spark, tmp_path):
+def test_snapshot_stream_carries_partition_values(spark, tmp_path):
+    """Partitioned tables stream with their directory-encoded partition
+    column reconstructed per row (r8 — streaming them was previously
+    rejected outright)."""
     import pyspark.sql.functions as F
-    import pytest as _pytest
 
     from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
         register_snapshot_stream,
     )
     from nyc_taxi_data_ingestion_spark.sources.snapshots import snapshot_write
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        run_available_now,
+    )
 
     register_snapshot_stream(spark)
     path = str(tmp_path / "t")
@@ -147,19 +152,15 @@ def test_snapshot_stream_rejects_partitioned_tables(spark, tmp_path):
         mode="append",
         partition_by=["p"],
     )
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
-    with _pytest.raises(StreamingQueryException, match="partitioned"):
-        q = (
-            spark.readStream.format("snapshot_stream")
-            .option("path", path)
-            .load()
-            .writeStream.format("noop")
-            .option("checkpointLocation", str(tmp_path / "ck2"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
+    got = run_available_now(
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load(),
+        "snap_stream_part_values",
+    )
+    assert {(r.id, r.p) for r in got.collect()} == {
+        (i, i % 2) for i in range(10)
+    }
 
 
 def test_snapshot_batch_format_time_travel_and_pushdown(spark, tmp_path):
@@ -498,3 +499,88 @@ def test_snapshot_format_stream_write_exactly_once(spark, tmp_path):
     assert read_snapshot(spark, dst).filter("id = 999").count() == 0
     time.sleep(0)  # staged file was consumed (moved then dropped)
     assert not os.path.exists(os.path.join(dst, "_staging", stale))
+
+
+def test_snapshot_format_reads_partitioned_tables(spark, tmp_path):
+    """Partitioned (Hive-layout) tables now read through BOTH format
+    sources (r8 — previously rejected): partition columns are
+    reconstructed from the directory-encoded values (typed by
+    whole-version inference, NULL sentinel honored), pushFilters
+    prunes on a partition value as an exact [v, v] bound, and the
+    stream source tails partitioned appends whole."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    register_snapshot_format(spark)
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 4).cast("string")))
+        .alias("grp"),
+    )
+    snapshot_write(df, path, partition_by=["bucket", "grp"])
+
+    got = spark.read.format("snapshot").option("path", path).load()
+    assert set(got.columns) == {"id", "bucket", "grp"}
+    # typed inference: bucket int, grp string; NULLs round-trip
+    assert dict(got.dtypes)["bucket"] == "int"
+    assert dict(got.dtypes)["grp"] == "string"
+    want = {(r.id, r.bucket, r.grp) for r in read_snapshot(spark, path).collect()}
+    assert {(r.id, r.bucket, r.grp) for r in got.collect()} == want
+    assert got.filter("grp IS NULL").count() == 60
+
+    # partition pruning through pushFilters: a bucket predicate must
+    # cut the planned file set (unit-level, same style as the stats
+    # pruning test)
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        _table_arrow_schema,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    m = _load_manifest(path, current_version(path))
+    schema = _table_arrow_schema(path, m)
+    r_all = SnapshotBatchReader(path, m, schema)
+    total = len([p for p in r_all.partitions() if p.file_abs])
+    r_eq = SnapshotBatchReader(path, m, schema)
+    r_eq.pushFilters([EqualTo(("bucket",), 1)])
+    kept = len([p for p in r_eq.partitions() if p.file_abs])
+    assert 0 < kept < total
+    # end-to-end filtered read stays exact
+    assert (
+        spark.read.format("snapshot").option("path", path).load()
+        .filter("bucket = 1").count()
+        == 100
+    )
+
+    # stream source tails the partitioned table whole
+    streamed = run_available_now(
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "snap_stream_partitioned",
+        output_mode="complete",
+    )
+    assert {(r.bucket, r.n) for r in streamed.collect()} == {
+        (0, 100), (1, 100), (2, 100)
+    }

@@ -57,6 +57,9 @@ QUERIES = [
     "skyline_suppliers",    # bucket-offset prefix-min frontier (r7)
     "graph_triangles",      # co-occurrence edges + 2-join closure (r7)
     "twap_by_user",         # user-key LEAD window + exact sums (r7)
+    "chunk_windows",        # token-window chunking, scan-stage only (r8)
+    "snapshot_format_write",  # format-API staged write + manifest commit (r8)
+    "pagerank_exact",       # fixed-point power iteration, 5 rounds (r8)
 ]
 
 
