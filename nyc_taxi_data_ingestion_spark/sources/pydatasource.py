@@ -326,9 +326,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
     """Partition-planned stream reader over a snapshot table.
 
     - ``initialOffset`` = version 0 (nothing consumed; bootstrap batch
-      is the whole head file set — Delta's startingVersion=latest is a
-      caller-side choice of checkpoint, not a reader mode).
-    - ``latestOffset`` = current head version.
+      is the whole head file set), or ``startingVersion`` (Delta's
+      option: consume only commits AFTER that version — history before
+      it is someone else's business; the bootstrap-vs-rewrite
+      soundness rule then applies from that cursor).
+    - ``latestOffset`` = current head version, optionally admission-
+      controlled by ``maxVersionsPerTrigger`` (Delta's
+      maxFilesPerTrigger at commit granularity): each micro-batch
+      after the first advances at most K versions — the STEADY-STATE
+      bound for tables whose commits arrive faster than triggers.
+      The FIRST window of each run is ungated: the python DataSource
+      API has no admission-control hook and Spark resolves available
+      offsets before the reader ever learns the checkpoint cursor
+      (latestOffset precedes initialOffset even on a fresh stream,
+      observed), so gating it from a guess could only stall a
+      restarted stream below its checkpoint. Delta documents the same
+      rate-limit-exceeded-after-restart nuance for the analogous
+      reason.
     - ``partitions(start, end)`` plans ONE InputPartition per fresh
       data file between the two versions (metadata-only, from
       manifests); every surviving manifest in the window must be an
@@ -344,18 +358,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
     per file (typing via _infer_partition_fields at schema time —
     int32/int64/float64/string)."""
 
-    def __init__(self, path: str, arrow_schema=None):
+    def __init__(self, path: str, arrow_schema=None,
+                 starting_version: int = 0,
+                 max_versions_per_trigger: int | None = None):
         self._path = path
         self._arrow_schema = arrow_schema
+        self._starting_version = starting_version
+        self._max_versions = max_versions_per_trigger
+        self._last_end: int | None = None  # newest end this reader planned
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self._starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": _S.current_version(self._path) or 0}
+        head = _S.current_version(self._path) or 0
+        if self._max_versions is not None and self._last_end is not None:
+            # baseline = the newest window edge this reader has seen
+            # (partitions() folds in the true cursor each batch, so the
+            # gate can never walk an offset backwards past the
+            # checkpoint — it binds from the SECOND window of a run)
+            head = min(head, self._last_end + self._max_versions)
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
+        self._last_end = max(self._last_end or 0, sv, ev)
         if ev <= sv:
             return []
         # planning + append-only validation SHARED with the batch
@@ -433,8 +460,12 @@ class SnapshotStreamDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        mv = self.options.get("maxversionspertrigger")
         return SnapshotStreamReader(
-            self.options["path"], to_arrow_schema(schema)
+            self.options["path"],
+            to_arrow_schema(schema),
+            starting_version=int(self.options.get("startingversion", 0)),
+            max_versions_per_trigger=int(mv) if mv is not None else None,
         )
 
 
