@@ -920,8 +920,6 @@ def build_ann_index(
 
     if num_cells is None:
         num_cells = auto_num_cells(corpus.count())
-    if nprobe is None:
-        nprobe = auto_nprobe(num_cells)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
     )

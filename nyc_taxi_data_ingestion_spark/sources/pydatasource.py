@@ -226,7 +226,7 @@ def _infer_partition_fields(manifest: dict) -> list:
         typ = pa.string()
         if vals:
             try:
-                ints = [int(v) for v in vals]
+                ints = [_strict_int(v) for v in vals]
                 typ = (
                     pa.int32()
                     if all(-(2**31) <= i < 2**31 for i in ints)
@@ -234,7 +234,8 @@ def _infer_partition_fields(manifest: dict) -> list:
                 )
             except ValueError:
                 try:
-                    [float(v) for v in vals]
+                    for v in vals:
+                        _strict_float(v)
                     typ = pa.float64()
                 except ValueError:
                     typ = pa.string()
@@ -242,18 +243,61 @@ def _infer_partition_fields(manifest: dict) -> list:
     return fields
 
 
+_INT_RE = None
+_FLOAT_RE = None
+
+
+def _strict_int(v: str) -> int:
+    """int() with SPARK's lexical rules, not Python's: Python accepts
+    underscores, surrounding whitespace, and '+' ('1_0' == 10), which
+    would silently rewrite string partition values that happen to
+    parse — a plain-digits regex gates first."""
+    global _INT_RE
+    if _INT_RE is None:
+        import re
+
+        _INT_RE = re.compile(r"^-?[0-9]+$")
+    if not _INT_RE.match(v):
+        raise ValueError(f"not a plain integer literal: {v!r}")
+    return int(v)
+
+
+def _strict_float(v: str) -> float:
+    global _FLOAT_RE
+    if _FLOAT_RE is None:
+        import re
+
+        _FLOAT_RE = re.compile(
+            r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+        )
+    if not _FLOAT_RE.match(v):
+        raise ValueError(f"not a plain float literal: {v!r}")
+    return float(v)
+
+
 def _typed_partition_value(raw, pa_type):
     """One raw dir value as the python scalar matching the inferred
-    Arrow type (None passes through)."""
+    Arrow type (None passes through). Only int/float/string partition
+    types are reconstructible from path values; anything else (a
+    date32 pinned by a flat commit's in-file column, a bool) raises
+    with the read-path alternative named — a loud limitation beats
+    silently nulling or corrupting a value that exists."""
     import pyarrow as pa
 
     if raw is None:
         return None
     if pa.types.is_integer(pa_type):
-        return int(raw)
+        return _strict_int(raw)
     if pa.types.is_floating(pa_type):
-        return float(raw)
-    return raw
+        return _strict_float(raw)
+    if pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type):
+        return raw
+    raise ValueError(
+        f"partition value {raw!r} cannot be reconstructed as Arrow "
+        f"type {pa_type} — the snapshot format sources rebuild only "
+        f"int/float/string partition columns from Hive paths; read "
+        f"this table via snapshots.read_snapshot"
+    )
 
 
 def _attach_partition_columns(batch, part_fields, part_values):
@@ -271,7 +315,18 @@ def _attach_partition_columns(batch, part_fields, part_values):
     for f in part_fields:
         if f.name in names:
             continue
-        v = _typed_partition_value(part_values.get(f.name), f.type)
+        try:
+            v = _typed_partition_value(part_values.get(f.name), f.type)
+        except ValueError as exc:
+            # e.g. a stream whose schema pinned int32 at start, then a
+            # later append lands p='backfill' — name the contract
+            # instead of a bare int() ValueError from an executor
+            raise ValueError(
+                f"partition column {f.name!r}: value "
+                f"{part_values.get(f.name)!r} does not fit the table "
+                f"schema type {f.type} pinned at read/stream start "
+                f"({exc})"
+            ) from exc
         cols.append(
             pa.nulls(n, type=f.type)
             if v is None
@@ -461,6 +516,13 @@ class SnapshotStreamDataSource(DataSource):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         mv = self.options.get("maxversionspertrigger")
+        if mv is not None and int(mv) < 1:
+            # 0/negative would freeze the stream after its first batch
+            # (every later window collapses to the baseline) — reject
+            # at analysis like Delta's rate-limit options
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {mv}"
+            )
         return SnapshotStreamReader(
             self.options["path"],
             to_arrow_schema(schema),
@@ -719,10 +781,11 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     Options: ``statsCols`` (comma list) enables manifest bounds for
     this commit and onward (None inherits the table property, the
-    snapshot_write contract). Partitioned (Hive-layout) writes are not
-    supported through the format — the snapshot readers reject files
-    under partition dirs; use snapshots.snapshot_write(partition_by=…)
-    and read via read_snapshot. Storage must be shared across
+    snapshot_write contract). Partitioned (Hive-layout) WRITES are not
+    supported through the format (a task cannot split its batch stream
+    across value-directories without a shuffle the API does not own) —
+    use snapshots.snapshot_write(partition_by=…); both format READERS
+    handle partitioned tables fine. Storage must be shared across
     executors and driver (the layer-wide assumption; on object stores
     swap the manifest link for a conditional PUT)."""
 

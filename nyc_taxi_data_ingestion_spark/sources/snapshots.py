@@ -1195,6 +1195,27 @@ def erase_rows(
     }
 
 
+def _sweep_staging(path: str, grace_ts: float) -> list[str]:
+    """Reclaim aged ``_staging`` debris: the format stream writer's
+    per-task files live there between stage and commit, and a
+    failed/zombie task attempt's file appears in no commit message, so
+    nothing else ever removes it. The age guard protects in-flight
+    micro-batches (they commit in seconds, never hours)."""
+    removed: list[str] = []
+    staging_root = os.path.join(path, "_staging")
+    if os.path.isdir(staging_root):
+        for name in sorted(os.listdir(staging_root)):
+            full = os.path.join(staging_root, name)
+            try:
+                if os.path.getmtime(full) >= grace_ts:
+                    continue
+                os.unlink(full)
+            except OSError:
+                continue
+            removed.append(name)
+    return removed
+
+
 def expire_snapshots(
     path: str,
     keep_last: int = 1,
@@ -1223,9 +1244,17 @@ def expire_snapshots(
       concurrent writer's files between its write and its commit.
     """
     keep_last = max(1, keep_last)
+    grace_ts = time.time() - orphan_grace_hours * 3600
     snaps = list_snapshots(path)
     if not snaps:
-        return {"expired_versions": [], "removed_commit_dirs": []}
+        # no snapshots ≠ no debris: a stream writer's first micro-batch
+        # can stage files and crash before any manifest lands — sweep
+        # anyway, and keep the result shape identical to the main path
+        return {
+            "expired_versions": [],
+            "removed_commit_dirs": [],
+            "removed_staging_files": _sweep_staging(path, grace_ts),
+        }
     cutoff = (
         time.time() - older_than_hours * 3600
         if older_than_hours is not None
@@ -1245,7 +1274,6 @@ def expire_snapshots(
         if s["version"] in survivors:
             kept_refs.update(s["commits"])
     removed_dirs: list[str] = []
-    grace_ts = time.time() - orphan_grace_hours * 3600
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
@@ -1262,25 +1290,8 @@ def expire_snapshots(
                     continue
             shutil.rmtree(full)
             removed_dirs.append(rel)
-    # _staging holds the format stream writer's per-task files between
-    # stage and commit; a failed/zombie task attempt's file appears in
-    # no commit message, so nothing else ever removes it — sweep here
-    # under the same age guard (an in-flight micro-batch commits in
-    # seconds, never hours)
-    removed_staging: list[str] = []
-    staging_root = os.path.join(path, "_staging")
-    if os.path.isdir(staging_root):
-        for name in sorted(os.listdir(staging_root)):
-            full = os.path.join(staging_root, name)
-            try:
-                if os.path.getmtime(full) >= grace_ts:
-                    continue
-                os.unlink(full)
-            except OSError:
-                continue
-            removed_staging.append(name)
     return {
         "expired_versions": [s["version"] for s in expired],
         "removed_commit_dirs": removed_dirs,
-        "removed_staging_files": removed_staging,
+        "removed_staging_files": _sweep_staging(path, grace_ts),
     }
