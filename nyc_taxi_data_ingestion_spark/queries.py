@@ -8615,7 +8615,7 @@ SELECT o_orderpriority,
        CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
          AS total_price
 FROM orders
-WHERE o_totalprice <= 250000.0 AND o_orderkey <= 7500
+WHERE o_totalprice <= 250000.0 AND o_orderkey <= 750
 GROUP BY o_orderpriority
 """
 
@@ -8646,7 +8646,12 @@ def q_snapshot_pruned_scan_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = _t(spark, sf_dir, "orders")
-    price_cut, key_cut = 250000.0, 7500
+    # cuts valid at EVERY test SF (keys start at 0; sf0.001 tops out at
+    # 1499): all four quadrants stay nonempty, so every file carries
+    # real bounds — an empty quadrant's schema-only file has no stats
+    # and can never be pruned, which broke the gate under the
+    # tiny-bounds stress sweep
+    price_cut, key_cut = 250000.0, 750
     preds = [
         ("o_totalprice", None, price_cut),
         ("o_orderkey", None, key_cut),
