@@ -42,6 +42,28 @@ def _flag_value(name: str) -> str | None:
     return None
 
 
+def _newest_prior_artifact() -> dict:
+    """The newest committed BENCH_full artifact's warm timings — the
+    cross-round baseline for the inflated-number retry (empty dict if
+    none parse; the retry heuristic then never fires)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_full_r*.json")):
+        m = re.match(r"BENCH_full_r(\d+)", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, p in sorted(cands, reverse=True):
+        try:
+            with open(p) as f:
+                return dict(json.load(f)["queries"])
+        except Exception:
+            continue
+    return {}
+
+
 def _build_session():
     from nyc_taxi_data_ingestion_spark.session import get_spark
 
@@ -192,18 +214,36 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Retire unstable flags with a fresh-process retry (r7 verdict
-    # item 7): a query whose warm runs flapped inside the shared sweep
-    # session gets ONE clean-session measurement; if that run is
-    # internally stable, its numbers replace the flapping ones and the
-    # flag drops. Sequential, after the sweep session stops — two
-    # concurrent local JVMs would measure each other's CPU steal.
-    if unstable:
+    # Two classes of suspect numbers get a fresh-process retry,
+    # sequential AFTER the sweep session stops (two concurrent local
+    # JVMs would measure each other's CPU steal):
+    # 1. unstable (r7 verdict item 7): the sweep's warm runs flapped —
+    #    if the clean-session run is internally stable, its numbers
+    #    replace the flapping ones and the flag drops.
+    # 2. inflated-vs-prior (r8): STABLE numbers >2x (and >0.5 s over)
+    #    the newest committed BENCH_full artifact's warm for the same
+    #    query. The 25%-agreement flag can't see a session whose state
+    #    consistently slows one query (observed: 2.0 s -> 12.3 s on an
+    #    untouched query, isolated re-measure 2.3 s) — a prior-round
+    #    artifact can. Both numbers are kept under singles_remeasured,
+    #    so a REAL regression shows up as a retry that stays slow.
+    prior = _newest_prior_artifact()
+    inflated = [
+        n
+        for n, w in timings.items()
+        if n not in unstable
+        and n in prior
+        and w > 2 * prior[n]
+        and w - prior[n] > 0.5
+    ]
+    remeasured: dict[str, dict] = {}
+    if unstable or inflated:
         spark.stop()
+        spark = None
         import subprocess
 
         still_unstable: list[str] = []
-        for name in unstable:
+        for name in unstable + inflated:
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -213,20 +253,30 @@ def main() -> None:
                 )
                 r = json.loads(out.stdout.strip().splitlines()[-1])
                 if r["unstable"]:
-                    still_unstable.append(name)
-                else:
-                    cold[name], timings[name] = r["cold"], r["warm"]
-                    print(
-                        f"# {name}: fresh-process retry, cold "
-                        f"{r['cold']}s, warm {r['warm']}s",
-                        file=sys.stderr,
-                    )
+                    if name in unstable:
+                        still_unstable.append(name)
+                    continue  # inflated + still noisy: sweep number stands
+                remeasured[name] = {
+                    "sweep_cold": cold[name],
+                    "sweep_warm": timings[name],
+                    "cold": r["cold"],
+                    "warm": r["warm"],
+                }
+                cold[name], timings[name] = r["cold"], r["warm"]
+                why = "unstable" if name in unstable else (
+                    f"inflated vs prior {prior.get(name)}s"
+                )
+                print(
+                    f"# {name}: fresh-process retry ({why}), cold "
+                    f"{r['cold']}s, warm {r['warm']}s",
+                    file=sys.stderr,
+                )
             except Exception as exc:
-                # the sweep numbers stand, flag kept
-                still_unstable.append(name)
+                # the sweep numbers stand, flag kept for unstable ones
+                if name in unstable:
+                    still_unstable.append(name)
                 print(f"# {name}: retry failed: {exc}", file=sys.stderr)
         unstable = still_unstable
-        spark = None
 
     total = round(sum(timings.values()), 3)
 
@@ -260,6 +310,8 @@ def main() -> None:
         ),
         "baseline_reference_pipeline_sec": 42.9,
     }
+    if remeasured:
+        payload["singles_remeasured"] = remeasured
     if errors:
         payload["errors"] = errors
     # The driver's BENCH_r{N}.json artifact truncates this line (only
