@@ -9013,6 +9013,160 @@ def q_snapshot_format_partitioned(
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+_TOP_PATHS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM o
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id
+         ) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register("top_paths", _TOP_PATHS_ORACLE, tags=["analytics", "W2", "T2"])
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session paths — the clickstream path-analysis staple:
+    sessionize (the shared 30-minute _with_session_ids contract, so
+    paths/attribution/session queries can never disagree on
+    boundaries), take each session's first 8 events in total order,
+    join their types into a '>'-delimited path string, count sessions
+    per path, keep the 20 most common (total-ordered). The cap bounds
+    path-string cardinality data-side — an uncapped path column on a
+    100 TB clickstream would carry unbounded strings into the final
+    shuffle.
+
+    Determinism: Spark's collect_list has no order, so events collect
+    as (ts, event_id, type) STRUCTS and array_sort puts them in the
+    same total order the oracle's `string_agg(... ORDER BY ts,
+    event_id)` uses — lexicographic struct comparison on (ts,
+    event_id) is exactly that total order, and the trailing type field
+    is never reached (the (ts, event_id) pair is unique)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = _with_session_ids(ev)
+    w = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
+    first8 = sess.withColumn(
+        "__rn", F.row_number().over(w)
+    ).filter(F.col("__rn") <= 8)
+    paths = first8.groupBy("user_id", "__sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+_TIME_TO_PURCHASE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM o
+),
+d AS (
+  SELECT user_id, sid,
+         (MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+          - MIN(epoch_us(ts))) // 1000 AS wait_ms
+  FROM s GROUP BY 1, 2
+  HAVING MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+         IS NOT NULL
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(wait_ms) AS BIGINT) AS total_wait_ms,
+       CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
+       CAST(SUM(wait_ms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_wait_ms
+FROM d
+"""
+
+
+@register(
+    "time_to_purchase", _TIME_TO_PURCHASE_ORACLE,
+    tags=["analytics", "W2", "A5"],
+)
+def q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time from session start to FIRST purchase, for converting
+    sessions — the conversion-latency read-out next to the funnel
+    counts: sessionize on the shared 30-minute contract, per session
+    take min(ts) overall and min(ts) of purchase events (one grouped
+    aggregate — no second window pass), keep sessions that purchased,
+    aggregate globally. Exactness: waits are whole MILLISECONDS via
+    integer division of unix_micros (the twap discipline), so the sum
+    is an exact BIGINT and avg is one double division on both
+    engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = _with_session_ids(ev)
+    d = (
+        sess.groupBy("user_id", "__sid")
+        .agg(
+            F.expr(
+                "(min(CASE WHEN event_type = 'purchase' "
+                "THEN unix_micros(ts) END)"
+                " - min(unix_micros(ts))) div 1000"
+            ).alias("wait_ms")
+        )
+        .filter(F.col("wait_ms").isNotNull())
+    )
+    return d.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("wait_ms").alias("total_wait_ms"),
+        F.max("wait_ms").alias("max_wait_ms"),
+        (
+            F.sum("wait_ms").cast("double")
+            / F.count("*").cast("double")
+        ).alias("avg_wait_ms"),
+    )
+
+
 _CHUNK_WINDOWS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
