@@ -15,7 +15,10 @@ Flags:
   --single NAME internal: measure ONE query in a fresh process and
                 print {"query", "cold", "warm", "unstable", "rows"} —
                 used by the parent sweep to retire unstable_queries
-                flags with a clean-session number (r7 verdict item 7)
+                flags (r7 verdict item 7) and to re-measure stable
+                numbers that inflated >2x vs the prior same-sf
+                artifact (session-state slowdowns the 25% flag
+                cannot see)
 """
 
 from __future__ import annotations
@@ -42,23 +45,30 @@ def _flag_value(name: str) -> str | None:
     return None
 
 
-def _newest_prior_artifact() -> dict:
+def _newest_prior_artifact(sf) -> dict:
     """The newest committed BENCH_full artifact's warm timings — the
     cross-round baseline for the inflated-number retry (empty dict if
-    none parse; the retry heuristic then never fires)."""
+    none parse; the retry heuristic then never fires). Regex anchored
+    to the canonical name (variant artifacts like *_definitive are not
+    baselines), and an artifact measured at a DIFFERENT scale factor
+    is skipped — comparing sf0.1 numbers against an sf1 run would flag
+    every query as inflated and spawn hours of fresh-JVM retries."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     cands = []
     for p in glob.glob(os.path.join(here, "BENCH_full_r*.json")):
-        m = re.match(r"BENCH_full_r(\d+)", os.path.basename(p))
+        m = re.match(r"BENCH_full_r(\d+)\.json$", os.path.basename(p))
         if m:
             cands.append((int(m.group(1)), p))
     for _, p in sorted(cands, reverse=True):
         try:
             with open(p) as f:
-                return dict(json.load(f)["queries"])
+                d = json.load(f)
+            if d.get("sf") != sf:
+                continue
+            return dict(d["queries"])
         except Exception:
             continue
     return {}
@@ -227,7 +237,10 @@ def main() -> None:
     #    untouched query, isolated re-measure 2.3 s) — a prior-round
     #    artifact can. Both numbers are kept under singles_remeasured,
     #    so a REAL regression shows up as a retry that stays slow.
-    prior = _newest_prior_artifact()
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prior = _newest_prior_artifact(
+        float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
+    )
     inflated = [
         n
         for n, w in timings.items()
@@ -299,10 +312,13 @@ def main() -> None:
         "unstable_queries": sorted(unstable),
         "timing_method": (
             "per-query fence (clearCache+GC); cold = first fenced "
-            "run; queries{} = warm best-of-adaptive-4; queries the "
-            "sweep flagged unstable (two fastest warm runs >25% "
-            "apart) are re-measured once in a fresh process — "
-            "unstable_queries lists only those still flapping there"
+            "run; queries{} = warm best-of-adaptive-4; re-measured "
+            "once in a fresh process: queries the sweep flagged "
+            "unstable (two fastest warm runs >25% apart — "
+            "unstable_queries lists only those still flapping there) "
+            "AND stable numbers >2x the same query's warm in the "
+            "newest same-sf BENCH_full artifact (both numbers kept "
+            "under singles_remeasured)"
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "baseline_comparable_pipeline_sec": round(
