@@ -9167,6 +9167,135 @@ def q_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTRY_CONVERSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM o
+),
+p AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY user_id, sid ORDER BY ts, event_id
+           ) AS rn
+    FROM s
+  )
+  GROUP BY 1, 2
+)
+SELECT entry_type,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS conversion_rate
+FROM p GROUP BY 1
+"""
+
+
+@register(
+    "entry_point_conversion", _ENTRY_CONVERSION_ORACLE,
+    tags=["analytics", "W2", "A4"],
+)
+def q_entry_point_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session ENTRY event type — the landing-page
+    analysis twin of attribution_first_touch (that query credits
+    channels for purchases; this one rates every entry point by how
+    often its sessions convert at all): sessionize on the shared
+    30-minute contract, per session take the first event's type and a
+    did-it-purchase flag in one grouped pass, then count/ratio by
+    entry type. Exact ratio of integer counts (A4's guard discipline —
+    one double division, bit-identical on both engines)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    sess = _with_session_ids(ev)
+    w = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
+    p = (
+        sess.withColumn("__rn", F.row_number().over(w))
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.min(
+                F.when(F.col("__rn") == 1, F.col("event_type"))
+            ).alias("entry_type"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return p.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (
+            F.sum("converted").cast("double")
+            / F.count("*").cast("double")
+        ).alias("conversion_rate"),
+    )
+
+
+_PRICE_RANK_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority,
+         PERCENT_RANK() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+         ) AS pr
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_top_decile
+FROM r GROUP BY 1
+"""
+
+
+@register(
+    "price_rank_deciles", _PRICE_RANK_ORACLE, tags=["W2", "A10"],
+)
+def q_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK windows, engine-portably: orders in the top decile
+    of their priority's price distribution, counted per priority.
+    percent_rank = (rank-1)/(n-1) is ONE division of exact integers,
+    so the 0.9 threshold compares identically on both engines — the
+    window-rank analogue of the ratio-of-sums guard. Tie-broken on
+    (price, orderkey) so ranks are total-ordered. Counting (not
+    emitting ranks) keeps the output aggregate-small while still
+    proving the window semantics end to end.
+
+    Scale shape: one priority-key shuffle; the per-priority sort is
+    the documented cost of any exact rank statistic — at true scale
+    route through the decile machinery (exact_quantiles cut points)
+    instead, as classifier_lift does; this query is the SQL-window
+    parity surface."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = orders.withColumn("pr", F.percent_rank().over(w))
+    return r.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("pr") >= 0.9, 1).otherwise(0)
+        ).cast("long").alias("n_top_decile"),
+    )
+
+
 _CHUNK_WINDOWS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,
