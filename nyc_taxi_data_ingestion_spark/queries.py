@@ -9510,9 +9510,12 @@ _PRIOR_GREEN = (
 def _export_order() -> list[str]:
     """Order the registry so the driver's bounded correctness prefix is
     spent where it buys the most evidence: (1) greens whose code
-    churned after their verdict, (2) oracle queries with no verdict on
-    record (new this round), (3) stalest greens first (r02 … r06),
-    (4) rows-only queries last. Registration order is preserved within
+    churned after their verdict, (2) the STALEST greens (r02-r04
+    vintage — r7 verdict item 1 prioritizes clearing these inside the
+    ~50-query budget), (3) oracle queries with no verdict on record
+    (new this round — pytest/stress-covered meanwhile, checked next
+    round if the budget runs out), (4) fresher greens stalest-first,
+    (5) rows-only queries last. Registration order is preserved within
     each tier. A query green in several rounds takes its FRESHEST
     round's tier (later lists iterate first; setdefault keeps the
     first assignment), except a _REFRESH_FIRST listing always wins."""
@@ -9522,9 +9525,9 @@ def _export_order() -> list[str]:
         (_GREEN_R07, 7),
         (_GREEN_R06, 6),
         (_GREEN_R05, 5),
-        (_GREEN_R04, 4),
-        (_GREEN_R03, 3),
-        (_GREEN_R02, 2),
+        (_GREEN_R04, 1),
+        (_GREEN_R03, 1),
+        (_GREEN_R02, 1),
     ):
         for n in names:
             tier.setdefault(n, rank)
@@ -9532,7 +9535,7 @@ def _export_order() -> list[str]:
     rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
     ranked = sorted(
         range(len(with_oracle)),
-        key=lambda i: (tier.get(with_oracle[i], 1), i),
+        key=lambda i: (tier.get(with_oracle[i], 2), i),
     )
     return [with_oracle[i] for i in ranked] + rows_only
 
