@@ -228,3 +228,258 @@ def exact_quantiles(
     return spark.createDataFrame(
         [tuple(out)], ", ".join(f"{c} double" for c in out_cols)
     )
+
+
+def grouped_select_at_ranks(
+    df,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    ranks_of_n,
+    n_buckets: int = 64,
+    max_task_rows: int = 4_000_000,
+    max_rounds: int = 8,
+) -> dict:
+    """Per-group EXACT row selection at data-dependent ranks — the
+    grouped sibling of :func:`exact_quantiles`, for rank statistics
+    over a LOW-CARDINALITY group key where
+    ``Window.partitionBy(key).orderBy(value)`` would sort N/k rows in
+    one task (the low-cardinality analogue of a global-order window;
+    see plans/audit's ``low-cardinality-window`` check).
+
+    Ordering is ``(value, tie)`` ascending with ranks 1-based;
+    ``ranks_of_n(n)`` maps a group's row count to the LIST of target
+    ranks (empty list skips the group). Returns ``{group: [(value,
+    tie, n, rank), …]}`` in the requested rank order — driver-bounded
+    output (groups × ranks cut rows), so the caller can broadcast the
+    cut rows back as literals.
+
+    Algorithm (distributed histogram refinement, as exact_quantiles):
+    each (group, rank) starts with the group's whole value range; each
+    round, states sharing a range signature are processed in ONE
+    grouped job — per-group ``percentile_approx`` boundaries within
+    the range, then per-group bucket counts via a broadcast join on
+    the boundary arrays (driver traffic is groups × n_buckets counts,
+    never rows) — and every rank narrows to the one bucket holding it.
+    Two ranks of one group always hold IDENTICAL or DISJOINT ranges
+    (they start identical and each round splits a shared range into
+    disjoint buckets), so per-signature processing double-counts
+    nothing. A state resolves when its range holds ≤ ``max_task_rows``
+    rows; the final per-range sort task is bounded by construction.
+    When a range collapses to a single value (one tie class wider than
+    max_task_rows), narrowing switches to the TIE column within that
+    value, so pathological skew still resolves in O(log) rounds.
+
+    Intended for group keys of at most a few thousand distinct values
+    (state and cut rows are driver-held); for high-cardinality keys a
+    plain partitioned window is already scale-safe — use that.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.col(tie_col).cast("double").alias("t"),
+    ).where(F.col("v").isNotNull())
+
+    counts = {
+        r["g"]: r["c"]
+        for r in vals.groupBy("g").agg(F.count("*").alias("c")).collect()
+    }
+    # per-(group, rank-index) narrowing state: active column ("v", or
+    # "t" once the value range collapsed to fixed_v), half-open range
+    # [lo, hi), 0-based residual rank within the range, rows in range
+    state: dict = {}
+    targets: dict = {}
+    for g, n in counts.items():
+        ranks = list(ranks_of_n(n))
+        if not ranks:
+            continue
+        for i, r0 in enumerate(ranks):
+            if not 1 <= r0 <= n:
+                raise ValueError(
+                    f"ranks_of_n({n})[{i}] = {r0} out of range for "
+                    f"group {g!r}"
+                )
+            state[(g, i)] = {
+                "col": "v", "fixed_v": None,
+                "lo": None, "hi": None, "lr": r0 - 1, "c": n,
+            }
+        targets[g] = (n, ranks)
+
+    def sig_of(st) -> tuple:
+        return (st["col"], st["fixed_v"], st["lo"], st["hi"])
+
+    def sig_pred(sig, groups):
+        col_name, fixed_v, lo, hi = sig
+        p = F.col("g").isin(list(groups))
+        col = F.col(col_name)
+        if fixed_v is not None:
+            p = p & (F.col("v") == F.lit(fixed_v))
+        if lo is not None:
+            p = p & (col >= F.lit(lo))
+        if hi is not None:
+            p = p & (col < F.lit(hi))
+        return p
+
+    bfr = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    for _ in range(max_rounds):
+        active = {
+            k: st for k, st in state.items() if st["c"] > max_task_rows
+        }
+        if not active:
+            break
+        by_sig: dict[tuple, list] = {}
+        for k, st in active.items():
+            by_sig.setdefault(sig_of(st), []).append(k)
+        for sig, keys in by_sig.items():
+            col_name = sig[0]
+            gs = sorted({k[0] for k in keys})
+            sub = vals.where(sig_pred(sig, gs)).select(
+                "g", F.col(col_name).alias("nv")
+            )
+            sketch = {
+                r["g"]: (r["mn"], r["mx"], r["bs"])
+                for r in sub.groupBy("g")
+                .agg(
+                    F.min("nv").alias("mn"),
+                    F.max("nv").alias("mx"),
+                    F.percentile_approx("nv", bfr, F.lit(100)).alias("bs"),
+                )
+                .collect()
+            }
+            live = []
+            for g in gs:
+                mn, mx, _bs = sketch[g]
+                if mn != mx:
+                    live.append(g)
+                    continue
+                for k in keys:
+                    if k[0] != g:
+                        continue
+                    st = state[k]
+                    if st["col"] == "v":
+                        # single tie class wider than max_task_rows:
+                        # pin the value, narrow on the tie col next
+                        st.update(col="t", fixed_v=mn, lo=None, hi=None)
+                    else:
+                        # tie constant too — duplicate (v, t) rows;
+                        # any row is THE row: bounded final sort picks
+                        st["c"] = 0
+            if not live:
+                continue
+            bdf = F.broadcast(
+                spark.createDataFrame(
+                    [(g, list(sketch[g][2])) for g in live],
+                    f"g {g_type}, bs array<double>",
+                )
+            )
+            bucket = F.coalesce(
+                F.size(F.filter(F.col("bs"), lambda x: x <= F.col("nv"))),
+                F.lit(0),
+            )
+            rows = (
+                vals.where(sig_pred(sig, live))
+                .select("g", F.col(col_name).alias("nv"))
+                .join(bdf, "g")
+                .groupBy("g", bucket.alias("b"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            per_g: dict = {}
+            for r in rows:
+                per_g.setdefault(r["g"], {})[r["b"]] = r["c"]
+            for k in keys:
+                g = k[0]
+                if g not in set(live):
+                    continue
+                st = state[k]
+                bs = list(sketch[g][2])
+                edges = [st["lo"]] + bs + [st["hi"]]
+                offset = 0
+                for b in range(len(bs) + 1):
+                    c = per_g.get(g, {}).get(b, 0)
+                    if offset <= st["lr"] < offset + c:
+                        st.update(
+                            lo=edges[b], hi=edges[b + 1],
+                            lr=st["lr"] - offset, c=c,
+                        )
+                        break
+                    offset += c
+
+    if not state:
+        return {}
+    # final: per distinct range, one job whose per-group sort tasks are
+    # bounded by construction (every surviving range holds ≤
+    # max_task_rows rows) — a row belongs to exactly one range of its
+    # group within a job, so row_number is the range-local rank
+    by_sig_final: dict[tuple, list] = {}
+    for k, st in state.items():
+        by_sig_final.setdefault(sig_of(st), []).append(k)
+    found: dict = {}
+    for sig, keys in by_sig_final.items():
+        lrs_by_g: dict = {}
+        for k in keys:
+            lrs_by_g.setdefault(k[0], []).append(state[k]["lr"])
+        lr_map = F.create_map(
+            *[
+                x
+                for g, lrs in lrs_by_g.items()
+                for x in (F.lit(g), F.array(*[F.lit(v) for v in set(lrs)]))
+            ]
+        )
+        w = Window.partitionBy("g").orderBy("v", "t")
+        hits = (
+            vals.where(sig_pred(sig, list(lrs_by_g)))
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .where(F.array_contains(lr_map[F.col("g")], F.col("__rn")))
+            .select("g", "v", "t", "__rn")
+            .collect()
+        )
+        got = {(row["g"], row["__rn"]): (row["v"], row["t"]) for row in hits}
+        for k in keys:
+            hit = got.get((k[0], state[k]["lr"]))
+            if hit is not None:
+                found[k] = hit
+    out: dict = {}
+    missing = []
+    for g, (n, ranks) in targets.items():
+        rows_out = []
+        for i, r0 in enumerate(ranks):
+            hit = found.get((g, i))
+            if hit is None:
+                missing.append((g, i))
+                continue
+            rows_out.append((hit[0], hit[1], n, r0))
+        out[g] = rows_out
+    if missing:
+        raise RuntimeError(f"rank selection failed for {sorted(missing)}")
+    return out
+
+
+def grouped_select_at_rank(
+    df,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    rank_of_n,
+    n_buckets: int = 64,
+    max_task_rows: int = 4_000_000,
+    max_rounds: int = 8,
+) -> dict:
+    """Single-rank convenience over :func:`grouped_select_at_ranks`:
+    ``rank_of_n(n)`` returns ONE rank (or None to skip the group);
+    returns ``{group: (value, tie, n, rank)}``."""
+
+    def ranks(n):
+        r = rank_of_n(n)
+        return [] if r is None else [r]
+
+    multi = grouped_select_at_ranks(
+        df, group_col, value_col, tie_col, ranks,
+        n_buckets=n_buckets, max_task_rows=max_task_rows,
+        max_rounds=max_rounds,
+    )
+    return {g: rows[0] for g, rows in multi.items() if rows}

@@ -25,6 +25,12 @@ Checks:
   are the usual cause).
 - ``wide-scan``: a scan whose ReadSchema reads ≥ ``wide_scan_cols``
   columns — often a missing projection before a cache/shuffle.
+- ``low-cardinality-window``: a Window partitioned ONLY by columns the
+  caller declares low-cardinality (``low_card_cols``) — a 5-value key
+  sorts N/5 rows in one task, the quiet sibling of the global-order
+  window (a plan string cannot know cardinality, so this check runs on
+  declared schema knowledge; ``DEFAULT_LOW_CARD_COLS`` covers the tiny
+  enum domains of the shipped test schema).
 """
 
 from __future__ import annotations
@@ -35,6 +41,34 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 SEVERITIES = ("error", "warn", "info")
+
+# Tiny enum-domain columns of the shipped test schema (≤ ~30 distinct
+# values at ANY scale factor — partitioning a window by one of these
+# alone caps parallelism at the domain size, not the cluster size).
+DEFAULT_LOW_CARD_COLS = frozenset(
+    {
+        "o_orderpriority", "o_orderstatus", "l_returnflag",
+        "l_linestatus", "l_shipmode", "r_name", "event_type",
+    }
+)
+
+
+def _top_level_brackets(s: str) -> list[str]:
+    """The top-level ``[...]`` group contents of a string, in order —
+    nested brackets (array literals, lambda params) stay inside their
+    group."""
+    out, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                out.append(s[start:i])
+                start = -1
+    return out
 
 
 @dataclass(frozen=True)
@@ -60,9 +94,15 @@ def formatted_plan(df: DataFrame) -> str:
         return ""
 
 
-def audit_plan(df: DataFrame, wide_scan_cols: int = 20) -> list[Finding]:
+def audit_plan(
+    df: DataFrame,
+    wide_scan_cols: int = 20,
+    low_card_cols: frozenset = DEFAULT_LOW_CARD_COLS,
+) -> list[Finding]:
     """Audit a DataFrame's physical plan for scale smells. Returns
-    findings ordered most-severe first (empty list = clean)."""
+    findings ordered most-severe first (empty list = clean).
+    ``low_card_cols`` is the caller's schema knowledge: columns whose
+    domain is tiny at any scale (pass your own set for your schema)."""
     plan = formatted_plan(df)
     lines = plan.splitlines()
     findings: list[Finding] = []
@@ -115,6 +155,66 @@ def audit_plan(df: DataFrame, wide_scan_cols: int = 20) -> list[Finding]:
                     )
                 )
                 break
+    # low-cardinality window: partition spec (the second-to-last
+    # top-level bracket group of a Window block's Arguments) made up
+    # ONLY of declared tiny-domain columns — parallelism capped at the
+    # domain size. The empty-partition case is global-ordered-window's.
+    # A Window fed by a WindowGroupLimit is EXEMPT: Spark's rank-filter
+    # pushdown already capped each partition's input at k rows per map
+    # task, so the per-group task merges parallelism×k rows, not N/k.
+    low_card_ids = set()
+    for b in blocks:
+        m = re.match(r"\((\d+)\) Window\b", b)
+        if not m:
+            continue
+        am = re.search(r"(?m)^Arguments: (.*)$", b)
+        if not am:
+            continue
+        groups = _top_level_brackets(am.group(1))
+        if len(groups) < 3:
+            continue
+        part_names = set(re.findall(r"(\w+)#\d+", groups[-2]))
+        if part_names and part_names <= low_card_cols:
+            low_card_ids.add(m.group(1))
+    if low_card_ids:
+        tree_end = next(
+            (i for i, l in enumerate(lines) if l.startswith("(1)")),
+            len(lines),
+        )
+        tree = lines[:tree_end]
+        chain_ops = ("Sort", "Project", "Filter")
+        hit = False
+        for i, line in enumerate(tree):
+            wm = re.search(r"\bWindow \((\d+)\)", line)
+            if not wm or wm.group(1) not in low_card_ids:
+                continue
+            limited = False
+            for below in tree[i + 1 :]:
+                m = re.search(r"\b(\w+) \((\d+)\)", below)
+                if not m:
+                    break
+                node = m.group(1)
+                if node == "WindowGroupLimit":
+                    limited = True
+                    break
+                if node not in chain_ops:
+                    break
+            if not limited:
+                hit = True
+                break
+        if hit:
+            findings.append(
+                Finding(
+                    "error",
+                    "low-cardinality-window",
+                    "Window partitioned only by tiny-domain column(s): "
+                    "each partition sorts N/domain rows in ONE task. "
+                    "Add a high-cardinality key to the partition spec, "
+                    "or compute the rank statistic via distributed "
+                    "selection (functions.numeric.grouped_select_at_rank "
+                    "/ exact_quantiles cut points).",
+                )
+            )
     if "BatchEvalPython" in plan:
         findings.append(
             Finding(

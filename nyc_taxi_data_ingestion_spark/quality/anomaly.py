@@ -603,6 +603,7 @@ def ks_drift_grouped(
     new: DataFrame,
     value_col: str,
     group_cols: list[str],
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-group two-sample KS drift: one (d_stat, at_value, n_old,
     n_new) row per group key — the fleet form of :func:`ks_drift` for
@@ -610,12 +611,23 @@ def ks_drift_grouped(
     in one pass. Groups present on only one side report NULL d_stat
     (no ecdf to compare), not an error.
 
-    Scale shape: per-side totals come from the NARROW inputs (not the
-    merged per-value frame — see the count-back-join rule in
-    docs/SCALE.md); cumulative sums window over (group, value) so each
-    group's distinct values sort within its partition slice; the
-    arg-max is a per-group window top-1. Exactness contract identical
-    to ks_drift."""
+    Scale shape (the GROUPED form of ks_drift's two-pass cumulative —
+    for a continuous column, distinct values per group ~ rows per
+    group, so ``Window.partitionBy(group).orderBy(v)`` would sort N/k
+    rows in one task when the group key is low-cardinality, exactly
+    plans/audit's ``low-cardinality-window``): per-group quantile
+    boundaries deterministically bucket each group's values into
+    ``n_buckets`` monotone ranges, the cumsum windows on the
+    HIGH-cardinality (group, bucket) key, and broadcast prefix offsets
+    come from a subtotal table of ≤ groups×n_buckets rows — the only
+    group-partitioned ordered window runs over those bounded subtotal
+    rows. Per-side totals come from the NARROW inputs (not the merged
+    per-value frame — the count-back-join rule in docs/SCALE.md); the
+    arg-max is a per-group rank-1 window (WindowGroupLimit: map-side
+    top-1 per task before the shuffle). Boundary placement only steers
+    balance, never the result — per-bucket integer sums + exact offset
+    adds reproduce the direct cumulative bit-for-bit. Exactness
+    contract identical to ks_drift."""
     from pyspark.sql import Window
 
     g = list(group_cols)
@@ -643,11 +655,55 @@ def ks_drift_grouped(
         F.coalesce("oc", F.lit(0)).alias("oc"),
         F.coalesce("nc", F.lit(0)).alias("nc"),
     )
-    w = Window.partitionBy(*g).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
+    # deterministic per-group monotone bucketing: bucket(v) =
+    # #boundaries <= v (ks_drift's rule, grouped)
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = per.groupBy(*g).agg(
+        F.percentile_approx("v", fracs, F.lit(10000)).alias("__bs")
     )
-    cum = per.select(
-        *g, "v", F.sum("oc").over(w).alias("co"), F.sum("nc").over(w).alias("cn")
+    bucketed = per.join(F.broadcast(bounds), g).select(
+        *g,
+        "v",
+        "oc",
+        "nc",
+        F.size(F.filter("__bs", lambda b: b <= F.col("v"))).alias("__b"),
+    )
+    sub = bucketed.groupBy(*g, "__b").agg(
+        F.sum("oc").alias("__so"), F.sum("nc").alias("__sn")
+    )
+    # ≤ n_buckets subtotal rows per group: the one group-partitioned
+    # ordered window, bounded by construction
+    wb = (
+        Window.partitionBy(*g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        *g,
+        "__b",
+        F.coalesce(F.sum("__so").over(wb), F.lit(0)).alias("__ooff"),
+        F.coalesce(F.sum("__sn").over(wb), F.lit(0)).alias("__noff"),
+    )
+    wv = (
+        Window.partitionBy(*g, "__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.select(
+            *g,
+            "v",
+            "__b",
+            F.sum("oc").over(wv).alias("__cop"),
+            F.sum("nc").over(wv).alias("__cnp"),
+        )
+        .join(F.broadcast(offsets), [*g, "__b"])
+        .select(
+            *g,
+            "v",
+            (F.col("__cop") + F.col("__ooff")).alias("co"),
+            (F.col("__cnp") + F.col("__noff")).alias("cn"),
+        )
     )
     tot = totals(old, "n_old").join(totals(new, "n_new"), g, "full_outer")
     gap = F.when(

@@ -4204,17 +4204,53 @@ GROUP BY 1, 2
 
 @register("ntile_binning", _NTILE_ORACLE, tags=["W1", "A8"])
 def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count quartile binning per group via NTILE + per-bin
-    profile (count/min/max). The total order (price, orderkey) makes
-    tile assignment deterministic — NTILE over a non-total order is
-    nondeterministic at ties, same trap as W1's row_number. Window
-    partitions by priority, so no global sort."""
-    from pyspark.sql import Window
+    """Equal-count quartile binning per group — NTILE(4) semantics
+    WITHOUT the rank window. o_orderpriority has 5 distinct values, so
+    ``NTILE() OVER (PARTITION BY priority ORDER BY price)`` sorts N/5
+    rows in one task (plans/audit ``low-cardinality-window``). NTILE's
+    tile boundaries are pure rank arithmetic — bin i of an n-row group
+    ends at rank ``i·(n÷4) + min(i, n mod 4)`` — so the three boundary
+    ROWS per group come from distributed rank selection
+    (functions/numeric.grouped_select_at_ranks, one narrowing job per
+    round for all groups), broadcast back as literals, and every row's
+    bin is 1 + how many boundary rows sort strictly below it under the
+    total order (price, orderkey). The total order makes tile
+    assignment deterministic — NTILE over a non-total order is
+    nondeterministic at ties, same trap as W1's row_number. The NTILE
+    window form stays as the oracle twin."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        grouped_select_at_ranks,
+    )
 
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+    def boundary_ranks(n: int):
+        q, r = divmod(n, 4)
+        return [i * q + min(i, r) for i in (1, 2, 3) if i * q + min(i, r) > 0]
+
+    cuts = grouped_select_at_ranks(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", boundary_ranks
+    )
+    # cuts are driver literals (≤ 3 per group): bin assignment is a
+    # pure scan-stage projection — no join, no extra shuffle, the only
+    # exchange in the plan is the final (priority, bin) aggregation
+    bin_expr = F.lit(1)
+    for g, rows in cuts.items():
+        for v, t, _n, _r in rows:
+            below = (F.col("o_orderpriority") == F.lit(g)) & (
+                (F.col("o_totalprice") > F.lit(v))
+                | (
+                    (F.col("o_totalprice") == F.lit(v))
+                    & (F.col("o_orderkey") > F.lit(int(t)))
+                )
+            )
+            bin_expr = bin_expr + below.cast("int")
     binned = o.select(
-        "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("bin")
+        "o_orderpriority",
+        "o_totalprice",
+        bin_expr.cast("int").alias("bin"),
     )
     return binned.groupBy("o_orderpriority", "bin").agg(
         F.count("*").alias("cnt"),
@@ -9248,7 +9284,7 @@ def q_entry_point_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRICE_RANK_ORACLE = """
 WITH r AS (
-  SELECT o_orderpriority,
+  SELECT o_orderpriority, o_totalprice,
          PERCENT_RANK() OVER (
            PARTITION BY o_orderpriority
            ORDER BY o_totalprice, o_orderkey
@@ -9258,41 +9294,77 @@ WITH r AS (
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
        CAST(SUM(CASE WHEN pr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_top_decile
+         AS n_top_decile,
+       MIN(CASE WHEN pr >= 0.9 THEN o_totalprice END) AS cut_price
 FROM r GROUP BY 1
 """
 
 
 @register(
-    "price_rank_deciles", _PRICE_RANK_ORACLE, tags=["W2", "A10"],
+    "price_rank_deciles", _PRICE_RANK_ORACLE, tags=["W2", "A10", "A7"],
 )
 def q_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCENT_RANK windows, engine-portably: orders in the top decile
-    of their priority's price distribution, counted per priority.
-    percent_rank = (rank-1)/(n-1) is ONE division of exact integers,
-    so the 0.9 threshold compares identically on both engines — the
-    window-rank analogue of the ratio-of-sums guard. Tie-broken on
-    (price, orderkey) so ranks are total-ordered. Counting (not
-    emitting ranks) keeps the output aggregate-small while still
-    proving the window semantics end to end.
+    """PERCENT_RANK decile membership WITHOUT the rank window: orders
+    in the top decile of their priority's price distribution, counted
+    per priority, plus the decile boundary price itself.
 
-    Scale shape: one priority-key shuffle; the per-priority sort is
-    the documented cost of any exact rank statistic — at true scale
-    route through the decile machinery (exact_quantiles cut points)
-    instead, as classifier_lift does; this query is the SQL-window
-    parity surface."""
-    from pyspark.sql import Window
+    o_orderpriority has exactly 5 distinct values, so
+    ``Window.partitionBy(priority).orderBy(price)`` sorts N/5 rows in
+    ONE task — the low-cardinality analogue of a global-order window
+    (r8 verdict item 2; plans/audit's ``low-cardinality-window`` check
+    now rejects that plan shape). Scale-safe form: the cut ROW — the
+    (price, orderkey) pair at rank ⌈0.9·(n−1)+1⌉ under the total order
+    (price, orderkey) — is found per priority by DISTRIBUTED rank
+    selection (functions/numeric.grouped_select_at_rank: histogram
+    refinement, all 5 groups narrowed per round in one grouped job,
+    final sort task bounded by max_task_rows). The 5 cut rows
+    broadcast back as literals; membership is then one plain
+    filter+agg scan with tuple comparison against the cut.
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    Exactness: percent_rank = (rank−1)/(n−1) is ONE double division of
+    exact integers, evaluated in rank_of_n with the same IEEE ops both
+    engines use, so the smallest qualifying rank — and therefore the
+    count AND the boundary price — are bit-identical to the oracle's
+    PERCENT_RANK window form (kept as the SQL twin at test scale)."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        grouped_select_at_rank,
     )
-    r = orders.withColumn("pr", F.percent_rank().over(w))
-    return r.groupBy("o_orderpriority").agg(
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+
+    def rank_of_n(n: int):
+        # smallest 1-based r with (r-1)/(n-1) >= 0.9 in IEEE double —
+        # the exact set PERCENT_RANK() >= 0.9 admits. n == 1 has
+        # pr = 0 by definition: no qualifier.
+        if n < 2:
+            return None
+        r = max(1, int(0.9 * (n - 1)))
+        while (r - 1) / (n - 1) < 0.9:
+            r += 1
+        return r
+
+    cuts = grouped_select_at_rank(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", rank_of_n
+    )
+    cuts_df = F.broadcast(
+        spark.createDataFrame(
+            [(g, v, int(t)) for g, (v, t, _n, _r) in cuts.items()],
+            "o_orderpriority string, cut_v double, cut_t bigint",
+        )
+    )
+    j = orders.join(cuts_df, "o_orderpriority", "left")
+    qual = (F.col("o_totalprice") > F.col("cut_v")) | (
+        (F.col("o_totalprice") == F.col("cut_v"))
+        & (F.col("o_orderkey") >= F.col("cut_t"))
+    )
+    return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(
-            F.when(F.col("pr") >= 0.9, 1).otherwise(0)
-        ).cast("long").alias("n_top_decile"),
+        F.sum(F.when(qual, 1).otherwise(0)).cast("long").alias(
+            "n_top_decile"
+        ),
+        F.min(F.when(qual, F.col("o_totalprice"))).alias("cut_price"),
     )
 
 
@@ -9478,56 +9550,80 @@ _GREEN_R07 = [
     "stream_stream_join", "top_groups", "tpch_q1_sql",
     "twap_by_user", "union_all_tagged", "window_deltas",
 ]
+# Hash-green in CORRECTNESS_r08.json (certified at r8 HEAD — includes
+# the format-API write matrix, multi-column skipping, degree-oriented
+# triangles, auto-sized IVF, and the session-path family).
+_GREEN_R08 = [
+    "snapshot_incremental_read", "snapshot_time_travel", "snapshot_merge_upsert",
+    "snapshot_erase", "snapshot_incremental_ingest", "snapshot_cdc",
+    "graph_triangles", "snapshot_stream_tail", "snapshot_pruned_scan",
+    "snapshot_diff", "embedding_centroids", "funnel_counts",
+    "cohort_retention", "keyword_extract", "dataset_split",
+    "centroid_shift", "prototype_prune_exact", "trend_slopes",
+    "score_buckets", "fingerprint_collisions", "group_holdout_split",
+    "dup_rate_by_source", "context_fit_stats", "lang_token_stats",
+    "unpivot_metrics", "profile_columns", "rolling_active_users",
+    "bm25_rank", "event_transitions", "seasonal_anomaly",
+    "sequence_gap_check", "incremental_agg_state", "tpch_q3_sql",
+    "tpch_q5_sql", "stream_agg_state", "tpch_q18_sql",
+    "media_dedup", "rollup_share", "tpch_q6_sql",
+    "promo_revenue", "pagerank_exact", "snapshot_pruned_scan_2d",
+    "snapshot_format_write", "snapshot_format_stream_chain",
+    "snapshot_zorder_scan_2d", "snapshot_format_partitioned",
+    "top_paths", "time_to_purchase", "entry_point_conversion",
+    "price_rank_deciles",
+]
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r07 certified
-# the final round-7 HEAD; round-8 entries are added here as their
+# re-certifies them against the code as it stands now. r08 certified
+# the final round-8 HEAD; round-9 entries are added here as their
 # implementing code churns this round.
 _REFRESH_FIRST: list[str] = [
-    # r8 degree-oriented the triangle enumeration (same result set,
-    # sqrt(m)-bounded join fan-out) — re-earn the r7 green on the new plan
-    "graph_triangles",
-    # r8 generalized scan_snapshot/scan_prune_stats to multi-column
-    # predicates (single-column path now routes through the shared
-    # conjunct machinery) and replaced the prune gate's assert
-    "snapshot_pruned_scan",
-    # r8 split snapshot_write into stage + commit_staged_files
-    # (manifest-only retries; the python-DataSource writer's commit
-    # path) — every query through the commit path re-earns its verdict
-    "snapshot_time_travel", "snapshot_merge_upsert", "snapshot_cdc",
-    "snapshot_erase", "snapshot_incremental_read",
-    "snapshot_incremental_ingest", "snapshot_stream_tail",
+    # r9 re-planned the count off the 5-key PERCENT_RANK window onto
+    # distributed exact-quantile cut points (verdict r8 item 2)
+    "price_rank_deciles",
+    # r9 re-planned NTILE off the 5-key window onto grouped rank
+    # selection, and the grouped KS cumulative onto the bucketed
+    # two-pass — both caught by the new low-cardinality-window audit
+    "ntile_binning", "ks_drift_grouped",
+    # r9 threaded merge-on-read delete vectors through the shared read
+    # path (read_snapshot / scan_snapshot / both format sources) — every
+    # query whose scan may now apply delete files re-earns its verdict
+    "snapshot_time_travel", "snapshot_erase", "snapshot_merge_upsert",
+    "snapshot_pruned_scan", "snapshot_incremental_read",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
 _PRIOR_GREEN = (
     _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
-    + _GREEN_R07
+    + _GREEN_R07 + _GREEN_R08
 )
 
 
 def _export_order() -> list[str]:
     """Order the registry so the driver's bounded correctness prefix is
     spent where it buys the most evidence: (1) greens whose code
-    churned after their verdict, (2) the STALEST greens (r02-r04
-    vintage — r7 verdict item 1 prioritizes clearing these inside the
-    ~50-query budget), (3) oracle queries with no verdict on record
-    (new this round — pytest/stress-covered meanwhile, checked next
-    round if the budget runs out), (4) fresher greens stalest-first,
-    (5) rows-only queries last. Registration order is preserved within
-    each tier. A query green in several rounds takes its FRESHEST
-    round's tier (later lists iterate first; setdefault keeps the
-    first assignment), except a _REFRESH_FIRST listing always wins."""
+    churned after their verdict, (2) oracle queries with NO verdict on
+    record — a green from three rounds ago is strictly more evidence
+    than none, so never-verified queries outrank every stale green
+    (r8 verdict item 1: the old order starved chunk_windows at prefix
+    position 51), (3) remaining greens stalest-vintage-first so the
+    leftover budget refreshes the oldest evidence, (4) rows-only
+    queries last. Registration order is preserved within each tier. A
+    query green in several rounds takes its FRESHEST round's tier
+    (freshest lists iterate first; setdefault keeps the first
+    assignment), except a _REFRESH_FIRST listing always wins."""
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
-        (_GREEN_R07, 7),
-        (_GREEN_R06, 6),
-        (_GREEN_R05, 5),
-        (_GREEN_R04, 1),
-        (_GREEN_R03, 1),
-        (_GREEN_R02, 1),
+        (_GREEN_R08, 7),
+        (_GREEN_R07, 6),
+        (_GREEN_R06, 5),
+        (_GREEN_R05, 2),
+        (_GREEN_R04, 2),
+        (_GREEN_R03, 2),
+        (_GREEN_R02, 2),
     ):
         for n in names:
             tier.setdefault(n, rank)
@@ -9535,7 +9631,7 @@ def _export_order() -> list[str]:
     rows_only = [n for n, q in REGISTRY.items() if q.oracle is None]
     ranked = sorted(
         range(len(with_oracle)),
-        key=lambda i: (tier.get(with_oracle[i], 2), i),
+        key=lambda i: (tier.get(with_oracle[i], 1), i),
     )
     return [with_oracle[i] for i in ranked] + rows_only
 

@@ -45,19 +45,34 @@ def test_unverified_oracle_queries_fit_driver_budget():
         REGISTRY,
     )
 
+    from nyc_taxi_data_ingestion_spark.queries import _export_order
+
     prior = set(_PRIOR_GREEN)
     unverified = [
         n for n, q in REGISTRY.items()
         if q.oracle is not None and n not in prior
     ]
-    # the prefix the driver will actually evaluate = churned-code
-    # refreshes (front of the order) + everything never verified
-    spent = len(set(_REFRESH_FIRST)) + len(unverified)
-    assert spent <= 50, (
-        f"{len(unverified)} never-verified + {len(set(_REFRESH_FIRST))} "
-        f"refresh-tier queries exceed the ~50-entry driver budget: "
-        f"{sorted(unverified)}"
+    # the budget the prefix must cover = everything up to and including
+    # the LAST never-verified query in the actual export order (r8
+    # verdict item 1: counting tiers separately missed a stale-green
+    # tier sorted between refreshes and unverified queries, starving
+    # chunk_windows at position 51)
+    order = _export_order()
+    if unverified:
+        spent = 1 + max(order.index(n) for n in unverified)
+        assert spent <= 50, (
+            f"the last never-verified oracle query sits at prefix "
+            f"position {spent} > the ~50-entry driver budget: "
+            f"{sorted(unverified)}"
+        )
+    # never-verified queries must outrank every non-refresh green: a
+    # stale green re-check must not starve a first-time verdict
+    first_green = next(
+        i for i, n in enumerate(order)
+        if n in prior and n not in set(_REFRESH_FIRST)
     )
+    late = [n for n in unverified if order.index(n) > first_green]
+    assert not late, f"never-verified queries sorted after greens: {late}"
     # green/refresh lists must reference real registry entries only
     assert prior <= set(REGISTRY), sorted(prior - set(REGISTRY))
     assert set(_REFRESH_FIRST) <= set(REGISTRY)

@@ -597,6 +597,10 @@ def test_registry_audits_clean_of_errors(spark, sf_dir):
     - ks_drift / score_buckets: the only ordered window runs over a
       ≤n_buckets subtotal/histogram table — bounded rows, which a
       static plan audit cannot know;
+    - ks_drift_grouped: same — after the r9 bucketed-two-pass rewrite
+      the only group-partitioned ordered window is the prefix-offset
+      pass over the ≤ groups×n_buckets subtotal table (the cumulative
+      itself windows on the high-cardinality (group, bucket) key);
     - moving_avg_band: a global time-series rolling band is inherently
       one ordered sequence (docstring-documented, mirrors the
       reference's pandas implementation);
@@ -608,8 +612,8 @@ def test_registry_audits_clean_of_errors(spark, sf_dir):
     from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
 
     allowed = {
-        "ks_drift", "score_buckets", "moving_avg_band",
-        "prototype_prune_exact",
+        "ks_drift", "ks_drift_grouped", "score_buckets",
+        "moving_avg_band", "prototype_prune_exact",
     }
     bad = {}
     for name, q in sorted(REGISTRY.items()):

@@ -686,3 +686,103 @@ def test_min_hop_closure_matches_naive_bfs(spark, edges):
                     want[(root, nxt)] = d + 1
                     q.append((nxt, d + 1))
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),            # group
+            st.integers(min_value=-20, max_value=20),    # value (ties!)
+            st.integers(min_value=0, max_value=10_000),  # tie key
+        ),
+        min_size=1,
+        max_size=100,
+        unique_by=lambda r: (r[0], r[2]),
+    )
+)
+def test_grouped_select_at_ranks_matches_sorted(spark, rows):
+    """Distributed grouped rank selection must return exactly the row a
+    per-group (value, tie) sort puts at each requested rank — for
+    arbitrary groups, heavy value ties, and first/middle/last ranks."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        grouped_select_at_ranks,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v int, t int")
+
+    def ranks(n):
+        return [1, (n + 1) // 2, n]
+
+    got = grouped_select_at_ranks(df, "g", "v", "t", ranks, n_buckets=4)
+    by_group: dict[str, list] = {}
+    for g, v, t in rows:
+        by_group.setdefault(g, []).append((float(v), float(t)))
+    for g, items in by_group.items():
+        items.sort()
+        n = len(items)
+        want = [items[r - 1] for r in ranks(n)]
+        assert [(v, t) for v, t, _n, _r in got[g]] == want, (g, n)
+        assert [r for _v, _t, _n, r in got[g]] == ranks(n)
+        assert all(m == n for _v, _t, m, _r in got[g])
+
+
+def test_grouped_select_at_ranks_narrowing_path(spark, sf_dir):
+    """Force the histogram-refinement rounds (max_task_rows tiny) on a
+    real table: the narrowed result must equal the unnarrowed one —
+    including the tie-collapse path exercised by o_orderpriority ties
+    on o_totalprice at low bucket counts."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        grouped_select_at_ranks,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def ranks(n):
+        return [1, max(1, (9 * n) // 10), n]
+
+    wide = grouped_select_at_ranks(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", ranks
+    )
+    narrow = grouped_select_at_ranks(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", ranks,
+        max_task_rows=25, n_buckets=4,
+    )
+    assert wide == narrow
+
+
+def test_audit_low_cardinality_window(spark, sf_dir):
+    """The low-cardinality-window check must flag a window partitioned
+    only by a tiny-domain column, pass one with a high-cardinality key
+    mixed in, and EXEMPT rank-filter windows Spark already bounds via
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.plans.audit import audit_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    flagged = o.withColumn("pr", F.percent_rank().over(w))
+    assert "low-cardinality-window" in [
+        f.code for f in audit_plan(flagged)
+    ]
+    w2 = Window.partitionBy("o_orderpriority", "o_custkey").orderBy(
+        "o_totalprice"
+    )
+    mixed = o.withColumn("rn", F.row_number().over(w2))
+    assert "low-cardinality-window" not in [
+        f.code for f in audit_plan(mixed)
+    ]
+    limited = o.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    assert "low-cardinality-window" not in [
+        f.code for f in audit_plan(limited)
+    ]
