@@ -70,3 +70,63 @@ def finalize_agg_state(
         F.col("mn").cast("double").alias(f"min_{prefix}"),
         F.col("mx").cast("double").alias(f"max_{prefix}"),
     )
+
+
+def changelog_agg_delta(
+    changelog: DataFrame,
+    keys: list[str],
+    value_col: str,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """A commit changelog (``snapshots.snapshot_changelog`` — Delta CDF
+    row schema) reduced to a RETRACTABLE per-key aggregation delta:
+    insert/update_postimage rows weigh +1, delete/update_preimage
+    weigh −1, so ``(Σw, Σw·value)`` is exactly the (n, s) adjustment
+    that turns the pre-commit mart state into the post-commit one.
+    COUNT and decimal SUM form a group (subtraction exists), which is
+    why a mart maintained from a changelog carries (n, s [, avg]) —
+    MIN/MAX are only monoids (no retraction) and need the
+    partition-rewrite path or a full recompute when a commit removes
+    their extremes. Delta volume bounds the work: an update commit
+    touching 0.01% of keys folds in a 0.01%-sized job."""
+    w = (
+        F.when(
+            F.col(change_type_col).isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .when(
+            F.col(change_type_col).isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(None))
+    )
+    v = F.col(value_col)
+    return changelog.select(
+        *keys, w.alias("__w"), v.alias("__v")
+    ).groupBy(*keys).agg(
+        F.sum(F.when(F.col("__v").isNotNull(), F.col("__w"))).alias("n"),
+        F.sum(F.col("__w") * F.col("__v").cast(_STATE_ACC)).cast(
+            _STATE_ACC
+        ).alias("s"),
+    )
+
+
+def apply_agg_delta(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold an aggregation delta into (n, s) mart state: counts and
+    exact-decimal sums ADD (negative deltas retract); keys whose count
+    reaches zero leave the mart — key-count-sized work, no raw-data
+    scan. The (n, s)-projected twin of :func:`merge_agg_states` for
+    changelog-maintained marts."""
+    u = state.select(*keys, "n", "s").unionByName(
+        delta.select(*keys, "n", "s")
+    )
+    return (
+        u.groupBy(*keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").cast(_STATE_ACC).alias("s"),
+        )
+        .where(F.col("n") > 0)
+    )

@@ -7265,6 +7265,112 @@ def q_snapshot_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_DELETE_MOR_ORACLE = """
+WITH survivors AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+  WHERE NOT (o_orderkey % 10 = 3) AND NOT (o_totalprice > 300000)
+),
+reinserted AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 10 = 3 AND o_orderkey <= 1000
+)
+SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
+"""
+
+
+@register(
+    "snapshot_delete_mor", _SNAPSHOT_DELETE_MOR_ORACLE, tags=["S15", "M1"]
+)
+def q_snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ DELETE end-to-end (snapshots.snapshot_delete_mor;
+    Iceberg v2 positional delete files — the capability tier the
+    reference's format-v2 maintenance cycle presumes,
+    ``scripts/iceberg_maintenance.py:97-174``): commit orders as one
+    clustered, statted version, run TWO scattered row-level deletes
+    (every data file is touched, yet NONE is rewritten — the commits
+    are delete vectors only), then append a batch re-inserting part of
+    the first cohort (appended files must be untouched by prior
+    vectors, which key on (file, pos)). The oracle recomputes the
+    final state relationally, so the driver certifies vector
+    accumulation + append carry + read-time anti-join in one hash.
+
+    In-query gates (raise, never assert): the data-file set must be
+    BYTE-IDENTICAL across both deletes (the whole point of MoR — a CoW
+    delete here would rewrite all 8 files for a 10% scattered cohort),
+    and the clustered bounds must still prune after the deletes
+    (vectors never touch recorded stats)."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        read_snapshot,
+        scan_prune_stats,
+        snapshot_delete_mor,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapmor_")
+    try:
+        v1 = snapshot_write(
+            base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        m1 = _load_manifest(path, v1)
+        snapshot_delete_mor(spark, path, F.col("o_orderkey") % 10 == 3)
+        v3 = snapshot_delete_mor(
+            spark, path, F.col("o_totalprice") > 300000
+        )
+        m3 = _load_manifest(path, v3)
+        if m3["commits"] != m1["commits"]:
+            raise RuntimeError(
+                "MoR delete rewrote data files: commits changed "
+                f"{sorted(m1['commits'])} -> {sorted(m3['commits'])}"
+            )
+        if len(m3.get("deletes") or {}) != 2:
+            raise RuntimeError(
+                f"expected 2 delete-vector commits, got "
+                f"{sorted(m3.get('deletes') or {})}"
+            )
+        snapshot_write(
+            base.where("o_orderkey % 10 = 3 AND o_orderkey <= 1000"),
+            path,
+            mode="append",
+        )
+        head = _load_manifest(path, current_version(path))
+        if set(head.get("deletes") or {}) != set(m3["deletes"]):
+            raise RuntimeError("append dropped carried delete vectors")
+        # clustered bounds survive the deletes: a selective key range
+        # must still prune most of the 8 range-partitioned files
+        pstats = scan_prune_stats(path, "o_orderkey", 1, 100, version=v3)
+        if pstats["pruned_files"] == 0:
+            raise RuntimeError(
+                f"stats pruning lost after MoR delete: {pstats}"
+            )
+        return (
+            read_snapshot(spark, path)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_INCR_ORACLE = r"""
 WITH corp AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
 batch AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
@@ -7400,6 +7506,116 @@ def q_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_MART_FROM_CDC_ORACLE = """
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 11 <> 0
+)
+SELECT o_orderpriority,
+       COUNT(price) AS n_price,
+       CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) / COUNT(price)
+         AS avg_price
+FROM final GROUP BY 1
+"""
+
+
+@register("mart_from_cdc", _MART_FROM_CDC_ORACLE, tags=["M1", "M2"])
+def q_mart_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold mart maintained from the COMMIT CHANGELOG — the reference's
+    merge-incremental M1 (dbt ``incremental_strategy='merge'``,
+    ``gold/models/analytics/daily_trip_stats.sql:1-11``) done
+    algebraically instead of by partition overwrite: the mart never
+    re-reads history, it folds each commit's delta into retractable
+    (count, decimal-sum) state.
+
+    3-commit lifecycle on a snapshot table keyed by o_orderkey:
+    v1 seeds (orderkey%3=0), v2 APPENDS (%3=1) — folded via the
+    incremental read's partial agg (+1 weights only) — and v3 is an
+    UPDATE commit (urgent totals doubled, every 11th key deleted),
+    which an incremental read must refuse; instead
+    ``snapshots.snapshot_changelog`` (Delta CDF row schema:
+    insert/delete/update_preimage/update_postimage) feeds
+    ``operators/incremental.changelog_agg_delta`` — preimages retract,
+    postimages add, so even a row that MIGRATES mart keys (priority
+    changes) leaves one group and enters the other in the same fold.
+    The oracle recomputes the mart from the final table state
+    relationally: fold(deltas) must hash-match recompute(head), the
+    IVM correctness contract. Work per refresh is delta-sized; the
+    price is the documented (n, s)-only state — MIN/MAX don't retract
+    (changelog_agg_delta's docstring)."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        apply_agg_delta,
+        changelog_agg_delta,
+        partial_agg_state,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+        read_snapshot,
+        snapshot_changelog,
+        snapshot_write,
+    )
+
+    keys = ["o_orderpriority"]
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_martcdc_")
+    try:
+        v1 = snapshot_write(base.where("o_orderkey % 3 = 0"), path)
+        v2 = snapshot_write(
+            base.where("o_orderkey % 3 = 1"), path, mode="append"
+        )
+        v3_state = (
+            read_snapshot(spark, path, version=v2)
+            .where("o_orderkey % 11 <> 0")
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.col("o_totalprice") * 2,
+                ).otherwise(F.col("o_totalprice")),
+            )
+        )
+        v3 = snapshot_write(v3_state, path, mode="overwrite")
+        # fold 1: seed state from v1
+        state = partial_agg_state(
+            read_snapshot(spark, path, version=v1), keys, "o_totalprice"
+        ).select(*keys, "n", "s")
+        # fold 2: append commit — incremental read, +1 weights only
+        appended = read_appends_between(spark, path, v1, v2)
+        state = apply_agg_delta(
+            state,
+            partial_agg_state(appended, keys, "o_totalprice").select(
+                *keys, "n", "s"
+            ),
+            keys,
+        )
+        # fold 3: update commit — changelog with retractions
+        clog = snapshot_changelog(
+            spark, path, v2, v3, keys=["o_orderkey"]
+        )
+        state = apply_agg_delta(
+            state,
+            changelog_agg_delta(clog, keys, "o_totalprice"),
+            keys,
+        )
+        return state.select(
+            "o_orderpriority",
+            F.col("n").alias("n_price"),
+            F.col("s").cast("double").alias("total_price"),
+            (F.col("s").cast("double") / F.col("n")).alias("avg_price"),
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -9587,10 +9803,14 @@ _REFRESH_FIRST: list[str] = [
     # two-pass — both caught by the new low-cardinality-window audit
     "ntile_binning", "ks_drift_grouped",
     # r9 threaded merge-on-read delete vectors through the shared read
-    # path (read_snapshot / scan_snapshot / both format sources) — every
-    # query whose scan may now apply delete files re-earns its verdict
+    # path (read_snapshot / scan_snapshot / both format sources) and
+    # the deletes-carry through commit_staged_files — every query
+    # whose scan or commit may now touch delete files re-earns its
+    # verdict
     "snapshot_time_travel", "snapshot_erase", "snapshot_merge_upsert",
     "snapshot_pruned_scan", "snapshot_incremental_read",
+    "snapshot_cdc", "snapshot_incremental_ingest", "snapshot_stream_tail",
+    "snapshot_format_write", "snapshot_format_stream_chain",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME

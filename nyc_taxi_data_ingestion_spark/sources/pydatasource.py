@@ -172,11 +172,62 @@ def register_synthetic_corpus(spark) -> None:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, file_abs: str, part_values: dict | None = None):
+    def __init__(
+        self,
+        file_abs: str,
+        part_values: dict | None = None,
+        file_rel: str | None = None,
+        delete_files: list | None = None,
+    ):
         self.file_abs = file_abs
         # Hive-encoded partition values parsed from the file's path
         # (raw strings / None) — attached as constant columns at read
         self.part_values = part_values or {}
+        # merge-on-read: this data file's path relative to the table
+        # root (the identity positional delete vectors key on) plus the
+        # version's delete parquet files (absolute paths) — the task
+        # loads the positions for ITS file and masks them out
+        self.file_rel = file_rel
+        self.delete_files = delete_files or []
+
+
+def _deleted_positions(delete_files: list, file_rel: str):
+    """The sorted 0-based row positions deleted from ``file_rel``, or
+    None when the vectors name none — executed TASK-side: each task
+    reads the delete parquet filtered to its own file (vectors are
+    written sorted by (file_path, pos), so the filter prunes row
+    groups), never the whole delete set per task."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    arrs = []
+    for df in delete_files:
+        t = pq.read_table(
+            df, filters=[("file_path", "==", file_rel)], columns=["pos"]
+        )
+        if t.num_rows:
+            arrs.append(t["pos"].to_numpy(zero_copy_only=False))
+    if not arrs:
+        return None
+    return np.unique(np.concatenate(arrs))
+
+
+def _mask_deleted(batch, dels, offset: int):
+    """Drop a batch's rows whose file positions [offset, offset+n) are
+    in the sorted delete-position array ``dels``. Returns the (maybe
+    filtered) batch; a batch with no deleted rows passes through
+    untouched (no copy)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = batch.num_rows
+    lo = int(np.searchsorted(dels, offset))
+    hi = int(np.searchsorted(dels, offset + n))
+    if hi == lo:
+        return batch
+    keep = np.ones(n, dtype=bool)
+    keep[dels[lo:hi] - offset] = False
+    return batch.filter(pa.array(keep))
 
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -450,6 +501,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"snapshot_stream: {exc} — restart the stream from a "
                 "fresh checkpoint (bootstrap re-reads the head)"
             ) from exc
+        # merge-on-read: the BOOTSTRAP window is the head STATE, so its
+        # delete vectors apply (a raw file read would resurrect deleted
+        # rows); past the bootstrap no vector can exist in the window —
+        # fresh_append_commits refuses to tail across a delete op
+        delete_files = []
+        if sv == 0:
+            dels = _S._load_manifest(self._path, ev).get("deletes") or {}
+            delete_files = [
+                os.path.join(self._path, drel, df)
+                for drel, dfs in sorted(dels.items())
+                for df in dfs
+            ]
         parts = []
         for rel, files in sorted(fresh.items()):
             for f in files:
@@ -457,6 +520,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         os.path.join(self._path, rel, f),
                         _partition_values(f),
+                        file_rel=f"{rel}/{f}",
+                        delete_files=delete_files,
                     )
                 )
         return parts
@@ -473,8 +538,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if self._arrow_schema is not None
             else []
         )
+        dels = (
+            _deleted_positions(partition.delete_files, partition.file_rel)
+            if partition.delete_files
+            else None
+        )
         pf = pq.ParquetFile(partition.file_abs)
+        offset = 0
         for b in pf.iter_batches():
+            n = b.num_rows
+            if dels is not None:
+                b = _mask_deleted(b, dels, offset)
+            offset += n
             if part_fields:
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values
@@ -636,6 +711,17 @@ class SnapshotBatchReader(DataSourceReader):
             else {}
         )
         stats = self._manifest.get("stats") or {}
+        # merge-on-read: ship the version's delete parquet list with
+        # every partition; each task loads positions for its own file.
+        # Deleted rows never widen a file's recorded bounds, so stats
+        # pruning below stays conservative-correct.
+        delete_files = [
+            os.path.join(self._path, drel, df)
+            for drel, dfs in sorted(
+                (self._manifest.get("deletes") or {}).items()
+            )
+            for df in dfs
+        ]
         parts = []
         for rel, files in sorted(self._manifest["commits"].items()):
             cstats = stats.get(rel) or {}
@@ -659,7 +745,10 @@ class SnapshotBatchReader(DataSourceReader):
                 if self._keep(bounds):
                     parts.append(
                         _FilePartition(
-                            os.path.join(self._path, rel, f), pv
+                            os.path.join(self._path, rel, f),
+                            pv,
+                            file_rel=f"{rel}/{f}",
+                            delete_files=delete_files,
                         )
                     )
         # an all-pruned plan still needs >=1 partition for an empty scan
@@ -671,8 +760,18 @@ class SnapshotBatchReader(DataSourceReader):
         if not partition.file_abs:
             return
         part_fields = self._part_fields(partition.part_values)
+        dels = (
+            _deleted_positions(partition.delete_files, partition.file_rel)
+            if partition.delete_files
+            else None
+        )
         pf = pq.ParquetFile(partition.file_abs)
+        offset = 0
         for b in pf.iter_batches():
+            n = b.num_rows
+            if dels is not None:
+                b = _mask_deleted(b, dels, offset)
+            offset += n
             if part_fields:
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values

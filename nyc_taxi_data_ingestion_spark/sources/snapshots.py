@@ -429,10 +429,15 @@ def commit_staged_files(
             continue
         commits: dict[str, list[str]] = {}
         stats: dict[str, dict[str, dict[str, list]]] = {}
+        deletes: dict[str, list[str]] = {}
         if mode == "append" and cur is not None:
             commits.update(parent["commits"])
-            # carried commits keep their recorded bounds
+            # carried commits keep their recorded bounds AND their
+            # positional delete vectors (the carried files still hold
+            # the deleted rows); an overwrite resets both with the
+            # file set
             stats.update(parent.get("stats") or {})
+            deletes.update(parent.get("deletes") or {})
         commits[commit_rel] = sorted(files)
 
         # table property: explicit list wins, None inherits the parent's
@@ -462,6 +467,8 @@ def commit_staged_files(
         if effective_stats_cols:
             manifest["stats_cols"] = effective_stats_cols
             manifest["stats"] = stats
+        if deletes:
+            manifest["deletes"] = deletes
         if merged_state:
             manifest["stream_state"] = merged_state
         if _commit_manifest(path, version, manifest):
@@ -524,7 +531,9 @@ def read_snapshot(
         else:
             version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
-    return _read_commits(spark, path, manifest["commits"])
+    return _read_commits(
+        spark, path, manifest["commits"], deletes=manifest.get("deletes")
+    )
 
 
 def bounds_exclude(bounds, lower=None, upper=None) -> bool:
@@ -694,7 +703,11 @@ def scan_snapshot(
         # every file proven empty: an empty frame with the head schema
         base = _read_commits(spark, path, manifest["commits"])
         return base.where(F.lit(False))
-    out = _read_commits(spark, path, pruned)
+    # MoR delete vectors never WIDEN recorded bounds, so stats pruning
+    # stays conservative-correct; surviving files still apply them
+    out = _read_commits(
+        spark, path, pruned, deletes=manifest.get("deletes")
+    )
     for col, lo, hi in preds:
         if lo is not None:
             out = out.where(F.col(col) >= F.lit(lo))
@@ -741,7 +754,10 @@ def scan_prune_stats(
 
 
 def _read_commits(
-    spark: SparkSession, path: str, commits: dict[str, list[str]]
+    spark: SparkSession,
+    path: str,
+    commits: dict[str, list[str]],
+    deletes: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Plan a read over manifest-listed commit dirs — the one place
     file lists become DataFrames (read_snapshot AND incremental reads
@@ -750,16 +766,72 @@ def _read_commits(
     commit entries (an empty frame written through the format API —
     engine-side writes always stage a schema-carrying empty part) are
     skipped; a version with NO files anywhere has no schema to plan
-    and raises."""
+    and raises.
+
+    ``deletes`` is the manifest's positional-delete map (merge-on-read
+    DML, :func:`snapshot_delete_mor`): when present, rows listed in
+    the delete vectors are anti-joined out; a table with no MoR
+    deletes pays ZERO overhead (no metadata columns, identical plan to
+    before)."""
+    if not deletes:
+        parts: list[DataFrame] = []
+        for commit_rel, files in sorted(commits.items()):
+            if not files:
+                continue
+            commit_abs = os.path.join(path, commit_rel)
+            parts.append(
+                spark.read.option("basePath", commit_abs).parquet(
+                    *[os.path.join(commit_abs, f) for f in files]
+                )
+            )
+        if not parts:
+            raise FileNotFoundError(
+                f"no data files in this version of {path}: an empty "
+                "table written through the format API carries no schema "
+                "to plan an empty frame from"
+            )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
+    tagged = _tagged_commits(spark, path, commits)
+    return _apply_delete_vectors(spark, path, tagged, deletes).drop(
+        "__snap_file", "__snap_pos"
+    )
+
+
+def _tagged_commits(
+    spark: SparkSession, path: str, commits: dict[str, list[str]]
+) -> DataFrame:
+    """:func:`_read_commits` with row provenance attached: ``__snap_file``
+    (data file path relative to the table root — the identity delete
+    vectors key on) and ``__snap_pos`` (0-based row position within the
+    file, Spark's parquet ``_metadata.row_index``). Both come from the
+    scanner itself, so they are exact at any parallelism — the same
+    (file, pos) identity Iceberg v2 positional deletes use."""
+    from pyspark.sql import functions as F
+
     parts: list[DataFrame] = []
     for commit_rel, files in sorted(commits.items()):
         if not files:
             continue
         commit_abs = os.path.join(path, commit_rel)
+        df = spark.read.option("basePath", commit_abs).parquet(
+            *[os.path.join(commit_abs, f) for f in files]
+        )
+        # _metadata.file_path is a URI; the part after .../<commit_rel>/
+        # is the file's path within the commit dir (commit dirs embed a
+        # uuid, so the delimiter cannot recur elsewhere in the path)
+        pat = re.escape("/" + commit_rel + "/") + "(.*)$"
         parts.append(
-            spark.read.option("basePath", commit_abs).parquet(
-                *[os.path.join(commit_abs, f) for f in files]
-            )
+            df.withColumn(
+                "__snap_file",
+                F.concat(
+                    F.lit(commit_rel + "/"),
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), pat, 1
+                    ),
+                ),
+            ).withColumn("__snap_pos", F.col("_metadata.row_index"))
         )
     if not parts:
         raise FileNotFoundError(
@@ -769,6 +841,39 @@ def _read_commits(
         )
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
+def _apply_delete_vectors(
+    spark: SparkSession,
+    path: str,
+    tagged: DataFrame,
+    deletes: dict[str, list[str]] | None,
+) -> DataFrame:
+    """Anti-join a :func:`_tagged_commits` frame against the manifest's
+    positional delete vectors. The delete side BROADCASTS: merge-on-read
+    is for scattered row-level deletes between compactions, so vector
+    volume is bounded by compaction cadence, not table size — when
+    vectors grow large, :func:`snapshot_compact` materializes them and
+    the next read pays nothing. Keeps the provenance tags (callers
+    drop them)."""
+    from pyspark.sql import functions as F
+
+    if not deletes:
+        return tagged
+    files = [
+        os.path.join(path, drel, f)
+        for drel, fs in sorted(deletes.items())
+        for f in fs
+    ]
+    if not files:
+        return tagged
+    dv = spark.read.parquet(*files).select("file_path", "pos").distinct()
+    return tagged.join(
+        F.broadcast(dv),
+        (tagged["__snap_file"] == dv["file_path"])
+        & (tagged["__snap_pos"] == dv["pos"]),
+        "left_anti",
     )
 
 
@@ -910,6 +1015,108 @@ def snapshot_delete(
     raise ConcurrentSnapshotError(
         f"delete at {path} lost 5 re-plan races — a writer loop is "
         f"outrunning this one"
+    )
+
+
+def snapshot_delete_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    max_commit_retries: int = 5,
+) -> int:
+    """MERGE-ON-READ row-level DELETE — Iceberg v2 positional delete
+    files: instead of rewriting every touched data file
+    (:func:`snapshot_delete`'s copy-on-write, which at 100 TB turns a
+    scattered 0.01% delete into a near-full-table rewrite), the
+    matching rows' identities — ``(file_path, pos)``, file path
+    relative to the table root and 0-based row position within the
+    file — land in a small parquet DELETE VECTOR, and every reader
+    (:func:`read_snapshot`, :func:`scan_snapshot`, both format
+    sources) anti-joins them out. Data files are NOT touched: the
+    commit is O(matching rows), not O(touched files).
+
+    Write amplification trade: reads pay a broadcast anti-join until
+    :func:`snapshot_compact` (or any overwrite) MATERIALIZES the
+    deletes — compaction reads through the vectors and lands a fresh
+    file set, so the overwrite manifest carries none. This is the
+    delete-file-compaction cycle the reference's Iceberg v2
+    maintenance presumes (``scripts/iceberg_maintenance.py:97-174``).
+
+    Semantics match :func:`snapshot_delete` exactly (SQL DELETE: only
+    predicate-TRUE rows go; NULL keeps the row) — proven by the
+    ``snapshot_delete_mor`` registry query, which hash-matches the
+    MoR read-back against the CoW result. History stays readable:
+    prior versions carry fewer (or no) vectors. Incremental
+    consumers: a MoR delete is a REWRITE for soundness purposes —
+    ``fresh_append_commits`` refuses to tail across it, same as
+    overwrite/merge/compact. A delete matching ZERO rows commits
+    nothing and returns the unchanged head. Returns the head version.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    for _ in range(max_commit_retries):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, head)
+        # plan against LIVE rows only (existing vectors applied): a
+        # re-delete of an already-deleted position would be harmless
+        # but bloats vectors; this keeps them minimal
+        tagged = _tagged_commits(spark, path, manifest["commits"])
+        live = _apply_delete_vectors(
+            spark, path, tagged, manifest.get("deletes")
+        )
+        hits = live.where(predicate.eqNullSafe(True)).select(
+            F.col("__snap_file").alias("file_path"),
+            F.col("__snap_pos").cast("long").alias("pos"),
+        )
+        delete_rel = os.path.join(
+            _DATA_DIR, f"d{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        delete_abs = os.path.join(path, delete_rel)
+        # globally sorted by (file_path, pos): task-side vector lookups
+        # for one data file touch one row-group range, not every file
+        hits.sort("file_path", "pos").write.mode("error").parquet(
+            delete_abs
+        )
+        files = []
+        n_rows = 0
+        for dirpath, _dirs, names in os.walk(delete_abs):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    full = os.path.join(dirpath, n)
+                    n_rows += pq.ParquetFile(full).metadata.num_rows
+                    files.append(os.path.relpath(full, delete_abs))
+        if n_rows == 0:
+            shutil.rmtree(delete_abs)  # nothing matched: no commit
+            return head
+        new_deletes = dict(manifest.get("deletes") or {})
+        new_deletes[delete_rel] = sorted(files)
+        new_manifest = {
+            "version": head + 1,
+            "parent": head,
+            "operation": "delete",
+            "timestamp": time.time(),
+            "partition_by": manifest.get("partition_by"),
+            "commits": manifest["commits"],
+            "deletes": new_deletes,
+        }
+        # table properties ride along unchanged — the data files (and
+        # their recorded bounds) are exactly the parent's
+        if manifest.get("stats_cols"):
+            new_manifest["stats_cols"] = manifest["stats_cols"]
+            new_manifest["stats"] = manifest.get("stats") or {}
+        if manifest.get("stream_state"):
+            new_manifest["stream_state"] = manifest["stream_state"]
+        if _commit_manifest(path, head + 1, new_manifest):
+            return head + 1
+        # lost the race: the vectors were computed against a head that
+        # no longer exists — discard and re-plan from the new head
+        shutil.rmtree(delete_abs)
+    raise ConcurrentSnapshotError(
+        f"MoR delete at {path} lost {max_commit_retries} re-plan races "
+        f"— a writer loop is outrunning this one"
     )
 
 
@@ -1080,7 +1287,16 @@ def read_appends_between(
     to_version, fresh = fresh_append_commits(path, from_version, to_version)
     if not fresh:
         return read_snapshot(spark, path, version=to_version).limit(0)
-    return _read_commits(spark, path, fresh)
+    # the bootstrap window is the head STATE, so the head's positional
+    # delete vectors apply (a plain file read would resurrect
+    # MoR-deleted rows); past the bootstrap no vector can exist in the
+    # window — fresh_append_commits refuses to tail across a delete op
+    dels = (
+        _load_manifest(path, to_version).get("deletes")
+        if from_version == 0
+        else None
+    )
+    return _read_commits(spark, path, fresh, deletes=dels)
 
 
 def snapshot_rollback(
@@ -1111,6 +1327,11 @@ def snapshot_rollback(
         # correspondingly rewound checkpoint) can then re-land them
         if target.get("stream_state"):
             manifest["stream_state"] = target["stream_state"]
+        # the rolled-back-to file set is only correct WITH its delete
+        # vectors: a rollback across a MoR delete must resurrect the
+        # rows, and one to after it must keep them deleted
+        if target.get("deletes"):
+            manifest["deletes"] = target["deletes"]
         if _commit_manifest(path, version, manifest):
             return version
     raise ConcurrentSnapshotError(
@@ -1146,6 +1367,79 @@ def snapshot_changes(
             c for c in old.columns if c in set(new.columns) and c not in keys
         ]
     return snapshot_diff(old, new, keys, compare_cols)
+
+
+def snapshot_changelog(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGELOG with values between two committed versions —
+    Delta's Change Data Feed row schema: every shared column plus
+    ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} (a changed key yields BOTH its old row as
+    preimage and its new row as postimage). This is the primitive
+    incremental view maintenance needs that :func:`snapshot_changes`'s
+    status-only diff cannot provide: downstream marts fold the
+    changelog algebraically — +1 weight for insert/postimage, −1 for
+    delete/preimage — instead of recomputing from the full table
+    (``operators/incremental.changelog_agg_delta``).
+
+    Scale shape: ONE full-outer co-shuffle of the two pinned versions
+    on the key (the floor for row-level diffing without per-commit row
+    tracking), then the pre/post pair is produced by a per-row explode
+    — the join is never evaluated twice. Unchanged keys emit nothing,
+    so the changelog is change-sized, not table-sized."""
+    from pyspark.sql import functions as F
+
+    if not keys:
+        raise ValueError("snapshot_changelog needs the table's key columns")
+    old = read_snapshot(spark, path, version=from_version)
+    new = read_snapshot(spark, path, version=to_version)
+    shared = [c for c in old.columns if c in set(new.columns)]
+    if compare_cols is None:
+        compare_cols = [c for c in shared if c not in keys]
+    o, n = old.alias("o"), new.alias("n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys],
+    )
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(F.col(f"o.{keys[0]}").isNull(), "added")
+        .when(F.col(f"n.{keys[0]}").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    entries = (
+        F.when(status == "added", F.array(F.lit("insert")))
+        .when(status == "removed", F.array(F.lit("delete")))
+        .when(
+            status == "changed",
+            F.array(F.lit("update_preimage"), F.lit("update_postimage")),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    j = o.join(n, cond, "full_outer").select(
+        *[F.col(f"o.{c}").alias(f"__o_{c}") for c in shared],
+        *[F.col(f"n.{c}").alias(f"__n_{c}") for c in shared],
+        F.explode(entries).alias("_change_type"),
+    )
+    from_old = F.col("_change_type").isin("delete", "update_preimage")
+    return j.select(
+        *[
+            F.when(from_old, F.col(f"__o_{c}"))
+            .otherwise(F.col(f"__n_{c}"))
+            .alias(c)
+            for c in shared
+        ],
+        "_change_type",
+    )
 
 
 def erase_rows(
@@ -1271,8 +1565,10 @@ def expire_snapshots(
     all_refs: set[str] = set()
     for s in snaps:
         all_refs.update(s["commits"])
+        all_refs.update(s.get("deletes") or {})
         if s["version"] in survivors:
             kept_refs.update(s["commits"])
+            kept_refs.update(s.get("deletes") or {})
     removed_dirs: list[str] = []
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):

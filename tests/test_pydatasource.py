@@ -666,3 +666,60 @@ def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
     )
     r2.partitions({"version": 8}, {"version": 9})  # restart mid-history
     assert r2.latestOffset() == {"version": 10}
+
+
+def test_snapshot_format_applies_mor_delete_vectors(spark, tmp_path):
+    """Both format sources must apply positional delete vectors: the
+    batch read at head hides deleted rows (while a pinned pre-delete
+    version read still shows them), pushdown pruning coexists with the
+    vectors, and a fresh stream's bootstrap batch applies them too."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+        register_snapshot_stream,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete_mor,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    register_snapshot_stream(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    v1 = snapshot_write(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshot_delete_mor(spark, path, F.col("id") % 2 == 0)
+
+    head = spark.read.format("snapshot").option("path", path).load()
+    assert sorted(r.id for r in head.collect()) == list(range(1, 100, 2))
+    pinned = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("version", v1)
+        .load()
+    )
+    assert pinned.count() == 100  # time travel resurrects
+    filtered = head.where(F.col("id") <= 20)
+    assert sorted(r.id for r in filtered.collect()) == list(range(1, 21, 2))
+
+    out = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("snapshot_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == list(range(1, 100, 2))

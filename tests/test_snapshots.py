@@ -837,3 +837,255 @@ def test_expire_sweeps_aged_staging_debris(spark, tmp_path):
     assert not os.path.exists(old_f)
     assert os.path.exists(new_f)  # young file: in-flight, protected
     assert read_snapshot(spark, path).count() == 10
+
+
+# -- merge-on-read deletes (Iceberg v2 positional delete vectors) ------------
+
+
+def _mor_table(spark, path):
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    return snapshot_write(
+        df.repartition(4), path, stats_cols=["id"]
+    )
+
+
+def test_mor_delete_no_rewrite_and_time_travel(spark, tmp_path):
+    """A MoR delete must leave the data-file set byte-identical, hide
+    the rows at the new head, and keep them readable at the parent
+    version (time travel across the delete)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = _mor_table(spark, path)
+    m1 = _load_manifest(path, v1)
+    v2 = snapshot_delete_mor(spark, path, F.col("grp") == 3)
+    m2 = _load_manifest(path, v2)
+    assert m2["commits"] == m1["commits"]
+    assert m2["operation"] == "delete"
+    assert m2.get("deletes")
+    ids_head = sorted(r.id for r in read_snapshot(spark, path).collect())
+    assert ids_head == sorted(i for i in range(100) if i % 10 != 3)
+    ids_v1 = sorted(
+        r.id for r in read_snapshot(spark, path, version=v1).collect()
+    )
+    assert ids_v1 == list(range(100))
+
+
+def test_mor_delete_matches_cow_delete(spark, tmp_path):
+    """MoR and CoW deletes of the same predicate must produce identical
+    head states (the registry query's contract, pinned here too)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete,
+        snapshot_delete_mor,
+    )
+
+    p1, p2 = str(tmp_path / "mor"), str(tmp_path / "cow")
+    _mor_table(spark, p1)
+    _mor_table(spark, p2)
+    pred = (F.col("id") % 7 == 0) | (F.col("grp") == 5)
+    snapshot_delete_mor(spark, p1, pred)
+    snapshot_delete(spark, p2, pred)
+    a = sorted(tuple(r) for r in read_snapshot(spark, p1).collect())
+    b = sorted(tuple(r) for r in read_snapshot(spark, p2).collect())
+    assert a == b
+
+
+def test_mor_null_predicate_keeps_rows_and_zero_match_no_commit(
+    spark, tmp_path
+):
+    """SQL DELETE semantics: NULL predicate keeps the row; a delete
+    matching nothing commits NO new version (and stages no debris the
+    next expiry can't reclaim)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, s string"
+    )
+    v1 = snapshot_write(df, path)
+    v2 = snapshot_delete_mor(spark, path, F.col("s") == "a")
+    assert v2 == v1 + 1
+    rows = sorted(
+        (r.id, r.s) for r in read_snapshot(spark, path).collect()
+    )
+    assert rows == [(2, None), (3, "b")]  # NULL row kept
+    v3 = snapshot_delete_mor(spark, path, F.col("s") == "zzz")
+    assert v3 == v2  # nothing matched: unchanged head
+
+
+def test_mor_vectors_accumulate_append_carries_rollback_restores(
+    spark, tmp_path
+):
+    """Stacked deletes accumulate vectors; an append CARRIES them (the
+    old files still hold the deleted rows); rollback across a delete
+    resurrects, rollback to after it keeps the rows deleted."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_delete_mor,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = _mor_table(spark, path)
+    v2 = snapshot_delete_mor(spark, path, F.col("id") < 10)
+    v3 = snapshot_delete_mor(spark, path, F.col("id") >= 90)
+    mid = spark.range(1000, 1005).select(
+        F.col("id"), F.lit(0).alias("grp")
+    )
+    v4 = snapshot_write(mid, path, mode="append")
+    ids = sorted(r.id for r in read_snapshot(spark, path).collect())
+    assert ids == list(range(10, 90)) + list(range(1000, 1005))
+    v5 = snapshot_rollback(path, v1)
+    assert sorted(
+        r.id for r in read_snapshot(spark, path, version=v5).collect()
+    ) == list(range(100))
+    v6 = snapshot_rollback(path, v3)
+    assert sorted(
+        r.id for r in read_snapshot(spark, path, version=v6).collect()
+    ) == list(range(10, 90))
+
+
+def test_mor_compaction_materializes_and_gc_keeps_live_vectors(
+    spark, tmp_path
+):
+    """Compaction reads through the vectors and lands a vector-free
+    overwrite; expiry GC treats delete dirs as referenced while any
+    surviving manifest lists them, and reclaims them after."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_compact,
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    _mor_table(spark, path)
+    v2 = snapshot_delete_mor(spark, path, F.col("grp") == 0)
+    m2 = _load_manifest(path, v2)
+    (del_rel,) = m2["deletes"]
+    assert os.path.isdir(os.path.join(path, del_rel))
+    # GC with the delete version surviving: vector dir must stay
+    gc = expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
+    assert del_rel not in gc["removed_commit_dirs"]
+    v3 = snapshot_compact(spark, path, target_partitions=2)
+    m3 = _load_manifest(path, v3)
+    assert "deletes" not in m3
+    ids = sorted(
+        r.id for r in read_snapshot(spark, path, version=v3).collect()
+    )
+    assert ids == sorted(i for i in range(100) if i % 10 != 0)
+    # now nothing references the vectors: GC reclaims the dir
+    gc2 = expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
+    assert del_rel in gc2["removed_commit_dirs"]
+    assert not os.path.exists(os.path.join(path, del_rel))
+
+
+def test_mor_delete_breaks_incremental_tail_but_not_bootstrap(
+    spark, tmp_path
+):
+    """A MoR delete is a rewrite for incremental soundness: tailing
+    across it raises; a BOOTSTRAP (from_version=0) read of the head
+    state applies the vectors instead of resurrecting rows."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+        snapshot_delete_mor,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = _mor_table(spark, path)
+    v2 = snapshot_delete_mor(spark, path, F.col("id") < 50)
+    with pytest.raises(ValueError, match="not append"):
+        read_appends_between(spark, path, v1, v2)
+    boot = read_appends_between(spark, path, 0, v2)
+    assert sorted(r.id for r in boot.collect()) == list(range(50, 100))
+
+
+def test_mor_scan_snapshot_prunes_and_applies_vectors(spark, tmp_path):
+    """scan_snapshot after a MoR delete: recorded bounds still prune
+    (vectors never touch stats) AND surviving files' deleted rows stay
+    hidden."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_delete_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    snapshot_write(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshot_delete_mor(spark, path, F.col("id") % 2 == 0)
+    pstats = scan_prune_stats(path, "id", 0, 20)
+    assert pstats["pruned_files"] > 0
+    got = sorted(
+        r.id for r in scan_snapshot(spark, path, "id", 0, 20).collect()
+    )
+    assert got == [i for i in range(0, 21) if i % 2 == 1]
+
+
+def test_snapshot_changelog_cdf_rows_and_key_migration(spark, tmp_path):
+    """snapshot_changelog must emit Delta-CDF-shaped rows: insert for
+    added keys, delete for removed, preimage+postimage PAIR for
+    changed — including a row whose MART key migrates (the fold must
+    retract from the old group and add to the new)."""
+    from nyc_taxi_data_ingestion_spark.operators.incremental import (
+        apply_agg_delta,
+        changelog_agg_delta,
+        partial_agg_state,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_changelog,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    v1_rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)]
+    v2_rows = [
+        (1, "a", 10.0),   # unchanged -> no changelog row
+        (2, "b", 20.0),   # group migration a -> b
+        (4, "b", 40.0),   # inserted
+    ]                     # key 3 removed
+    schema = "k long, g string, v double"
+    v1 = snapshot_write(spark.createDataFrame(v1_rows, schema), path)
+    v2 = snapshot_write(
+        spark.createDataFrame(v2_rows, schema), path, mode="overwrite"
+    )
+    clog = snapshot_changelog(spark, path, v1, v2, keys=["k"])
+    got = sorted(
+        (r.k, r.g, r.v, r._change_type) for r in clog.collect()
+    )
+    assert got == [
+        (2, "a", 20.0, "update_preimage"),
+        (2, "b", 20.0, "update_postimage"),
+        (3, "b", 30.0, "delete"),
+        (4, "b", 40.0, "insert"),
+    ]
+    state = partial_agg_state(
+        spark.createDataFrame(v1_rows, schema), ["g"], "v"
+    ).select("g", "n", "s")
+    folded = apply_agg_delta(
+        state, changelog_agg_delta(clog, ["g"], "v"), ["g"]
+    )
+    want = partial_agg_state(
+        spark.createDataFrame(v2_rows, schema), ["g"], "v"
+    ).select("g", "n", "s")
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, want.collect())
+    )
