@@ -769,24 +769,29 @@ def _ivfadc_search(
     join → ADC scoring → per-query top-k) over ANY (neighbor_id,
     cell, codes) frame — built fresh by ``ivfpq_topk``, read from
     disk by ``ann_index_topk``. One implementation so the two paths
-    stay bit-identical BY CONSTRUCTION, not just by test."""
+    stay bit-identical BY CONSTRUCTION, not just by test.
+
+    The ADC lookup tables are computed EXECUTOR-SIDE, per Arrow batch,
+    for only the queries that batch contains (codebooks ride the task
+    closure — m·256·d/m doubles, KBs): the query frame is never
+    collected to the driver, so a corpus-sized query set cannot OOM it
+    building a (Q, m, 256) tensor (r8 verdict item 4). Each query's
+    LUT row is computed independently (row-wise normalize + einsum),
+    so per-batch recomputation is bit-identical to a global LUT at
+    ~16k mults per distinct query per batch. The probe join broadcasts
+    the exploded (query_id, cell, vector) frame — the explicit
+    executor-memory bound on query volume: a query set past the
+    broadcast limit fails Spark's own size check loudly instead of
+    silently flattening the driver; route such sets through
+    ``pq_topk``'s chunked path or score corpus-vs-corpus via
+    ``semantic_dedup``'s cell-scoped form."""
     from pyspark.sql import Window
 
-    spark = queries.sparkSession
     _SCHEMA = "query_id long, neighbor_id long, cosine_sim double"
     probe = _nearest_cells_udf(centroids, nprobe)
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("v")
-    ).collect()
-    if not q_rows:  # empty batch: empty result, not a numpy axis crash
-        return spark.createDataFrame([], _SCHEMA + ", rank int")
-    lut = _pq_lut(
-        np.asarray([np.asarray(r.v, dtype=np.float64) for r in q_rows]), books
-    )
-    q_index = {r.qid: i for i, r in enumerate(q_rows)}
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     cand = codes_df.join(F.broadcast(q), "cell").filter(
@@ -797,6 +802,14 @@ def _ivfadc_search(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            firsts = pdf.drop_duplicates("query_id")
+            qvecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in firsts["__qv"]]
+            )
+            lut = _pq_lut(qvecs, books)
+            q_index = {
+                qid: i for i, qid in enumerate(firsts["query_id"])
+            }
             codes = np.asarray(list(pdf["codes"]), dtype=np.int64)
             qi = pdf["query_id"].map(q_index).to_numpy()
             scores = np.zeros(len(pdf))
@@ -810,9 +823,9 @@ def _ivfadc_search(
                 }
             )
 
-    scored = cand.select("query_id", "neighbor_id", "codes").mapInPandas(
-        _score, _SCHEMA
-    )
+    scored = cand.select(
+        "query_id", "neighbor_id", "codes", "__qv"
+    ).mapInPandas(_score, _SCHEMA)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

@@ -254,11 +254,13 @@ def _infer_partition_fields(manifest: dict) -> list:
     """Arrow fields for the Hive-encoded partition columns of a
     version, typed by Spark-style inference over every raw dir value
     in the manifest: int32 when every value fits, else int64, else
-    float64, else string (dates/timestamps stay strings — narrower
-    than Spark's own inference, so a date-partitioned table reads its
-    partition column as string through the format; use
-    snapshots.read_snapshot when typed dates matter). Inference is
-    over the WHOLE version so mixed commits can't flip a column's
+    float64, else date32 when every value is a calendar-valid ISO
+    yyyy-MM-dd (matching Spark's own partition inference, which types
+    date-partitioned tables as DateType — r8 left these as strings and
+    the two read paths exposed different schemas for one table), else
+    string (timestamp-looking values stay strings; use
+    snapshots.read_snapshot when typed timestamps matter). Inference
+    is over the WHOLE version so mixed commits can't flip a column's
     type file-to-file."""
     import pyarrow as pa
 
@@ -289,7 +291,12 @@ def _infer_partition_fields(manifest: dict) -> list:
                         _strict_float(v)
                     typ = pa.float64()
                 except ValueError:
-                    typ = pa.string()
+                    try:
+                        for v in vals:
+                            _strict_date(v)
+                        typ = pa.date32()
+                    except ValueError:
+                        typ = pa.string()
         fields.append(pa.field(k, typ, nullable=True))
     return fields
 
@@ -326,6 +333,25 @@ def _strict_float(v: str) -> float:
     return float(v)
 
 
+_DATE_RE = None
+
+
+def _strict_date(v: str):
+    """ISO yyyy-MM-dd only — the form Spark's own partition inference
+    recognizes as DateType; calendar-validated (2024-02-30 is a string,
+    not a date)."""
+    global _DATE_RE
+    if _DATE_RE is None:
+        import re
+
+        _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+    if not _DATE_RE.match(v):
+        raise ValueError(f"not an ISO date literal: {v!r}")
+    import datetime
+
+    return datetime.date(int(v[0:4]), int(v[5:7]), int(v[8:10]))
+
+
 def _typed_partition_value(raw, pa_type):
     """One raw dir value as the python scalar matching the inferred
     Arrow type (None passes through). Only int/float/string partition
@@ -343,11 +369,13 @@ def _typed_partition_value(raw, pa_type):
         return _strict_float(raw)
     if pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type):
         return raw
+    if pa.types.is_date(pa_type):
+        return _strict_date(raw)
     raise ValueError(
         f"partition value {raw!r} cannot be reconstructed as Arrow "
         f"type {pa_type} — the snapshot format sources rebuild only "
-        f"int/float/string partition columns from Hive paths; read "
-        f"this table via snapshots.read_snapshot"
+        f"int/float/date/string partition columns from Hive paths; "
+        f"read this table via snapshots.read_snapshot"
     )
 
 
@@ -432,10 +460,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
     """Partition-planned stream reader over a snapshot table.
 
     - ``initialOffset`` = version 0 (nothing consumed; bootstrap batch
-      is the whole head file set), or ``startingVersion`` (Delta's
-      option: consume only commits AFTER that version — history before
-      it is someone else's business; the bootstrap-vs-rewrite
-      soundness rule then applies from that cursor).
+      is the whole head file set), or ``startingVersion`` with Delta's
+      INCLUSIVE contract: the named version's own commit is consumed
+      (the cursor starts at startingVersion − 1, so the first window
+      is (startingVersion − 1, head]); history before it is someone
+      else's business, and the bootstrap-vs-rewrite soundness rule
+      applies from that cursor. ``startingVersion=1`` therefore lands
+      on the bootstrap cursor 0: for an append-only history that IS
+      commits 1..head; across rewrites it is the head state — the only
+      sound meaning of "everything from the first version".
     - ``latestOffset`` = current head version, optionally admission-
       controlled by ``maxVersionsPerTrigger`` (Delta's
       maxFilesPerTrigger at commit granularity): each micro-batch
@@ -474,7 +507,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None  # newest end this reader planned
 
     def initialOffset(self) -> dict:
-        return {"version": self._starting_version}
+        # Delta-inclusive: consuming FROM startingVersion means the
+        # cursor sits one version before it (windows are (from, to])
+        return {"version": max(0, self._starting_version - 1)}
 
     def latestOffset(self) -> dict:
         head = _S.current_version(self._path) or 0
@@ -932,9 +967,25 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         )
 
     def commit(self, messages):
+        import contextlib
+
         files = sorted(
             f for m in messages if m is not None for f in m.files
         )
+        # sweep unlisted attempt files BEFORE the manifest lands: a
+        # failed or speculative task attempt staged a file no commit
+        # message names, and once the dir is manifest-referenced the
+        # orphan GC can never reclaim it (readers plan from the
+        # manifest's file list, so the leak is storage-only — but it
+        # is forever). The dir is exclusively this writer's (uuid per
+        # write), so anything unlisted is provably a dead attempt.
+        commit_abs = os.path.join(self._path, self._commit_rel)
+        listed = set(files)
+        if os.path.isdir(commit_abs):
+            for name in os.listdir(commit_abs):
+                if name.endswith(".parquet") and name not in listed:
+                    with contextlib.suppress(OSError):
+                        os.unlink(os.path.join(commit_abs, name))
         _S.commit_staged_files(
             self._path,
             self._commit_rel,
@@ -1057,10 +1108,28 @@ def register_snapshot_format(spark) -> None:
     no-pushdown planning, so this is additive, not behavior-changing —
     but a third-party source with a buggy hook would start receiving
     filters). Sessions built via ``session.get_spark`` set it at build
-    time instead; this runtime set is the fallback for vanilla
-    sessions."""
+    time and hit the silent no-op branch here (r8 verdict item 4: a
+    pre-configured session is not touched). A session where the conf
+    still reads false (Spark cannot distinguish its shipped default
+    from an explicit choice) gets the set WITH a loud warning naming
+    the side effect — without it the source plans but never prunes,
+    and a vanilla session is the common case."""
+    import warnings
+
     _pickle_sources_by_value()
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    conf = "spark.sql.python.filterPushdown.enabled"
+    if (spark.conf.get(conf, "false") or "false").lower() != "true":
+        warnings.warn(
+            f"register_snapshot_format: setting session-global {conf}="
+            f"true so the snapshot source's pushFilters hook receives "
+            f"filters — this also enables pushdown for every other "
+            f"Python data source in this session. Set the conf "
+            f"explicitly at session build (session.get_spark does) to "
+            f"silence this; set it false AFTER registering to opt out "
+            f"of pruning.",
+            stacklevel=2,
+        )
+        spark.conf.set(conf, "true")
     spark.dataSource.register(SnapshotDataSource)
 
 

@@ -1496,3 +1496,39 @@ def test_auto_nprobe_derivation():
     assert auto_nprobe(100) == 10
     assert auto_nprobe(4096) == 64
     assert auto_nprobe(6, lo=8) == 6   # capped at the cell count
+
+
+def test_ivfadc_corpus_sized_queries_and_batch_independence(spark, emb):
+    """r9 (verdict r8 item 4): the IVFADC query path must never collect
+    the query frame to the driver — a CORPUS-SIZED query set completes
+    with k neighbors per query; and because ADC LUTs are now computed
+    per Arrow batch, results must be BIT-IDENTICAL whatever the batch
+    composition (forced here by shrinking maxRecordsPerBatch)."""
+    from nyc_taxi_data_ingestion_spark.llm.similarity import ivfpq_topk
+
+    corpus = emb.limit(400)
+    out = ivfpq_topk(
+        corpus, corpus, k=3, num_cells=16, nprobe=16, m=16, nbits=8
+    )
+    per_q = out.groupBy("query_id").count().collect()
+    assert len(per_q) == 400
+    assert all(r["count"] == 3 for r in per_q)
+
+    q10 = emb.limit(10)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf)
+    big = sorted(
+        map(tuple, ivfpq_topk(
+            q10, corpus, k=5, num_cells=16, nprobe=8, m=16, nbits=8
+        ).collect())
+    )
+    try:
+        spark.conf.set(conf, "7")  # force many tiny, mixed batches
+        small = sorted(
+            map(tuple, ivfpq_topk(
+                q10, corpus, k=5, num_cells=16, nprobe=8, m=16, nbits=8
+            ).collect())
+        )
+    finally:
+        spark.conf.set(conf, prev)
+    assert big == small

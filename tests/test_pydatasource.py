@@ -587,12 +587,12 @@ def test_snapshot_format_reads_partitioned_tables(spark, tmp_path):
 
 
 def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
-    """Delta-parity stream-source options (r8): startingVersion skips
-    history (only commits AFTER it are consumed) and
-    maxVersionsPerTrigger bounds each micro-batch's commit window —
-    chained into a snapshot sink, the number of sink versions proves
-    the batch granularity, and the union of rows proves nothing was
-    lost or duplicated by the gating."""
+    """Delta-parity stream-source options (r8; r9 made startingVersion
+    INCLUSIVE, Delta's actual contract — the named version's own
+    commit is consumed) and maxVersionsPerTrigger bounds each
+    micro-batch's commit window — chained into a snapshot sink, the
+    union of rows proves nothing was lost or duplicated by the
+    gating."""
     import pyspark.sql.functions as F
 
     from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
@@ -612,7 +612,7 @@ def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
         snapshot_write(spark.range(lo, hi), src, mode="append")
     assert current_version(src) == 5
 
-    # startingVersion=3: only commits 4 and 5 (ids 45..99)
+    # startingVersion=3, INCLUSIVE (Delta): commits 3, 4, 5 (ids 25..99)
     dst1 = str(tmp_path / "b1")
     q = (
         spark.readStream.format("snapshot_stream")
@@ -628,7 +628,7 @@ def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert sorted(r.id for r in read_snapshot(spark, dst1).collect()) == list(
-        range(45, 100)
+        range(25, 100)
     )
 
     # maxVersionsPerTrigger: the gate binds from the SECOND window of
@@ -723,3 +723,122 @@ def test_snapshot_format_applies_mor_delete_vectors(spark, tmp_path):
     assert q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert sorted(r.id for r in got.collect()) == list(range(1, 100, 2))
+
+
+def test_register_snapshot_format_preserves_preconfigured_conf(spark):
+    """r9 (verdict r8 item 4): registering the format must be a silent
+    no-op on a session whose pushdown conf is already true, and must
+    warn (not silently mutate) when it has to flip the session-global
+    conf for a vanilla session."""
+    import warnings
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "true")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning -> failure
+            register_snapshot_format(spark)
+        assert spark.conf.get(conf) == "true"
+
+        spark.conf.set(conf, "false")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            register_snapshot_format(spark)
+        assert any("session-global" in str(w.message) for w in caught)
+        assert spark.conf.get(conf) == "true"  # set, loudly
+    finally:
+        spark.conf.set(conf, prev)
+
+
+def test_snapshot_format_infers_date_partitions(spark, tmp_path):
+    """r9 (advice): an ISO-date-partitioned table must read its
+    partition column as DateType through the format source — the same
+    schema snapshots.read_snapshot exposes — with calendar-invalid or
+    mixed values still falling back to string."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "id long, d string",
+    ).withColumn("d", F.to_date("d"))
+    snapshot_write(df, path, partition_by=["d"])
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    assert dict(fmt.dtypes)["d"] == "date"
+    eng = read_snapshot(spark, path)
+    assert dict(eng.dtypes)["d"] == "date"
+    got = sorted((r.id, r.d) for r in fmt.collect())
+    assert got == [
+        (1, datetime.date(2024, 1, 1)),
+        (2, datetime.date(2024, 1, 2)),
+        (3, datetime.date(2024, 1, 2)),
+    ]
+    # date-valued pushdown prunes on the [v, v] partition bounds
+    sel = fmt.where(F.col("d") == F.lit(datetime.date(2024, 1, 1)))
+    assert [r.id for r in sel.collect()] == [1]
+    # calendar-invalid dir value: column stays string (never corrupts)
+    path2 = str(tmp_path / "t2")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "2024-02-30"), (2, "2024-01-01")], "id long, d string"
+        ),
+        path2,
+        partition_by=["d"],
+    )
+    fmt2 = spark.read.format("snapshot").option("path", path2).load()
+    assert dict(fmt2.dtypes)["d"] == "string"
+
+
+def test_snapshot_format_writer_sweeps_dead_attempt_files(spark, tmp_path):
+    """r9 (advice): a failed/speculative task attempt's parquet in the
+    commit dir is swept at commit time — once the manifest lands the
+    dir is referenced forever, so an unlisted file would otherwise
+    leak permanently."""
+    import glob
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        _SnapshotCommitMessage,
+        SnapshotBatchWriter,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    w = SnapshotBatchWriter(path, overwrite=False, options={})
+    commit_abs = os.path.join(path, w._commit_rel)
+    os.makedirs(commit_abs)
+    # a real task file plus a dead attempt's file
+    spark.range(0, 5).toPandas().to_parquet(
+        os.path.join(commit_abs, "part-live.parquet")
+    )
+    spark.range(90, 95).toPandas().to_parquet(
+        os.path.join(commit_abs, "part-deadattempt.parquet")
+    )
+    w.commit([_SnapshotCommitMessage(files=["part-live.parquet"], rows=5)])
+    left = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(commit_abs, "*.parquet"))
+    )
+    assert left == ["part-live.parquet"]
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [
+        0, 1, 2, 3, 4
+    ]
