@@ -9016,6 +9016,105 @@ def q_snapshot_format_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
+_SNAPSHOT_FMT_PART_WRITE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST((o_totalprice) AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_format_partitioned_write", _SNAPSHOT_FMT_PART_WRITE_ORACLE,
+    tags=["S8", "S11", "S15"],
+)
+def q_snapshot_format_partitioned_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partitioned (Hive-layout) WRITE through the format API (r9 —
+    ``.option("partitionBy", …)``): each executor task splits its
+    Arrow stream across ``o_orderpriority=…`` directories with the
+    partition column stripped from file content, exactly the layout
+    ``snapshot_write(partition_by=…)`` produces via Spark's native
+    writer; the frame is pre-repartitioned on the partition column so
+    each value lands in one file (the no-shuffle-in-the-API contract).
+    Read-back goes through the format source, whose pushFilters prunes
+    sibling partitions via the [v, v] partition bounds — an in-query
+    raise proves the pruning actually happened (3 of 5 priorities must
+    leave the plan). The oracle recomputes from raw orders."""
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        _table_arrow_schema,
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+    )
+
+    register_snapshot_format(spark)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapfmtpw_") + "/t"
+    try:
+        (
+            orders.repartition(4, "o_orderpriority")
+            .write.format("snapshot")
+            .mode("append")
+            .option("path", path)
+            .option("partitionBy", "o_orderpriority")
+            .save()
+        )
+        m = _load_manifest(path, current_version(path))
+        if m["partition_by"] != ["o_orderpriority"]:
+            raise RuntimeError(
+                f"format write lost the partition spec: {m}"
+            )
+        # unit-level prune proof on the reader (the plan-side effect a
+        # row compare can't see): the IN-pair filter must drop the
+        # other three priorities' files
+        from pyspark.sql.datasource import EqualTo
+
+        schema = _table_arrow_schema(path, m)
+        r_all = SnapshotBatchReader(path, m, schema)
+        total = len(r_all.partitions())
+        r_one = SnapshotBatchReader(path, m, schema)
+        r_one.pushFilters([EqualTo(("o_orderpriority",), "2-HIGH")])
+        kept = len(r_one.partitions())
+        if not kept < total:
+            raise RuntimeError(
+                f"partition-value pushdown pruned nothing: "
+                f"{kept}/{total} files kept"
+            )
+        got = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .load()
+            .filter(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            )
+        )
+        return (
+            got.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 _SNAPSHOT_FMT_CHAIN_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

@@ -233,6 +233,19 @@ def _mask_deleted(batch, dels, offset: int):
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _hive_dir_value(v) -> str:
+    """A partition value as its Hive directory token — the inverse of
+    :func:`_partition_values`: URL-escaped string form, None (and the
+    float-NaN pandas sometimes smuggles in for nulls) as the Hive
+    sentinel. Dates format ISO, so the write side round-trips with the
+    read side's date32 inference."""
+    from urllib.parse import quote
+
+    if v is None or (isinstance(v, float) and v != v):
+        return _HIVE_NULL
+    return quote(str(v), safe="")
+
+
 def _partition_values(rel_path: str) -> dict:
     """Hive-encoded partition values from a data file's path within
     its commit dir (``col=value/…/part.parquet``): URL-unescaped, with
@@ -915,13 +928,16 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     Options: ``statsCols`` (comma list) enables manifest bounds for
     this commit and onward (None inherits the table property, the
-    snapshot_write contract). Partitioned (Hive-layout) WRITES are not
-    supported through the format (a task cannot split its batch stream
-    across value-directories without a shuffle the API does not own) —
-    use snapshots.snapshot_write(partition_by=…); both format READERS
-    handle partitioned tables fine. Storage must be shared across
-    executors and driver (the layer-wide assumption; on object stores
-    swap the manifest link for a conditional PUT)."""
+    snapshot_write contract). ``partitionBy`` (comma list) writes a
+    Hive layout — each task splits its batch stream across
+    ``col=value`` directories (one open file per distinct tuple it
+    sees, partition columns stripped from file content like Spark's
+    own partitionBy; NULLs use the Hive sentinel). The API owns no
+    shuffle, so file count is tasks × values-per-task: repartition on
+    the partition columns first for one file per value, exactly
+    Spark's guidance for its native writers. Storage must be shared
+    across executors and driver (the layer-wide assumption; on object
+    stores swap the manifest link for a conditional PUT)."""
 
     def __init__(self, path: str, overwrite: bool, options: dict):
         self._path = path
@@ -931,6 +947,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             [c.strip() for c in sc.split(",") if c.strip()]
             if sc is not None
             else None
+        )
+        pb = options.get("partitionby")
+        self._partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
         )
         head = _S.current_version(path) or 0
         import uuid
@@ -946,6 +966,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
         commit_abs = os.path.join(self._path, self._commit_rel)
         os.makedirs(commit_abs, exist_ok=True)
+        if self._partition_by:
+            return self._write_partitioned(iterator, commit_abs)
         rel = f"part-{uuid.uuid4().hex[:16]}.parquet"
         writer = None
         rows = 0
@@ -966,6 +988,69 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             files=[rel] if writer is not None else [], rows=rows
         )
 
+    def _write_partitioned(self, iterator, commit_abs: str):
+        """Hive-layout task write: split each Arrow batch by its
+        partition-value tuple (vectorized pandas grouping, ~one take
+        per distinct tuple per batch), stream each group to its
+        ``col=value/…`` file with the partition columns REMOVED from
+        file content (read paths reconstruct them from the path — the
+        layout snapshots.snapshot_write produces via Spark's own
+        partitionBy)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pcols = self._partition_by
+        writers: dict = {}  # value tuple -> (ParquetWriter, rel_path)
+        rows = 0
+        try:
+            for batch in iterator:
+                missing = [c for c in pcols if c not in batch.schema.names]
+                if missing:
+                    raise ValueError(
+                        f"partitionBy column(s) {missing} absent from "
+                        f"the written frame"
+                    )
+                keep = [c for c in batch.schema.names if c not in pcols]
+                if not keep:
+                    raise ValueError(
+                        "partitionBy strips every column — nothing "
+                        "left to store in the data files"
+                    )
+                # exact typed group keys straight from Arrow (None stays
+                # None, ints stay ints — a pandas round-trip would NaN-
+                # float nullable ints and split the null group per batch)
+                cols_py = [batch.column(c).to_pylist() for c in pcols]
+                idx_by_key: dict = {}
+                for i, key in enumerate(zip(*cols_py)):
+                    idx_by_key.setdefault(key, []).append(i)
+                data = pa.Table.from_batches([batch.select(keep)])
+                for key, idx in idx_by_key.items():
+                    if key not in writers:
+                        rel = os.path.join(
+                            *[
+                                f"{c}={_hive_dir_value(v)}"
+                                for c, v in zip(pcols, key)
+                            ],
+                            f"part-{uuid.uuid4().hex[:16]}.parquet",
+                        )
+                        full = os.path.join(commit_abs, rel)
+                        os.makedirs(os.path.dirname(full), exist_ok=True)
+                        writers[key] = (
+                            pq.ParquetWriter(full, data.schema),
+                            rel,
+                        )
+                    sub = data.take(pa.array(idx, type=pa.int32()))
+                    writers[key][0].write_table(sub)
+                    rows += sub.num_rows
+        finally:
+            for w, _rel in writers.values():
+                w.close()
+        return _SnapshotCommitMessage(
+            files=[rel for _w, rel in writers.values()], rows=rows
+        )
+
     def commit(self, messages):
         import contextlib
 
@@ -982,15 +1067,19 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         commit_abs = os.path.join(self._path, self._commit_rel)
         listed = set(files)
         if os.path.isdir(commit_abs):
-            for name in os.listdir(commit_abs):
-                if name.endswith(".parquet") and name not in listed:
-                    with contextlib.suppress(OSError):
-                        os.unlink(os.path.join(commit_abs, name))
+            for dirpath, _dirs, names in os.walk(commit_abs):
+                for name in names:
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, commit_abs)
+                    if name.endswith(".parquet") and rel not in listed:
+                        with contextlib.suppress(OSError):
+                            os.unlink(full)
         _S.commit_staged_files(
             self._path,
             self._commit_rel,
             files,
             mode=self._mode,
+            partition_by=self._partition_by,
             stats_cols=self._stats_cols,
         )
 

@@ -1120,6 +1120,37 @@ def snapshot_delete_mor(
     )
 
 
+def delete_debt(path: str, version: int | None = None) -> dict:
+    """How much merge-on-read debt a version carries — the audit that
+    tells an operator when to :func:`snapshot_compact` the vectors
+    away (Iceberg's delete-file compaction trigger): every read of
+    this version pays a broadcast anti-join over ``deleted_rows``
+    positions until an overwrite materializes them. Footer-count only
+    (driver-side, ~ms per vector file, no Spark). Returns
+    ``{"data_files", "delete_files", "deleted_rows"}``."""
+    import pyarrow.parquet as pq
+
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    manifest = _load_manifest(path, version)
+    data_files = sum(len(fs) for fs in manifest["commits"].values())
+    deletes = manifest.get("deletes") or {}
+    n_files = n_rows = 0
+    for drel, fs in deletes.items():
+        for f in fs:
+            n_files += 1
+            n_rows += pq.ParquetFile(
+                os.path.join(path, drel, f)
+            ).metadata.num_rows
+    return {
+        "data_files": data_files,
+        "delete_files": n_files,
+        "deleted_rows": n_rows,
+    }
+
+
 def stats_coverage(path: str, version: int | None = None) -> dict:
     """How much of a version's file set actually carries prunable
     bounds, per stats column — the audit that makes silent
@@ -1327,6 +1358,12 @@ def snapshot_rollback(
         # correspondingly rewound checkpoint) can then re-land them
         if target.get("stream_state"):
             manifest["stream_state"] = target["stream_state"]
+        # recorded bounds belong to the FILE SET, which is exactly the
+        # target's — dropping them here would silently turn every
+        # post-rollback scan unprunable (r9)
+        if target.get("stats_cols"):
+            manifest["stats_cols"] = target["stats_cols"]
+            manifest["stats"] = target.get("stats") or {}
         # the rolled-back-to file set is only correct WITH its delete
         # vectors: a rollback across a MoR delete must resurrect the
         # rows, and one to after it must keep them deleted

@@ -842,3 +842,62 @@ def test_snapshot_format_writer_sweeps_dead_attempt_files(spark, tmp_path):
     assert sorted(r.id for r in read_snapshot(spark, path).collect()) == [
         0, 1, 2, 3, 4
     ]
+
+
+def test_snapshot_format_partitioned_write_roundtrip(spark, tmp_path):
+    """r9: partitionBy through the format WRITER — tasks split their
+    batch stream across Hive value-directories (partition columns
+    stripped from file content, NULLs as the Hive sentinel), and the
+    result reads back identically through the format source AND
+    snapshots.read_snapshot, with partition-value pushdown pruning."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        read_snapshot,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 9, None)
+        .otherwise(F.col("id") % 3)
+        .alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    (
+        df.repartition(2, "p")
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .option("partitionBy", "p")
+        .save()
+    )
+    m = _load_manifest(path, current_version(path))
+    assert m["partition_by"] == ["p"]
+    files = [f for fs in m["commits"].values() for f in fs]
+    assert all("p=" in f for f in files)
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in files)
+    # partition column lives in the PATH, not the file
+    import os
+
+    import pyarrow.parquet as pq
+
+    some = os.path.join(path, next(iter(m["commits"])), files[0])
+    assert "p" not in pq.ParquetFile(some).schema_arrow.names
+
+    want = sorted((r.id, r.p, r.v) for r in df.collect())
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    assert sorted((r.id, r.p, r.v) for r in fmt.collect()) == want
+    eng = read_snapshot(spark, path)
+    assert sorted((r.id, r.p, r.v) for r in eng.collect()) == want
+    # value pushdown prunes sibling partitions
+    sel = fmt.where(F.col("p") == 1)
+    assert sorted(r.id for r in sel.collect()) == sorted(
+        i for i in range(100) if i % 10 != 9 and i % 3 == 1
+    )

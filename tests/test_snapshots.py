@@ -1089,3 +1089,43 @@ def test_snapshot_changelog_cdf_rows_and_key_migration(spark, tmp_path):
     assert sorted(map(tuple, folded.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_rollback_carries_stats_and_delete_debt_audit(spark, tmp_path):
+    """r9: a rollback's manifest must carry the target's recorded
+    bounds (the file set is the target's — dropping stats would make
+    every post-rollback scan unprunable); delete_debt reports the MoR
+    vector volume that compaction would materialize."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        delete_debt,
+        scan_prune_stats,
+        snapshot_delete_mor,
+        snapshot_rollback,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10).alias("grp")
+    )
+    v1 = snapshot_write(
+        df.repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshot_write(spark.range(100, 120).select(
+        F.col("id"), F.lit(0).alias("grp")), path, mode="append")
+    v3 = snapshot_rollback(path, v1)
+    m3 = _load_manifest(path, v3)
+    assert m3.get("stats_cols") == ["id"]
+    assert scan_prune_stats(path, "id", 0, 10)["pruned_files"] > 0
+
+    assert delete_debt(path) == {
+        "data_files": 4, "delete_files": 0, "deleted_rows": 0
+    }
+    snapshot_delete_mor(spark, path, F.col("id") < 30)
+    debt = delete_debt(path)
+    assert debt["data_files"] == 4
+    assert debt["delete_files"] >= 1
+    assert debt["deleted_rows"] == 30

@@ -60,6 +60,14 @@ QUERIES = [
     "chunk_windows",        # token-window chunking, scan-stage only (r8)
     "snapshot_format_write",  # format-API staged write + manifest commit (r8)
     "pagerank_exact",       # fixed-point power iteration, 5 rounds (r8)
+    "top_paths",            # session entry-path counting (r8 family)
+    "time_to_purchase",     # per-session conversion latency (r8 family)
+    "entry_point_conversion",  # entry-type conversion ratio (r8 family)
+    "price_rank_deciles",   # grouped distributed rank selection (r9 plan)
+    "ntile_binning",        # grouped multi-rank selection (r9 plan)
+    "snapshot_format_partitioned",  # Hive-partitioned format read (r8)
+    "snapshot_delete_mor",  # positional delete vectors + MoR read (r9)
+    "mart_from_cdc",        # changelog-folded mart maintenance (r9)
 ]
 
 
