@@ -391,11 +391,13 @@ def grouped_select_at_ranks(
             per_g: dict = {}
             for r in rows:
                 per_g.setdefault(r["g"], {})[r["b"]] = r["c"]
+            stuck: list = []
             for k in keys:
                 g = k[0]
                 if g not in set(live):
                     continue
                 st = state[k]
+                before = (st["lo"], st["hi"], st["c"])
                 bs = list(sketch[g][2])
                 edges = [st["lo"]] + bs + [st["hi"]]
                 offset = 0
@@ -408,6 +410,49 @@ def grouped_select_at_ranks(
                         )
                         break
                     offset += c
+                if (st["lo"], st["hi"], st["c"]) == before:
+                    stuck.append(k)
+            if stuck:
+                # zero-progress round: a single value holds so much
+                # mass the sketch put every boundary ON it, so the
+                # target's bucket spans the whole current range (e.g.
+                # 99.9% of a group at one value, with min < value <
+                # max — the mn==mx collapse can't see it). Split the
+                # range AT the minimum explicitly: one tiny grouped
+                # count of rows equal to mn decides whether the target
+                # sits inside that tie class (→ tie-column narrowing,
+                # the existing collapse machinery) or above it
+                # (→ range shrinks to (mn, hi), expressed as
+                # [nextafter(mn), hi) on doubles). Guarantees strictly
+                # monotone progress, restoring the O(log) contract.
+                import math as _math
+
+                for k in stuck:
+                    g = k[0]
+                    st = state[k]
+                    mn = sketch[g][0]
+                    n_eq = (
+                        vals.where(
+                            sig_pred(sig_of(st), [g])
+                            & (F.col(st["col"]) == F.lit(mn))
+                        ).count()
+                    )
+                    if st["lr"] < n_eq:
+                        if st["col"] == "v":
+                            st.update(
+                                col="t", fixed_v=mn,
+                                lo=None, hi=None, c=n_eq,
+                            )
+                        else:
+                            # tie column itself is one value: rows are
+                            # duplicates — any is THE row
+                            st["c"] = 0
+                    else:
+                        st.update(
+                            lo=_math.nextafter(mn, _math.inf),
+                            lr=st["lr"] - n_eq,
+                            c=st["c"] - n_eq,
+                        )
 
     if not state:
         return {}

@@ -167,16 +167,19 @@ def snapshot_diff(
     the minimum possible for row-level diffing; callers needing only
     counts aggregate the result, Catalyst prunes the untouched
     columns."""
-    o = old.alias("o")
-    n = new.alias("n")
+    # presence tags, not key-nullness: a NULL-keyed row never matches
+    # the equi-join, so o.key IS NULL would misread side presence for
+    # it (r9, shared fix with snapshots.snapshot_changelog)
+    o = old.withColumn("__op", F.lit(1)).alias("o")
+    n = new.withColumn("__np", F.lit(1)).alias("n")
     on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
     cond = functools.reduce(lambda a, b: a & b, on)
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     status = (
-        F.when(F.col(f"o.{keys[0]}").isNull(), "added")
-        .when(F.col(f"n.{keys[0]}").isNull(), "removed")
+        F.when(F.col("o.__op").isNull(), "added")
+        .when(F.col("n.__np").isNull(), "removed")
         .when(changed, "changed")
         .otherwise("unchanged")
     )

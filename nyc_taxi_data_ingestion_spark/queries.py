@@ -9910,6 +9910,9 @@ _REFRESH_FIRST: list[str] = [
     "snapshot_pruned_scan", "snapshot_incremental_read",
     "snapshot_cdc", "snapshot_incremental_ingest", "snapshot_stream_tail",
     "snapshot_format_write", "snapshot_format_stream_chain",
+    # r9 review pass switched snapshot_diff's side-presence detection
+    # from key-nullness to presence tags (NULL-keyed rows)
+    "snapshot_diff",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME

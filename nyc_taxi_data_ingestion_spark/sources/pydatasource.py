@@ -235,13 +235,15 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 def _hive_dir_value(v) -> str:
     """A partition value as its Hive directory token — the inverse of
-    :func:`_partition_values`: URL-escaped string form, None (and the
-    float-NaN pandas sometimes smuggles in for nulls) as the Hive
-    sentinel. Dates format ISO, so the write side round-trips with the
-    read side's date32 inference."""
+    :func:`_partition_values`: URL-escaped string form, None as the
+    Hive sentinel. Arrow's to_pylist() already yields None for real
+    nulls, so a float NaN here is a genuine VALUE — it writes as its
+    'nan' string token (the column then reads back as string, never
+    silently as NULL). Dates format ISO, so the write side round-trips
+    with the read side's date32 inference."""
     from urllib.parse import quote
 
-    if v is None or (isinstance(v, float) and v != v):
+    if v is None:
         return _HIVE_NULL
     return quote(str(v), safe="")
 
@@ -1002,8 +1004,21 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
 
         pcols = self._partition_by
-        writers: dict = {}  # value tuple -> (ParquetWriter, rel_path)
+        # LRU-capped open writers: Spark's native dynamic-partition
+        # writer SORTS rows to keep O(1) files open; this API owns no
+        # sort, so a task seeing more distinct tuples than the cap
+        # closes the coldest writer and reopens that key later as a
+        # NEW file (several files per value per task is correct, just
+        # more of them) — bounded descriptors and row-group buffers
+        # instead of EMFILE/OOM on high-cardinality partitionBy.
+        max_open = 64
+        open_writers: dict = {}  # key -> ParquetWriter (insertion = LRU)
+        done_files: list = []
         rows = 0
+
+        def _close(key) -> None:
+            open_writers.pop(key).close()
+
         try:
             for batch in iterator:
                 missing = [c for c in pcols if c not in batch.schema.names]
@@ -1027,7 +1042,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     idx_by_key.setdefault(key, []).append(i)
                 data = pa.Table.from_batches([batch.select(keep)])
                 for key, idx in idx_by_key.items():
-                    if key not in writers:
+                    w = open_writers.pop(key, None)
+                    if w is None:
+                        if len(open_writers) >= max_open:
+                            _close(next(iter(open_writers)))
                         rel = os.path.join(
                             *[
                                 f"{c}={_hive_dir_value(v)}"
@@ -1037,19 +1055,16 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                         )
                         full = os.path.join(commit_abs, rel)
                         os.makedirs(os.path.dirname(full), exist_ok=True)
-                        writers[key] = (
-                            pq.ParquetWriter(full, data.schema),
-                            rel,
-                        )
+                        w = pq.ParquetWriter(full, data.schema)
+                        done_files.append(rel)
+                    open_writers[key] = w  # (re)insert at LRU tail
                     sub = data.take(pa.array(idx, type=pa.int32()))
-                    writers[key][0].write_table(sub)
+                    w.write_table(sub)
                     rows += sub.num_rows
         finally:
-            for w, _rel in writers.values():
+            for w in open_writers.values():
                 w.close()
-        return _SnapshotCommitMessage(
-            files=[rel for _w, rel in writers.values()], rows=rows
-        )
+        return _SnapshotCommitMessage(files=done_files, rows=rows)
 
     def commit(self, messages):
         import contextlib

@@ -604,7 +604,23 @@ def fresh_append_commits(
                 f"read is unsound across rewrites — re-sync with "
                 f"read_snapshot()"
             )
-    old_commits = set(_load_manifest(path, from_version)["commits"])
+    try:
+        old_commits = set(_load_manifest(path, from_version)["commits"])
+    except FileNotFoundError as exc:
+        # the cursor's own manifest is the diff base; an expired one is
+        # unreconstructible (each append's delta needs its parent).
+        # Surface a consumer-actionable error instead of a raw
+        # file-not-found — streams with an INCLUSIVE startingVersion=X
+        # sit their cursor at X-1, so "start at the oldest retained
+        # version" lands exactly here (r9 review finding).
+        raise ValueError(
+            f"incremental window ({from_version}, {to_version}] needs "
+            f"v{from_version}'s manifest as the diff base, but it has "
+            f"expired — startingVersion is inclusive (cursor = named "
+            f"version - 1): start from a version whose PARENT is still "
+            f"retained, or re-sync with a fresh bootstrap "
+            f"(from_version=0 reads the head state)"
+        ) from exc
     return to_version, {
         rel: files
         for rel, files in new_manifest["commits"].items()
@@ -774,25 +790,7 @@ def _read_commits(
     deletes pays ZERO overhead (no metadata columns, identical plan to
     before)."""
     if not deletes:
-        parts: list[DataFrame] = []
-        for commit_rel, files in sorted(commits.items()):
-            if not files:
-                continue
-            commit_abs = os.path.join(path, commit_rel)
-            parts.append(
-                spark.read.option("basePath", commit_abs).parquet(
-                    *[os.path.join(commit_abs, f) for f in files]
-                )
-            )
-        if not parts:
-            raise FileNotFoundError(
-                f"no data files in this version of {path}: an empty "
-                "table written through the format API carries no schema "
-                "to plan an empty frame from"
-            )
-        return reduce(
-            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
-        )
+        return _union_commit_frames(spark, path, commits, tag=False)
     tagged = _tagged_commits(spark, path, commits)
     return _apply_delete_vectors(spark, path, tagged, deletes).drop(
         "__snap_file", "__snap_pos"
@@ -808,6 +806,18 @@ def _tagged_commits(
     file, Spark's parquet ``_metadata.row_index``). Both come from the
     scanner itself, so they are exact at any parallelism — the same
     (file, pos) identity Iceberg v2 positional deletes use."""
+    return _union_commit_frames(spark, path, commits, tag=True)
+
+
+def _union_commit_frames(
+    spark: SparkSession,
+    path: str,
+    commits: dict[str, list[str]],
+    tag: bool,
+) -> DataFrame:
+    """The ONE commit-dirs → DataFrame loop (plain and provenance-tagged
+    reads share it, so schema-evolution or error-message fixes can
+    never drift between the two paths)."""
     from pyspark.sql import functions as F
 
     parts: list[DataFrame] = []
@@ -818,12 +828,13 @@ def _tagged_commits(
         df = spark.read.option("basePath", commit_abs).parquet(
             *[os.path.join(commit_abs, f) for f in files]
         )
-        # _metadata.file_path is a URI; the part after .../<commit_rel>/
-        # is the file's path within the commit dir (commit dirs embed a
-        # uuid, so the delimiter cannot recur elsewhere in the path)
-        pat = re.escape("/" + commit_rel + "/") + "(.*)$"
-        parts.append(
-            df.withColumn(
+        if tag:
+            # _metadata.file_path is a URI; the part after
+            # .../<commit_rel>/ is the file's path within the commit
+            # dir (commit dirs embed a uuid, so the delimiter cannot
+            # recur elsewhere in the path)
+            pat = re.escape("/" + commit_rel + "/") + "(.*)$"
+            df = df.withColumn(
                 "__snap_file",
                 F.concat(
                     F.lit(commit_rel + "/"),
@@ -832,7 +843,7 @@ def _tagged_commits(
                     ),
                 ),
             ).withColumn("__snap_pos", F.col("_metadata.row_index"))
-        )
+        parts.append(df)
     if not parts:
         raise FileNotFoundError(
             f"no data files in this version of {path}: an empty table "
@@ -1439,7 +1450,16 @@ def snapshot_changelog(
     shared = [c for c in old.columns if c in set(new.columns)]
     if compare_cols is None:
         compare_cols = [c for c in shared if c not in keys]
-    o, n = old.alias("o"), new.alias("n")
+    # presence TAGS, not key-nullness: a NULL-keyed row never matches
+    # the equi-join, so inferring presence from o.key IS NULL would
+    # classify a deleted NULL-keyed row as an all-NULL "insert" and a
+    # surviving one as a phantom insert/delete pair — the tags make
+    # side presence unambiguous whatever the key values hold. (NULL
+    # keys also never pair across versions: each NULL-keyed row diffs
+    # as its own delete+insert, the only sound reading of a join key
+    # that cannot equal itself.)
+    o = old.withColumn("__op", F.lit(1)).alias("o")
+    n = new.withColumn("__np", F.lit(1)).alias("n")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys],
@@ -1448,8 +1468,8 @@ def snapshot_changelog(
     for c in compare_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     status = (
-        F.when(F.col(f"o.{keys[0]}").isNull(), "added")
-        .when(F.col(f"n.{keys[0]}").isNull(), "removed")
+        F.when(F.col("o.__op").isNull(), "added")
+        .when(F.col("n.__np").isNull(), "removed")
         .when(changed, "changed")
         .otherwise("unchanged")
     )

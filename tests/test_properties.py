@@ -786,3 +786,31 @@ def test_audit_low_cardinality_window(spark, sf_dir):
     assert "low-cardinality-window" not in [
         f.code for f in audit_plan(limited)
     ]
+
+
+def test_grouped_select_at_ranks_mode_skew_makes_progress(spark):
+    """r9 review: when one value holds most of a group's mass the
+    sketch puts every boundary ON it and bucket narrowing stalls — the
+    mode-split fallback must still resolve (a) a rank inside the tie
+    class and (b) one above it, exactly, with a tiny task bound."""
+    from nyc_taxi_data_ingestion_spark.functions.numeric import (
+        grouped_select_at_ranks,
+    )
+
+    rows = (
+        [("g", 1, t) for t in range(5)]
+        + [("g", 5, 100 + t) for t in range(2000)]  # 99% at one value
+        + [("g", 9, 9000 + t) for t in range(5)]
+    )
+    df = spark.createDataFrame(rows, "g string, v int, t int")
+    n = len(rows)
+
+    def ranks(m):
+        return [1, 1000, m - 2, m]  # inside the mass and in the tail
+
+    got = grouped_select_at_ranks(
+        df, "g", "v", "t", ranks, max_task_rows=50, n_buckets=4
+    )
+    items = sorted((float(v), float(t)) for _g, v, t in rows)
+    want = [items[r - 1] for r in ranks(n)]
+    assert [(v, t) for v, t, _n, _r in got["g"]] == want

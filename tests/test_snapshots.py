@@ -1129,3 +1129,64 @@ def test_rollback_carries_stats_and_delete_debt_audit(spark, tmp_path):
     assert debt["data_files"] == 4
     assert debt["delete_files"] >= 1
     assert debt["deleted_rows"] == 30
+
+
+def test_changelog_null_keys_classified_by_presence(spark, tmp_path):
+    """r9 review: presence comes from side TAGS, not key-nullness — a
+    NULL-keyed row that survives both versions emits its own
+    delete+insert pair (NULL never equals itself across versions) with
+    REAL values on both rows, a deleted one emits exactly one
+    'delete', and no phantom all-NULL inserts appear."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_changelog,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    schema = "k string, v long"
+    v1 = snapshot_write(
+        spark.createDataFrame([(None, 1), ("a", 2), (None, 9)], schema),
+        path,
+    )
+    v2 = snapshot_write(
+        spark.createDataFrame([(None, 1), ("a", 2)], schema),
+        path,
+        mode="overwrite",
+    )
+    clog = snapshot_changelog(spark, path, v1, v2, keys=["k"])
+    got = sorted(
+        ((r.k, r.v, r._change_type) for r in clog.collect()),
+        key=lambda t: (str(t[0]), t[1], t[2]),
+    )
+    # the surviving NULL-key row (v=1) round-trips as delete+insert
+    # with its true value; the dropped one (v=9) is a single delete;
+    # 'a' matched and unchanged -> nothing; NO all-NULL insert rows
+    assert got == [
+        (None, 1, "delete"),
+        (None, 1, "insert"),
+        (None, 9, "delete"),
+    ]
+
+
+def test_stream_from_expired_parent_gives_actionable_error(spark, tmp_path):
+    """r9 review: an INCLUSIVE startingVersion at the oldest retained
+    version needs the (expired) parent manifest as its diff base — the
+    failure must be a consumer-actionable ValueError naming the
+    inclusive contract, not a raw FileNotFoundError."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        expire_snapshots,
+        fresh_append_commits,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    for lo in range(5):
+        snapshot_write(
+            spark.range(lo * 10, lo * 10 + 10), path, mode="append"
+        )
+    expire_snapshots(path, keep_last=3)  # v1, v2 manifests gone
+    with pytest.raises(ValueError, match="startingVersion is inclusive"):
+        fresh_append_commits(path, 2, 5)
+    # a retained diff base still works
+    _, fresh = fresh_append_commits(path, 3, 5)
+    assert len(fresh) == 2
