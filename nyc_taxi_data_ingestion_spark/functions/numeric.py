@@ -365,9 +365,12 @@ def grouped_select_at_ranks(
                         # pin the value, narrow on the tie col next
                         st.update(col="t", fixed_v=mn, lo=None, hi=None)
                     else:
-                        # tie constant too — duplicate (v, t) rows;
-                        # any row is THE row: bounded final sort picks
-                        st["c"] = 0
+                        # tie constant too — every row in range IS the
+                        # literal pair (fixed_v, mn): resolve NOW, no
+                        # sort task of ANY size (r9 review: c=0 alone
+                        # left the final window sorting the whole
+                        # stalled range in one task)
+                        st.update(c=0, answer=(st["fixed_v"], mn))
             if not live:
                 continue
             bdf = F.broadcast(
@@ -427,16 +430,21 @@ def grouped_select_at_ranks(
                 # monotone progress, restoring the O(log) contract.
                 import math as _math
 
+                eq_cache: dict = {}  # (g, pre-update sig) -> count
                 for k in stuck:
                     g = k[0]
                     st = state[k]
                     mn = sketch[g][0]
-                    n_eq = (
-                        vals.where(
-                            sig_pred(sig_of(st), [g])
-                            & (F.col(st["col"]) == F.lit(mn))
-                        ).count()
-                    )
+                    ck = (g, sig_of(st))
+                    n_eq = eq_cache.get(ck)
+                    if n_eq is None:
+                        n_eq = (
+                            vals.where(
+                                sig_pred(sig_of(st), [g])
+                                & (F.col(st["col"]) == F.lit(mn))
+                            ).count()
+                        )
+                        eq_cache[ck] = n_eq
                     if st["lr"] < n_eq:
                         if st["col"] == "v":
                             st.update(
@@ -444,9 +452,9 @@ def grouped_select_at_ranks(
                                 lo=None, hi=None, c=n_eq,
                             )
                         else:
-                            # tie column itself is one value: rows are
-                            # duplicates — any is THE row
-                            st["c"] = 0
+                            # tie column one value too: the target IS
+                            # (fixed_v, mn) — resolve directly
+                            st.update(c=0, answer=(st["fixed_v"], mn))
                     else:
                         st.update(
                             lo=_math.nextafter(mn, _math.inf),
@@ -459,11 +467,15 @@ def grouped_select_at_ranks(
     # final: per distinct range, one job whose per-group sort tasks are
     # bounded by construction (every surviving range holds ≤
     # max_task_rows rows) — a row belongs to exactly one range of its
-    # group within a job, so row_number is the range-local rank
+    # group within a job, so row_number is the range-local rank. Keys
+    # the narrowing resolved to a literal pair skip the sort entirely.
     by_sig_final: dict[tuple, list] = {}
-    for k, st in state.items():
-        by_sig_final.setdefault(sig_of(st), []).append(k)
     found: dict = {}
+    for k, st in state.items():
+        if st.get("answer") is not None:
+            found[k] = st["answer"]
+        else:
+            by_sig_final.setdefault(sig_of(st), []).append(k)
     for sig, keys in by_sig_final.items():
         lrs_by_g: dict = {}
         for k in keys:

@@ -169,17 +169,23 @@ def snapshot_diff(
     columns."""
     # presence tags, not key-nullness: a NULL-keyed row never matches
     # the equi-join, so o.key IS NULL would misread side presence for
-    # it (r9, shared fix with snapshots.snapshot_changelog)
-    o = old.withColumn("__op", F.lit(1)).alias("o")
-    n = new.withColumn("__np", F.lit(1)).alias("n")
+    # it (r9, shared fix with snapshots.snapshot_changelog); tag names
+    # dodge real columns — withColumn replaces same-named silently
+    tag_o, tag_n = "__op", "__np"
+    taken = set(old.columns) | set(new.columns)
+    while tag_o in taken or tag_n in taken:
+        tag_o += "_"
+        tag_n += "_"
+    o = old.withColumn(tag_o, F.lit(1)).alias("o")
+    n = new.withColumn(tag_n, F.lit(1)).alias("n")
     on = [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys]
     cond = functools.reduce(lambda a, b: a & b, on)
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     status = (
-        F.when(F.col("o.__op").isNull(), "added")
-        .when(F.col("n.__np").isNull(), "removed")
+        F.when(F.col(f"o.{tag_o}").isNull(), "added")
+        .when(F.col(f"n.{tag_n}").isNull(), "removed")
         .when(changed, "changed")
         .otherwise("unchanged")
     )

@@ -950,9 +950,12 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             if sc is not None
             else None
         )
+        # None = inherit the table's recorded spec at commit (the
+        # commit_staged_files table-property contract) — a plain
+        # append must never silently reset a partitioned table to []
         pb = options.get("partitionby")
         self._partition_by = (
-            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else None
         )
         head = _S.current_version(path) or 0
         import uuid
@@ -1035,10 +1038,21 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     )
                 # exact typed group keys straight from Arrow (None stays
                 # None, ints stay ints — a pandas round-trip would NaN-
-                # float nullable ints and split the null group per batch)
+                # float nullable ints and split the null group per
+                # batch). Float NaN canonicalizes to its directory
+                # token: NaN != NaN, so raw-float keys would open one
+                # writer PER NaN ROW (r9 review) — the token groups
+                # them like any other value and round-trips identically
+                # through _hive_dir_value(str(...)).
                 cols_py = [batch.column(c).to_pylist() for c in pcols]
                 idx_by_key: dict = {}
-                for i, key in enumerate(zip(*cols_py)):
+                for i, raw_key in enumerate(zip(*cols_py)):
+                    key = tuple(
+                        "nan"
+                        if isinstance(x, float) and x != x
+                        else x
+                        for x in raw_key
+                    )
                     idx_by_key.setdefault(key, []).append(i)
                 data = pa.Table.from_batches([batch.select(keep)])
                 for key, idx in idx_by_key.items():
@@ -1135,6 +1149,18 @@ class SnapshotStreamWriter(DataSourceStreamArrowWriter):
         self._source_id = (
             options.get("sourceid") or f"snapshot_format_sink:{path}"
         )
+        if options.get("partitionby"):
+            # the batch writer supports this; the stream writer's
+            # stage-then-move protocol doesn't handle value
+            # subdirectories yet — reject loudly rather than silently
+            # writing a flat layout the user believes is partitioned
+            # (r9 review). The table's recorded partition spec is
+            # still INHERITED by each micro-batch commit.
+            raise ValueError(
+                "partitionBy is not supported by the snapshot STREAM "
+                "writer — use foreachBatch with snapshots."
+                "snapshot_write(partition_by=…), or the batch writer"
+            )
 
     def write(self, iterator):
         import uuid

@@ -279,6 +279,10 @@ def snapshot_write(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    # None means INHERIT the table's recorded spec (commit_staged_files
+    # resolves it, same contract as stats_cols); [] is an explicit
+    # reset. The local list below only drives this write's layout.
+    declared_partition_by = partition_by
     partition_by = partition_by or []
     os.makedirs(_snap_root(path), exist_ok=True)
 
@@ -313,7 +317,7 @@ def snapshot_write(
         commit_rel,
         files,
         mode=mode,
-        partition_by=partition_by,
+        partition_by=declared_partition_by,
         max_commit_retries=max_commit_retries,
         expected_parent=expected_parent,
         stream_state=stream_state,
@@ -409,7 +413,6 @@ def commit_staged_files(
     :func:`snapshot_write`."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    partition_by = partition_by or []
     os.makedirs(_snap_root(path), exist_ok=True)
     commit_abs = os.path.join(path, commit_rel)
     # stats cache across retries, keyed by the effective column list —
@@ -440,11 +443,20 @@ def commit_staged_files(
             deletes.update(parent.get("deletes") or {})
         commits[commit_rel] = sorted(files)
 
-        # table property: explicit list wins, None inherits the parent's
+        # table properties: explicit list wins, None inherits the
+        # parent's — the SAME contract for stats_cols and partition_by
+        # (r9 review: a format-API append without the partitionBy
+        # option must not silently reset a partitioned table's
+        # recorded spec to []; pass [] to reset explicitly)
         effective_stats_cols = (
             stats_cols
             if stats_cols is not None
             else parent.get("stats_cols") or []
+        )
+        effective_partition_by = (
+            partition_by
+            if partition_by is not None
+            else parent.get("partition_by") or []
         )
         if effective_stats_cols and files:
             key = tuple(effective_stats_cols)
@@ -461,7 +473,7 @@ def commit_staged_files(
             "parent": cur,
             "operation": mode,
             "timestamp": time.time(),
-            "partition_by": partition_by,
+            "partition_by": effective_partition_by,
             "commits": commits,
         }
         if effective_stats_cols:
@@ -1457,9 +1469,15 @@ def snapshot_changelog(
     # side presence unambiguous whatever the key values hold. (NULL
     # keys also never pair across versions: each NULL-keyed row diffs
     # as its own delete+insert, the only sound reading of a join key
-    # that cannot equal itself.)
-    o = old.withColumn("__op", F.lit(1)).alias("o")
-    n = new.withColumn("__np", F.lit(1)).alias("n")
+    # that cannot equal itself.) Tag names dodge real columns —
+    # withColumn REPLACES a same-named column silently.
+    tag_o, tag_n = "__op", "__np"
+    taken = set(old.columns) | set(new.columns)
+    while tag_o in taken or tag_n in taken:
+        tag_o += "_"
+        tag_n += "_"
+    o = old.withColumn(tag_o, F.lit(1)).alias("o")
+    n = new.withColumn(tag_n, F.lit(1)).alias("n")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"o.{k}") == F.col(f"n.{k}") for k in keys],
@@ -1468,8 +1486,8 @@ def snapshot_changelog(
     for c in compare_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
     status = (
-        F.when(F.col("o.__op").isNull(), "added")
-        .when(F.col("n.__np").isNull(), "removed")
+        F.when(F.col(f"o.{tag_o}").isNull(), "added")
+        .when(F.col(f"n.{tag_n}").isNull(), "removed")
         .when(changed, "changed")
         .otherwise("unchanged")
     )

@@ -901,3 +901,60 @@ def test_snapshot_format_partitioned_write_roundtrip(spark, tmp_path):
     assert sorted(r.id for r in sel.collect()) == sorted(
         i for i in range(100) if i % 10 != 9 and i % 3 == 1
     )
+
+
+def test_format_append_inherits_partition_spec(spark, tmp_path):
+    """r9 review: a plain format append (no partitionBy option) must
+    INHERIT a partitioned table's recorded spec, never silently reset
+    it to [] — a later compact() defaults to the manifest spec and
+    would otherwise rewrite the table unpartitioned. The stream writer
+    rejects the option loudly instead of silently writing flat."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamWriter,
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 10).withColumn("p", F.col("id") % 2),
+        path,
+        partition_by=["p"],
+    )
+    (
+        spark.range(10, 15)
+        .withColumn("p", F.lit(0))
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .save()
+    )
+    m = _load_manifest(path, current_version(path))
+    assert m["partition_by"] == ["p"]  # inherited, not reset
+    # engine-side append with partition_by=None inherits too; explicit
+    # [] resets
+    snapshot_write(
+        spark.range(15, 20).withColumn("p", F.lit(1)), path, mode="append"
+    )
+    assert _load_manifest(path, current_version(path))["partition_by"] == [
+        "p"
+    ]
+    snapshot_write(
+        spark.range(20, 25).withColumn("p", F.lit(1)),
+        path,
+        mode="append",
+        partition_by=[],
+    )
+    assert (
+        _load_manifest(path, current_version(path))["partition_by"] == []
+    )
+    with _pytest.raises(ValueError, match="STREAM writer"):
+        SnapshotStreamWriter(path, {"partitionby": "p"})
