@@ -7265,6 +7265,101 @@ def q_snapshot_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_MERGE_MOR_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN o_totalprice * 2 ELSE o_totalprice END
+            AS DOUBLE) AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + 2000000 AS o_orderkey,
+       '5-LOW' AS o_orderpriority,
+       CAST(o_totalprice + 1.0 AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_orderpriority = '2-HIGH'
+"""
+
+
+@register(
+    "snapshot_merge_mor", _SNAPSHOT_MERGE_MOR_ORACLE, tags=["M1", "S15"]
+)
+def q_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ upsert end-to-end (snapshots.snapshot_merge_mor —
+    Iceberg v2's MERGE INTO shape): commit orders clustered + statted,
+    then upsert ONE batch that both UPDATES every urgent order
+    (doubled total) and INSERTS shifted new keys. The matched rows are
+    masked by a positional delete vector and the batch lands as a
+    plain data commit — both in ONE atomic manifest, so the commit is
+    O(batch), while the CoW twin (`snapshot_merge_upsert`) rewrites
+    the whole table for the same logical result. In-query gates: the
+    parent's data files must be byte-identical in the merge manifest
+    (exactly one NEW commit dir), and a delete vector must exist. The
+    oracle recomputes the post-merge state relationally — update
+    semantics, insert semantics, and the read-time anti-join certified
+    in one hash."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_merge_mor,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapmmor_")
+    try:
+        v1 = snapshot_write(
+            base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        m1 = _load_manifest(path, v1)
+        updates = (
+            base.where(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .unionByName(
+                base.where(F.col("o_orderpriority") == "2-HIGH").select(
+                    (F.col("o_orderkey") + 2000000).alias("o_orderkey"),
+                    F.lit("5-LOW").alias("o_orderpriority"),
+                    (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                )
+            )
+        )
+        v2 = snapshot_merge_mor(
+            spark, path, updates, keys=["o_orderkey"]
+        )
+        m2 = _load_manifest(path, v2)
+        carried = {
+            rel: fs for rel, fs in m2["commits"].items()
+            if rel in m1["commits"]
+        }
+        if carried != m1["commits"] or len(m2["commits"]) != len(
+            m1["commits"]
+        ) + 1:
+            raise RuntimeError(
+                "MoR merge rewrote data files: "
+                f"{sorted(m1['commits'])} -> {sorted(m2['commits'])}"
+            )
+        if not m2.get("deletes"):
+            raise RuntimeError("MoR merge committed no delete vector")
+        return (
+            read_snapshot(spark, path)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_DELETE_MOR_ORACLE = """
 WITH survivors AS (
   SELECT o_orderkey, o_orderpriority,

@@ -395,6 +395,8 @@ def commit_staged_files(
     stream_state: dict[str, int] | None = None,
     stats_cols: list[str] | None = None,
     spark: SparkSession | None = None,
+    deletes_add: dict[str, list[str]] | None = None,
+    operation: str | None = None,
 ) -> int:
     """THE manifest-commit half of :func:`snapshot_write`, public:
     commit ``files`` (parquet, ALREADY staged under
@@ -409,10 +411,20 @@ def commit_staged_files(
     head and re-lands the same staged files under the next version —
     data is never rewritten. ``spark=None`` collects file stats
     driver-side sequentially (footer reads are ~ms each); pass a
-    session to fan wide commits out. Other parameters as
-    :func:`snapshot_write`."""
+    session to fan wide commits out. ``deletes_add`` registers
+    already-staged positional delete vectors IN THE SAME atomic
+    commit as the data files (merge-on-read MERGE: mask + append is
+    one manifest or nothing) — append mode only, since an overwrite's
+    fresh file set has nothing to mask. ``operation`` overrides the
+    recorded op name (e.g. 'merge') without changing semantics.
+    Other parameters as :func:`snapshot_write`."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if deletes_add and mode != "append":
+        raise ValueError(
+            "deletes_add requires mode='append': an overwrite's fresh "
+            "file set has no prior rows to mask"
+        )
     os.makedirs(_snap_root(path), exist_ok=True)
     commit_abs = os.path.join(path, commit_rel)
     # stats cache across retries, keyed by the effective column list —
@@ -441,6 +453,7 @@ def commit_staged_files(
             # file set
             stats.update(parent.get("stats") or {})
             deletes.update(parent.get("deletes") or {})
+        deletes.update(deletes_add or {})
         commits[commit_rel] = sorted(files)
 
         # table properties: explicit list wins, None inherits the
@@ -471,7 +484,7 @@ def commit_staged_files(
         manifest = {
             "version": version,
             "parent": cur,
-            "operation": mode,
+            "operation": operation or mode,
             "timestamp": time.time(),
             "partition_by": effective_partition_by,
             "commits": commits,
@@ -1038,6 +1051,115 @@ def snapshot_delete(
     raise ConcurrentSnapshotError(
         f"delete at {path} lost 5 re-plan races — a writer loop is "
         f"outrunning this one"
+    )
+
+
+def snapshot_merge_mor(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    max_commit_retries: int = 5,
+) -> int:
+    """MERGE-ON-READ upsert — Iceberg v2's actual MERGE INTO shape:
+    target rows whose key appears in ``updates`` are masked by a
+    positional delete vector, the update rows land as a plain data
+    commit, and BOTH register in ONE atomic manifest (operation
+    ``merge``) — work is O(|updates| + matched rows), never
+    O(touched files), where :func:`snapshot_merge`'s copy-on-write
+    rewrites the whole table for a scattered 0.01% upsert.
+
+    Semantics: upsert — an update row REPLACES every live target row
+    sharing its key (a key new to the table simply inserts). Updates
+    must be unique per key (raised otherwise: with no order column
+    there is no defensible winner — dedupe first, or use
+    :func:`snapshot_merge`'s order_col contract). Matching is against
+    LIVE rows only (prior vectors already applied). Incremental
+    consumers: ``merge`` is a rewrite — ``fresh_append_commits``
+    refuses to tail across it, like every other DML. Reads pay the
+    vector anti-join until :func:`snapshot_compact` materializes, the
+    same debt cycle as :func:`snapshot_delete_mor` (audit with
+    :func:`delete_debt`). Returns the committed version."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not keys:
+        raise ValueError("snapshot_merge_mor needs the table's key columns")
+    dup = (
+        updates.groupBy(*keys)
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates carry duplicate key {tuple(dup[0][k] for k in keys)}"
+            f" — dedupe first (no order column means no defensible "
+            f"winner; snapshot_merge has the order_col contract)"
+        )
+    for _ in range(max_commit_retries):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, head)
+        tagged = _tagged_commits(spark, path, manifest["commits"])
+        live = _apply_delete_vectors(
+            spark, path, tagged, manifest.get("deletes")
+        )
+        upd_keys = updates.select(*keys).distinct()
+        hits = live.join(F.broadcast(upd_keys), keys, "semi").select(
+            F.col("__snap_file").alias("file_path"),
+            F.col("__snap_pos").cast("long").alias("pos"),
+        )
+        suffix = uuid.uuid4().hex[:8]
+        delete_rel = os.path.join(_DATA_DIR, f"d{head + 1:08d}-{suffix}")
+        delete_abs = os.path.join(path, delete_rel)
+        hits.sort("file_path", "pos").write.mode("error").parquet(
+            delete_abs
+        )
+        vec_files = []
+        n_masked = 0
+        for dirpath, _dirs, names in os.walk(delete_abs):
+            for nme in sorted(names):
+                if nme.endswith(".parquet"):
+                    full = os.path.join(dirpath, nme)
+                    n_masked += pq.ParquetFile(full).metadata.num_rows
+                    vec_files.append(os.path.relpath(full, delete_abs))
+        if n_masked == 0:
+            shutil.rmtree(delete_abs)  # pure insert: a plain append
+        data_rel = os.path.join(_DATA_DIR, f"c{head + 1:08d}-{suffix}")
+        data_abs = os.path.join(path, data_rel)
+        updates.write.mode("error").parquet(data_abs)
+        data_files = []
+        for dirpath, _dirs, names in os.walk(data_abs):
+            for nme in sorted(names):
+                if nme.endswith(".parquet"):
+                    data_files.append(
+                        os.path.relpath(os.path.join(dirpath, nme), data_abs)
+                    )
+        try:
+            return commit_staged_files(
+                path,
+                data_rel,
+                data_files,
+                mode="append",
+                expected_parent=head,
+                spark=spark,
+                deletes_add=(
+                    {delete_rel: sorted(vec_files)} if n_masked else None
+                ),
+                operation="merge",
+            )
+        except ConcurrentSnapshotError:
+            # vectors/positions were derived from a head that moved:
+            # discard both staged dirs and re-plan from the new head
+            shutil.rmtree(data_abs, ignore_errors=True)
+            if n_masked:
+                shutil.rmtree(delete_abs, ignore_errors=True)
+    raise ConcurrentSnapshotError(
+        f"MoR merge at {path} lost {max_commit_retries} re-plan races "
+        f"— a writer loop is outrunning this one"
     )
 
 

@@ -1190,3 +1190,61 @@ def test_stream_from_expired_parent_gives_actionable_error(spark, tmp_path):
     # a retained diff base still works
     _, fresh = fresh_append_commits(path, 3, 5)
     assert len(fresh) == 2
+
+
+def test_mor_merge_upsert_one_atomic_commit(spark, tmp_path):
+    """snapshot_merge_mor: matched keys masked by a vector, update
+    rows appended, BOTH in one manifest; result equals the CoW merge;
+    duplicate update keys are rejected; a pure insert commits no
+    vector."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_merge_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 2).alias("v"),
+    )
+    v1 = snapshot_write(base.repartition(4), path, stats_cols=["k"])
+    m1 = _load_manifest(path, v1)
+    upd = spark.createDataFrame(
+        [(5, 99, 1000), (17, 99, 1001), (200, 99, 1002)],
+        "k long, grp long, v long",
+    )
+    v2 = snapshot_merge_mor(spark, path, upd, keys=["k"])
+    m2 = _load_manifest(path, v2)
+    assert m2["operation"] == "merge"
+    assert set(m1["commits"]) < set(m2["commits"])
+    assert len(m2["commits"]) == len(m1["commits"]) + 1
+    assert len(m2.get("deletes") or {}) == 1
+    got = {
+        r.k: (r.grp, r.v) for r in read_snapshot(spark, path).collect()
+    }
+    assert len(got) == 101  # 100 - 2 replaced + 2 replacements + 1 new
+    assert got[5] == (99, 1000) and got[17] == (99, 1001)
+    assert got[200] == (99, 1002)
+    assert got[6] == (6, 12)  # untouched
+    # duplicate update keys refused
+    with pytest.raises(ValueError, match="duplicate key"):
+        snapshot_merge_mor(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 0, 0), (1, 0, 9)], "k long, grp long, v long"
+            ),
+            keys=["k"],
+        )
+    # pure insert: plain data commit, NO new vector
+    v3 = snapshot_merge_mor(
+        spark,
+        path,
+        spark.createDataFrame([(300, 3, 3)], "k long, grp long, v long"),
+        keys=["k"],
+    )
+    m3 = _load_manifest(path, v3)
+    assert len(m3.get("deletes") or {}) == 1  # unchanged
+    assert read_snapshot(spark, path).count() == 102
