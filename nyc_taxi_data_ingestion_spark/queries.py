@@ -7360,6 +7360,81 @@ def q_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_UPDATE_MOR_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(CASE WHEN o_orderkey % 13 = 0
+                 THEN o_totalprice + 100.0 ELSE o_totalprice END
+            AS DOUBLE) AS o_totalprice
+FROM orders
+"""
+
+
+@register(
+    "snapshot_update_mor", _SNAPSHOT_UPDATE_MOR_ORACLE, tags=["M1", "S15"]
+)
+def q_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ ``UPDATE … SET … WHERE`` end-to-end
+    (snapshots.snapshot_update_mor): a scattered 1-in-13 row update
+    over clustered orders — matched rows masked by a delete vector and
+    re-inserted with the SET applied, one atomic commit, data files
+    untouched (in-query gate: exactly one new commit dir, parent files
+    byte-identical). Completes the vector DML family next to
+    `snapshot_delete_mor` and `snapshot_merge_mor`; the oracle
+    recomputes the post-update state relationally."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_update_mor,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapumor_")
+    try:
+        v1 = snapshot_write(
+            base.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+                "o_orderkey"
+            ),
+            path,
+            stats_cols=["o_orderkey"],
+        )
+        m1 = _load_manifest(path, v1)
+        v2 = snapshot_update_mor(
+            spark,
+            path,
+            F.col("o_orderkey") % 13 == 0,
+            {"o_totalprice": F.col("o_totalprice") + 100.0},
+        )
+        m2 = _load_manifest(path, v2)
+        carried = {
+            rel: fs for rel, fs in m2["commits"].items()
+            if rel in m1["commits"]
+        }
+        if carried != m1["commits"] or len(m2["commits"]) != len(
+            m1["commits"]
+        ) + 1:
+            raise RuntimeError(
+                "MoR update rewrote data files: "
+                f"{sorted(m1['commits'])} -> {sorted(m2['commits'])}"
+            )
+        return (
+            read_snapshot(spark, path)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_DELETE_MOR_ORACLE = """
 WITH survivors AS (
   SELECT o_orderkey, o_orderpriority,

@@ -1163,6 +1163,95 @@ def snapshot_merge_mor(
     )
 
 
+def snapshot_update_mor(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    set_exprs: dict[str, Column],
+    max_commit_retries: int = 5,
+) -> int:
+    """MERGE-ON-READ ``UPDATE table SET col = expr WHERE pred`` —
+    the UPDATE face of the vector DML family: matched LIVE rows are
+    masked by a positional delete vector and re-inserted with
+    ``set_exprs`` applied, in ONE atomic manifest (operation
+    ``update``). O(matched rows); the copy-on-write route would
+    rewrite every touched file. SQL semantics: only predicate-TRUE
+    rows update (NULL keeps the row untouched). A predicate matching
+    nothing commits nothing and returns the unchanged head.
+    Incremental consumers refuse to tail across it, like every
+    rewrite. Returns the head version."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    if not set_exprs:
+        raise ValueError("snapshot_update_mor needs at least one SET")
+    for _ in range(max_commit_retries):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, head)
+        tagged = _tagged_commits(spark, path, manifest["commits"])
+        live = _apply_delete_vectors(
+            spark, path, tagged, manifest.get("deletes")
+        )
+        matched = live.where(predicate.eqNullSafe(True))
+        unknown = [c for c in set_exprs if c not in live.columns]
+        if unknown:
+            raise ValueError(f"SET on unknown column(s): {unknown}")
+        hits = matched.select(
+            F.col("__snap_file").alias("file_path"),
+            F.col("__snap_pos").cast("long").alias("pos"),
+        )
+        suffix = uuid.uuid4().hex[:8]
+        delete_rel = os.path.join(_DATA_DIR, f"d{head + 1:08d}-{suffix}")
+        delete_abs = os.path.join(path, delete_rel)
+        hits.sort("file_path", "pos").write.mode("error").parquet(
+            delete_abs
+        )
+        vec_files = []
+        n_matched = 0
+        for dirpath, _dirs, names in os.walk(delete_abs):
+            for nme in sorted(names):
+                if nme.endswith(".parquet"):
+                    full = os.path.join(dirpath, nme)
+                    n_matched += pq.ParquetFile(full).metadata.num_rows
+                    vec_files.append(os.path.relpath(full, delete_abs))
+        if n_matched == 0:
+            shutil.rmtree(delete_abs)
+            return head
+        rewritten = matched.drop("__snap_file", "__snap_pos")
+        for col, expr in set_exprs.items():
+            rewritten = rewritten.withColumn(col, expr)
+        data_rel = os.path.join(_DATA_DIR, f"c{head + 1:08d}-{suffix}")
+        data_abs = os.path.join(path, data_rel)
+        rewritten.write.mode("error").parquet(data_abs)
+        data_files = []
+        for dirpath, _dirs, names in os.walk(data_abs):
+            for nme in sorted(names):
+                if nme.endswith(".parquet"):
+                    data_files.append(
+                        os.path.relpath(os.path.join(dirpath, nme), data_abs)
+                    )
+        try:
+            return commit_staged_files(
+                path,
+                data_rel,
+                data_files,
+                mode="append",
+                expected_parent=head,
+                spark=spark,
+                deletes_add={delete_rel: sorted(vec_files)},
+                operation="update",
+            )
+        except ConcurrentSnapshotError:
+            shutil.rmtree(data_abs, ignore_errors=True)
+            shutil.rmtree(delete_abs, ignore_errors=True)
+    raise ConcurrentSnapshotError(
+        f"MoR update at {path} lost {max_commit_retries} re-plan races "
+        f"— a writer loop is outrunning this one"
+    )
+
+
 def snapshot_delete_mor(
     spark: SparkSession,
     path: str,

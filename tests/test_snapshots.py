@@ -1248,3 +1248,42 @@ def test_mor_merge_upsert_one_atomic_commit(spark, tmp_path):
     m3 = _load_manifest(path, v3)
     assert len(m3.get("deletes") or {}) == 1  # unchanged
     assert read_snapshot(spark, path).count() == 102
+
+
+def test_mor_update_set_where(spark, tmp_path):
+    """snapshot_update_mor: matched rows masked + re-inserted with the
+    SET applied in one atomic commit; NULL predicate keeps rows; a
+    no-match update commits nothing; unknown SET column raises."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_update_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "a", 30.0), (4, "b", 40.0)],
+        "k long, s string, v double",
+    )
+    v1 = snapshot_write(df.repartition(2), path)
+    v2 = snapshot_update_mor(
+        spark, path, F.col("s") == "a", {"v": F.col("v") * 10}
+    )
+    m2 = _load_manifest(path, v2)
+    assert m2["operation"] == "update"
+    assert len(m2.get("deletes") or {}) == 1
+    got = {r.k: (r.s, r.v) for r in read_snapshot(spark, path).collect()}
+    assert got == {
+        1: ("a", 100.0),
+        2: (None, 20.0),  # NULL predicate: untouched
+        3: ("a", 300.0),
+        4: ("b", 40.0),
+    }
+    v3 = snapshot_update_mor(
+        spark, path, F.col("s") == "zzz", {"v": F.lit(0.0)}
+    )
+    assert v3 == v2  # nothing matched
+    with pytest.raises(ValueError, match="unknown column"):
+        snapshot_update_mor(
+            spark, path, F.col("s") == "a", {"nope": F.lit(1)}
+        )

@@ -68,6 +68,7 @@ QUERIES = [
     "snapshot_format_partitioned",  # Hive-partitioned format read (r8)
     "snapshot_delete_mor",  # positional delete vectors + MoR read (r9)
     "snapshot_merge_mor",   # vector-masked upsert, one atomic commit (r9)
+    "snapshot_update_mor",  # UPDATE..SET..WHERE via vectors (r9)
     "mart_from_cdc",        # changelog-folded mart maintenance (r9)
 ]
 
