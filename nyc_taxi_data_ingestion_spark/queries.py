@@ -7265,6 +7265,24 @@ def q_snapshot_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _assert_mor_untouched(m1: dict, m2: dict, op: str) -> None:
+    """Shared atomicity gate for the MoR DML queries: the parent's data
+    files must be byte-identical in the DML manifest with EXACTLY one
+    new commit dir — a rewrite would mean the merge-on-read path
+    silently fell back to copy-on-write."""
+    carried = {
+        rel: fs for rel, fs in m2["commits"].items()
+        if rel in m1["commits"]
+    }
+    if carried != m1["commits"] or len(m2["commits"]) != len(
+        m1["commits"]
+    ) + 1:
+        raise RuntimeError(
+            f"MoR {op} rewrote data files: "
+            f"{sorted(m1['commits'])} -> {sorted(m2['commits'])}"
+        )
+
+
 _SNAPSHOT_MERGE_MOR_ORACLE = """
 SELECT o_orderkey, o_orderpriority,
        CAST(CASE WHEN o_orderpriority = '1-URGENT'
@@ -7334,17 +7352,7 @@ def q_snapshot_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, updates, keys=["o_orderkey"]
         )
         m2 = _load_manifest(path, v2)
-        carried = {
-            rel: fs for rel, fs in m2["commits"].items()
-            if rel in m1["commits"]
-        }
-        if carried != m1["commits"] or len(m2["commits"]) != len(
-            m1["commits"]
-        ) + 1:
-            raise RuntimeError(
-                "MoR merge rewrote data files: "
-                f"{sorted(m1['commits'])} -> {sorted(m2['commits'])}"
-            )
+        _assert_mor_untouched(m1, m2, "merge")
         if not m2.get("deletes"):
             raise RuntimeError("MoR merge committed no delete vector")
         return (
@@ -7411,17 +7419,7 @@ def q_snapshot_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"o_totalprice": F.col("o_totalprice") + 100.0},
         )
         m2 = _load_manifest(path, v2)
-        carried = {
-            rel: fs for rel, fs in m2["commits"].items()
-            if rel in m1["commits"]
-        }
-        if carried != m1["commits"] or len(m2["commits"]) != len(
-            m1["commits"]
-        ) + 1:
-            raise RuntimeError(
-                "MoR update rewrote data files: "
-                f"{sorted(m1['commits'])} -> {sorted(m2['commits'])}"
-            )
+        _assert_mor_untouched(m1, m2, "update")
         return (
             read_snapshot(spark, path)
             .select(

@@ -305,13 +305,7 @@ def snapshot_write(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(commit_abs)
 
-    files = []
-    for dirpath, _dirs, names in os.walk(commit_abs):
-        for n in sorted(names):
-            if n.endswith(".parquet"):
-                files.append(
-                    os.path.relpath(os.path.join(dirpath, n), commit_abs)
-                )
+    files, _n = _staged_parquet_files(commit_abs, count_rows=False)
     return commit_staged_files(
         path,
         commit_rel,
@@ -1054,6 +1048,49 @@ def snapshot_delete(
     )
 
 
+def _staged_parquet_files(
+    dir_abs: str, count_rows: bool = True
+) -> tuple[list[str], int]:
+    """Relative paths (+ total row count unless ``count_rows=False`` —
+    a footer read per file, which a 10⁵-file commit should not pay
+    when only the listing is needed) of every parquet staged under a
+    directory — THE post-write walk every staging writer shares (data
+    commits and delete vectors alike), so edge handling (extensions,
+    nested partition dirs, empty writes) can never drift between
+    them."""
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    n_rows = 0
+    for dirpath, _dirs, names in os.walk(dir_abs):
+        for name in sorted(names):
+            if name.endswith(".parquet"):
+                full = os.path.join(dirpath, name)
+                if count_rows:
+                    n_rows += pq.ParquetFile(full).metadata.num_rows
+                files.append(os.path.relpath(full, dir_abs))
+    return sorted(files), n_rows
+
+
+def _stage_delete_vector(path, head, hits):
+    """Stage a positional delete vector (``(file_path, pos)`` frame)
+    for a commit on top of ``head``: written globally sorted so
+    task-side lookups for one data file prune row groups. Returns
+    ``(delete_rel, files, n_rows)``; an empty vector is swept and
+    reported as ``(None, [], 0)`` — shared by the three MoR DML
+    writers (delete/merge/update)."""
+    delete_rel = os.path.join(
+        _DATA_DIR, f"d{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    delete_abs = os.path.join(path, delete_rel)
+    hits.sort("file_path", "pos").write.mode("error").parquet(delete_abs)
+    files, n_rows = _staged_parquet_files(delete_abs)
+    if n_rows == 0:
+        shutil.rmtree(delete_abs)
+        return None, [], 0
+    return delete_rel, files, n_rows
+
+
 def snapshot_merge_mor(
     spark: SparkSession,
     path: str,
@@ -1080,11 +1117,14 @@ def snapshot_merge_mor(
     vector anti-join until :func:`snapshot_compact` materializes, the
     same debt cycle as :func:`snapshot_delete_mor` (audit with
     :func:`delete_debt`). Returns the committed version."""
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     if not keys:
         raise ValueError("snapshot_merge_mor needs the table's key columns")
+    # pin the caller's plan ONCE: it feeds the dup check, the
+    # semi-join's key set, and the data write — re-evaluating a
+    # nondeterministic source could mask one key set and write another
+    updates = updates.localCheckpoint(eager=True)
     dup = (
         updates.groupBy(*keys)
         .agg(F.count("*").alias("__c"))
@@ -1098,6 +1138,18 @@ def snapshot_merge_mor(
             f" — dedupe first (no order column means no defensible "
             f"winner; snapshot_merge has the order_col contract)"
         )
+    null_key = updates.where(
+        reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+    ).limit(1).collect()
+    if null_key:
+        raise ValueError(
+            "updates carry a NULL key — SQL NULL never equals itself, "
+            "so a NULL-keyed update can never MATCH a target row "
+            "(it would only ever accumulate inserts); delete + append "
+            "NULL-keyed rows explicitly instead"
+        )
     for _ in range(max_commit_retries):
         head = current_version(path)
         if head is None:
@@ -1107,37 +1159,35 @@ def snapshot_merge_mor(
         live = _apply_delete_vectors(
             spark, path, tagged, manifest.get("deletes")
         )
+        live_cols = [
+            c for c in live.columns
+            if c not in ("__snap_file", "__snap_pos")
+        ]
+        missing = [c for c in live_cols if c not in updates.columns]
+        if missing:
+            # the union-by-name read would silently NULL these in the
+            # replacement rows — a typo'd column must fail loudly, the
+            # same contract as the CoW merge's strict union
+            raise ValueError(
+                f"updates are missing table column(s) {missing} — a "
+                f"MoR merge REPLACES matched rows whole; project every "
+                f"table column (extra columns are schema evolution and "
+                f"are fine)"
+            )
         upd_keys = updates.select(*keys).distinct()
         hits = live.join(F.broadcast(upd_keys), keys, "semi").select(
             F.col("__snap_file").alias("file_path"),
             F.col("__snap_pos").cast("long").alias("pos"),
         )
-        suffix = uuid.uuid4().hex[:8]
-        delete_rel = os.path.join(_DATA_DIR, f"d{head + 1:08d}-{suffix}")
-        delete_abs = os.path.join(path, delete_rel)
-        hits.sort("file_path", "pos").write.mode("error").parquet(
-            delete_abs
+        delete_rel, vec_files, n_masked = _stage_delete_vector(
+            path, head, hits
         )
-        vec_files = []
-        n_masked = 0
-        for dirpath, _dirs, names in os.walk(delete_abs):
-            for nme in sorted(names):
-                if nme.endswith(".parquet"):
-                    full = os.path.join(dirpath, nme)
-                    n_masked += pq.ParquetFile(full).metadata.num_rows
-                    vec_files.append(os.path.relpath(full, delete_abs))
-        if n_masked == 0:
-            shutil.rmtree(delete_abs)  # pure insert: a plain append
-        data_rel = os.path.join(_DATA_DIR, f"c{head + 1:08d}-{suffix}")
+        data_rel = os.path.join(
+            _DATA_DIR, f"c{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
         data_abs = os.path.join(path, data_rel)
         updates.write.mode("error").parquet(data_abs)
-        data_files = []
-        for dirpath, _dirs, names in os.walk(data_abs):
-            for nme in sorted(names):
-                if nme.endswith(".parquet"):
-                    data_files.append(
-                        os.path.relpath(os.path.join(dirpath, nme), data_abs)
-                    )
+        data_files, _n = _staged_parquet_files(data_abs, count_rows=False)
         try:
             return commit_staged_files(
                 path,
@@ -1147,7 +1197,7 @@ def snapshot_merge_mor(
                 expected_parent=head,
                 spark=spark,
                 deletes_add=(
-                    {delete_rel: sorted(vec_files)} if n_masked else None
+                    {delete_rel: vec_files} if n_masked else None
                 ),
                 operation="merge",
             )
@@ -1156,7 +1206,9 @@ def snapshot_merge_mor(
             # discard both staged dirs and re-plan from the new head
             shutil.rmtree(data_abs, ignore_errors=True)
             if n_masked:
-                shutil.rmtree(delete_abs, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(path, delete_rel), ignore_errors=True
+                )
     raise ConcurrentSnapshotError(
         f"MoR merge at {path} lost {max_commit_retries} re-plan races "
         f"— a writer loop is outrunning this one"
@@ -1180,7 +1232,6 @@ def snapshot_update_mor(
     nothing commits nothing and returns the unchanged head.
     Incremental consumers refuse to tail across it, like every
     rewrite. Returns the head version."""
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     if not set_exprs:
@@ -1194,44 +1245,37 @@ def snapshot_update_mor(
         live = _apply_delete_vectors(
             spark, path, tagged, manifest.get("deletes")
         )
-        matched = live.where(predicate.eqNullSafe(True))
         unknown = [c for c in set_exprs if c not in live.columns]
         if unknown:
             raise ValueError(f"SET on unknown column(s): {unknown}")
+        # pin the matched rows ONCE: the vector write and the rewrite
+        # both consume them, and re-running the tagged scan + anti-join
+        # would double the table I/O per UPDATE
+        matched = live.where(predicate.eqNullSafe(True)).localCheckpoint(
+            eager=True
+        )
         hits = matched.select(
             F.col("__snap_file").alias("file_path"),
             F.col("__snap_pos").cast("long").alias("pos"),
         )
-        suffix = uuid.uuid4().hex[:8]
-        delete_rel = os.path.join(_DATA_DIR, f"d{head + 1:08d}-{suffix}")
-        delete_abs = os.path.join(path, delete_rel)
-        hits.sort("file_path", "pos").write.mode("error").parquet(
-            delete_abs
+        delete_rel, vec_files, n_matched = _stage_delete_vector(
+            path, head, hits
         )
-        vec_files = []
-        n_matched = 0
-        for dirpath, _dirs, names in os.walk(delete_abs):
-            for nme in sorted(names):
-                if nme.endswith(".parquet"):
-                    full = os.path.join(dirpath, nme)
-                    n_matched += pq.ParquetFile(full).metadata.num_rows
-                    vec_files.append(os.path.relpath(full, delete_abs))
         if n_matched == 0:
-            shutil.rmtree(delete_abs)
             return head
-        rewritten = matched.drop("__snap_file", "__snap_pos")
-        for col, expr in set_exprs.items():
-            rewritten = rewritten.withColumn(col, expr)
-        data_rel = os.path.join(_DATA_DIR, f"c{head + 1:08d}-{suffix}")
+        # ONE projection: every SET right-hand side evaluates against
+        # the PRE-update row (SQL UPDATE semantics) — sequential
+        # withColumn would let {"a": col("b"), "b": col("a")} read the
+        # already-updated a and depend on dict order
+        rewritten = matched.drop("__snap_file", "__snap_pos").withColumns(
+            set_exprs
+        )
+        data_rel = os.path.join(
+            _DATA_DIR, f"c{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
         data_abs = os.path.join(path, data_rel)
         rewritten.write.mode("error").parquet(data_abs)
-        data_files = []
-        for dirpath, _dirs, names in os.walk(data_abs):
-            for nme in sorted(names):
-                if nme.endswith(".parquet"):
-                    data_files.append(
-                        os.path.relpath(os.path.join(dirpath, nme), data_abs)
-                    )
+        data_files, _n = _staged_parquet_files(data_abs, count_rows=False)
         try:
             return commit_staged_files(
                 path,
@@ -1240,12 +1284,14 @@ def snapshot_update_mor(
                 mode="append",
                 expected_parent=head,
                 spark=spark,
-                deletes_add={delete_rel: sorted(vec_files)},
+                deletes_add={delete_rel: vec_files},
                 operation="update",
             )
         except ConcurrentSnapshotError:
             shutil.rmtree(data_abs, ignore_errors=True)
-            shutil.rmtree(delete_abs, ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(path, delete_rel), ignore_errors=True
+            )
     raise ConcurrentSnapshotError(
         f"MoR update at {path} lost {max_commit_retries} re-plan races "
         f"— a writer loop is outrunning this one"
@@ -1286,7 +1332,6 @@ def snapshot_delete_mor(
     overwrite/merge/compact. A delete matching ZERO rows commits
     nothing and returns the unchanged head. Returns the head version.
     """
-    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     for _ in range(max_commit_retries):
@@ -1305,28 +1350,12 @@ def snapshot_delete_mor(
             F.col("__snap_file").alias("file_path"),
             F.col("__snap_pos").cast("long").alias("pos"),
         )
-        delete_rel = os.path.join(
-            _DATA_DIR, f"d{head + 1:08d}-{uuid.uuid4().hex[:8]}"
-        )
-        delete_abs = os.path.join(path, delete_rel)
-        # globally sorted by (file_path, pos): task-side vector lookups
-        # for one data file touch one row-group range, not every file
-        hits.sort("file_path", "pos").write.mode("error").parquet(
-            delete_abs
-        )
-        files = []
-        n_rows = 0
-        for dirpath, _dirs, names in os.walk(delete_abs):
-            for n in sorted(names):
-                if n.endswith(".parquet"):
-                    full = os.path.join(dirpath, n)
-                    n_rows += pq.ParquetFile(full).metadata.num_rows
-                    files.append(os.path.relpath(full, delete_abs))
+        delete_rel, files, n_rows = _stage_delete_vector(path, head, hits)
         if n_rows == 0:
-            shutil.rmtree(delete_abs)  # nothing matched: no commit
-            return head
+            return head  # nothing matched: no commit
+        delete_abs = os.path.join(path, delete_rel)
         new_deletes = dict(manifest.get("deletes") or {})
-        new_deletes[delete_rel] = sorted(files)
+        new_deletes[delete_rel] = files
         new_manifest = {
             "version": head + 1,
             "parent": head,

@@ -1287,3 +1287,46 @@ def test_mor_update_set_where(spark, tmp_path):
         snapshot_update_mor(
             spark, path, F.col("s") == "a", {"nope": F.lit(1)}
         )
+
+
+def test_mor_update_swap_and_merge_guards(spark, tmp_path):
+    """r9 third review: every SET right-hand side evaluates against
+    the PRE-update row (a={b}, b={a} swaps); merge refuses NULL update
+    keys (they can never match) and updates missing a table column
+    (silent NULLs otherwise)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_merge_mor,
+        snapshot_update_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0, 20.0), (2, 30.0, 40.0)], "k long, a double, b double"
+        ),
+        path,
+    )
+    snapshot_update_mor(
+        spark, path, F.col("k") == 1,
+        {"a": F.col("b"), "b": F.col("a")},
+    )
+    got = {r.k: (r.a, r.b) for r in read_snapshot(spark, path).collect()}
+    assert got == {1: (20.0, 10.0), 2: (30.0, 40.0)}  # swapped, not aliased
+
+    with pytest.raises(ValueError, match="NULL key"):
+        snapshot_merge_mor(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(None, 1.0, 1.0)], "k long, a double, b double"
+            ),
+            keys=["k"],
+        )
+    with pytest.raises(ValueError, match="missing table column"):
+        snapshot_merge_mor(
+            spark,
+            path,
+            spark.createDataFrame([(1, 5.0)], "k long, a double"),
+            keys=["k"],
+        )

@@ -65,6 +65,7 @@ QUERIES = [
     "entry_point_conversion",  # entry-type conversion ratio (r8 family)
     "price_rank_deciles",   # grouped distributed rank selection (r9 plan)
     "ntile_binning",        # grouped multi-rank selection (r9 plan)
+    "ks_drift_grouped",     # per-group bucketed two-pass KS (r9 plan)
     "snapshot_format_partitioned",  # Hive-partitioned format read (r8)
     "snapshot_delete_mor",  # positional delete vectors + MoR read (r9)
     "snapshot_merge_mor",   # vector-masked upsert, one atomic commit (r9)
