@@ -499,19 +499,30 @@ def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
             st.tuples(st.just("delete"), st.integers(2, 5)),
             st.tuples(st.just("merge"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
             st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("delete_mor"), st.integers(2, 5)),
+            st.tuples(st.just("merge_mor"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+            st.tuples(st.just("update_mor"), st.integers(2, 5)),
+            st.tuples(st.just("rollback"), st.just(None)),
         ),
         min_size=1,
-        max_size=6,
+        max_size=7,
     ),
     keep_last=st.integers(1, 3),
 )
 def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_last):
-    """Model-based check of the versioned-table DML algebra: an
-    arbitrary op sequence (overwrite/append/delete/merge/compact)
-    against a plain-Python multiset model — every committed version
-    must read back exactly the model's state at that point, both
-    before AND after expiry drops old manifests; expired versions must
-    raise. Values double as merge order keys (last write wins)."""
+    """Model-based check of the versioned-table DML algebra — now
+    including the MERGE-ON-READ family and rollback: an arbitrary op
+    sequence (overwrite/append/delete/merge/compact/delete_mor/
+    merge_mor/update_mor/rollback) against a plain-Python multiset
+    model — every committed version must read back exactly the model's
+    state at that point (vectors applied, restored by rollback,
+    materialized by compaction), both before AND after expiry drops
+    old manifests; expired versions must raise. Values double as merge
+    order keys (last write wins). MoR semantics in the model:
+    delete_mor == delete; merge_mor masks EVERY live row of a matched
+    key and appends the update once (unmatched duplicates survive —
+    unlike CoW merge, which dedupes the whole union); update_mor
+    re-inserts matched rows with the SET applied (k += 100)."""
     from pyspark.sql import functions as F
 
     from nyc_taxi_data_ingestion_spark.sources.snapshots import (
@@ -520,7 +531,11 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
         read_snapshot,
         snapshot_compact,
         snapshot_delete,
+        snapshot_delete_mor,
         snapshot_merge,
+        snapshot_merge_mor,
+        snapshot_rollback,
+        snapshot_update_mor,
         snapshot_write,
     )
 
@@ -559,6 +574,42 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
             if not committed:
                 continue
             v = snapshot_compact(spark, path, target_partitions=1)
+        elif op == "delete_mor":
+            if not committed:
+                continue
+            new_cur = sorted(x for x in cur if x % arg != 0)
+            if new_cur == sorted(cur):
+                continue  # no match: no commit (documented no-op)
+            cur = new_cur
+            v = snapshot_delete_mor(spark, path, F.col("k") % arg == 0)
+        elif op == "merge_mor":
+            if not committed:
+                continue
+            keys = sorted(set(arg))
+            # every live row of a matched key is masked; the update
+            # row appends ONCE per key; unmatched duplicates survive
+            cur = sorted([x for x in cur if x not in set(keys)] + keys)
+            v = snapshot_merge_mor(
+                spark, path, frame(keys), keys=["k"]
+            )
+        elif op == "update_mor":
+            if not committed:
+                continue
+            if not any(x % arg == 0 for x in cur):
+                continue  # no match: no commit
+            cur = sorted(
+                x + 100 if x % arg == 0 else x for x in cur
+            )
+            v = snapshot_update_mor(
+                spark, path, F.col("k") % arg == 0,
+                {"k": F.col("k") + 100},
+            )
+        elif op == "rollback":
+            if not committed:
+                continue
+            first_v = min(history)
+            cur = list(history[first_v])
+            v = snapshot_rollback(path, first_v)
         committed = True
         history[v] = list(cur)
 
