@@ -6728,6 +6728,52 @@ def q_tpch_q19_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q12_TEMPLATE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {orders}, {lineitem}
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('R', 'A')
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "tpch_q12_sql",
+    _TPCH_Q12_TEMPLATE.format(orders="orders", lineitem="lineitem"),
+    tags=["J2", "A10", "sql"],
+)
+def q_tpch_q12_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) through
+    spark.sql(), adapted to the testdata schema the same way Q4 was:
+    lineitem carries no l_shipmode/l_commitdate/l_receiptdate, so
+    l_returnflag ('R','A') stands in for the MAIL/SHIP mode filter and
+    "shipped more than 30 days after the order was placed" is the
+    lateness analogue of commit<receipt. The shape is the point: a
+    fact-fact equi-join on the order key where BOTH single-table
+    predicates (flag membership + ship-date year) push to the lineitem
+    scan BEFORE the join, the priority split is two conditional
+    map-side-combined counts (never two scans), and at 100 TB the
+    orderkey join is the natural co-partitioned shuffle — no broadcast
+    assumption. One verbatim ANSI string on both engines; interval
+    arithmetic (`+ INTERVAL 30 DAY`) parses identically in Spark and
+    DuckDB."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q12_TEMPLATE.format(
+            orders="tpch_orders_v", lineitem="tpch_lineitem_v"
+        )
+    )
+
+
 _VARIANT_EXTRACT_ORACLE = """
 SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
