@@ -178,6 +178,7 @@ class _FilePartition(InputPartition):
         part_values: dict | None = None,
         file_rel: str | None = None,
         delete_files: list | None = None,
+        schema_ops: list | None = None,
     ):
         self.file_abs = file_abs
         # Hive-encoded partition values parsed from the file's path
@@ -189,6 +190,30 @@ class _FilePartition(InputPartition):
         # loads the positions for ITS file and masks them out
         self.file_rel = file_rel
         self.delete_files = delete_files or []
+        # metadata-only schema evolution: the manifest schema-log ops
+        # applying to THIS file's commit dir (snapshots.snapshot_rename_
+        # column / snapshot_drop_column), replayed over each Arrow
+        # batch before it is conformed — without this the conform step
+        # would silently NULL a renamed column's values
+        self.schema_ops = schema_ops or []
+
+
+def _apply_schema_ops(batch, ops: list):
+    """Replay manifest schema-log ops (rename/drop, in log order) over
+    an Arrow batch — pure metadata for renames, a column slice for
+    drops; the values are never copied."""
+    import pyarrow as pa
+
+    names = list(batch.schema.names)
+    cols = list(batch.columns)
+    for e in ops:
+        if e["op"] == "rename":
+            names = [e["to"] if n == e["from"] else n for n in names]
+        else:
+            keep = [i for i, n in enumerate(names) if n != e["column"]]
+            names = [names[i] for i in keep]
+            cols = [cols[i] for i in keep]
+    return pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def _deleted_positions(delete_files: list, file_rel: str):
@@ -441,14 +466,27 @@ def _table_arrow_schema(path: str, manifest: dict):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    schema_log = manifest.get("schema_log")
     schemas = []
     for rel, files in sorted(manifest["commits"].items()):
         if files:
-            schemas.append(
+            fields = list(
                 pq.ParquetFile(
                     os.path.join(path, rel, files[0])
                 ).schema_arrow
             )
+            # metadata-only schema evolution: the published schema is
+            # the LOGICAL one — replay this commit's rename/drop ops
+            # over its footer fields before unifying
+            for e in _S._schema_ops_for_commit(schema_log, rel):
+                if e["op"] == "rename":
+                    fields = [
+                        f.with_name(e["to"]) if f.name == e["from"] else f
+                        for f in fields
+                    ]
+                else:
+                    fields = [f for f in fields if f.name != e["column"]]
+            schemas.append(pa.schema(fields))
     if not schemas:
         raise FileNotFoundError(f"no data files in that version of {path}")
     try:
@@ -556,15 +594,22 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # rows); past the bootstrap no vector can exist in the window —
         # fresh_append_commits refuses to tail across a delete op
         delete_files = []
+        schema_log = None
         if sv == 0:
-            dels = _S._load_manifest(self._path, ev).get("deletes") or {}
+            head_m = _S._load_manifest(self._path, ev)
+            dels = head_m.get("deletes") or {}
             delete_files = [
                 os.path.join(self._path, drel, df)
                 for drel, dfs in sorted(dels.items())
                 for df in dfs
             ]
+            # only the bootstrap window can hold PRE-evolution commits
+            # (fresh_append_commits refuses to tail across a 'schema'
+            # commit, so later windows' dirs postdate every log entry)
+            schema_log = head_m.get("schema_log")
         parts = []
         for rel, files in sorted(fresh.items()):
+            ops = _S._schema_ops_for_commit(schema_log, rel)
             for f in files:
                 parts.append(
                     _FilePartition(
@@ -572,6 +617,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         _partition_values(f),
                         file_rel=f"{rel}/{f}",
                         delete_files=delete_files,
+                        schema_ops=ops,
                     )
                 )
         return parts
@@ -600,6 +646,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if dels is not None:
                 b = _mask_deleted(b, dels, offset)
             offset += n
+            if partition.schema_ops:
+                b = _apply_schema_ops(b, partition.schema_ops)
             if part_fields:
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values
@@ -772,12 +820,25 @@ class SnapshotBatchReader(DataSourceReader):
             )
             for df in dfs
         ]
+        schema_log = self._manifest.get("schema_log")
         parts = []
         for rel, files in sorted(self._manifest["commits"].items()):
             cstats = stats.get(rel) or {}
+            ops = _S._schema_ops_for_commit(schema_log, rel)
             for f in files:
                 pv = _partition_values(f)
                 bounds = dict(cstats.get(f) or {})
+                # recorded bounds are keyed by write-time PHYSICAL
+                # names; pushed filters use logical names — replay the
+                # commit's schema ops over the bound keys (a dropped
+                # column's bounds vanish: its logical twin is a later
+                # re-add this file holds only NULLs for)
+                for e in ops:
+                    if e["op"] == "rename":
+                        if e["from"] in bounds:
+                            bounds[e["to"]] = bounds.pop(e["from"])
+                    else:
+                        bounds.pop(e["column"], None)
                 # a file's partition value is an exact [v, v] bound —
                 # pushFilters prunes on partition columns through the
                 # SAME rule as recorded stats (Hive partition pruning
@@ -799,6 +860,7 @@ class SnapshotBatchReader(DataSourceReader):
                             pv,
                             file_rel=f"{rel}/{f}",
                             delete_files=delete_files,
+                            schema_ops=ops,
                         )
                     )
         # an all-pruned plan still needs >=1 partition for an empty scan
@@ -822,6 +884,8 @@ class SnapshotBatchReader(DataSourceReader):
             if dels is not None:
                 b = _mask_deleted(b, dels, offset)
             offset += n
+            if partition.schema_ops:
+                b = _apply_schema_ops(b, partition.schema_ops)
             if part_fields:
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values

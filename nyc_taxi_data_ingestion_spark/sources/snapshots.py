@@ -439,14 +439,20 @@ def commit_staged_files(
         commits: dict[str, list[str]] = {}
         stats: dict[str, dict[str, dict[str, list]]] = {}
         deletes: dict[str, list[str]] = {}
+        schema_log: list[dict] = []
         if mode == "append" and cur is not None:
             commits.update(parent["commits"])
             # carried commits keep their recorded bounds AND their
             # positional delete vectors (the carried files still hold
             # the deleted rows); an overwrite resets both with the
-            # file set
+            # file set. The schema log rides with the commits it
+            # applies to: carried dirs still need their renames/drops
+            # replayed, while an overwrite's fresh files (written from
+            # the logical frame) have the evolution materialized, so
+            # the log resets with the file set.
             stats.update(parent.get("stats") or {})
             deletes.update(parent.get("deletes") or {})
+            schema_log = list(parent.get("schema_log") or [])
         deletes.update(deletes_add or {})
         commits[commit_rel] = sorted(files)
 
@@ -488,6 +494,8 @@ def commit_staged_files(
             manifest["stats"] = stats
         if deletes:
             manifest["deletes"] = deletes
+        if schema_log:
+            manifest["schema_log"] = schema_log
         if merged_state:
             manifest["stream_state"] = merged_state
         if _commit_manifest(path, version, manifest):
@@ -551,7 +559,11 @@ def read_snapshot(
             version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
     return _read_commits(
-        spark, path, manifest["commits"], deletes=manifest.get("deletes")
+        spark,
+        path,
+        manifest["commits"],
+        deletes=manifest.get("deletes"),
+        schema_log=manifest.get("schema_log"),
     )
 
 
@@ -724,24 +736,37 @@ def scan_snapshot(
         version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
+    schema_log = manifest.get("schema_log")
     pruned: dict[str, list[str]] = {}
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
+        # predicates arrive in LOGICAL names; recorded bounds are keyed
+        # by write-time physical names — translate per commit through
+        # the schema log (a conjunct with no physical backing in this
+        # commit is skipped: its column is NULL there, which satisfies
+        # no range, so skipping only keeps files)
+        cpreds = _translate_pred_conjuncts(schema_log, commit_rel, preds)
         keep = [
             f
             for f in files
-            if not _file_provably_empty(cstats.get(f) or {}, preds)
+            if not _file_provably_empty(cstats.get(f) or {}, cpreds)
         ]
         if keep:
             pruned[commit_rel] = keep
     if not pruned:
         # every file proven empty: an empty frame with the head schema
-        base = _read_commits(spark, path, manifest["commits"])
+        base = _read_commits(
+            spark, path, manifest["commits"], schema_log=schema_log
+        )
         return base.where(F.lit(False))
     # MoR delete vectors never WIDEN recorded bounds, so stats pruning
     # stays conservative-correct; surviving files still apply them
     out = _read_commits(
-        spark, path, pruned, deletes=manifest.get("deletes")
+        spark,
+        path,
+        pruned,
+        deletes=manifest.get("deletes"),
+        schema_log=schema_log,
     )
     for col, lo, hi in preds:
         if lo is not None:
@@ -774,12 +799,14 @@ def scan_prune_stats(
         version = snaps[-1]["version"]
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
+    schema_log = manifest.get("schema_log")
     total = pruned_n = 0
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
+        cpreds = _translate_pred_conjuncts(schema_log, commit_rel, preds)
         for f in files:
             total += 1
-            if _file_provably_empty(cstats.get(f) or {}, preds):
+            if _file_provably_empty(cstats.get(f) or {}, cpreds):
                 pruned_n += 1
     return {
         "total_files": total,
@@ -788,11 +815,66 @@ def scan_prune_stats(
     }
 
 
+def _schema_ops_for_commit(
+    schema_log: list[dict] | None, commit_rel: str
+) -> list[dict]:
+    """The manifest schema-log entries that apply to ``commit_rel``, in
+    log (commit) order. Each entry froze the set of commit dirs live
+    when it committed (``applies_to``), so files written AFTER a
+    rename/drop — which already carry the post-evolution names — are
+    never touched, and a later re-add of a dropped name is a distinct
+    column, never aliased onto hidden history."""
+    return [
+        e for e in (schema_log or []) if commit_rel in e["applies_to"]
+    ]
+
+
+def _physical_column(
+    schema_log: list[dict] | None, commit_rel: str, logical: str
+) -> str | None:
+    """The IN-FILE column name backing logical column ``logical`` for
+    files in ``commit_rel`` — the reverse walk of the schema log that
+    lets manifest stats (recorded under write-time physical names)
+    serve predicates phrased in current logical names. Returns None
+    when the logical column has no physical backing in this commit
+    (dropped, or renamed away and later re-added): its value there is
+    NULL, so no recorded bound may be used (files stay conservatively
+    unpruned)."""
+    name = logical
+    for e in reversed(_schema_ops_for_commit(schema_log, commit_rel)):
+        if e["op"] == "rename":
+            if e["to"] == name:
+                name = e["from"]
+            elif e["from"] == name:
+                return None  # renamed away; logical name is a re-add
+        elif e["op"] == "drop" and e["column"] == name:
+            return None
+    return name
+
+
+def _translate_pred_conjuncts(
+    schema_log: list[dict] | None, commit_rel: str, preds
+) -> list[tuple]:
+    """Range conjuncts (logical names) → this commit's physical names,
+    dropping conjuncts with no physical backing (their column is NULL
+    in this commit — NULL satisfies no range, so skipping the conjunct
+    only KEEPS files, never wrongly prunes)."""
+    if not schema_log:
+        return list(preds)
+    out = []
+    for col, lo, hi in preds:
+        phys = _physical_column(schema_log, commit_rel, col)
+        if phys is not None:
+            out.append((phys, lo, hi))
+    return out
+
+
 def _read_commits(
     spark: SparkSession,
     path: str,
     commits: dict[str, list[str]],
     deletes: dict[str, list[str]] | None = None,
+    schema_log: list[dict] | None = None,
 ) -> DataFrame:
     """Plan a read over manifest-listed commit dirs — the one place
     file lists become DataFrames (read_snapshot AND incremental reads
@@ -807,17 +889,27 @@ def _read_commits(
     DML, :func:`snapshot_delete_mor`): when present, rows listed in
     the delete vectors are anti-joined out; a table with no MoR
     deletes pays ZERO overhead (no metadata columns, identical plan to
-    before)."""
+    before).
+
+    ``schema_log`` is the manifest's metadata-only rename/drop history
+    (:func:`snapshot_rename_column` / :func:`snapshot_drop_column`):
+    version-gated per commit dir, applied as plan-time projections —
+    a table that never evolved pays nothing."""
     if not deletes:
-        return _union_commit_frames(spark, path, commits, tag=False)
-    tagged = _tagged_commits(spark, path, commits)
+        return _union_commit_frames(
+            spark, path, commits, tag=False, schema_log=schema_log
+        )
+    tagged = _tagged_commits(spark, path, commits, schema_log=schema_log)
     return _apply_delete_vectors(spark, path, tagged, deletes).drop(
         "__snap_file", "__snap_pos"
     )
 
 
 def _tagged_commits(
-    spark: SparkSession, path: str, commits: dict[str, list[str]]
+    spark: SparkSession,
+    path: str,
+    commits: dict[str, list[str]],
+    schema_log: list[dict] | None = None,
 ) -> DataFrame:
     """:func:`_read_commits` with row provenance attached: ``__snap_file``
     (data file path relative to the table root — the identity delete
@@ -825,7 +917,9 @@ def _tagged_commits(
     file, Spark's parquet ``_metadata.row_index``). Both come from the
     scanner itself, so they are exact at any parallelism — the same
     (file, pos) identity Iceberg v2 positional deletes use."""
-    return _union_commit_frames(spark, path, commits, tag=True)
+    return _union_commit_frames(
+        spark, path, commits, tag=True, schema_log=schema_log
+    )
 
 
 def _union_commit_frames(
@@ -833,10 +927,15 @@ def _union_commit_frames(
     path: str,
     commits: dict[str, list[str]],
     tag: bool,
+    schema_log: list[dict] | None = None,
 ) -> DataFrame:
     """The ONE commit-dirs → DataFrame loop (plain and provenance-tagged
     reads share it, so schema-evolution or error-message fixes can
-    never drift between the two paths)."""
+    never drift between the two paths). Schema-log entries applying to
+    a commit are replayed over its frame in log order (rename → a
+    zero-cost plan projection; drop → the physical column is hidden so
+    a later same-name add never aliases onto it) before the
+    union-by-name merges the per-commit schemas."""
     from pyspark.sql import functions as F
 
     parts: list[DataFrame] = []
@@ -847,6 +946,11 @@ def _union_commit_frames(
         df = spark.read.option("basePath", commit_abs).parquet(
             *[os.path.join(commit_abs, f) for f in files]
         )
+        for e in _schema_ops_for_commit(schema_log, commit_rel):
+            if e["op"] == "rename":
+                df = df.withColumnRenamed(e["from"], e["to"])
+            else:
+                df = df.drop(e["column"])
         if tag:
             # _metadata.file_path is a URI; the part after
             # .../<commit_rel>/ is the file's path within the commit
@@ -1155,7 +1259,12 @@ def snapshot_merge_mor(
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
         manifest = _load_manifest(path, head)
-        tagged = _tagged_commits(spark, path, manifest["commits"])
+        tagged = _tagged_commits(
+            spark,
+            path,
+            manifest["commits"],
+            schema_log=manifest.get("schema_log"),
+        )
         live = _apply_delete_vectors(
             spark, path, tagged, manifest.get("deletes")
         )
@@ -1241,7 +1350,12 @@ def snapshot_update_mor(
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
         manifest = _load_manifest(path, head)
-        tagged = _tagged_commits(spark, path, manifest["commits"])
+        tagged = _tagged_commits(
+            spark,
+            path,
+            manifest["commits"],
+            schema_log=manifest.get("schema_log"),
+        )
         live = _apply_delete_vectors(
             spark, path, tagged, manifest.get("deletes")
         )
@@ -1342,7 +1456,12 @@ def snapshot_delete_mor(
         # plan against LIVE rows only (existing vectors applied): a
         # re-delete of an already-deleted position would be harmless
         # but bloats vectors; this keeps them minimal
-        tagged = _tagged_commits(spark, path, manifest["commits"])
+        tagged = _tagged_commits(
+            spark,
+            path,
+            manifest["commits"],
+            schema_log=manifest.get("schema_log"),
+        )
         live = _apply_delete_vectors(
             spark, path, tagged, manifest.get("deletes")
         )
@@ -1370,6 +1489,8 @@ def snapshot_delete_mor(
         if manifest.get("stats_cols"):
             new_manifest["stats_cols"] = manifest["stats_cols"]
             new_manifest["stats"] = manifest.get("stats") or {}
+        if manifest.get("schema_log"):
+            new_manifest["schema_log"] = manifest["schema_log"]
         if manifest.get("stream_state"):
             new_manifest["stream_state"] = manifest["stream_state"]
         if _commit_manifest(path, head + 1, new_manifest):
@@ -1585,12 +1706,20 @@ def read_appends_between(
     # delete vectors apply (a plain file read would resurrect
     # MoR-deleted rows); past the bootstrap no vector can exist in the
     # window — fresh_append_commits refuses to tail across a delete op
-    dels = (
-        _load_manifest(path, to_version).get("deletes")
-        if from_version == 0
-        else None
+    head_manifest = _load_manifest(path, to_version)
+    dels = head_manifest.get("deletes") if from_version == 0 else None
+    # the schema log only ever names commit dirs that existed when an
+    # evolution committed, so for a non-bootstrap window (all-fresh
+    # dirs) it applies to nothing — passing it is uniform, not a
+    # behavior fork (fresh_append_commits already refuses to tail
+    # ACROSS a 'schema' commit, like any non-append)
+    return _read_commits(
+        spark,
+        path,
+        fresh,
+        deletes=dels,
+        schema_log=head_manifest.get("schema_log"),
     )
-    return _read_commits(spark, path, fresh, deletes=dels)
 
 
 def snapshot_rollback(
@@ -1632,10 +1761,180 @@ def snapshot_rollback(
         # rows, and one to after it must keep them deleted
         if target.get("deletes"):
             manifest["deletes"] = target["deletes"]
+        # likewise its schema log: a rollback across a rename/drop must
+        # restore the old logical schema (the target's log is exactly
+        # the evolution state as of that version)
+        if target.get("schema_log"):
+            manifest["schema_log"] = target["schema_log"]
         if _commit_manifest(path, version, manifest):
             return version
     raise ConcurrentSnapshotError(
         f"rollback at {path} lost {max_commit_retries} optimistic races"
+    )
+
+
+def _logical_columns(path: str, manifest: dict) -> list[str]:
+    """The table's current LOGICAL column names: per commit dir, one
+    parquet footer (files within a commit share a writer schema) with
+    that commit's schema-log ops replayed, unioned in first-seen
+    order, plus the recorded partition columns (directory-encoded, so
+    absent from footers). Driver-side metadata only — O(commit dirs)
+    footer reads, no Spark plan."""
+    import pyarrow.parquet as pq
+
+    log = manifest.get("schema_log")
+    seen: list[str] = []
+    for rel, files in sorted(manifest["commits"].items()):
+        if not files:
+            continue
+        names = list(
+            pq.read_schema(os.path.join(path, rel, files[0])).names
+        )
+        for e in _schema_ops_for_commit(log, rel):
+            if e["op"] == "rename":
+                names = [e["to"] if n == e["from"] else n for n in names]
+            else:
+                names = [n for n in names if n != e["column"]]
+        for n in names:
+            if n not in seen:
+                seen.append(n)
+    for p in manifest.get("partition_by") or []:
+        if p not in seen:
+            seen.append(p)
+    return seen
+
+
+def snapshot_rename_column(
+    path: str, old: str, new: str, max_commit_retries: int = 5
+) -> int:
+    """METADATA-ONLY column rename — Iceberg's ``ALTER TABLE RENAME
+    COLUMN`` (field-id based; the reference's Iceberg v2 tables get
+    this from the format itself): commits a new version whose file set
+    is byte-identical to the head's, with the rename recorded in the
+    manifest's ``schema_log`` and replayed as a plan-time projection
+    over the commits it applies to. At 100 TB the alternative is a
+    full-table rewrite for a name change; this is one JSON manifest.
+
+    Contracts: the old name must be a current logical column, the new
+    name must not be, and PARTITION columns are refused (their name is
+    baked into every data path — renaming one is partition-spec
+    evolution, a rewrite). ``stats_cols`` follows the rename so future
+    commits keep collecting bounds under the logical name; bounds
+    already recorded keep their physical keys and are translated at
+    scan time (:func:`_physical_column`). Incremental consumers cannot
+    tail across the commit (operation ``schema`` fails the append-only
+    window rule) — restart them from a bootstrap, Delta's own contract
+    for schema-changed streams. Returns the new version."""
+    return _commit_schema_op(
+        path, {"op": "rename", "from": old, "to": new}, max_commit_retries
+    )
+
+
+def snapshot_drop_column(
+    path: str, column: str, max_commit_retries: int = 5
+) -> int:
+    """METADATA-ONLY column drop — Iceberg's ``ALTER TABLE DROP
+    COLUMN``: the physical column stays in the files (history keeps
+    reading it at pre-drop versions) but is hidden from every read at
+    or past this commit. A later append may re-add the name: the
+    schema log's frozen ``applies_to`` sets keep the two lineages
+    separate — the old column's values never leak into the new one
+    (old commits read NULL for it). Partition columns are refused, as
+    :func:`snapshot_rename_column`. Returns the new version."""
+    return _commit_schema_op(
+        path, {"op": "drop", "column": column}, max_commit_retries
+    )
+
+
+def _commit_schema_op(
+    path: str, entry: dict, max_commit_retries: int
+) -> int:
+    """Validate + CAS-commit one schema-log entry (shared by rename and
+    drop): operation ``schema``, file set / stats / deletes /
+    stream_state carried verbatim, the entry frozen onto the commit
+    dirs live at validation time."""
+    for _ in range(max_commit_retries):
+        cur = current_version(path)
+        if cur is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, cur)
+        logical = _logical_columns(path, manifest)
+        parts = set(manifest.get("partition_by") or [])
+        if entry["op"] == "rename":
+            old, new = entry["from"], entry["to"]
+            if not old or not new or old == new:
+                raise ValueError(
+                    f"bad rename {old!r} -> {new!r}: names must be "
+                    f"non-empty and distinct"
+                )
+            if old not in logical:
+                raise ValueError(
+                    f"cannot rename {old!r}: not a column of {path} "
+                    f"(have {logical})"
+                )
+            if new in logical:
+                raise ValueError(
+                    f"cannot rename {old!r} -> {new!r}: target name "
+                    f"already exists at {path}"
+                )
+            if old in parts:
+                raise ValueError(
+                    f"cannot rename partition column {old!r}: its name "
+                    f"is baked into every data path — partition-spec "
+                    f"evolution requires a rewrite (snapshot_compact "
+                    f"with a new partition_by)"
+                )
+        else:
+            column = entry["column"]
+            if column not in logical:
+                raise ValueError(
+                    f"cannot drop {column!r}: not a column of {path} "
+                    f"(have {logical})"
+                )
+            if column in parts:
+                raise ValueError(
+                    f"cannot drop partition column {column!r}: the "
+                    f"table's layout keys on it — repartition via "
+                    f"snapshot_compact(partition_by=...) first"
+                )
+        version = cur + 1
+        log = list(manifest.get("schema_log") or [])
+        log.append(
+            {**entry, "v": version, "applies_to": sorted(manifest["commits"])}
+        )
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "operation": "schema",
+            "timestamp": time.time(),
+            "partition_by": manifest.get("partition_by") or [],
+            "commits": manifest["commits"],
+            "schema_log": log,
+        }
+        # table properties ride along; stats_cols follows the evolution
+        # so FUTURE commits collect bounds under the logical names
+        # (already-recorded bounds keep their physical keys — the scan
+        # translates)
+        stats_cols = list(manifest.get("stats_cols") or [])
+        if entry["op"] == "rename":
+            stats_cols = [
+                entry["to"] if c == entry["from"] else c for c in stats_cols
+            ]
+        else:
+            stats_cols = [c for c in stats_cols if c != entry["column"]]
+        if stats_cols:
+            new_manifest["stats_cols"] = stats_cols
+        if manifest.get("stats"):
+            new_manifest["stats"] = manifest["stats"]
+        if manifest.get("deletes"):
+            new_manifest["deletes"] = manifest["deletes"]
+        if manifest.get("stream_state"):
+            new_manifest["stream_state"] = manifest["stream_state"]
+        if _commit_manifest(path, version, new_manifest):
+            return version
+    raise ConcurrentSnapshotError(
+        f"schema evolution at {path} lost {max_commit_retries} "
+        f"optimistic races"
     )
 
 

@@ -1330,3 +1330,185 @@ def test_mor_update_swap_and_merge_guards(spark, tmp_path):
             spark.createDataFrame([(1, 5.0)], "k long, a double"),
             keys=["k"],
         )
+
+
+# ---------------------------------------------------------------------------
+# metadata-only schema evolution (snapshot_rename_column / snapshot_drop_column)
+
+
+def test_rename_is_metadata_only_with_time_travel_and_rollback(
+    spark, tmp_path
+):
+    """Rename commits NO data: the file set is byte-identical, the head
+    reads the new name with the old values, time travel shows the
+    pre-rename schema, and a rollback across the rename restores it."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_rename_column,
+        snapshot_rollback,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, amount double"
+    )
+    v1 = snapshot_write(df, path)
+    before = _load_manifest(path, v1)["commits"]
+    v2 = snapshot_rename_column(path, "amount", "price")
+    m2 = _load_manifest(path, v2)
+    assert m2["commits"] == before  # zero files added or rewritten
+    assert m2["operation"] == "schema"
+
+    head = read_snapshot(spark, path)
+    assert head.columns == ["id", "name", "price"]
+    assert {r.id: r.price for r in head.collect()} == {1: 10.0, 2: 20.0}
+    assert read_snapshot(spark, path, version=v1).columns == [
+        "id", "name", "amount"
+    ]
+
+    # appends written AFTER the rename carry the new name natively and
+    # are never re-mapped (frozen applies_to)
+    snapshot_write(
+        spark.createDataFrame(
+            [(3, "c", 30.0)], "id int, name string, price double"
+        ),
+        path,
+        mode="append",
+    )
+    assert {r.id: r.price for r in read_snapshot(spark, path).collect()} == {
+        1: 10.0, 2: 20.0, 3: 30.0
+    }
+
+    v_rb = snapshot_rollback(path, v1)
+    assert read_snapshot(spark, path, version=v_rb).columns == [
+        "id", "name", "amount"
+    ]
+
+
+def test_rename_translates_recorded_stats_for_pruning(spark, tmp_path):
+    """Bounds recorded under the OLD physical name must keep pruning a
+    scan phrased in the NEW logical name — the schema log's reverse
+    walk, shared by scan_snapshot / scan_prune_stats / pushFilters."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    # two well-separated value ranges in separate files
+    lo = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("amount")
+    ).coalesce(1)
+    hi = spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("amount")
+    ).coalesce(1)
+    snapshot_write(lo, path, stats_cols=["amount"])
+    snapshot_write(hi, path, mode="append")
+    snapshot_rename_column(path, "amount", "price")
+
+    st = scan_prune_stats(path, "price", lower=500.0)
+    assert st["pruned_files"] >= 1  # the low-range file proven empty
+    got = sorted(
+        r.id for r in scan_snapshot(spark, path, "price", 500.0).collect()
+    )
+    assert got == list(range(1000, 1100))
+
+
+def test_drop_hides_history_and_readd_is_a_fresh_column(spark, tmp_path):
+    """Dropping a column hides it from every read at or past the
+    commit; a later append re-adding the NAME is a distinct column —
+    pre-drop values never leak into it (old rows read NULL)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_drop_column,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "secret"), (2, "hidden")], "id int, note string"
+        ),
+        path,
+    )
+    v2 = snapshot_drop_column(path, "note")
+    assert read_snapshot(spark, path).columns == ["id"]
+    # history unharmed: the pre-drop version still reads the values
+    assert read_snapshot(spark, path, version=1).columns == ["id", "note"]
+
+    snapshot_write(
+        spark.createDataFrame([(3, "fresh")], "id int, note string"),
+        path,
+        mode="append",
+    )
+    got = {r.id: r.note for r in read_snapshot(spark, path).collect()}
+    assert got == {1: None, 2: None, 3: "fresh"}
+
+
+def test_schema_evolution_refusals(spark, tmp_path):
+    """Validation: unknown/colliding names and partition columns are
+    refused loudly (partition names are baked into data paths —
+    renaming one is spec evolution, a rewrite)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_drop_column,
+        snapshot_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, part string, x double"
+        ),
+        path,
+        partition_by=["part"],
+    )
+    with pytest.raises(ValueError, match="not a column"):
+        snapshot_rename_column(path, "nope", "y")
+    with pytest.raises(ValueError, match="already exists"):
+        snapshot_rename_column(path, "x", "id")
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_rename_column(path, "part", "bucket")
+    with pytest.raises(ValueError, match="partition column"):
+        snapshot_drop_column(path, "part")
+    with pytest.raises(ValueError, match="non-empty and distinct"):
+        snapshot_rename_column(path, "x", "x")
+
+
+def test_schema_commit_blocks_tail_allows_bootstrap_and_mor_composes(
+    spark, tmp_path
+):
+    """A 'schema' commit fails the append-only incremental window rule
+    (consumers re-bootstrap, Delta's contract for schema-changed
+    streams); the bootstrap read applies the log; MoR delete vectors
+    compose with renames (predicate in the NEW name, vectors over OLD
+    files)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_appends_between,
+        snapshot_delete_mor,
+        snapshot_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = snapshot_write(
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") * 1.0).alias("amount")
+        ),
+        path,
+    )
+    v2 = snapshot_rename_column(path, "amount", "price")
+    v3 = snapshot_write(
+        spark.range(50, 60).select(
+            F.col("id"), (F.col("id") * 1.0).alias("price")
+        ),
+        path,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="not append"):
+        read_appends_between(spark, path, v1, v3)
+    boot = read_appends_between(spark, path, 0, v3)
+    assert boot.columns == ["id", "price"] and boot.count() == 60
+
+    # MoR delete phrased in the renamed column, rows living in OLD files
+    snapshot_delete_mor(spark, path, F.col("price") < 10.0)
+    head = read_snapshot(spark, path)
+    assert head.count() == 50
+    assert head.agg(F.min("price")).collect()[0][0] == 10.0
