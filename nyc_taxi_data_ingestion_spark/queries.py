@@ -7198,6 +7198,88 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_SCHEMA_EVOLUTION_ORACLE = """
+WITH evolved AS (
+  SELECT CAST(NULL AS VARCHAR) AS o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'POST', CAST(o_totalprice AS DOUBLE)
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+FROM evolved
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_schema_evolution",
+    _SNAPSHOT_SCHEMA_EVOLUTION_ORACLE,
+    tags=["S15", "schema"],
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY schema evolution end-to-end
+    (snapshots.snapshot_rename_column / snapshot_drop_column — the
+    Iceberg field-id rename/drop the reference's v2 tables get from
+    the format itself): commit even orders as (o_orderkey,
+    o_orderpriority, amount), RENAME amount→price and DROP
+    o_orderpriority (two manifest-only commits, zero files
+    rewritten), then append odd orders already shaped (o_orderkey,
+    price) plus a re-added o_orderpriority='POST'. The head aggregate
+    certifies all three contracts at once: renamed VALUES survive
+    (evens' totals come from files whose physical column is still
+    'amount'), the dropped column's history stays hidden (evens group
+    under NULL, never their original priority), and the re-added name
+    is a fresh lineage (only odds carry 'POST'). The oracle recomputes
+    the evolved table directly from orders. At 100 TB each evolution
+    step is one KB-scale manifest commit; the rewrite alternative is
+    the whole table."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_drop_column,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("amount"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapschema_")
+    try:
+        snapshot_write(base.where(F.col("o_orderkey") % 2 == 0), path)
+        snapshot_rename_column(path, "amount", "price")
+        snapshot_drop_column(path, "o_orderpriority")
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                F.col("amount").alias("price"),
+                F.lit("POST").alias("o_orderpriority"),
+            ),
+            path,
+            mode="append",
+        )
+        return (
+            read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                dsum("price").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_MERGE_ORACLE = """
 SELECT o_orderkey,
        o_orderpriority,
@@ -10115,11 +10197,11 @@ _REFRESH_FIRST: list[str] = [
     # selection, and the grouped KS cumulative onto the bucketed
     # two-pass — both caught by the new low-cardinality-window audit
     "ntile_binning", "ks_drift_grouped",
-    # r9 threaded merge-on-read delete vectors through the shared read
-    # path (read_snapshot / scan_snapshot / both format sources) and
-    # the deletes-carry through commit_staged_files — every query
-    # whose scan or commit may now touch delete files re-earns its
-    # verdict
+    # r9 threaded merge-on-read delete vectors AND the metadata-only
+    # schema log through the shared read path (read_snapshot /
+    # scan_snapshot / both format sources) and their carry through
+    # commit_staged_files — every query whose scan or commit may now
+    # touch delete files or schema ops re-earns its verdict
     "snapshot_time_travel", "snapshot_erase", "snapshot_merge_upsert",
     "snapshot_pruned_scan", "snapshot_incremental_read",
     "snapshot_cdc", "snapshot_incremental_ingest", "snapshot_stream_tail",

@@ -1554,14 +1554,21 @@ def stats_coverage(path: str, version: int | None = None) -> dict:
     manifest = _load_manifest(path, version)
     cols = list(manifest.get("stats_cols") or [])
     stats = manifest.get("stats") or {}
+    schema_log = manifest.get("schema_log")
     total = full = 0
     covered = {c: 0 for c in cols}
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
+        # bounds live under write-time PHYSICAL names; the audit must
+        # count them the way the scan uses them (a renamed column's
+        # old-file bounds still prune, so they still count as covered)
+        phys = {
+            c: _physical_column(schema_log, commit_rel, c) for c in cols
+        }
         for f in files:
             total += 1
             fs = cstats.get(f) or {}
-            have = [c for c in cols if c in fs]
+            have = [c for c in cols if phys[c] in fs]
             for c in have:
                 covered[c] += 1
             if cols and len(have) == len(cols):

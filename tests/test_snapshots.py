@@ -1414,6 +1414,16 @@ def test_rename_translates_recorded_stats_for_pruning(spark, tmp_path):
     )
     assert got == list(range(1000, 1100))
 
+    # the coverage audit counts old-name bounds the way the scan uses
+    # them: files statted under 'amount' are still covered for 'price'
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        stats_coverage,
+    )
+
+    cov = stats_coverage(path)
+    assert cov["stats_cols"] == ["price"]
+    assert cov["covered"]["price"] == cov["total_files"]
+
 
 def test_drop_hides_history_and_readd_is_a_fresh_column(spark, tmp_path):
     """Dropping a column hides it from every read at or past the
