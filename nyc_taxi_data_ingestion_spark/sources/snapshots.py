@@ -1966,13 +1966,44 @@ def snapshot_changes(
 
     if not keys:
         raise ValueError("snapshot_changes needs the table's key columns")
-    old = read_snapshot(spark, path, version=from_version)
+    if to_version is None:
+        to_version = current_version(path)
+    old = _align_old_to_new_schema(
+        path,
+        read_snapshot(spark, path, version=from_version),
+        from_version,
+        to_version,
+    )
     new = read_snapshot(spark, path, version=to_version)
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys
         ]
     return snapshot_diff(old, new, keys, compare_cols)
+
+
+def _align_old_to_new_schema(
+    path: str, old: DataFrame, from_version: int, to_version: int
+) -> DataFrame:
+    """Map the FROM version's logical schema onto the TO version's
+    through the schema log, so a column renamed between two diffed
+    versions compares as ONE column (its values diffed), never as the
+    old name vanishing from the shared set and every row's change
+    going silent. Entries are VERSION-gated here (not per-commit):
+    ops committed inside (from, to] re-map the old frame — ops at or
+    before ``from`` are already reflected in its read, ops after
+    ``to`` touch neither side. An overwrite inside the window resets
+    the log (the rename is materialized into fresh files, the linkage
+    is gone), so the diff falls back to shared columns — the prior
+    behavior, now the documented fallback."""
+    log = _load_manifest(path, to_version).get("schema_log") or []
+    for e in log:
+        if from_version < e["v"] <= to_version:
+            if e["op"] == "rename":
+                old = old.withColumnRenamed(e["from"], e["to"])
+            else:
+                old = old.drop(e["column"])
+    return old
 
 
 def snapshot_changelog(
@@ -2003,7 +2034,16 @@ def snapshot_changelog(
 
     if not keys:
         raise ValueError("snapshot_changelog needs the table's key columns")
-    old = read_snapshot(spark, path, version=from_version)
+    if to_version is None:
+        to_version = current_version(path)
+    # rename-aware CDF: a column renamed inside the window diffs as one
+    # column under its NEW name (see _align_old_to_new_schema)
+    old = _align_old_to_new_schema(
+        path,
+        read_snapshot(spark, path, version=from_version),
+        from_version,
+        to_version,
+    )
     new = read_snapshot(spark, path, version=to_version)
     shared = [c for c in old.columns if c in set(new.columns)]
     if compare_cols is None:

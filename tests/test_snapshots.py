@@ -1522,3 +1522,45 @@ def test_schema_commit_blocks_tail_allows_bootstrap_and_mor_composes(
     head = read_snapshot(spark, path)
     assert head.count() == 50
     assert head.agg(F.min("price")).collect()[0][0] == 10.0
+
+
+def test_changelog_is_rename_aware_across_versions(spark, tmp_path):
+    """CDF across a rename: a column renamed inside the diff window
+    compares as ONE column under its new name — without alignment the
+    old name falls out of the shared set and every value change in it
+    goes silent. Drops inside the window leave the column out of the
+    comparison (it is no longer part of the logical schema)."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_changelog,
+        snapshot_merge_mor,
+        snapshot_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, amount double"
+        ),
+        path,
+    )
+    snapshot_merge_mor(
+        spark,
+        path,
+        spark.createDataFrame([(2, 99.0)], "k int, amount double"),
+        keys=["k"],
+    )
+    snapshot_rename_column(path, "amount", "price")
+    snapshot_write(
+        spark.createDataFrame([(5, 50.0)], "k int, price double"),
+        path,
+        mode="append",
+    )
+
+    cdf = snapshot_changelog(spark, path, from_version=v1, keys=["k"])
+    assert "price" in cdf.columns and "amount" not in cdf.columns
+    got = sorted((r.k, r.price, r._change_type) for r in cdf.collect())
+    assert got == [
+        (2, 20.0, "update_preimage"),
+        (2, 99.0, "update_postimage"),
+        (5, 50.0, "insert"),
+    ]
