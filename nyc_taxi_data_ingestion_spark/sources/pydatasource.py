@@ -201,19 +201,18 @@ class _FilePartition(InputPartition):
 def _apply_schema_ops(batch, ops: list):
     """Replay manifest schema-log ops (rename/drop, in log order) over
     an Arrow batch — pure metadata for renames, a column slice for
-    drops; the values are never copied."""
-    import pyarrow as pa
-
-    names = list(batch.schema.names)
-    cols = list(batch.columns)
-    for e in ops:
-        if e["op"] == "rename":
-            names = [e["to"] if n == e["from"] else n for n in names]
-        else:
-            keep = [i for i, n in enumerate(names) if n != e["column"]]
-            names = [names[i] for i in keep]
-            cols = [cols[i] for i in keep]
-    return pa.RecordBatch.from_arrays(cols, names=names)
+    drops; the values are never copied. Replay semantics come from the
+    one shared primitive (snapshots._replay_schema_ops). select()
+    preserves num_rows even when every column drops — rebuilding via
+    from_arrays would silently collapse such a batch to 0 rows and
+    lose the rows a path-derived partition column still has to
+    describe."""
+    pairs = _S._replay_schema_ops(
+        [(n, i) for i, n in enumerate(batch.schema.names)], ops
+    )
+    return batch.select([i for _, i in pairs]).rename_columns(
+        [n for n, _ in pairs]
+    )
 
 
 def _deleted_positions(delete_files: list, file_rel: str):
@@ -470,23 +469,21 @@ def _table_arrow_schema(path: str, manifest: dict):
     schemas = []
     for rel, files in sorted(manifest["commits"].items()):
         if files:
-            fields = list(
-                pq.ParquetFile(
-                    os.path.join(path, rel, files[0])
-                ).schema_arrow
-            )
             # metadata-only schema evolution: the published schema is
             # the LOGICAL one — replay this commit's rename/drop ops
             # over its footer fields before unifying
-            for e in _S._schema_ops_for_commit(schema_log, rel):
-                if e["op"] == "rename":
-                    fields = [
-                        f.with_name(e["to"]) if f.name == e["from"] else f
-                        for f in fields
-                    ]
-                else:
-                    fields = [f for f in fields if f.name != e["column"]]
-            schemas.append(pa.schema(fields))
+            pairs = _S._replay_schema_ops(
+                [
+                    (f.name, f)
+                    for f in pq.ParquetFile(
+                        os.path.join(path, rel, files[0])
+                    ).schema_arrow
+                ],
+                _S._schema_ops_for_commit(schema_log, rel),
+            )
+            schemas.append(
+                pa.schema([f.with_name(n) for n, f in pairs])
+            )
     if not schemas:
         raise FileNotFoundError(f"no data files in that version of {path}")
     try:
@@ -607,6 +604,38 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # (fresh_append_commits refuses to tail across a 'schema'
             # commit, so later windows' dirs postdate every log entry)
             schema_log = head_m.get("schema_log")
+            # staleness guard: Spark pinned this stream's schema at
+            # definition time; an evolution committed since would make
+            # the conform step silently NULL a renamed column (its new
+            # name is absent from the pinned schema) or resurrect a
+            # dropped one. Raise instead — the checkpointed-restart
+            # path already raises via the append-only window rule;
+            # without this the BOOTSTRAP was the one silent hole.
+            if schema_log and self._arrow_schema is not None:
+                pinned = {f.name for f in self._arrow_schema}
+                logical = None
+                for e in schema_log:
+                    stale = e["op"] == "rename" and e["to"] not in pinned
+                    if not stale and e["op"] == "drop":
+                        if logical is None:
+                            logical = set(
+                                _S._logical_columns(self._path, head_m)
+                            )
+                        # in-pinned but no longer logical = dropped
+                        # after definition (a re-added name is logical
+                        # again and streams fine)
+                        stale = (
+                            e["column"] in pinned
+                            and e["column"] not in logical
+                        )
+                    if stale:
+                        raise ValueError(
+                            "snapshot_stream: the table's schema "
+                            "evolved after this stream was defined "
+                            f"(a {e['op']} postdates the pinned "
+                            "schema) — restart the stream so it "
+                            "re-resolves the logical schema"
+                        )
         parts = []
         for rel, files in sorted(fresh.items()):
             ops = _S._schema_ops_for_commit(schema_log, rel)
@@ -833,12 +862,10 @@ class SnapshotBatchReader(DataSourceReader):
                 # commit's schema ops over the bound keys (a dropped
                 # column's bounds vanish: its logical twin is a later
                 # re-add this file holds only NULLs for)
-                for e in ops:
-                    if e["op"] == "rename":
-                        if e["from"] in bounds:
-                            bounds[e["to"]] = bounds.pop(e["from"])
-                    else:
-                        bounds.pop(e["column"], None)
+                if ops:
+                    bounds = dict(
+                        _S._replay_schema_ops(bounds.items(), ops)
+                    )
                 # a file's partition value is an exact [v, v] bound —
                 # pushFilters prunes on partition columns through the
                 # SAME rule as recorded stats (Hive partition pruning

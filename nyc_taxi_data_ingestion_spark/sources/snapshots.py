@@ -424,6 +424,17 @@ def commit_staged_files(
     # stats cache across retries, keyed by the effective column list —
     # a retry against a new parent may inherit DIFFERENT stats_cols
     stats_cache: dict[tuple, dict] = {}
+    # schema-race guard: the staged files were written against the
+    # schema as of entry; if a rename/drop commits while this loop is
+    # retrying a lost CAS, silently landing them would fork the column
+    # lineage (the new dir is in no log entry's applies_to, so an
+    # old-name column becomes a surprise re-add reading NULL
+    # everywhere else). Capture the log seen on the FIRST attempt and
+    # refuse if a retry sees it changed — the writer must re-read the
+    # evolved schema and re-stage. (A schema op landing BEFORE entry
+    # is the ordinary optimistic window: pass expected_parent, as the
+    # MoR writers do, to close it.)
+    entry_log: list | None = None
     for _ in range(max_commit_retries):
         cur = current_version(path)
         _check_expected_parent(path, cur, expected_parent)
@@ -436,6 +447,16 @@ def commit_staged_files(
             # lost optimistic race, not an error: re-poll and retry
             # (with a CAS the re-polled head fails the check cleanly)
             continue
+        parent_log = parent.get("schema_log") or []
+        if entry_log is None:
+            entry_log = parent_log
+        elif parent_log != entry_log:
+            raise ConcurrentSnapshotError(
+                f"schema evolution committed at {path} while this "
+                f"append was retrying a lost race — the staged files "
+                f"were written against the pre-evolution schema; "
+                f"re-read the table and re-stage"
+            )
         commits: dict[str, list[str]] = {}
         stats: dict[str, dict[str, dict[str, list]]] = {}
         deletes: dict[str, list[str]] = {}
@@ -829,6 +850,24 @@ def _schema_ops_for_commit(
     ]
 
 
+def _replay_schema_ops(pairs, ops):
+    """Replay schema-log ops over a ``[(name, payload), …]`` sequence —
+    THE one forward rename/drop application primitive: every carrier
+    (engine frames, Arrow batches, footer fields, bounds maps, name
+    lists) derives its replay from this, so op semantics can never
+    drift between the engine and format read paths. Returns the
+    surviving ``(new_name, payload)`` pairs in original order."""
+    out = list(pairs)
+    for e in ops:
+        if e["op"] == "rename":
+            out = [
+                (e["to"] if n == e["from"] else n, p) for n, p in out
+            ]
+        else:
+            out = [(n, p) for n, p in out if n != e["column"]]
+    return out
+
+
 def _physical_column(
     schema_log: list[dict] | None, commit_rel: str, logical: str
 ) -> str | None:
@@ -946,11 +985,12 @@ def _union_commit_frames(
         df = spark.read.option("basePath", commit_abs).parquet(
             *[os.path.join(commit_abs, f) for f in files]
         )
-        for e in _schema_ops_for_commit(schema_log, commit_rel):
-            if e["op"] == "rename":
-                df = df.withColumnRenamed(e["from"], e["to"])
-            else:
-                df = df.drop(e["column"])
+        ops = _schema_ops_for_commit(schema_log, commit_rel)
+        if ops:
+            pairs = _replay_schema_ops([(c, c) for c in df.columns], ops)
+            df = df.select(
+                *[F.col(orig).alias(new) for new, orig in pairs]
+            )
         if tag:
             # _metadata.file_path is a URI; the part after
             # .../<commit_rel>/ is the file's path within the commit
@@ -1713,19 +1753,18 @@ def read_appends_between(
     # delete vectors apply (a plain file read would resurrect
     # MoR-deleted rows); past the bootstrap no vector can exist in the
     # window — fresh_append_commits refuses to tail across a delete op
-    head_manifest = _load_manifest(path, to_version)
-    dels = head_manifest.get("deletes") if from_version == 0 else None
-    # the schema log only ever names commit dirs that existed when an
-    # evolution committed, so for a non-bootstrap window (all-fresh
-    # dirs) it applies to nothing — passing it is uniform, not a
-    # behavior fork (fresh_append_commits already refuses to tail
-    # ACROSS a 'schema' commit, like any non-append)
+    # only the bootstrap window needs the head manifest's extras: past
+    # it, no delete vector or schema-log entry can touch the all-fresh
+    # window dirs (fresh_append_commits refuses to tail ACROSS delete
+    # and schema commits) — so a non-bootstrap poll stays one-manifest
+    # cheap, the O(window) contract of the docstring
+    dels = schema_log = None
+    if from_version == 0:
+        head_manifest = _load_manifest(path, to_version)
+        dels = head_manifest.get("deletes")
+        schema_log = head_manifest.get("schema_log")
     return _read_commits(
-        spark,
-        path,
-        fresh,
-        deletes=dels,
-        schema_log=head_manifest.get("schema_log"),
+        spark, path, fresh, deletes=dels, schema_log=schema_log
     )
 
 
@@ -1794,14 +1833,18 @@ def _logical_columns(path: str, manifest: dict) -> list[str]:
     for rel, files in sorted(manifest["commits"].items()):
         if not files:
             continue
-        names = list(
-            pq.read_schema(os.path.join(path, rel, files[0])).names
-        )
-        for e in _schema_ops_for_commit(log, rel):
-            if e["op"] == "rename":
-                names = [e["to"] if n == e["from"] else n for n in names]
-            else:
-                names = [n for n in names if n != e["column"]]
+        names = [
+            n
+            for n, _ in _replay_schema_ops(
+                [
+                    (n, None)
+                    for n in pq.read_schema(
+                        os.path.join(path, rel, files[0])
+                    ).names
+                ],
+                _schema_ops_for_commit(log, rel),
+            )
+        ]
         for n in names:
             if n not in seen:
                 seen.append(n)

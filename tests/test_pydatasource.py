@@ -3,6 +3,8 @@ determinism across parallelism, planted-duplicate ground truth."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
@@ -1052,3 +1054,94 @@ def test_snapshot_format_applies_schema_evolution(spark, tmp_path):
         map(tuple, spark.sql("select * from se_fmt_stream").select(*cols).collect())
     )
     assert got == sorted(map(tuple, eng.select(*cols).collect()))
+
+
+def test_format_drop_of_only_payload_column_keeps_partitioned_rows(
+    spark, tmp_path
+):
+    """Dropping a partitioned table's ONLY in-file column must not lose
+    rows through the format source: the Arrow replay uses select()
+    (which preserves num_rows at zero columns) so the path-derived
+    partition column still describes every pre-drop row — parity with
+    the engine read, row for row."""
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_drop_column,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "part string, x int"
+        ),
+        path,
+        partition_by=["part"],
+    )
+    snapshot_drop_column(path, "x")
+    eng = read_snapshot(spark, path)
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    assert sorted(eng.columns) == sorted(fmt.columns) == ["part"]
+    assert sorted(r.part for r in fmt.collect()) == sorted(
+        r.part for r in eng.collect()
+    ) == ["a", "a", "b"]
+
+
+def test_stream_bootstrap_refuses_schema_evolved_after_definition(
+    spark, tmp_path
+):
+    """A stream whose schema was pinned BEFORE a rename/drop must
+    refuse its bootstrap instead of silently NULLing the renamed
+    column through the conform step; a stream defined AFTER the
+    evolution (including over a re-added name) bootstraps fine."""
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+        _table_arrow_schema,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_drop_column,
+        snapshot_rename_column,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0, "n")], "id int, amount double, note string"
+        ),
+        path,
+    )
+    stale_schema = _table_arrow_schema(
+        path, _load_manifest(path, current_version(path))
+    )
+    snapshot_rename_column(path, "amount", "price")
+    head = current_version(path)
+
+    stale = SnapshotStreamReader(path, arrow_schema=stale_schema)
+    with pytest.raises(ValueError, match="schema.*evolved"):
+        stale.partitions({"version": 0}, {"version": head})
+
+    # fresh definition sees the logical schema and bootstraps
+    fresh_schema = _table_arrow_schema(path, _load_manifest(path, head))
+    fresh = SnapshotStreamReader(path, arrow_schema=fresh_schema)
+    assert fresh.partitions({"version": 0}, {"version": head})
+
+    # drop + re-add: the re-added name is logical again — not stale
+    snapshot_drop_column(path, "note")
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, 20.0, "fresh")], "id int, price double, note string"
+        ),
+        path,
+        mode="append",
+    )
+    head2 = current_version(path)
+    readd_schema = _table_arrow_schema(path, _load_manifest(path, head2))
+    readd = SnapshotStreamReader(path, arrow_schema=readd_schema)
+    assert readd.partitions({"version": 0}, {"version": head2})

@@ -1564,3 +1564,47 @@ def test_changelog_is_rename_aware_across_versions(spark, tmp_path):
         (2, 99.0, "update_postimage"),
         (5, 50.0, "insert"),
     ]
+
+
+def test_append_retry_across_schema_commit_refuses(spark, tmp_path, monkeypatch):
+    """A plain append whose CAS retry spans a concurrent rename/drop
+    must REFUSE, not land: the staged files were written against the
+    pre-evolution schema, and landing them would fork the column
+    lineage (the new dir is in no log entry's applies_to, so an
+    old-name column becomes a surprise re-add). The MoR writers close
+    the wider window with expected_parent; this guard closes the
+    retry-loop window for everyone else."""
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame([(1, 10.0)], "id int, amount double"), path
+    )
+    # stage an append the old-fashioned way (what snapshot_write does)
+    commit_rel = "data/c00000002-racetest"
+    commit_abs = os.path.join(path, commit_rel)
+    spark.createDataFrame(
+        [(2, 20.0)], "id int, amount double"
+    ).write.parquet(commit_abs)
+    files, _ = S._staged_parquet_files(commit_abs, count_rows=False)
+
+    orig = S._commit_manifest
+    state = {"raced": False}
+
+    def racy(p, v, m):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(S, "_commit_manifest", orig)
+            S.snapshot_rename_column(path, "amount", "price")
+            monkeypatch.setattr(S, "_commit_manifest", racy)
+            return False  # this attempt lost the race
+        return orig(p, v, m)
+
+    monkeypatch.setattr(S, "_commit_manifest", racy)
+    with pytest.raises(ConcurrentSnapshotError, match="schema evolution"):
+        S.commit_staged_files(path, commit_rel, files, mode="append")
+    monkeypatch.setattr(S, "_commit_manifest", orig)
+    # the table is unharmed: head is the rename commit, data intact
+    head = read_snapshot(spark, path)
+    assert head.columns == ["id", "price"]
+    assert head.count() == 1
