@@ -9157,6 +9157,85 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_NULL_SKIP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_amount
+FROM orders
+WHERE o_orderpriority <> '5-LOW'
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_null_skip", _SNAPSHOT_NULL_SKIP_ORACLE, tags=["S14", "S15"]
+)
+def q_snapshot_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 — NULL-COUNT data skipping (Iceberg's null_value_counts):
+    orders land in two commits — one whose ``amount`` is entirely NULL
+    (the '5-LOW' slice), one fully valued — with null counts recorded
+    next to the [min, max] bounds. An all-null file has NO bounds at
+    all, so pure-bounds skipping could never prune it; the recorded
+    counts prove it empty both for ``not_null=['amount']`` and for any
+    range conjunct (NULL satisfies no range) — the in-query gate
+    requires both prune audits to drop the null commit's files before
+    the scan returns the exact valued aggregate. The oracle recomputes
+    it straight from orders."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderpriority") != "5-LOW",
+            F.col("o_totalprice").cast("double"),
+        ).alias("amount"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapnull_")
+    try:
+        snapshot_write(
+            base.where(F.col("o_orderpriority") == "5-LOW"),
+            path,
+            stats_cols=["amount"],
+        )
+        n_null_files = scan_prune_stats(path, not_null=["amount"])[
+            "total_files"
+        ]
+        snapshot_write(
+            base.where(F.col("o_orderpriority") != "5-LOW"),
+            path,
+            mode="append",
+        )
+        # a real exception, not assert (python -O strips asserts):
+        # BOTH audits must prove every all-null file out of the plan
+        for st in (
+            scan_prune_stats(path, not_null=["amount"]),
+            scan_prune_stats(path, "amount", lower=0.0),
+        ):
+            if st["pruned_files"] < n_null_files:
+                raise RuntimeError(f"null-count pruning ineffective: {st}")
+        return (
+            scan_snapshot(spark, path, not_null=["amount"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("amount").alias("total_amount"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_PRUNED_2D_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

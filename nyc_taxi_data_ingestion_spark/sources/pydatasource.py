@@ -783,12 +783,15 @@ class SnapshotBatchReader(DataSourceReader):
         self._arrow_schema = arrow_schema
         self._lo: dict = {}
         self._hi: dict = {}
+        self._null: dict = {}  # col -> True (IS NULL) / False (IS NOT NULL)
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -797,7 +800,18 @@ class SnapshotBatchReader(DataSourceReader):
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
                 continue
-            col, v = attr[0], getattr(f, "value", None)
+            col = attr[0]
+            # null predicates carry no value — Spark pushes IsNotNull
+            # for every referenced column, so recorded null counts
+            # (Iceberg's null_value_counts) prune all-null files on
+            # ANY filtered read, not just explicit isNotNull calls
+            if isinstance(f, IsNull):
+                self._null[col] = True
+                continue
+            if isinstance(f, IsNotNull):
+                self._null[col] = False
+                continue
+            v = getattr(f, "value", None)
             if v is None:
                 continue
             if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
@@ -816,6 +830,9 @@ class SnapshotBatchReader(DataSourceReader):
                 self._lo.get(col),
                 self._hi.get(col),
             ):
+                return False
+        for col, is_null in self._null.items():
+            if _S.null_count_exclude(bounds_by_col.get(col), is_null):
                 return False
         return True
 
@@ -866,20 +883,25 @@ class SnapshotBatchReader(DataSourceReader):
                     bounds = dict(
                         _S._replay_schema_ops(bounds.items(), ops)
                     )
-                # a file's partition value is an exact [v, v] bound —
-                # pushFilters prunes on partition columns through the
-                # SAME rule as recorded stats (Hive partition pruning
-                # through the format API); NULL partitions carry no
-                # bound (never pruned — filters can't prove them out)
+                # a file's partition value is an exact [v, v] bound
+                # with zero nulls — pushFilters prunes on partition
+                # columns through the SAME rule as recorded stats
+                # (Hive partition pruning through the format API); a
+                # NULL partition is all-NULL by construction, so range
+                # conjuncts and IS NOT NULL prove it out and IS NULL
+                # keeps exactly it (the num_rows=1 stand-in only needs
+                # the all/none distinction the prune rules test)
                 for k, raw in pv.items():
-                    if raw is not None and k in part_types:
-                        try:
-                            tv = _typed_partition_value(
-                                raw, part_types[k]
-                            )
-                        except ValueError:
-                            continue  # malformed dir value: keep file
-                        bounds.setdefault(k, (tv, tv))
+                    if k not in part_types:
+                        continue
+                    if raw is None:
+                        bounds.setdefault(k, (None, None, 1, 1))
+                        continue
+                    try:
+                        tv = _typed_partition_value(raw, part_types[k])
+                    except ValueError:
+                        continue  # malformed dir value: keep file
+                    bounds.setdefault(k, (tv, tv, 0, 1))
                 if self._keep(bounds):
                     parts.append(
                         _FilePartition(

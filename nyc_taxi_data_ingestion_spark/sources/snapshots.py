@@ -176,20 +176,41 @@ def _collect_file_stats(
             if ci is None:
                 continue
             lo = hi = None
-            ok = True
+            ok = nulls_ok = True
+            nulls = 0
             for g in range(meta.num_row_groups):
                 st = meta.row_group(g).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
+                if st is None:
+                    ok = nulls_ok = False
                     break
+                if st.null_count is None:
+                    nulls_ok = False
+                else:
+                    nulls += st.null_count
+                if not st.has_min_max:
+                    # an ALL-NULL column legitimately has no min/max;
+                    # keep scanning — its null counts still prune
+                    ok = False
+                    continue
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if not ok or lo is None:
-                continue
-            jlo, jhi = _jsonable(lo), _jsonable(hi)
-            if jlo is None or jhi is None:
-                continue
-            out.append((rel, col, json.dumps([jlo, jhi])))
+            if ok and lo is not None:
+                jlo, jhi = _jsonable(lo), _jsonable(hi)
+                if jlo is None or jhi is None:
+                    continue
+                entry = (
+                    [jlo, jhi, nulls, meta.num_rows]
+                    if nulls_ok
+                    else [jlo, jhi]
+                )
+                out.append((rel, col, json.dumps(entry)))
+            elif nulls_ok and meta.num_rows > 0 and nulls == meta.num_rows:
+                # all-null file: no [min, max], but provably empty for
+                # every range conjunct and IS NOT NULL (Iceberg's
+                # null_value_counts)
+                out.append(
+                    (rel, col, json.dumps([None, None, nulls, meta.num_rows]))
+                )
         return out
 
     # a footer read is ~ms: below a handful of files a Spark job's
@@ -589,16 +610,30 @@ def read_snapshot(
 
 
 def bounds_exclude(bounds, lower=None, upper=None) -> bool:
-    """True iff a file whose recorded [min, max] is ``bounds`` provably
+    """True iff a file whose recorded stats entry is ``bounds`` provably
     holds NO rows in ``lower <= col <= upper`` (either bound optional).
     THE prune predicate — scan_snapshot, scan_prune_stats, and the
     batch-format pushFilters path all call this one function, so the
     audit can never disagree with the scan and an edge-semantics fix
     lands once. Missing bounds or incomparable types → False (keep the
-    file): pruning must stay conservative."""
-    if bounds is None:
+    file): pruning must stay conservative.
+
+    An entry is ``[min, max]`` or ``[min, max, null_count, num_rows]``
+    (r9, Iceberg's null_value_counts): an ALL-NULL column — which has
+    no [min, max] at all, so pure-bounds skipping could never touch
+    it — satisfies no range conjunct and is excluded outright."""
+    if bounds is None or (lower is None and upper is None):
         return False
-    lo, hi = bounds
+    if (
+        len(bounds) >= 4
+        and bounds[2] is not None
+        and bounds[3]
+        and bounds[2] == bounds[3]
+    ):
+        return True  # every value NULL: no row in any range
+    lo, hi = bounds[0], bounds[1]
+    if lo is None or hi is None:
+        return False
     try:
         if upper is not None and lo > upper:
             return True
@@ -607,6 +642,22 @@ def bounds_exclude(bounds, lower=None, upper=None) -> bool:
     except TypeError:
         pass  # bound/stat types incomparable: keep
     return False
+
+
+def null_count_exclude(bounds, is_null: bool) -> bool:
+    """True iff a stats entry's recorded null counts prove the file
+    empty for an ``IS NULL`` (``is_null=True``) or ``IS NOT NULL``
+    (``False``) predicate — the null-pruning twin of
+    :func:`bounds_exclude`, shared by the programmatic scan's
+    ``not_null`` and the format source's pushed IsNull/IsNotNull.
+    Entries without null counts (pre-r9 manifests, files whose footer
+    lacks them) keep the file."""
+    if bounds is None or len(bounds) < 4:
+        return False
+    nc, nr = bounds[2], bounds[3]
+    if nc is None or not nr:
+        return False
+    return nc == 0 if is_null else nc == nr
 
 
 def fresh_append_commits(
@@ -680,11 +731,12 @@ def fresh_append_commits(
     }
 
 
-def _norm_scan_predicates(column, lower, upper, predicates):
+def _norm_scan_predicates(column, lower, upper, predicates, not_null=None):
     """Shared argument normalization for the scan/audit pair: either
     the single-column (column, lower, upper) form or ``predicates`` —
     a list of (column, lower, upper) range conjuncts — never both.
-    Returns the conjunct list."""
+    Returns the conjunct list (empty when only ``not_null`` conjuncts
+    constrain the scan)."""
     if predicates is not None:
         if column is not None or lower is not None or upper is not None:
             raise ValueError(
@@ -699,19 +751,45 @@ def _norm_scan_predicates(column, lower, upper, predicates):
             )
         return preds
     if column is None:
-        raise ValueError("a column (or predicates=…) is required")
+        if not_null:
+            return []
+        raise ValueError(
+            "a column (or predicates=… / not_null=…) is required"
+        )
     return [(column, lower, upper)]
 
 
-def _file_provably_empty(file_stats: dict, preds) -> bool:
-    """True iff ANY range conjunct proves the file empty — conjunct
+def _file_provably_empty(file_stats: dict, preds, not_null=()) -> bool:
+    """True iff ANY conjunct proves the file empty — range conjuncts
+    via :func:`bounds_exclude`, ``not_null`` columns via recorded null
+    counts (an all-null file holds no IS-NOT-NULL row). Conjunct
     survival intersects, mirroring SnapshotBatchReader._keep so the
     programmatic scan and the format's pushFilters can never disagree
     on multi-column pruning."""
     return any(
         bounds_exclude(file_stats.get(col), lo, hi)
         for col, lo, hi in preds
+    ) or any(
+        null_count_exclude(file_stats.get(col), is_null=False)
+        for col in not_null
     )
+
+
+def _translate_not_null(schema_log, commit_rel, not_null):
+    """``(cols, prune_all)``: the physical names backing ``not_null``
+    conjuncts in this commit; ``prune_all=True`` when a conjunct
+    column has no physical backing there (dropped or renamed away —
+    it reads NULL for every row, so IS NOT NULL proves every file in
+    the commit empty)."""
+    if not schema_log:
+        return list(not_null), False
+    out = []
+    for c in not_null:
+        p = _physical_column(schema_log, commit_rel, c)
+        if p is None:
+            return [], True
+        out.append(p)
+    return out, False
 
 
 def scan_snapshot(
@@ -722,6 +800,7 @@ def scan_snapshot(
     upper=None,
     version: int | None = None,
     predicates=None,
+    not_null=None,
 ) -> DataFrame:
     """Range-predicate read (``lower <= column <= upper``, either bound
     optional) with MANIFEST-LEVEL file pruning: any file whose recorded
@@ -746,10 +825,17 @@ def scan_snapshot(
     Bound typing must match the recorded bounds' JSON form: numbers
     against numeric columns, strings against strings, ISO strings
     against date/timestamp columns. Incomparable pairs keep the file
-    (never a crash, never a wrong prune)."""
+    (never a crash, never a wrong prune).
+
+    ``not_null=[col, …]`` adds IS NOT NULL conjuncts: files whose
+    recorded null counts prove the column all-NULL are dropped from
+    the plan (Iceberg's null_value_counts skipping), and the filter is
+    applied as a real WHERE. Range conjuncts also exclude all-null
+    files on their own — NULL satisfies no range."""
     from pyspark.sql import functions as F
 
-    preds = _norm_scan_predicates(column, lower, upper, predicates)
+    preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
+    nn = list(not_null or [])
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:
@@ -763,14 +849,18 @@ def scan_snapshot(
         cstats = stats.get(commit_rel) or {}
         # predicates arrive in LOGICAL names; recorded bounds are keyed
         # by write-time physical names — translate per commit through
-        # the schema log (a conjunct with no physical backing in this
-        # commit is skipped: its column is NULL there, which satisfies
-        # no range, so skipping only keeps files)
+        # the schema log (a range conjunct with no physical backing in
+        # this commit is skipped: its column is NULL there, which
+        # satisfies no range, so skipping only keeps files; a NOT-NULL
+        # conjunct on such a column proves the whole commit empty)
         cpreds = _translate_pred_conjuncts(schema_log, commit_rel, preds)
+        cnn, prune_all = _translate_not_null(schema_log, commit_rel, nn)
+        if prune_all:
+            continue
         keep = [
             f
             for f in files
-            if not _file_provably_empty(cstats.get(f) or {}, cpreds)
+            if not _file_provably_empty(cstats.get(f) or {}, cpreds, cnn)
         ]
         if keep:
             pruned[commit_rel] = keep
@@ -794,6 +884,8 @@ def scan_snapshot(
             out = out.where(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.where(F.col(col) <= F.lit(hi))
+    for col in nn:
+        out = out.where(F.col(col).isNotNull())
     return out
 
 
@@ -804,15 +896,17 @@ def scan_prune_stats(
     upper=None,
     version: int | None = None,
     predicates=None,
+    not_null=None,
 ) -> dict[str, int]:
     """How much :func:`scan_snapshot` would prune: {total_files,
     pruned_files, kept_files} from the manifest alone (no Spark, no
     I/O) — the planning-time audit next to the footer-level
-    :func:`maintenance.skipping_report`. Takes the same single-column
-    or ``predicates=[(col, lo, hi), …]`` forms as the scan and shares
-    its survival rule, so the audit can never disagree with the
-    plan."""
-    preds = _norm_scan_predicates(column, lower, upper, predicates)
+    :func:`maintenance.skipping_report`. Takes the same single-column,
+    ``predicates=[(col, lo, hi), …]``, and ``not_null=[col, …]`` forms
+    as the scan and shares its survival rule, so the audit can never
+    disagree with the plan."""
+    preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
+    nn = list(not_null or [])
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:
@@ -825,9 +919,12 @@ def scan_prune_stats(
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
         cpreds = _translate_pred_conjuncts(schema_log, commit_rel, preds)
+        cnn, prune_all = _translate_not_null(schema_log, commit_rel, nn)
         for f in files:
             total += 1
-            if _file_provably_empty(cstats.get(f) or {}, cpreds):
+            if prune_all or _file_provably_empty(
+                cstats.get(f) or {}, cpreds, cnn
+            ):
                 pruned_n += 1
     return {
         "total_files": total,

@@ -1145,3 +1145,86 @@ def test_stream_bootstrap_refuses_schema_evolved_after_definition(
     readd_schema = _table_arrow_schema(path, _load_manifest(path, head2))
     readd = SnapshotStreamReader(path, arrow_schema=readd_schema)
     assert readd.partitions({"version": 0}, {"version": head2})
+
+
+def test_format_null_filters_and_null_partition_pruning(spark, tmp_path):
+    """Pushed IsNull/IsNotNull prune through recorded null counts, and
+    partition values act as null evidence too: a NULL partition dir is
+    all-NULL by construction (range and IS NOT NULL prove it out, IS
+    NULL keeps exactly it), a valued dir has zero nulls (IS NULL
+    proves it out). End-to-end rows stay exact — pruning only shrinks
+    plans."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, IsNotNull, IsNull
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, x double"
+    ).coalesce(1)
+    valued = spark.createDataFrame(
+        [(3, 3.0), (4, 4.0)], "id int, x double"
+    ).coalesce(1)
+    snapshot_write(allnull, path, stats_cols=["x"])
+    snapshot_write(valued, path, mode="append")
+    m = _load_manifest(path, current_version(path))
+
+    def kept(filters):
+        r = SnapshotBatchReader(path, m)
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.file_abs])
+
+    total = kept([])
+    assert kept([IsNotNull(("x",))]) < total  # all-null file out
+    assert kept([IsNull(("x",))]) < total  # fully-valued file out
+    assert kept([GreaterThanOrEqual(("x",), 0.0)]) < total  # via nulls
+
+    # end-to-end exactness through the format API
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    assert sorted(r.id for r in fmt.where(F.col("x").isNotNull()).collect()) == [3, 4]
+    assert sorted(r.id for r in fmt.where(F.col("x").isNull()).collect()) == [1, 2]
+
+    # NULL partition dir: all-NULL by construction
+    p2 = str(tmp_path / "t2")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1), (None, 2), ("b", 3)], "part string, v int"
+        ),
+        p2,
+        partition_by=["part"],
+    )
+    m2 = _load_manifest(p2, current_version(p2))
+
+    def kept2(filters):
+        r = SnapshotBatchReader(
+            p2, m2, arrow_schema=_schema_of(spark, p2, m2)
+        )
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.file_abs])
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        _table_arrow_schema,
+    )
+
+    def _schema_of(spark_, path_, manifest_):
+        return _table_arrow_schema(path_, manifest_)
+
+    total2 = kept2([])
+    assert kept2([IsNotNull(("part",))]) == total2 - 1  # null dir out
+    assert kept2([IsNull(("part",))]) == 1  # only the null dir
+    assert kept2([GreaterThanOrEqual(("part",), "a")]) == total2 - 1
+
+    fmt2 = spark.read.format("snapshot").option("path", p2).load()
+    assert sorted(
+        r.v for r in fmt2.where(F.col("part").isNull()).collect()
+    ) == [2]

@@ -1608,3 +1608,38 @@ def test_append_retry_across_schema_commit_refuses(spark, tmp_path, monkeypatch)
     head = read_snapshot(spark, path)
     assert head.columns == ["id", "price"]
     assert head.count() == 1
+
+
+def test_null_count_stats_prune_all_null_files(spark, tmp_path):
+    """r9 null-count skipping (Iceberg's null_value_counts): an
+    ALL-NULL file has no [min, max] at all, so pure-bounds pruning
+    could never touch it — recorded null counts prove it empty for
+    every range conjunct AND for not_null=[col]; after a rename the
+    counts keep working through the stats-key translation."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+        snapshot_rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(5)], "id int, x double"
+    ).coalesce(1)
+    valued = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id int, x double"
+    ).coalesce(1)
+    snapshot_write(allnull, path, stats_cols=["x"])
+    snapshot_write(valued, path, mode="append")
+
+    st = scan_prune_stats(path, "x", lower=0.0)
+    assert st["pruned_files"] >= 1  # the all-null file, despite no bounds
+    st = scan_prune_stats(path, not_null=["x"])
+    assert st["pruned_files"] >= 1
+    got = scan_snapshot(spark, path, not_null=["x"])
+    assert sorted(r.x for r in got.collect()) == [float(i) for i in range(5)]
+
+    snapshot_rename_column(path, "x", "y")
+    st = scan_prune_stats(path, not_null=["y"])
+    assert st["pruned_files"] >= 1
+    assert scan_snapshot(spark, path, not_null=["y"]).count() == 5
