@@ -865,3 +865,68 @@ def test_grouped_select_at_ranks_mode_skew_makes_progress(spark):
     items = sorted((float(v), float(t)) for _g, v, t in rows)
     want = [items[r - 1] for r in ranks(n)]
     assert [(v, t) for v, t, _n, _r in got["g"]] == want
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_schema_log_forward_replay_inverts_physical_column(data):
+    """The forward replay (_replay_schema_ops, every read path) and
+    the reverse walk (_physical_column, stats/pruning translation)
+    must be exact inverses over any VALID op sequence: every surviving
+    logical column maps back to the physical column whose values it
+    shows, and every logical name with no physical backing (dropped,
+    or renamed-away then re-added by later files) maps to None —
+    random rename/drop chains including name reuse of freed names."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _physical_column,
+        _replay_schema_ops,
+        _schema_ops_for_commit,
+    )
+
+    names = ["a", "b", "c", "d"]
+    pool = names + ["e", "f", "g"]
+    live = set(names)  # current logical schema
+    ops = []
+    for i in range(data.draw(st.integers(0, 8))):
+        kind = data.draw(st.sampled_from(["rename", "drop"]))
+        if not live:
+            break
+        if kind == "rename":
+            frm = data.draw(st.sampled_from(sorted(live)))
+            free = [n for n in pool if n not in live]
+            if not free:
+                continue
+            to = data.draw(st.sampled_from(free))
+            ops.append(
+                {"op": "rename", "from": frm, "to": to, "v": i + 2,
+                 "applies_to": ["data/c1"]}
+            )
+            live.remove(frm)
+            live.add(to)
+        else:
+            col = data.draw(st.sampled_from(sorted(live)))
+            ops.append(
+                {"op": "drop", "column": col, "v": i + 2,
+                 "applies_to": ["data/c1"]}
+            )
+            live.remove(col)
+
+    commit_ops = _schema_ops_for_commit(ops, "data/c1")
+    assert commit_ops == ops  # all entries apply to this commit
+    final = _replay_schema_ops([(n, n) for n in names], commit_ops)
+    # surviving logical names match the simulated live-set evolution
+    assert [n for n, _ in final] == [
+        n for n, _ in final if n in live
+    ]
+    for logical, physical in final:
+        assert _physical_column(ops, "data/c1", logical) == physical
+    # names FREED by a rename/drop and not since re-backed by another
+    # rename resolve to None: a later file re-adding them is a fresh
+    # lineage whose value is NULL in this commit, so no recorded bound
+    # of the old physical column may serve it
+    surviving = {n for n, _ in final}
+    freed = {
+        e["from"] if e["op"] == "rename" else e["column"] for e in ops
+    }
+    for n in freed - surviving:
+        assert _physical_column(ops, "data/c1", n) is None
