@@ -785,15 +785,30 @@ class SnapshotBatchReader(DataSourceReader):
         self._hi: dict = {}
         self._null: dict = {}  # col -> True (IS NULL) / False (IS NOT NULL)
 
+    def _tighten(self, col, lo=None, hi=None):
+        """Intersect a [lo, hi] hull into the accumulated per-column
+        range (either side optional) — incomparable mixed types keep
+        the looser constraint rather than crash the planner."""
+        try:
+            if lo is not None:
+                self._lo[col] = max(self._lo.get(col, lo), lo)
+            if hi is not None:
+                self._hi[col] = min(self._hi.get(col, hi), hi)
+        except TypeError:
+            pass
+
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
+            EqualNullSafe,
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
+            In,
             IsNotNull,
             IsNull,
             LessThan,
             LessThanOrEqual,
+            StringStartsWith,
         )
 
         for f in filters:
@@ -811,16 +826,44 @@ class SnapshotBatchReader(DataSourceReader):
             if isinstance(f, IsNotNull):
                 self._null[col] = False
                 continue
+            if isinstance(f, In):
+                # In carries its value SET in .value (a tuple)
+                vs = [v for v in (getattr(f, "value", None) or ()) if v is not None]
+                if vs:
+                    # the value-set hull: rows can only live in files
+                    # whose range meets [min(vs), max(vs)] (gaps inside
+                    # the hull only KEEP extra files)
+                    try:
+                        self._tighten(col, lo=min(vs), hi=max(vs))
+                    except TypeError:
+                        pass  # mixed incomparable literals: keep
+                continue
             v = getattr(f, "value", None)
+            if isinstance(f, EqualNullSafe):
+                # col <=> NULL is exactly IS NULL; a non-null literal
+                # behaves as plain equality for pruning
+                if v is None:
+                    self._null[col] = True
+                else:
+                    self._tighten(col, lo=v, hi=v)
+                continue
             if v is None:
                 continue
             if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                self._lo[col] = max(self._lo.get(col, v), v)
+                self._tighten(col, lo=v)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
-                self._hi[col] = min(self._hi.get(col, v), v)
+                self._tighten(col, hi=v)
             elif isinstance(f, EqualTo):
-                self._lo[col] = max(self._lo.get(col, v), v)
-                self._hi[col] = min(self._hi.get(col, v), v)
+                self._tighten(col, lo=v, hi=v)
+            elif isinstance(f, StringStartsWith) and isinstance(v, str) and v:
+                # startswith(p) ⇒ p <= col < p+ε: the lower bound is
+                # exact; the upper is the prefix with its last char
+                # bumped (skipped at the codepoint ceiling — looser is
+                # only ever conservative)
+                self._tighten(col, lo=v)
+                last = ord(v[-1])
+                if last < 0x10FFFF:
+                    self._tighten(col, hi=v[:-1] + chr(last + 1))
         return filters  # Spark applies everything; pruning is bonus
 
     def _keep(self, bounds_by_col: dict) -> bool:

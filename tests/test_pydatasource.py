@@ -1228,3 +1228,50 @@ def test_format_null_filters_and_null_partition_pruning(spark, tmp_path):
     assert sorted(
         r.v for r in fmt2.where(F.col("part").isNull()).collect()
     ) == [2]
+
+
+def test_pushdown_prunes_on_in_equalnullsafe_and_prefix(spark, tmp_path):
+    """The r9 pushdown completions: In prunes via its value-set hull,
+    EqualNullSafe as equality (or IS NULL for a null literal), and
+    StringStartsWith as the [prefix, prefix+1) range — all conservative
+    (hull gaps and codepoint ceilings only keep extra files)."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        In,
+        StringStartsWith,
+    )
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    lo = spark.createDataFrame(
+        [(i, f"a{i:03d}") for i in range(5)], "id int, tag string"
+    ).coalesce(1)
+    hi = spark.createDataFrame(
+        [(i, f"z{i:03d}") for i in range(100, 105)], "id int, tag string"
+    ).coalesce(1)
+    snapshot_write(lo, path, stats_cols=["id", "tag"])
+    snapshot_write(hi, path, mode="append")
+    m = _load_manifest(path, current_version(path))
+
+    def kept(filters):
+        r = SnapshotBatchReader(path, m)
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.file_abs])
+
+    total = kept([])
+    assert kept([In(("id",), (101, 103))]) < total  # low file out
+    assert kept([EqualNullSafe(("id",), 2)]) < total  # high file out
+    assert kept([StringStartsWith(("tag",), "a")]) < total  # high file out
+    assert kept([StringStartsWith(("tag",), "z")]) < total  # low file out
+    # null literal through EqualNullSafe behaves as IS NULL: both
+    # files are fully valued, so both prove out (the empty-scan
+    # sentinel partition carries no file)
+    assert kept([EqualNullSafe(("tag",), None)]) == 0
