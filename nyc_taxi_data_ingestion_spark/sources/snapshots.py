@@ -163,6 +163,8 @@ def _collect_file_stats(
         return None
 
     def _file_stats(rel: str) -> list[tuple]:
+        import math
+
         import pyarrow.parquet as pq
 
         meta = pq.ParquetFile(os.path.join(commit_abs, rel)).metadata
@@ -170,13 +172,29 @@ def _collect_file_stats(
             meta.schema.column(i).name: i
             for i in range(meta.num_columns)
         }
+        # NaN poisons the UPPER bound: Spark orders NaN greater than
+        # every value (NaN matches x >= c for any c), so pruning a
+        # file on max < lower is unsound if it holds NaN rows.
+        # parquet-mr footers SIGNAL NaN (it sorts greatest: max
+        # becomes NaN — measured); arrow-cpp footers silently EXCLUDE
+        # it (max = largest real value — measured), so for float
+        # columns from non-mr writers the upper bound is recorded as
+        # None (one-sided entry: min-side pruning stays, which is
+        # NaN-sound — NaN matches no x <= c). Iceberg solves the same
+        # hole with write-time nan_value_counts.
+        mr_writer = (meta.created_by or "").startswith("parquet-mr")
         out = []
         for col in stats_cols:
             ci = names.get(col)
             if ci is None:
                 continue
+            is_float = meta.schema.column(ci).physical_type in (
+                "FLOAT",
+                "DOUBLE",
+            )
             lo = hi = None
             ok = nulls_ok = True
+            hi_ok = mr_writer or not is_float
             nulls = 0
             for g in range(meta.num_row_groups):
                 st = meta.row_group(g).column(ci).statistics
@@ -192,11 +210,21 @@ def _collect_file_stats(
                     # keep scanning — its null counts still prune
                     ok = False
                     continue
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                mn, mx = st.min, st.max
+                if is_float and isinstance(mn, float) and math.isnan(mn):
+                    # min only reaches NaN when every value is NaN:
+                    # neither side trustworthy
+                    ok = False
+                    continue
+                if is_float and isinstance(mx, float) and math.isnan(mx):
+                    hi_ok = False  # parquet-mr's NaN-present signal
+                elif hi_ok:
+                    hi = mx if hi is None else max(hi, mx)
+                lo = mn if lo is None else min(lo, mn)
             if ok and lo is not None:
-                jlo, jhi = _jsonable(lo), _jsonable(hi)
-                if jlo is None or jhi is None:
+                jlo = _jsonable(lo)
+                jhi = _jsonable(hi) if hi_ok and hi is not None else None
+                if jlo is None:
                     continue
                 entry = (
                     [jlo, jhi, nulls, meta.num_rows]
@@ -621,7 +649,10 @@ def bounds_exclude(bounds, lower=None, upper=None) -> bool:
     An entry is ``[min, max]`` or ``[min, max, null_count, num_rows]``
     (r9, Iceberg's null_value_counts): an ALL-NULL column — which has
     no [min, max] at all, so pure-bounds skipping could never touch
-    it — satisfies no range conjunct and is excluded outright."""
+    it — satisfies no range conjunct and is excluded outright. Either
+    side may be None (one-sided entry — float columns whose writer
+    can't rule out NaN record no upper bound, since Spark's NaN
+    matches every ``x >= c``); each present side tests independently."""
     if bounds is None or (lower is None and upper is None):
         return False
     if (
@@ -632,12 +663,10 @@ def bounds_exclude(bounds, lower=None, upper=None) -> bool:
     ):
         return True  # every value NULL: no row in any range
     lo, hi = bounds[0], bounds[1]
-    if lo is None or hi is None:
-        return False
     try:
-        if upper is not None and lo > upper:
+        if upper is not None and lo is not None and lo > upper:
             return True
-        if lower is not None and hi < lower:
+        if lower is not None and hi is not None and hi < lower:
             return True
     except TypeError:
         pass  # bound/stat types incomparable: keep

@@ -1203,21 +1203,17 @@ def test_format_null_filters_and_null_partition_pruning(spark, tmp_path):
         p2,
         partition_by=["part"],
     )
-    m2 = _load_manifest(p2, current_version(p2))
-
-    def kept2(filters):
-        r = SnapshotBatchReader(
-            p2, m2, arrow_schema=_schema_of(spark, p2, m2)
-        )
-        r.pushFilters(filters)
-        return len([p for p in r.partitions() if p.file_abs])
-
     from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
         _table_arrow_schema,
     )
 
-    def _schema_of(spark_, path_, manifest_):
-        return _table_arrow_schema(path_, manifest_)
+    m2 = _load_manifest(p2, current_version(p2))
+    schema2 = _table_arrow_schema(p2, m2)
+
+    def kept2(filters):
+        r = SnapshotBatchReader(p2, m2, arrow_schema=schema2)
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.file_abs])
 
     total2 = kept2([])
     assert kept2([IsNotNull(("part",))]) == total2 - 1  # null dir out

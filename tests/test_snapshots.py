@@ -1643,3 +1643,56 @@ def test_null_count_stats_prune_all_null_files(spark, tmp_path):
     st = scan_prune_stats(path, not_null=["y"])
     assert st["pruned_files"] >= 1
     assert scan_snapshot(spark, path, not_null=["y"]).count() == 5
+
+
+def test_nan_rows_are_never_pruned_away(spark, tmp_path):
+    """Spark orders NaN greater than every value (NaN matches x >= c
+    for ANY c), while parquet footers either flag NaN as the max
+    (parquet-mr) or silently exclude it (arrow-cpp) — so the upper
+    bound of a float column is only trusted when the writer proves
+    NaN absent. A file holding a NaN row must survive a lower-bounded
+    scan and come back in the results; min-side pruning stays fully
+    effective (NaN matches no x <= c)."""
+    import math
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        scan_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    withnan = spark.createDataFrame(
+        [(1, float("nan")), (2, -5.0), (3, -1.0)], "id int, x double"
+    ).coalesce(1)
+    clean = spark.createDataFrame(
+        [(4, 10.0), (5, 20.0)], "id int, x double"
+    ).coalesce(1)
+    snapshot_write(withnan, path, stats_cols=["x"])
+    snapshot_write(clean, path, mode="append")
+
+    # x >= 0: Spark semantics return the NaN row — the NaN file's
+    # real values are all negative, but it must NOT be pruned
+    got = scan_snapshot(spark, path, "x", lower=0.0).collect()
+    ids = sorted(r.id for r in got)
+    assert ids == [1, 4, 5]
+    assert any(math.isnan(r.x) for r in got)
+
+    # min-side pruning is NaN-sound and still effective: x <= -10
+    # proves the clean file (min 10) out; the NaN file's min (-5) keeps
+    # it, and its NaN row correctly fails the WHERE
+    st = scan_prune_stats(path, "x", upper=-10.0)
+    assert st["pruned_files"] >= 1
+    assert scan_snapshot(spark, path, "x", upper=-10.0).count() == 0
+
+    # a NaN-free float file keeps BOTH prune sides (parquet-mr proves
+    # NaN absent): x >= 15 prunes the [-5, -1] file... which holds NaN
+    # and must be kept; but x >= 15 CAN prune a clean file's twin
+    p2 = str(tmp_path / "t2")
+    snapshot_write(clean, p2, stats_cols=["x"])
+    snapshot_write(
+        spark.createDataFrame([(6, 100.0)], "id int, x double").coalesce(1),
+        p2,
+        mode="append",
+    )
+    st2 = scan_prune_stats(p2, "x", lower=50.0)
+    assert st2["pruned_files"] >= 1  # the [10, 20] file proves out
