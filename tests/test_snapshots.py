@@ -1696,3 +1696,49 @@ def test_nan_rows_are_never_pruned_away(spark, tmp_path):
     )
     st2 = scan_prune_stats(p2, "x", lower=50.0)
     assert st2["pruned_files"] >= 1  # the [10, 20] file proves out
+
+
+def test_partition_spec_evolution_mixed_layouts_read_whole(spark, tmp_path):
+    """Iceberg-style partition-spec evolution, the layout side: an
+    append may carry a NEW partition_by — the recorded spec moves to
+    it (future inherit-writes follow), old commits keep their layout
+    on disk, and reads union the mixed layouts whole through BOTH
+    paths (each commit's basePath parse recovers its own path-encoded
+    columns; the other side carries them in-file). No rewrite at any
+    size."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [("a", 1, 10.0), ("b", 2, 20.0)], "cat string, id int, x double"
+        ),
+        path,
+        partition_by=["cat"],
+    )
+    v = snapshot_write(
+        spark.createDataFrame(
+            [("c", 3, 30.0)], "cat string, id int, x double"
+        ),
+        path,
+        mode="append",
+        partition_by=["id"],
+    )
+    assert _load_manifest(path, v)["partition_by"] == ["id"]
+    # inherit-mode append follows the NEW spec
+    v2 = snapshot_write(
+        spark.createDataFrame(
+            [("d", 4, 40.0)], "cat string, id int, x double"
+        ),
+        path,
+        mode="append",
+    )
+    assert _load_manifest(path, v2)["partition_by"] == ["id"]
+
+    want = [
+        ("a", 1, 10.0), ("b", 2, 20.0), ("c", 3, 30.0), ("d", 4, 40.0)
+    ]
+    eng = read_snapshot(spark, path)
+    assert sorted(map(tuple, eng.select("cat", "id", "x").collect())) == want
