@@ -503,6 +503,7 @@ def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
             st.tuples(st.just("merge_mor"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
             st.tuples(st.just("update_mor"), st.integers(2, 5)),
             st.tuples(st.just("rollback"), st.just(None)),
+            st.tuples(st.just("rename"), st.just(None)),
         ),
         min_size=1,
         max_size=7,
@@ -510,19 +511,22 @@ def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
     keep_last=st.integers(1, 3),
 )
 def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_last):
-    """Model-based check of the versioned-table DML algebra — now
-    including the MERGE-ON-READ family and rollback: an arbitrary op
-    sequence (overwrite/append/delete/merge/compact/delete_mor/
-    merge_mor/update_mor/rollback) against a plain-Python multiset
-    model — every committed version must read back exactly the model's
-    state at that point (vectors applied, restored by rollback,
-    materialized by compaction), both before AND after expiry drops
-    old manifests; expired versions must raise. Values double as merge
-    order keys (last write wins). MoR semantics in the model:
-    delete_mor == delete; merge_mor masks EVERY live row of a matched
-    key and appends the update once (unmatched duplicates survive —
-    unlike CoW merge, which dedupes the whole union); update_mor
-    re-inserts matched rows with the SET applied (k += 100)."""
+    """Model-based check of the versioned-table DML algebra — the
+    MERGE-ON-READ family, rollback, and (r9) metadata-only RENAME: an
+    arbitrary op sequence against a plain-Python model tracking FULL
+    (k, ts) rows plus the ts column's current logical name — every
+    committed version must read back exactly the model's rows UNDER
+    THAT VERSION'S COLUMN NAME (vectors applied, restored by rollback
+    including the schema, materialized by compaction, renames replayed
+    over pre-rename files), both before AND after expiry drops old
+    manifests; expired versions must raise. ts doubles as the merge
+    order key (last write wins; update_mor moves k but keeps ts, so
+    stale-ts rows exist for merges to beat). MoR semantics in the
+    model: delete_mor == delete; merge_mor masks EVERY live row of a
+    matched key and appends the update once (unmatched duplicates
+    survive — unlike CoW merge, which dedupes the whole union per key
+    by max ts); update_mor re-inserts matched rows with the SET
+    applied (k += 100, ts kept)."""
     from pyspark.sql import functions as F
 
     from nyc_taxi_data_ingestion_spark.sources.snapshots import (
@@ -534,41 +538,61 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
         snapshot_delete_mor,
         snapshot_merge,
         snapshot_merge_mor,
+        snapshot_rename_column,
         snapshot_rollback,
         snapshot_update_mor,
         snapshot_write,
     )
 
     path = str(tmp_path_factory.mktemp("snap_model") / "t")
+    ts_name = "ts"
+    n_renames = 0
 
-    def frame(vals):
+    def frame(rows_):
         return spark.createDataFrame(
-            [(v, v) for v in vals], "k long, ts long"
+            list(rows_), f"k long, {ts_name} long"
         )
 
-    history: dict[int, list[int]] = {}
-    cur: list[int] = []
+    history: dict[int, list[tuple[int, int]]] = {}
+    names: dict[int, str] = {}
+    cur: list[tuple[int, int]] = []  # (k, ts); ts = k at insert
     committed = False
     for op, arg in ops:
         if op == "overwrite":
-            cur = sorted(arg)
-            v = snapshot_write(frame(arg), path, mode="overwrite")
+            cur = sorted((x, x) for x in arg)
+            v = snapshot_write(
+                frame((x, x) for x in arg), path, mode="overwrite"
+            )
         elif op == "append":
-            cur = sorted(cur + arg)
-            v = snapshot_write(frame(arg), path, mode="append")
+            cur = sorted(cur + [(x, x) for x in arg])
+            v = snapshot_write(
+                frame((x, x) for x in arg), path, mode="append"
+            )
         elif op == "delete":
             if not committed:
                 continue
-            cur = sorted(x for x in cur if x % arg != 0)
+            cur = sorted(r for r in cur if r[0] % arg != 0)
             v = snapshot_delete(spark, path, F.col("k") % arg == 0)
         elif op == "merge":
-            # upsert on k: one row per key survives, merged rows win
-            # ties, and pre-existing duplicates collapse (the engine
-            # dedupes the WHOLE union per key)
+            # upsert on k: ONE row per key survives the whole union,
+            # max ts wins (merged rows carry ts = k, which is >= any
+            # stale ts an update_mor left behind for that key)
             keys = set(arg)
-            cur = sorted(set(x for x in cur if x not in keys) | keys)
+            surv: dict[int, int] = {}
+            for k_, t_ in cur:
+                if k_ in keys:
+                    continue
+                if k_ not in surv or t_ > surv[k_]:
+                    surv[k_] = t_
+            for k_ in keys:
+                surv[k_] = max(surv.get(k_, k_), k_)
+            cur = sorted(surv.items())
             v = snapshot_merge(
-                spark, path, frame(arg), keys=["k"], order_col="ts"
+                spark,
+                path,
+                frame((x, x) for x in sorted(keys)),
+                keys=["k"],
+                order_col=ts_name,
             )
         elif op == "compact":
             if not committed:
@@ -577,7 +601,7 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
         elif op == "delete_mor":
             if not committed:
                 continue
-            new_cur = sorted(x for x in cur if x % arg != 0)
+            new_cur = sorted(r for r in cur if r[0] % arg != 0)
             if new_cur == sorted(cur):
                 continue  # no match: no commit (documented no-op)
             cur = new_cur
@@ -588,17 +612,21 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
             keys = sorted(set(arg))
             # every live row of a matched key is masked; the update
             # row appends ONCE per key; unmatched duplicates survive
-            cur = sorted([x for x in cur if x not in set(keys)] + keys)
+            cur = sorted(
+                [r for r in cur if r[0] not in set(keys)]
+                + [(x, x) for x in keys]
+            )
             v = snapshot_merge_mor(
-                spark, path, frame(keys), keys=["k"]
+                spark, path, frame((x, x) for x in keys), keys=["k"]
             )
         elif op == "update_mor":
             if not committed:
                 continue
-            if not any(x % arg == 0 for x in cur):
+            if not any(r[0] % arg == 0 for r in cur):
                 continue  # no match: no commit
             cur = sorted(
-                x + 100 if x % arg == 0 else x for x in cur
+                (k_ + 100, t_) if k_ % arg == 0 else (k_, t_)
+                for k_, t_ in cur
             )
             v = snapshot_update_mor(
                 spark, path, F.col("k") % arg == 0,
@@ -609,29 +637,43 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
                 continue
             first_v = min(history)
             cur = list(history[first_v])
+            ts_name = names[first_v]
             v = snapshot_rollback(path, first_v)
+        elif op == "rename":
+            if not committed:
+                continue
+            n_renames += 1
+            new_name = f"ts_r{n_renames}"
+            v = snapshot_rename_column(path, ts_name, new_name)
+            ts_name = new_name
         committed = True
         history[v] = list(cur)
+        names[v] = ts_name
 
     if not committed:
         return
-    # every surviving version reads back its model state
-    for ver, want in history.items():
-        got = sorted(r.k for r in read_snapshot(spark, path, version=ver).collect())
-        # merge dedupes; overwrite/append may carry duplicates — the
-        # model tracks multiplicity only through sorted lists, so
-        # compare multisets exactly
+
+    def check(ver, want):
+        df = read_snapshot(spark, path, version=ver)
+        assert sorted(df.columns) == sorted(["k", names[ver]]), (
+            ver, df.columns, names[ver]
+        )
+        got = sorted(
+            (r["k"], r[names[ver]]) for r in df.collect()
+        )
         assert got == want, (ver, got, want)
+
+    # every surviving version reads back its model rows under its own
+    # column name (the model tracks multiplicity — compare multisets)
+    for ver, want in history.items():
+        check(ver, want)
     expire_snapshots(path, keep_last=keep_last)
     alive = {s["version"] for s in list_snapshots(path)}
     head = max(history)
     assert head in alive
     for ver, want in history.items():
         if ver in alive:
-            got = sorted(
-                r.k for r in read_snapshot(spark, path, version=ver).collect()
-            )
-            assert got == want
+            check(ver, want)
         else:
             # the docstring's other half: expired versions must RAISE,
             # never silently fall back to the head
