@@ -2319,7 +2319,9 @@ def erase_rows(
     }
 
 
-def _sweep_staging(path: str, grace_ts: float) -> list[str]:
+def _sweep_staging(
+    path: str, grace_ts: float, dry_run: bool = False
+) -> list[str]:
     """Reclaim aged ``_staging`` debris: the format stream writer's
     per-task files live there between stage and commit, and a
     failed/zombie task attempt's file appears in no commit message, so
@@ -2333,7 +2335,8 @@ def _sweep_staging(path: str, grace_ts: float) -> list[str]:
             try:
                 if os.path.getmtime(full) >= grace_ts:
                     continue
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
             except OSError:
                 continue
             removed.append(name)
@@ -2345,6 +2348,7 @@ def expire_snapshots(
     keep_last: int = 1,
     older_than_hours: float | None = None,
     orphan_grace_hours: float = 24.0,
+    dry_run: bool = False,
 ) -> dict[str, Any]:
     """Drop snapshot manifests past the retention point and
     garbage-collect data files nothing references — the reference's
@@ -2366,6 +2370,11 @@ def expire_snapshots(
       write guard as the reference's ``remove_orphan_files
       (older_than=...)`` — without it, this sweep could destroy a
       concurrent writer's files between its write and its commit.
+
+    ``dry_run=True`` computes the SAME report without deleting
+    anything (Iceberg's expire_snapshots/remove_orphan_files dry-run):
+    the operator sees exactly which versions, commit dirs, and staging
+    files the real run would reclaim before committing to it.
     """
     keep_last = max(1, keep_last)
     grace_ts = time.time() - orphan_grace_hours * 3600
@@ -2377,7 +2386,9 @@ def expire_snapshots(
         return {
             "expired_versions": [],
             "removed_commit_dirs": [],
-            "removed_staging_files": _sweep_staging(path, grace_ts),
+            "removed_staging_files": _sweep_staging(
+                path, grace_ts, dry_run=dry_run
+            ),
         }
     cutoff = (
         time.time() - older_than_hours * 3600
@@ -2388,8 +2399,9 @@ def expire_snapshots(
     if cutoff is not None:
         survivors |= {s["version"] for s in snaps if s["timestamp"] >= cutoff}
     expired = [s for s in snaps if s["version"] not in survivors]
-    for s in expired:
-        os.unlink(_manifest_path(path, s["version"]))
+    if not dry_run:
+        for s in expired:
+            os.unlink(_manifest_path(path, s["version"]))
 
     kept_refs: set[str] = set()
     all_refs: set[str] = set()
@@ -2414,10 +2426,13 @@ def expire_snapshots(
                         continue
                 except OSError:
                     continue
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed_dirs.append(rel)
     return {
         "expired_versions": [s["version"] for s in expired],
         "removed_commit_dirs": removed_dirs,
-        "removed_staging_files": _sweep_staging(path, grace_ts),
+        "removed_staging_files": _sweep_staging(
+            path, grace_ts, dry_run=dry_run
+        ),
     }

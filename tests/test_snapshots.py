@@ -1742,3 +1742,36 @@ def test_partition_spec_evolution_mixed_layouts_read_whole(spark, tmp_path):
     ]
     eng = read_snapshot(spark, path)
     assert sorted(map(tuple, eng.select("cat", "id", "x").collect())) == want
+
+
+def test_expire_dry_run_reports_without_deleting(spark, tmp_path):
+    """dry_run computes the exact report of the real run — versions,
+    commit dirs, staging debris — while deleting nothing: every
+    version stays readable afterwards, and the real run then reclaims
+    exactly what the dry run predicted."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 3, "a"), path)
+    snapshot_write(_frame(spark, 3, 5, "b"), path, mode="overwrite")
+    staging = _os.path.join(path, "_staging")
+    _os.makedirs(staging)
+    debris = _os.path.join(staging, "old-task-file.parquet")
+    open(debris, "w").write("x")
+    _os.utime(debris, (1, 1))
+
+    predicted = expire_snapshots(path, keep_last=1, dry_run=True)
+    assert predicted["expired_versions"] == [1]
+    assert len(predicted["removed_commit_dirs"]) == 1
+    assert predicted["removed_staging_files"] == ["old-task-file.parquet"]
+    # nothing actually happened
+    assert _rows(read_snapshot(spark, path, version=1)) == [
+        (0, "a"), (1, "a"), (2, "a")
+    ]
+    assert _os.path.exists(debris)
+
+    real = expire_snapshots(path, keep_last=1)
+    assert real == predicted
+    assert not _os.path.exists(debris)
+    with pytest.raises(FileNotFoundError, match="expired or never"):
+        read_snapshot(spark, path, version=1)
