@@ -9236,6 +9236,116 @@ def q_snapshot_null_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_REWRITE_DEBT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE NOT (o_orderkey % 3 = 1 AND o_orderpriority = '1-URGENT')
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_rewrite_debt", _SNAPSHOT_REWRITE_DEBT_ORACLE,
+    tags=["S15", "M1"],
+)
+def q_snapshot_rewrite_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — delete-file compaction end-to-end
+    (snapshots.snapshot_rewrite_data_files; the reference's Iceberg v2
+    maintenance surface, ``iceberg_maintenance.py:97-174``, presumes
+    it): orders land in three commits, a merge-on-read DELETE masks
+    urgent orders in ONE third, then the PARTIAL rewrite materializes
+    exactly the masked files — the in-query gates require that only
+    they were rewritten (not the whole table: rewritten < total), the
+    fully-covered vector dirs dropped, and the untouched commits'
+    file entries rode through unchanged. The head aggregate
+    hash-matches a direct recompute, so the driver certifies that
+    O(debt) compaction changes bytes, never rows. At 100 TB this is
+    the steady-state maintenance loop: megabytes rewritten per cycle,
+    not the lake."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        read_snapshot,
+        snapshot_delete_mor,
+        snapshot_rewrite_data_files,
+        snapshot_write,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snaprwd_")
+    try:
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 3 == 0), path,
+            stats_cols=["o_orderkey"],
+        )
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 3 == 1), path, mode="append"
+        )
+        snapshot_write(
+            base.where(F.col("o_orderkey") % 3 == 2), path, mode="append"
+        )
+        v_del = snapshot_delete_mor(
+            spark,
+            path,
+            (F.col("o_orderkey") % 3 == 1)
+            & (F.col("o_orderpriority") == "1-URGENT"),
+        )
+        before = _load_manifest(path, v_del)
+        n_total = sum(len(fs) for fs in before["commits"].values())
+        rep = snapshot_rewrite_data_files(spark, path)
+        after = _load_manifest(path, rep["version"])
+        # real exceptions, not asserts (python -O strips asserts): the
+        # rewrite must be PARTIAL and must retire the vectors
+        if not (1 <= rep["rewritten_files"] < n_total):
+            raise RuntimeError(f"rewrite not partial: {rep} / {n_total}")
+        if not rep["dropped_delete_dirs"] or after.get("deletes"):
+            raise RuntimeError(f"delete vectors survived: {rep}")
+        # commits holding NO masked file must ride through bit-equal;
+        # the masked commit may only SHRINK (its rewritten files leave)
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        masked_rels = set()
+        for drel, dfs in (before.get("deletes") or {}).items():
+            for f in dfs:
+                for fr in _pq.read_table(
+                    _os.path.join(path, drel, f), columns=["file_path"]
+                )["file_path"].to_pylist():
+                    masked_rels.add(fr.rsplit("/", 1)[0])
+        bad = []
+        for rel, fs in before["commits"].items():
+            got = after["commits"].get(rel, [])
+            if rel in masked_rels:
+                if not set(got) <= set(fs):
+                    bad.append(rel)
+            elif got != fs:
+                bad.append(rel)
+        if bad:
+            raise RuntimeError(f"untouched commits changed: {bad}")
+        return (
+            read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_PRUNED_2D_ORACLE = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,

@@ -164,6 +164,24 @@ def run_maintenance(
                 )
             except Exception as exc:
                 row["compact_error"] = str(exc)
+        if spec.get("snapshot_keep_last") is not None and spec.get(
+            "rewrite_delete_debt", True
+        ):
+            # merge-on-read debt compaction (Iceberg's delete-file
+            # rewrite): unconditional per cycle because it commits
+            # NOTHING when there is no debt — unlike the full
+            # snapshot_compact above, it can never rotate identical
+            # history through the retention window
+            from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+                snapshot_rewrite_data_files,
+            )
+
+            try:
+                rep = snapshot_rewrite_data_files(spark, path)
+                if rep["rewritten_files"]:
+                    row["delete_debt_rewrite"] = rep
+            except Exception as exc:
+                row["delete_debt_error"] = str(exc)
         expire_on = spec.get("expire_on")
         if expire_on:
             try:

@@ -1843,6 +1843,169 @@ def snapshot_compact(
     )
 
 
+def snapshot_rewrite_data_files(
+    spark: SparkSession,
+    path: str,
+    with_deletes: bool = True,
+    smaller_than_bytes: int | None = None,
+    target_partitions: int | None = None,
+    max_commit_retries: int = 5,
+) -> dict[str, Any]:
+    """PARTIAL compaction — Iceberg's ``rewrite_data_files`` with
+    delete-file compaction (the reference's maintenance surface,
+    ``iceberg_maintenance.py:97-174``, presumes it for v2 tables):
+    rewrite ONLY the selected data files — those masked by positional
+    delete vectors (``with_deletes``) and/or those smaller than
+    ``smaller_than_bytes`` — into one fresh commit, materializing
+    their deletes and dropping every vector dir whose references are
+    fully covered. Every other file rides into the new version
+    untouched, keeping its recorded bounds. At 100 TB this is the
+    difference between O(delete debt) and :func:`snapshot_compact`'s
+    O(table): the steady-state maintenance loop rewrites megabytes,
+    not the lake.
+
+    Selected files are read with their vectors applied and the schema
+    log replayed, so rewritten rows materialize the CURRENT logical
+    schema and partition spec; untouched commits keep their layout
+    and their log entries. The commit is an optimistic-CAS rewrite
+    (operation ``compact`` — incremental consumers re-sync, as for
+    any rewrite). Returns ``{"version", "rewritten_files",
+    "dropped_delete_dirs"}``; a selection that matches nothing
+    returns the unchanged head and commits no version."""
+    import pyarrow.parquet as pq
+
+    for _ in range(max_commit_retries):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, head)
+        deletes = manifest.get("deletes") or {}
+        vec_refs: dict[str, set[str]] = {}
+        for drel, dfs in deletes.items():
+            refs: set[str] = set()
+            for f in dfs:
+                t = pq.read_table(
+                    os.path.join(path, drel, f), columns=["file_path"]
+                )
+                refs.update(t["file_path"].to_pylist())
+            vec_refs[drel] = refs
+        masked: set[str] = set()
+        if with_deletes:
+            for refs in vec_refs.values():
+                masked |= refs
+
+        selected: dict[str, list[str]] = {}
+        for rel, files in manifest["commits"].items():
+            for f in files:
+                pick = f"{rel}/{f}" in masked
+                if not pick and smaller_than_bytes is not None:
+                    try:
+                        pick = (
+                            os.path.getsize(os.path.join(path, rel, f))
+                            < smaller_than_bytes
+                        )
+                    except OSError:
+                        pick = False
+                if pick:
+                    selected.setdefault(rel, []).append(f)
+        n_sel = sum(len(v) for v in selected.values())
+        if n_sel == 0:
+            return {
+                "version": head,
+                "rewritten_files": 0,
+                "dropped_delete_dirs": [],
+            }
+
+        df = _read_commits(
+            spark,
+            path,
+            selected,
+            deletes=deletes,
+            schema_log=manifest.get("schema_log"),
+        )
+        n = target_partitions or max(
+            1, min(spark.sparkContext.defaultParallelism, n_sel)
+        )
+        commit_rel = os.path.join(
+            _DATA_DIR, f"c{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        commit_abs = os.path.join(path, commit_rel)
+        writer = df.coalesce(n).write.mode("error")
+        part_by = manifest.get("partition_by") or []
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(commit_abs)
+        files_new, _n = _staged_parquet_files(commit_abs, count_rows=False)
+
+        stats = manifest.get("stats") or {}
+        new_commits: dict[str, list[str]] = {}
+        new_stats: dict[str, dict] = {}
+        for rel, files in manifest["commits"].items():
+            drop = set(selected.get(rel) or [])
+            keep = [f for f in files if f not in drop]
+            if keep or not files:  # emptied-by-selection entries go;
+                new_commits[rel] = keep  # genuinely-empty ones stay
+                cst = {
+                    f: b
+                    for f, b in (stats.get(rel) or {}).items()
+                    if f in set(keep)
+                }
+                if cst:
+                    new_stats[rel] = cst
+        new_commits[commit_rel] = files_new
+        stats_cols = manifest.get("stats_cols") or []
+        if stats_cols and files_new:
+            new_stats[commit_rel] = _collect_file_stats(
+                spark, commit_abs, files_new, stats_cols
+            )
+
+        surviving = {
+            f"{rel}/{f}"
+            for rel, fs in new_commits.items()
+            if rel != commit_rel
+            for f in fs
+        }
+        new_deletes: dict[str, list[str]] = {}
+        dropped: list[str] = []
+        for drel, dfs in deletes.items():
+            if vec_refs[drel] & surviving:
+                new_deletes[drel] = dfs  # still masks a live file
+            else:
+                dropped.append(drel)  # fully materialized: dead weight
+
+        new_manifest = {
+            "version": head + 1,
+            "parent": head,
+            "operation": "compact",
+            "timestamp": time.time(),
+            "partition_by": part_by,
+            "commits": new_commits,
+        }
+        if stats_cols:
+            new_manifest["stats_cols"] = stats_cols
+        if new_stats:
+            new_manifest["stats"] = new_stats
+        if new_deletes:
+            new_manifest["deletes"] = new_deletes
+        if manifest.get("schema_log"):
+            new_manifest["schema_log"] = manifest["schema_log"]
+        if manifest.get("stream_state"):
+            new_manifest["stream_state"] = manifest["stream_state"]
+        if _commit_manifest(path, head + 1, new_manifest):
+            return {
+                "version": head + 1,
+                "rewritten_files": n_sel,
+                "dropped_delete_dirs": sorted(dropped),
+            }
+        # lost the race: the selection was derived against a head that
+        # no longer exists — discard the staged rewrite and re-plan
+        shutil.rmtree(commit_abs, ignore_errors=True)
+    raise ConcurrentSnapshotError(
+        f"rewrite_data_files at {path} lost {max_commit_retries} "
+        f"re-plan races — a writer loop is outrunning this one"
+    )
+
+
 def read_appends_between(
     spark: SparkSession,
     path: str,

@@ -151,3 +151,43 @@ def test_skipping_report_conservative_on_missing_column(spark, tmp_path):
     spark.range(100).write.parquet(p)
     s = skipping_summary(skipping_report(spark, p, "no_such_col", 0, 1))
     assert s["prunable_row_groups"] == 0 and s["rows"] == 100
+
+
+def test_run_maintenance_rewrites_delete_debt(spark, tmp_path):
+    """The maintenance cycle compacts merge-on-read debt for versioned
+    tables by default: with vectors present the rewrite commits and
+    zeroes the debt; a debt-free table commits NOTHING (the cycle can
+    never rotate identical history through the retention window)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        run_maintenance,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        current_version,
+        delete_debt,
+        snapshot_delete_mor,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 20).select(F.col("id").alias("k")), path
+    )
+    snapshot_delete_mor(spark, path, F.col("k") < 3)
+    assert delete_debt(path)["delete_files"] > 0
+
+    (row,) = run_maintenance(
+        spark,
+        [{"path": path, "snapshot_keep_last": 5}],
+    )
+    assert row["delete_debt_rewrite"]["rewritten_files"] >= 1
+    assert delete_debt(path)["delete_files"] == 0
+    head = current_version(path)
+
+    # second cycle: no debt -> no commit, no report entry
+    (row2,) = run_maintenance(
+        spark, [{"path": path, "snapshot_keep_last": 5}]
+    )
+    assert "delete_debt_rewrite" not in row2
+    assert current_version(path) == head

@@ -1775,3 +1775,118 @@ def test_expire_dry_run_reports_without_deleting(spark, tmp_path):
     assert not _os.path.exists(debris)
     with pytest.raises(FileNotFoundError, match="expired or never"):
         read_snapshot(spark, path, version=1)
+
+
+def test_rewrite_data_files_compacts_only_the_delete_debt(spark, tmp_path):
+    """Partial compaction: only files masked by delete vectors are
+    rewritten — every other file rides into the new version untouched
+    (same entries, same recorded bounds), fully-covered vector dirs
+    drop, delete debt goes to zero, rows read back identical, and the
+    pre-rewrite version stays time-travelable."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        delete_debt,
+        snapshot_delete_mor,
+        snapshot_rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, "a") for i in range(10)], "k long, tag string"
+        ).coalesce(1),
+        path,
+        stats_cols=["k"],
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, "b") for i in range(100, 110)], "k long, tag string"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, "c") for i in range(200, 210)], "k long, tag string"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    # MoR delete hits ONLY the 'b' commit's rows
+    v_del = snapshot_delete_mor(
+        spark, path, (F.col("k") >= 100) & (F.col("k") < 105)
+    )
+    before = sorted(
+        (r.k, r.tag) for r in read_snapshot(spark, path).collect()
+    )
+    m_before = _load_manifest(path, v_del)
+
+    rep = snapshot_rewrite_data_files(spark, path)
+    assert rep["rewritten_files"] == 1  # only the masked 'b' file
+    assert rep["dropped_delete_dirs"]  # the vector dir is gone
+    m_after = _load_manifest(path, rep["version"])
+    assert "deletes" not in m_after
+    # the two unmasked commits' entries (and bounds) ride unchanged
+    for rel, fs in m_after["commits"].items():
+        if rel in m_before["commits"] and fs:
+            assert m_before["commits"][rel] == fs
+            assert (m_before.get("stats") or {}).get(rel) == (
+                m_after.get("stats") or {}
+            ).get(rel)
+    assert sorted(
+        (r.k, r.tag) for r in read_snapshot(spark, path).collect()
+    ) == before
+    assert delete_debt(path)["delete_files"] == 0
+    # pre-rewrite version still reads WITH its vectors
+    assert sorted(
+        r.k for r in read_snapshot(spark, path, version=v_del).collect()
+    ) == sorted(x for x in list(range(10)) + list(range(100, 110)) + list(range(200, 210)) if not (100 <= x < 105))
+
+    # a second run is a no-op: nothing selected, no commit
+    rep2 = snapshot_rewrite_data_files(spark, path)
+    assert rep2 == {
+        "version": rep["version"],
+        "rewritten_files": 0,
+        "dropped_delete_dirs": [],
+    }
+
+
+def test_rewrite_data_files_small_file_binpack_and_schema_log(spark, tmp_path):
+    """smaller_than_bytes selects only sub-threshold files (binpack),
+    and rewritten rows materialize the CURRENT logical schema — a
+    rename before the rewrite lands in the fresh files while untouched
+    commits keep replaying their log entries."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        snapshot_rename_column,
+        snapshot_rewrite_data_files,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(2000)], "k long, amount double"
+        ).coalesce(1),
+        path,
+    )
+    snapshot_write(
+        spark.createDataFrame([(9999, 1.0)], "k long, amount double")
+        .coalesce(1),
+        path,
+        mode="append",
+    )
+    snapshot_rename_column(path, "amount", "price")
+
+    big = sum(
+        1 for fs in _load_manifest(
+            path, 3
+        )["commits"].values() for _ in fs
+    )
+    rep = snapshot_rewrite_data_files(
+        spark, path, with_deletes=False, smaller_than_bytes=4096
+    )
+    assert 1 <= rep["rewritten_files"] < big  # the tiny file only
+    head = read_snapshot(spark, path)
+    assert head.columns == ["k", "price"]
+    assert head.count() == 2001
+    assert head.where(F.col("k") == 9999).first()["price"] == 1.0

@@ -73,6 +73,7 @@ QUERIES = [
     "mart_from_cdc",        # changelog-folded mart maintenance (r9)
     "snapshot_schema_evolution",  # metadata-only rename/drop + evolved read (r9)
     "snapshot_null_skip",   # null-count data skipping + pruned scan (r9)
+    "snapshot_rewrite_debt",  # partial delete-file compaction (r9)
     "tpch_q12_sql",         # fact-fact join + conditional priority split (r9)
 ]
 
