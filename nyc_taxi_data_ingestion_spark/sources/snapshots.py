@@ -1887,7 +1887,11 @@ def snapshot_rewrite_data_files(
                 t = pq.read_table(
                     os.path.join(path, drel, f), columns=["file_path"]
                 )
-                refs.update(t["file_path"].to_pylist())
+                # arrow-side unique BEFORE materializing to Python: a
+                # vector names one path per deleted ROW, and the
+                # distinct set (bounded by file count) is what the
+                # driver needs
+                refs.update(t["file_path"].unique().to_pylist())
             vec_refs[drel] = refs
         masked: set[str] = set()
         if with_deletes:
