@@ -124,8 +124,14 @@ def run_maintenance(
     tables skipped with a report row rather than an abort.
 
     ``tables`` entries: ``{"path": str, "partition_by": [cols...],
-    "expire_on": "partition_day" | None}``. Returns one report dict per
-    table with per-step outcomes.
+    "expire_on": "partition_day" | None, "snapshot_keep_last": int |
+    None, "snapshot_compact": bool, "rewrite_delete_debt": bool}``.
+    Versioned tables (``snapshot_keep_last`` set) get an automatic
+    merge-on-read delete-debt rewrite each cycle — it commits nothing
+    when there is no debt, so it never rotates identical history
+    through the retention window; pass ``"rewrite_delete_debt":
+    False`` to opt out. Returns one report dict per table with
+    per-step outcomes.
     """
     report: list[dict[str, Any]] = []
     for spec in tables:

@@ -1949,10 +1949,11 @@ def snapshot_rewrite_data_files(
             keep = [f for f in files if f not in drop]
             if keep or not files:  # emptied-by-selection entries go;
                 new_commits[rel] = keep  # genuinely-empty ones stay
+                keep_set = set(keep)
                 cst = {
                     f: b
                     for f, b in (stats.get(rel) or {}).items()
-                    if f in set(keep)
+                    if f in keep_set
                 }
                 if cst:
                     new_stats[rel] = cst
@@ -2493,13 +2494,18 @@ def _sweep_staging(
     per-task files live there between stage and commit, and a
     failed/zombie task attempt's file appears in no commit message, so
     nothing else ever removes it. The age guard protects in-flight
-    micro-batches (they commit in seconds, never hours)."""
+    micro-batches (they commit in seconds, never hours). Non-files are
+    skipped in BOTH modes, so the dry-run report matches what the real
+    run reclaims (the only residual divergence is an unlink failing at
+    sweep time — permissions/races the dry run cannot foresee)."""
     removed: list[str] = []
     staging_root = os.path.join(path, "_staging")
     if os.path.isdir(staging_root):
         for name in sorted(os.listdir(staging_root)):
             full = os.path.join(staging_root, name)
             try:
+                if not os.path.isfile(full):
+                    continue  # a dir unlink would fail: report neither
                 if os.path.getmtime(full) >= grace_ts:
                     continue
                 if not dry_run:
