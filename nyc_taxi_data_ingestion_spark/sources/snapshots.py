@@ -599,19 +599,101 @@ def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
         os.unlink(tmp)
 
 
+_TAGS_DIR = "tags"
+_TAG_NAME_RE = re.compile(r"[A-Za-z0-9._-]{1,128}")
+
+
+def _tag_path(path: str, name: str) -> str:
+    if not _TAG_NAME_RE.fullmatch(name):
+        raise ValueError(
+            f"bad tag name {name!r}: use [A-Za-z0-9._-], max 128 chars"
+        )
+    return os.path.join(_snap_root(path), _TAGS_DIR, f"{name}.json")
+
+
+def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
+    """Pin a version under a NAME — Iceberg's ``CREATE TAG``: the
+    tagged version (default: head) survives :func:`expire_snapshots`
+    regardless of ``keep_last``/age until :func:`snapshot_untag`
+    releases it, and reads resolve it via ``read_snapshot(tag=...)``.
+    Tags are immutable (fail-if-exists via the same os.link CAS as
+    manifest commits — two racers cannot both win) and metadata-only:
+    one small JSON file, any table size. Returns the pinned version."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+    _load_manifest(path, version)  # must exist (and not be expired)
+    tp = _tag_path(path, name)
+    os.makedirs(os.path.dirname(tp), exist_ok=True)
+    tmp = tp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "timestamp": time.time()}, f)
+    try:
+        os.link(tmp, tp)
+    except FileExistsError:
+        raise ValueError(
+            f"tag {name!r} already exists at {path} (tags are "
+            f"immutable: snapshot_untag first to re-pin)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def snapshot_untag(path: str, name: str) -> int:
+    """Release a tag (Iceberg's ``DROP TAG``); the version it pinned
+    becomes expirable again. Returns the version it pointed at."""
+    tp = _tag_path(path, name)
+    try:
+        with open(tp) as f:
+            version = json.load(f)["version"]
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no tag {name!r} at {path}") from None
+    os.unlink(tp)
+    return version
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """All tags → pinned version (empty for an untagged table)."""
+    root = os.path.join(_snap_root(path), _TAGS_DIR)
+    if not os.path.isdir(root):
+        return {}
+    out: dict[str, int] = {}
+    for fn in sorted(os.listdir(root)):
+        if fn.endswith(".json"):
+            try:
+                with open(os.path.join(root, fn)) as f:
+                    out[fn[: -len(".json")]] = json.load(f)["version"]
+            except (OSError, ValueError, KeyError):
+                continue  # partially-written racer debris: not a tag
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     as_of_timestamp: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read the table as of a version (``version=``), a wall-clock
     instant (``as_of_timestamp=`` → newest snapshot committed at or
-    before it), or the current head (neither). The plan is built from
-    the manifest's file list — no directory listing, and partition
-    columns parse/prune normally via ``basePath`` per commit dir."""
-    if version is not None and as_of_timestamp is not None:
-        raise ValueError("pass version= or as_of_timestamp=, not both")
+    before it), a named tag (``tag=``, :func:`snapshot_tag`), or the
+    current head (none of them). The plan is built from the manifest's
+    file list — no directory listing, and partition columns
+    parse/prune normally via ``basePath`` per commit dir."""
+    if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
+        raise ValueError(
+            "pass at most one of version= / as_of_timestamp= / tag="
+        )
+    if tag is not None:
+        tags = list_tags(path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} at {path} (have: {sorted(tags)})"
+            )
+        version = tags[tag]
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:
@@ -2467,9 +2549,20 @@ def erase_rows(
     ``keep_last=1``. Never-referenced commit dirs younger than
     ``orphan_grace_hours`` survive (in-flight-write guard), so a
     truly idle table is fully scrubbed while a racing writer is not
-    corrupted. Returns {version, expired_versions,
-    removed_commit_dirs, remaining_matches}.
+    corrupted. A TAGGED table refuses outright: a tag pins its
+    snapshot through every retention policy, so the erased rows would
+    silently survive in the pinned version — untag first, explicitly.
+    Returns {version, expired_versions, removed_commit_dirs,
+    remaining_matches}.
     """
+    tags = list_tags(path)
+    if tags:
+        raise ValueError(
+            f"cannot hard-erase {path}: tags {sorted(tags)} pin "
+            f"historical snapshots past expiry, so erased rows would "
+            f"survive in them — snapshot_untag each first (an erasure "
+            f"must be a deliberate release of every pin)"
+        )
     version = snapshot_delete(spark, path, predicate, partition_by)
     gc = expire_snapshots(
         path, keep_last=1, orphan_grace_hours=orphan_grace_hours
@@ -2571,6 +2664,11 @@ def expire_snapshots(
     survivors = set(s["version"] for s in snaps[-keep_last:])
     if cutoff is not None:
         survivors |= {s["version"] for s in snaps if s["timestamp"] >= cutoff}
+    # tagged versions are PINNED (Iceberg ref retention): an audit/
+    # compliance tag holds its snapshot — and the commit dirs it
+    # references — out of every retention policy until untagged
+    tagged = set(list_tags(path).values())
+    survivors |= {s["version"] for s in snaps if s["version"] in tagged}
     expired = [s for s in snaps if s["version"] not in survivors]
     if not dry_run:
         for s in expired:

@@ -1890,3 +1890,51 @@ def test_rewrite_data_files_small_file_binpack_and_schema_log(spark, tmp_path):
     assert head.columns == ["k", "price"]
     assert head.count() == 2001
     assert head.where(F.col("k") == 9999).first()["price"] == 1.0
+
+
+def test_tags_pin_versions_through_expiry_and_block_erasure(spark, tmp_path):
+    """Iceberg-style tag refs: a tagged version (and its commit dirs)
+    survives every retention policy until untagged; reads resolve by
+    tag name; tags are immutable (re-pin = untag first); and hard
+    erasure REFUSES while any tag exists — a pin would silently keep
+    the erased rows alive."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        erase_rows,
+        list_tags,
+        snapshot_tag,
+        snapshot_untag,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 5, "a"), path)
+    assert snapshot_tag(path, "audit-2026Q1") == 1
+    snapshot_write(_frame(spark, 100, 103, "b"), path, mode="overwrite")
+    snapshot_write(_frame(spark, 200, 202, "c"), path, mode="overwrite")
+    assert list_tags(path) == {"audit-2026Q1": 1}
+
+    # keep_last=1 would normally kill v1 and v2: the tag saves v1 ONLY
+    report = expire_snapshots(path, keep_last=1)
+    assert report["expired_versions"] == [2]
+    tagged = read_snapshot(spark, path, tag="audit-2026Q1")
+    assert _rows(tagged) == [(i, "a") for i in range(5)]
+
+    with pytest.raises(ValueError, match="immutable"):
+        snapshot_tag(path, "audit-2026Q1", version=3)
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        read_snapshot(spark, path, tag="nope")
+    with pytest.raises(ValueError, match="bad tag name"):
+        snapshot_tag(path, "../escape")
+
+    # erasure refuses while pinned; untag releases, then it proceeds
+    with pytest.raises(ValueError, match="untag"):
+        erase_rows(spark, path, F.col("id") >= 0)
+    assert snapshot_untag(path, "audit-2026Q1") == 1
+    rep = erase_rows(
+        spark, path, F.col("id") < 201, orphan_grace_hours=0.0
+    )
+    assert rep["remaining_matches"] == 0
+    assert _rows(read_snapshot(spark, path)) == [(201, "c")]
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, version=1)
