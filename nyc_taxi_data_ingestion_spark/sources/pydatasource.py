@@ -1015,6 +1015,19 @@ class SnapshotDataSource(DataSource):
         if not path:
             raise ValueError("snapshot format requires .option('path', …)")
         version = self.options.get("version")
+        tag = self.options.get("tag")
+        if version is not None and tag is not None:
+            raise ValueError(
+                "pass .option('version', …) or .option('tag', …), "
+                "not both"
+            )
+        if tag is not None:
+            tags = _S.list_tags(path)
+            if tag not in tags:
+                raise FileNotFoundError(
+                    f"no tag {tag!r} at {path} (have: {sorted(tags)})"
+                )
+            version = tags[tag]
         if version is not None:
             m = _S._load_manifest(path, int(version))
         else:

@@ -912,6 +912,7 @@ def scan_snapshot(
     version: int | None = None,
     predicates=None,
     not_null=None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Range-predicate read (``lower <= column <= upper``, either bound
     optional) with MANIFEST-LEVEL file pruning: any file whose recorded
@@ -942,11 +943,21 @@ def scan_snapshot(
     recorded null counts prove the column all-NULL are dropped from
     the plan (Iceberg's null_value_counts skipping), and the filter is
     applied as a real WHERE. Range conjuncts also exclude all-null
-    files on their own — NULL satisfies no range."""
+    files on their own — NULL satisfies no range. ``tag=`` resolves a
+    :func:`snapshot_tag` pin instead of a version number."""
     from pyspark.sql import functions as F
 
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = list_tags(path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} at {path} (have: {sorted(tags)})"
+            )
+        version = tags[tag]
     if version is None:
         snaps = list_snapshots(path)
         if not snaps:

@@ -1271,3 +1271,49 @@ def test_pushdown_prunes_on_in_equalnullsafe_and_prefix(spark, tmp_path):
     # files are fully valued, so both prove out (the empty-scan
     # sentinel partition carries no file)
     assert kept([EqualNullSafe(("tag",), None)]) == 0
+
+
+def test_format_and_scan_resolve_tags(spark, tmp_path):
+    """Tag refs resolve through every read path: the format source
+    (.option('tag', name)), the programmatic scan (tag=...), and the
+    engine read — all pinned to the tagged version even after
+    overwrites, with version/tag mutual exclusion enforced."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_snapshot,
+        snapshot_tag,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(0, 10).select(F.col("id").alias("k")), path,
+        stats_cols=["k"],
+    )
+    snapshot_tag(path, "pin")
+    snapshot_write(
+        spark.range(100, 103).select(F.col("id").alias("k")), path,
+        mode="overwrite",
+    )
+
+    fmt = (
+        spark.read.format("snapshot")
+        .option("path", path)
+        .option("tag", "pin")
+        .load()
+    )
+    assert sorted(r.k for r in fmt.collect()) == list(range(10))
+    got = scan_snapshot(spark, path, "k", lower=5, tag="pin")
+    assert sorted(r.k for r in got.collect()) == list(range(5, 10))
+
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("snapshot").option("path", path).option(
+            "tag", "pin"
+        ).option("version", "1").load().collect()
+    with pytest.raises(ValueError, match="not both"):
+        scan_snapshot(spark, path, "k", lower=0, version=1, tag="pin")
