@@ -972,3 +972,67 @@ def test_schema_log_forward_replay_inverts_physical_column(data):
     }
     for n in freed - surviving:
         assert _physical_column(ops, "data/c1", n) is None
+
+
+@given(data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_bounds_exclude_soundness_against_arrow_footers(tmp_path_factory, data):
+    """Pruning soundness, model-checked against REAL arrow-cpp footers:
+    for random float columns (values, NULLs, NaN, ±inf mixed) and a
+    random range conjunct, whenever the recorded stats entry proves
+    the file empty, NO value in the file satisfies the predicate under
+    SPARK's semantics (NULL matches nothing; NaN is greater than every
+    value, so it matches any lower bound and no finite upper). The
+    null-predicate twin is checked the same way."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _collect_file_stats,
+        _file_provably_empty,
+        null_count_exclude,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=True, allow_infinity=True, width=64),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    lower = data.draw(st.none() | st.floats(allow_nan=False, width=64))
+    upper = data.draw(st.none() | st.floats(allow_nan=False, width=64))
+
+    d = tmp_path_factory.mktemp("bx")
+    pq.write_table(
+        pa.table({"x": pa.array(vals, type=pa.float64())}),
+        str(d / "f.parquet"),
+    )
+    stats = _collect_file_stats(None, str(d), ["f.parquet"], ["x"])
+    entry = (stats.get("f.parquet") or {}).get("x")
+
+    def spark_matches(v):
+        if v is None:
+            return False
+        if math.isnan(v):
+            # Spark: NaN > every value — matches any lower, no upper
+            return upper is None
+        return (lower is None or v >= lower) and (
+            upper is None or v <= upper
+        )
+
+    if (lower is not None or upper is not None) and _file_provably_empty(
+        {"x": entry} if entry else {}, [("x", lower, upper)]
+    ):
+        assert not any(spark_matches(v) for v in vals), (
+            vals, lower, upper, entry,
+        )
+    if null_count_exclude(entry, is_null=True):
+        assert not any(v is None for v in vals), (vals, entry)
+    if null_count_exclude(entry, is_null=False):
+        assert all(v is None for v in vals), (vals, entry)
