@@ -670,6 +670,43 @@ def list_tags(path: str) -> dict[str, int]:
     return out
 
 
+def _resolve_version(
+    path: str,
+    version: int | None = None,
+    as_of_timestamp: float | None = None,
+    tag: str | None = None,
+) -> int:
+    """THE version-selector shared by every read entry point
+    (read_snapshot / scan_snapshot / the format source's options):
+    a version number, a wall-clock instant (newest snapshot committed
+    at or before it), a tag pin, or the head — at most one, resolved
+    identically everywhere."""
+    if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
+        raise ValueError(
+            "pass at most one of version= / as_of_timestamp= / tag="
+        )
+    if tag is not None:
+        tags = list_tags(path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} at {path} (have: {sorted(tags)})"
+            )
+        return tags[tag]
+    if version is not None:
+        return version
+    snaps = list_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if as_of_timestamp is not None:
+        eligible = [s for s in snaps if s["timestamp"] <= as_of_timestamp]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no snapshot at or before {as_of_timestamp} at {path}"
+            )
+        return eligible[-1]["version"]
+    return snaps[-1]["version"]
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
@@ -683,32 +720,7 @@ def read_snapshot(
     current head (none of them). The plan is built from the manifest's
     file list — no directory listing, and partition columns
     parse/prune normally via ``basePath`` per commit dir."""
-    if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
-        raise ValueError(
-            "pass at most one of version= / as_of_timestamp= / tag="
-        )
-    if tag is not None:
-        tags = list_tags(path)
-        if tag not in tags:
-            raise FileNotFoundError(
-                f"no tag {tag!r} at {path} (have: {sorted(tags)})"
-            )
-        version = tags[tag]
-    if version is None:
-        snaps = list_snapshots(path)
-        if not snaps:
-            raise FileNotFoundError(f"no snapshots at {path}")
-        if as_of_timestamp is not None:
-            eligible = [
-                s for s in snaps if s["timestamp"] <= as_of_timestamp
-            ]
-            if not eligible:
-                raise FileNotFoundError(
-                    f"no snapshot at or before {as_of_timestamp} at {path}"
-                )
-            version = eligible[-1]["version"]
-        else:
-            version = snaps[-1]["version"]
+    version = _resolve_version(path, version, as_of_timestamp, tag)
     manifest = _load_manifest(path, version)
     return _read_commits(
         spark,
@@ -913,6 +925,7 @@ def scan_snapshot(
     predicates=None,
     not_null=None,
     tag: str | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """Range-predicate read (``lower <= column <= upper``, either bound
     optional) with MANIFEST-LEVEL file pruning: any file whose recorded
@@ -943,26 +956,14 @@ def scan_snapshot(
     recorded null counts prove the column all-NULL are dropped from
     the plan (Iceberg's null_value_counts skipping), and the filter is
     applied as a real WHERE. Range conjuncts also exclude all-null
-    files on their own — NULL satisfies no range. ``tag=`` resolves a
-    :func:`snapshot_tag` pin instead of a version number."""
+    files on their own — NULL satisfies no range. Version selection
+    (``version=`` / ``as_of_timestamp=`` / ``tag=`` / head) is the
+    same :func:`_resolve_version` every read path uses."""
     from pyspark.sql import functions as F
 
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
-    if tag is not None:
-        if version is not None:
-            raise ValueError("pass version= or tag=, not both")
-        tags = list_tags(path)
-        if tag not in tags:
-            raise FileNotFoundError(
-                f"no tag {tag!r} at {path} (have: {sorted(tags)})"
-            )
-        version = tags[tag]
-    if version is None:
-        snaps = list_snapshots(path)
-        if not snaps:
-            raise FileNotFoundError(f"no snapshots at {path}")
-        version = snaps[-1]["version"]
+    version = _resolve_version(path, version, as_of_timestamp, tag)
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")

@@ -1315,5 +1315,5 @@ def test_format_and_scan_resolve_tags(spark, tmp_path):
         spark.read.format("snapshot").option("path", path).option(
             "tag", "pin"
         ).option("version", "1").load().collect()
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         scan_snapshot(spark, path, "k", lower=0, version=1, tag="pin")
