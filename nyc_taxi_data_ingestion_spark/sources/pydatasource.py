@@ -766,6 +766,16 @@ def register_snapshot_stream(spark) -> None:
 # -- batch read of a versioned snapshot table ---------------------------------
 
 
+def _has_nan(vs) -> bool:
+    """Any float NaN among the literals? Pruning hulls derived from a
+    NaN literal are unsound both ways (Spark orders NaN greatest and
+    matches NaN = NaN, while recorded file bounds void the NaN side),
+    so every bound-deriving filter branch gates on this first."""
+    import math
+
+    return any(isinstance(v, float) and math.isnan(v) for v in vs)
+
+
 class SnapshotBatchReader(DataSourceReader):
     """Manifest-planned batch reader with FILE-LEVEL FILTER PUSHDOWN:
     ``pushFilters`` intersects Spark's comparison filters with the
@@ -829,7 +839,16 @@ class SnapshotBatchReader(DataSourceReader):
             if isinstance(f, In):
                 # In carries its value SET in .value (a tuple)
                 vs = [v for v in (getattr(f, "value", None) or ()) if v is not None]
-                if vs:
+                # NaN-soundness: Spark's IN evaluates NaN = NaN as
+                # TRUE, so `col IN (1.0, NaN)` matches NaN rows — but
+                # min()/max() over the literal set drop the NaN
+                # (order-dependently), and a file holding [2.0, NaN]
+                # records lo=2.0 with NO upper bound (NaN handling
+                # voids exactly that side), so a [1.0, 1.0] hull would
+                # wrongly prune it via lo > upper. A NaN literal means
+                # the matching rows can live in ANY file: skip the
+                # hull entirely (r9 advice, confirmed end-to-end).
+                if vs and not _has_nan(vs):
                     # the value-set hull: rows can only live in files
                     # whose range meets [min(vs), max(vs)] (gaps inside
                     # the hull only KEEP extra files)
@@ -841,13 +860,19 @@ class SnapshotBatchReader(DataSourceReader):
             v = getattr(f, "value", None)
             if isinstance(f, EqualNullSafe):
                 # col <=> NULL is exactly IS NULL; a non-null literal
-                # behaves as plain equality for pruning
+                # behaves as plain equality for pruning (a NaN literal
+                # matches NaN rows, which can live in any file — same
+                # guard as the In hull)
                 if v is None:
                     self._null[col] = True
-                else:
+                elif not _has_nan((v,)):
                     self._tighten(col, lo=v, hi=v)
                 continue
-            if v is None:
+            if v is None or _has_nan((v,)):
+                # a NaN comparison literal: Spark orders NaN greatest
+                # (x < NaN matches every real value, x > NaN nothing,
+                # = NaN exactly the NaN rows) while recorded bounds
+                # void the NaN side — no sound hull exists, keep all
                 continue
             if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 self._tighten(col, lo=v)

@@ -638,6 +638,24 @@ def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
         ) from None
     finally:
         os.unlink(tmp)
+    # tag/expire race closure (best-effort on a shared filesystem): a
+    # concurrent expire_snapshots computed its survivor set BEFORE this
+    # tag landed, so the pinned version may have been GC'd in the
+    # window between the existence check above and the link. Re-check
+    # and withdraw the tag rather than leave a dangling pin whose
+    # reads raise and whose protection silently never held. A racer
+    # landing AFTER the link sees the tag and keeps the version; this
+    # re-check covers the one ordering neither side could see.
+    if not os.path.isfile(_manifest_path(path, version)):
+        try:
+            os.unlink(tp)
+        except FileNotFoundError:
+            pass
+        raise FileNotFoundError(
+            f"snapshot v{version} at {path} expired while the tag was "
+            f"being created — the pin did not take; re-tag a retained "
+            f"version (coordinate tagging with expiry maintenance)"
+        )
     return version
 
 
@@ -650,7 +668,12 @@ def snapshot_untag(path: str, name: str) -> int:
             version = json.load(f)["version"]
     except FileNotFoundError:
         raise FileNotFoundError(f"no tag {name!r} at {path}") from None
-    os.unlink(tp)
+    try:
+        os.unlink(tp)
+    except FileNotFoundError:
+        # two concurrent untags both passed the read; the loser gets
+        # the same documented error, not a raw unlink crash
+        raise FileNotFoundError(f"no tag {name!r} at {path}") from None
     return version
 
 
@@ -1020,21 +1043,21 @@ def scan_prune_stats(
     version: int | None = None,
     predicates=None,
     not_null=None,
+    tag: str | None = None,
+    as_of_timestamp: float | None = None,
 ) -> dict[str, int]:
     """How much :func:`scan_snapshot` would prune: {total_files,
     pruned_files, kept_files} from the manifest alone (no Spark, no
     I/O) — the planning-time audit next to the footer-level
     :func:`maintenance.skipping_report`. Takes the same single-column,
     ``predicates=[(col, lo, hi), …]``, and ``not_null=[col, …]`` forms
-    as the scan and shares its survival rule, so the audit can never
-    disagree with the plan."""
+    as the scan, shares its survival rule, AND its version selection
+    (``version=`` / ``as_of_timestamp=`` / ``tag=`` / head, through
+    the same :func:`_resolve_version`), so the audit can never
+    disagree with the plan — including a tagged or time-travel scan."""
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
-    if version is None:
-        snaps = list_snapshots(path)
-        if not snaps:
-            raise FileNotFoundError(f"no snapshots at {path}")
-        version = snaps[-1]["version"]
+    version = _resolve_version(path, version, as_of_timestamp, tag)
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")

@@ -1317,3 +1317,67 @@ def test_format_and_scan_resolve_tags(spark, tmp_path):
         ).option("version", "1").load().collect()
     with pytest.raises(ValueError, match="at most one"):
         scan_snapshot(spark, path, "k", lower=0, version=1, tag="pin")
+
+
+def test_nan_literals_never_derive_prune_hulls(spark, tmp_path):
+    """r9 advice (high): Spark evaluates NaN = NaN as TRUE, so
+    `col IN (1.0, NaN)` matches NaN rows — but min()/max() over the
+    literal set drop the NaN, and a float file holding [2.0, NaN]
+    records lo=2.0 with NO upper bound (exactly the side NaN handling
+    voids), so the [1.0, 1.0] hull wrongly proved it empty. Every
+    bound-deriving filter branch now skips when a NaN literal is
+    present; this pins the end-to-end shape that silently lost data."""
+    import math
+
+    from pyspark.sql.datasource import EqualNullSafe, EqualTo, In, LessThan
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        _load_manifest,
+        current_version,
+        snapshot_write,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    # one file [1.0], one file [2.0, NaN] (arrow-cpp writer: the NaN
+    # file records lo=2.0 and a voided upper bound)
+    snapshot_write(
+        spark.createDataFrame([(1, 1.0)], "id int, x double").coalesce(1),
+        path,
+        stats_cols=["x"],
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, 2.0), (3, float("nan"))], "id int, x double"
+        ).coalesce(1),
+        path,
+        mode="append",
+    )
+    m = _load_manifest(path, current_version(path))
+    nan = float("nan")
+
+    def kept(filters):
+        r = SnapshotBatchReader(path, m)
+        r.pushFilters(filters)
+        return len([p for p in r.partitions() if p.file_abs])
+
+    total = kept([])
+    # a NaN literal voids the hull: nothing may be pruned
+    assert kept([In(("x",), (1.0, nan))]) == total
+    assert kept([EqualTo(("x",), nan)]) == total
+    assert kept([EqualNullSafe(("x",), nan)]) == total
+    # x < NaN matches every real value: no sound prune either
+    assert kept([LessThan(("x",), nan)]) == total
+    # NaN-free hulls still prune (the [2.0, NaN] file's lo=2.0 > 1.0)
+    assert kept([In(("x",), (0.5, 1.0))]) < total
+
+    # end-to-end: the format read with IN (1.0, NaN) returns the NaN
+    # row — the exact query that silently lost it before the fix
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    got = fmt.where(F.col("x").isin(1.0, nan)).collect()
+    assert sorted(r.id for r in got) == [1, 3]
+    assert any(math.isnan(r.x) for r in got)

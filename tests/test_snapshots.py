@@ -1938,3 +1938,68 @@ def test_tags_pin_versions_through_expiry_and_block_erasure(spark, tmp_path):
     assert _rows(read_snapshot(spark, path)) == [(201, "c")]
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, path, version=1)
+
+
+def test_tag_race_guards_and_prune_stats_tag_parity(spark, tmp_path):
+    """r9 advice lows: (1) a tag landing concurrently with an expire
+    that GC'd its version withdraws itself and raises instead of
+    leaving a dangling pin; (2) two concurrent untags both passing the
+    read give the loser the documented 'no tag' error, not a raw
+    unlink crash; (3) scan_prune_stats resolves tag=/as_of_timestamp=
+    exactly as scan_snapshot, so the audit mirrors a pinned scan."""
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 5, "a"), path, stats_cols=["id"])
+    ts_v1 = S._load_manifest(path, 1)["timestamp"]
+    snapshot_write(_frame(spark, 100, 110, "b"), path, mode="overwrite")
+
+    # (3) audit follows the tag exactly as the scan does
+    S.snapshot_tag(path, "pin", version=1)
+    st_tag = S.scan_prune_stats(path, "id", lower=50, tag="pin")
+    assert st_tag["kept_files"] == 0  # v1 holds ids 0..4 only
+    st_head = S.scan_prune_stats(path, "id", lower=50)
+    assert st_head["kept_files"] > 0
+    st_ts = S.scan_prune_stats(
+        path, "id", lower=50, as_of_timestamp=ts_v1
+    )
+    assert st_ts == st_tag
+    with pytest.raises(ValueError, match="at most one"):
+        S.scan_prune_stats(path, "id", lower=0, version=1, tag="pin")
+    S.snapshot_untag(path, "pin")
+
+    # (1) expire wins the race: simulate the window by GC'ing the
+    # manifest between snapshot_tag's existence check and its link
+    real_link = os.link
+    mp = S._manifest_path(path, 1)
+
+    def link_after_expiry(src, dst):
+        if os.path.isfile(mp):
+            os.unlink(mp)  # the racing expire lands here
+        real_link(src, dst)
+
+    try:
+        S.os.link = link_after_expiry
+        with pytest.raises(FileNotFoundError, match="expired while"):
+            S.snapshot_tag(path, "late-pin", version=1)
+    finally:
+        S.os.link = real_link
+    assert "late-pin" not in S.list_tags(path)  # withdrawn, not dangling
+
+    # (2) untag loser: unlink fails after a successful read
+    S.snapshot_tag(path, "gone")
+    real_unlink = os.unlink
+
+    def racing_unlink(p, *a, **k):
+        if p.endswith("gone.json"):
+            real_unlink(p)  # the racing untag got here first
+        real_unlink(p, *a, **k)
+
+    try:
+        S.os.unlink = racing_unlink
+        with pytest.raises(FileNotFoundError, match="no tag 'gone'"):
+            S.snapshot_untag(path, "gone")
+    finally:
+        S.os.unlink = real_unlink
