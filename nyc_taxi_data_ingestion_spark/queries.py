@@ -10214,6 +10214,383 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, window=32, stride=24)
 
 
+_SNAPSHOT_MANIFEST_SHARDS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_manifest_shards", _SNAPSHOT_MANIFEST_SHARDS_ORACLE,
+    tags=["S15", "§1.1"],
+)
+def q_snapshot_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1/S15 — SHARDED manifests end-to-end (Iceberg's
+    manifest-list + ``rewrite_manifests``; the reference's maintenance
+    trio, ``iceberg_maintenance.py:97-174``, presumes format-side
+    metadata scaling): four wide commits push the table past the
+    inline threshold, so each append writes ONE new shard and reuses
+    every parent shard untouched — the in-query gates require exactly
+    that (commit-time metadata is O(the commit), not O(the table)) —
+    then ``snapshot_rewrite_manifests`` compacts the per-append shards
+    into one as a metadata-only commit whose file state is
+    bit-identical. The head aggregate hash-matches a direct recompute,
+    so the driver certifies that sharded metadata changes WHERE file
+    lists live, never what a read returns. At 100 TB / ~800k files
+    this is the difference between a commit rewriting hundreds of MB
+    of manifest JSON and writing KBs."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_snapshards_")
+    try:
+        # 5 commits x 18 files: the 4th crosses _SHARD_INLINE_MAX
+        # (64) whatever the scale factor — file count, not row count,
+        # trips sharding — and the 5th demonstrates shard REUSE
+        for i in range(5):
+            S.snapshot_write(
+                base.where(F.col("o_orderkey") % 5 == i).repartition(18),
+                path,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        head = S.current_version(path)
+        raw = json.load(open(S._manifest_path(path, head)))
+        prev = json.load(open(S._manifest_path(path, head - 1)))
+        names, prev_names = (
+            {d["name"] for d in m.get("shards") or []} for m in (raw, prev)
+        )
+        # real exceptions, not asserts (python -O strips asserts)
+        if not names or not prev_names <= names or len(names - prev_names) != 1:
+            raise RuntimeError(
+                f"append did not reuse parent shards + add exactly one: "
+                f"{sorted(prev_names)} -> {sorted(names)}"
+            )
+        (fresh,) = names - prev_names
+        fresh_body = json.load(open(S._shard_path(path, fresh)))
+        if len(fresh_body["commits"]) != 1:
+            raise RuntimeError(
+                f"new shard covers {len(fresh_body['commits'])} commit "
+                f"dirs, not just its own"
+            )
+        # commit-time metadata bytes (manifest list + the one new
+        # shard) must be a small fraction of the total shard bytes the
+        # table accumulated — the O(commit) property itself
+        commit_bytes = os.path.getsize(
+            S._manifest_path(path, head)
+        ) + os.path.getsize(S._shard_path(path, fresh))
+        total_bytes = sum(
+            os.path.getsize(S._shard_path(path, n)) for n in names
+        )
+        if not commit_bytes < 0.6 * total_bytes:
+            raise RuntimeError(
+                f"commit metadata {commit_bytes}B not O(commit) vs "
+                f"table total {total_bytes}B"
+            )
+        before = S._load_manifest(path, head)
+        rep = S.snapshot_rewrite_manifests(path, target_shards=1)
+        if not rep["shards_after"] < rep["shards_before"]:
+            raise RuntimeError(f"manifest compaction did nothing: {rep}")
+        after = S._load_manifest(path, rep["version"])
+        if after["commits"] != before["commits"] or (
+            after.get("stats") or {}
+        ) != (before.get("stats") or {}):
+            raise RuntimeError(
+                "rewrite_manifests changed the file-level state"
+            )
+        return (
+            S.read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_WAP_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("snapshot_wap", _SNAPSHOT_WAP_ORACLE, tags=["§1.1", "Q16"])
+def q_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1/Q16 — WRITE-AUDIT-PUBLISH end-to-end
+    (snapshots.write_audit_publish over branch refs + fast-forward;
+    the snapshot-native form of the reference DQ orchestrator's
+    promotion gate, ``src/data_quality/orchestrator.py:74-197`` +
+    ``fail_on_error``): a batch with NULL order keys stages on a
+    branch, the quality orchestrator audits the BRANCH read, the
+    audit fails, and main is left BIT-IDENTICAL (gated in-query —
+    same row count, head version unmoved, staged commit invisible to
+    default reads and incremental consumers); the clean batch then
+    stages, passes the same audit, fast-forwards, and the published
+    read-back hash-matches a direct recompute over all orders. At
+    100 TB the publish is metadata-only (the branch head's manifest
+    shards are referenced as-is), and an appends-only publish keeps
+    downstream incremental consumers tailing without a re-sync."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.quality.checks import NullCheck
+    from nyc_taxi_data_ingestion_spark.quality.orchestrator import (
+        ValidationConfig,
+        validate_table,
+    )
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    cfg = ValidationConfig(checks=[NullCheck("o_orderkey")])
+
+    def audit(df: DataFrame) -> dict:
+        return validate_table(df, cfg, table_name="orders_staged")
+
+    path = tempfile.mkdtemp(prefix="spark_graft_snapwap_")
+    try:
+        S.snapshot_write(
+            base.where(F.col("o_orderkey") % 2 == 0), path,
+            stats_cols=["o_orderkey"],
+        )
+        head0 = S.current_version(path)
+        n0 = S.read_snapshot(spark, path).count()
+
+        # a poisoned batch: the audit must hold it on the branch
+        bad = base.where(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 1, None).otherwise(
+                F.col("o_orderkey")
+            ),
+        )
+        rep = S.write_audit_publish(spark, bad, path, audit)
+        # real exceptions, not asserts (python -O strips asserts)
+        if rep["passed"] or rep["published_version"] is not None:
+            raise RuntimeError(f"failing audit published anyway: {rep}")
+        if S.current_version(path) != head0:
+            raise RuntimeError("failed WAP moved main's head")
+        if S.read_snapshot(spark, path).count() != n0:
+            raise RuntimeError("failed WAP changed main's rows")
+        if S.read_appends_between(spark, path, head0).count() != 0:
+            raise RuntimeError(
+                "staged branch commit leaked into the incremental window"
+            )
+        S.snapshot_drop_branch(path, rep["branch"])
+
+        # the clean batch publishes
+        good = base.where(F.col("o_orderkey") % 2 == 1)
+        rep2 = S.write_audit_publish(spark, good, path, audit)
+        if not rep2["passed"] or rep2["published_version"] is None:
+            raise RuntimeError(f"clean audit failed to publish: {rep2}")
+        if S.list_branches(path):
+            raise RuntimeError("published branch ref not released")
+        return (
+            S.read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_DQ_METRICS_EXACT_ORACLE = """
+SELECT component, CAST(value AS DOUBLE) AS value FROM (
+  SELECT 'row_count' AS component, COUNT(*) AS value FROM lineitem
+  UNION ALL
+  SELECT 'null_count_l_orderkey',
+         COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem
+  UNION ALL
+  SELECT 'null_count_l_quantity',
+         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) FROM lineitem
+  UNION ALL
+  SELECT 'out_of_range_l_quantity',
+         COUNT(CASE WHEN l_quantity < 0 OR l_quantity > 60 THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'out_of_range_l_discount',
+         COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'nulls_l_shipdate',
+         COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM lineitem
+  UNION ALL
+  SELECT 'out_of_band_l_tax',
+         COUNT(CASE WHEN l_tax < 0 OR l_tax > 0.09 THEN 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'missing_orderkeys',
+         COUNT(*) FROM (
+           SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+         )
+) t
+"""
+
+
+@register("dq_metrics_exact", _DQ_METRICS_EXACT_ORACLE, tags=["Q16", "Q12"])
+def q_dq_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 — the DETERMINISTIC CORE of the DQ orchestration run,
+    hash-pinned (r9 verdict item 8): the single-pass check counters
+    (``run_checks`` — one aggregate job for every null/range check,
+    vs the reference's job-per-check loop,
+    ``src/data_quality/orchestrator.py:74-197``), the expectation
+    suite's observed values (``run_expectations``), and the
+    key-integrity reconciliation's distinct-missing count, each
+    emitted as an exact integer the DuckDB oracle recomputes
+    independently. The composite weighted score stays in
+    ``dq_orchestration`` (rows-only — driver-side scoring); every
+    number it is BUILT FROM is certified here."""
+    from nyc_taxi_data_ingestion_spark.quality.checks import (
+        NullCheck,
+        RangeCheck,
+        run_checks,
+    )
+    from nyc_taxi_data_ingestion_spark.quality.expectations import (
+        Expectation,
+        run_expectations,
+    )
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import (
+        check_key_integrity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    checks = run_checks(
+        li,
+        [
+            NullCheck("l_orderkey"),
+            NullCheck("l_quantity"),
+            RangeCheck("l_quantity", 0, 60),
+            RangeCheck("l_discount", 0, 0.11),
+        ],
+    )["metrics"]
+    exps = {
+        r["name"]: r["observed"]
+        for r in run_expectations(
+            li,
+            [
+                Expectation("not_null", "l_shipdate"),
+                Expectation("between", "l_tax", min_value=0,
+                            max_value=0.09),
+            ],
+        )["results"]
+    }
+    (ship_obs, tax_obs) = list(exps.values())
+    integrity = check_key_integrity(
+        li, orders, ["l_orderkey"], ["o_orderkey"]
+    )
+    rows = [
+        ("row_count", float(checks["row_count"])),
+        ("null_count_l_orderkey", float(checks["null_count_l_orderkey"])),
+        ("null_count_l_quantity", float(checks["null_count_l_quantity"])),
+        ("out_of_range_l_quantity",
+         float(checks["out_of_range_l_quantity"])),
+        ("out_of_range_l_discount",
+         float(checks["out_of_range_l_discount"])),
+        ("nulls_l_shipdate", float(ship_obs)),
+        ("out_of_band_l_tax", float(tax_obs)),
+        ("missing_orderkeys", float(integrity["missing_count"])),
+    ]
+    return spark.createDataFrame(rows, "component string, value double")
+
+
+_LINEAGE_EDGES_ORACLE = """
+SELECT * FROM (VALUES
+  ('RENAME', 'o_orderdate', 'order_date'),
+  ('RENAME', 'o_totalprice', 'amount'),
+  ('CAST',   'o_custkey',   'o_custkey'),
+  ('DERIVE', 'order_date',  'order_year'),
+  ('DERIVE', 'order_date',  'order_month'),
+  ('TABLE',  'source.orders',  'bronze.orders'),
+  ('TABLE',  'bronze.orders',  'silver.orders'),
+  ('TABLE',  'silver.orders',  'gold.monthly_order_stats'),
+  ('IMPACT', 'bronze.orders',  'silver.orders'),
+  ('IMPACT', 'bronze.orders',  'gold.monthly_order_stats')
+) AS t(edge_type, source, target)
+"""
+
+
+@register("lineage_edges_exact", _LINEAGE_EDGES_ORACLE, tags=["L2", "L3"])
+def q_lineage_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 — the DETERMINISTIC CORE of lineage, hash-pinned (r9
+    verdict item 8): the column-lineage edges the compiler derives
+    from the pipeline config (rename/cast/derived-token extraction,
+    reference ``lineage.py:455-495``), the table graph recorded by the
+    LineageTracker over a bronze→silver→gold run, and the transitive
+    downstream-impact closure (BFS, ``lineage.py:376-435``) — each as
+    an (edge_type, source, target) row pinned against a literal
+    oracle. The event LOG (uuids, timestamps) stays rows-only in
+    ``lineage_events``; every derivation it certifies is exact here.
+    The source path is normalized to its logical table name so the
+    pin is scale-factor-independent."""
+    from nyc_taxi_data_ingestion_spark.plans.lineage import (
+        LineageTracker,
+        column_lineage,
+        downstream_impact,
+    )
+
+    cfg = _pipeline_config(sf_dir)
+    edges = [
+        (e["edge_type"], e["source_column"], e["target_column"])
+        for e in column_lineage(cfg)
+    ]
+    tr = LineageTracker(cfg["pipeline"]["name"])
+    tr.record(
+        "ingestion", layer="bronze",
+        source_table="source.orders", target_table="bronze.orders",
+    )
+    tr.record(
+        "transformation", layer="silver",
+        source_table="bronze.orders", target_table="silver.orders",
+    )
+    for mart in cfg["gold"]:
+        tr.record(
+            "aggregation", layer="gold",
+            source_table="silver.orders",
+            target_table=f"gold.{mart['name']}",
+        )
+    events = [e for e in tr.events]
+    edges += sorted(
+        ("TABLE", e["source_table"], e["target_table"]) for e in events
+    )
+    edges += [
+        ("IMPACT", "bronze.orders", t)
+        for t in sorted(downstream_impact(events, "bronze.orders"))
+    ]
+    return spark.createDataFrame(
+        edges, "edge_type string, source string, target string"
+    )
+
+
 # Driver-verdict bookkeeping. Every oracle query below holds a green
 # hash-match from some CORRECTNESS round, but the driver re-evaluates
 # only a bounded prefix (~50 entries) per round — so prefix position is
@@ -10373,38 +10750,57 @@ _GREEN_R08 = [
     "top_paths", "time_to_purchase", "entry_point_conversion",
     "price_rank_deciles",
 ]
+# Hash-green in CORRECTNESS_r09.json (certified at the r9 driver
+# artifact; the post-artifact tag-ref churn is covered by r10's
+# _REFRESH_FIRST below).
+_GREEN_R09 = [
+    "chunk_windows", "mart_from_cdc", "snapshot_delete_mor",
+    "snapshot_format_partitioned_write", "snapshot_merge_mor",
+    "snapshot_null_skip", "snapshot_rewrite_debt",
+    "snapshot_schema_evolution", "snapshot_update_mor", "tpch_q12_sql",
+]
+
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r08 certified
-# the final round-8 HEAD; round-9 entries are added here as their
-# implementing code churns this round.
+# re-certifies them against the code as it stands now. r10 rebuilt the
+# snapshot layer's METADATA SPINE — sharded manifests (every manifest
+# load now resolves through _resolve_manifest), branch refs (version
+# numbering moved to the shared global sequence via _next_version, and
+# every default read filters branch manifests), and the shared
+# _resolve_version rewrite the r9 verdict flagged as post-artifact
+# churn — so the ENTIRE snapshot family re-earns its verdict, plus the
+# 23 stale r5-vintage greens the r9 verdict listed as refresh debt
+# (verdict r9 item 1).
 _REFRESH_FIRST: list[str] = [
-    # r9 re-planned the count off the 5-key PERCENT_RANK window onto
-    # distributed exact-quantile cut points (verdict r8 item 2)
-    "price_rank_deciles",
-    # r9 re-planned NTILE off the 5-key window onto grouped rank
-    # selection, and the grouped KS cumulative onto the bucketed
-    # two-pass — both caught by the new low-cardinality-window audit
-    "ntile_binning", "ks_drift_grouped",
-    # r9 threaded merge-on-read delete vectors AND the metadata-only
-    # schema log through the shared read path (read_snapshot /
-    # scan_snapshot / both format sources) and their carry through
-    # commit_staged_files — every query whose scan or commit may now
-    # touch delete files or schema ops re-earns its verdict
-    "snapshot_time_travel", "snapshot_erase", "snapshot_merge_upsert",
-    "snapshot_pruned_scan", "snapshot_incremental_read",
-    "snapshot_cdc", "snapshot_incremental_ingest", "snapshot_stream_tail",
-    "snapshot_format_write", "snapshot_format_stream_chain",
-    # r9 review pass switched snapshot_diff's side-presence detection
-    # from key-nullness to presence tags (NULL-keyed rows)
-    "snapshot_diff",
+    # the whole snapshot family: manifest sharding + branch filtering
+    # sit under every one of these reads and commits
+    "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
+    "snapshot_schema_evolution", "snapshot_merge_upsert",
+    "snapshot_erase", "snapshot_merge_mor", "snapshot_update_mor",
+    "snapshot_delete_mor", "snapshot_incremental_ingest",
+    "snapshot_cdc", "mart_from_cdc", "snapshot_stream_tail",
+    "snapshot_pruned_scan", "snapshot_null_skip",
+    "snapshot_rewrite_debt", "snapshot_pruned_scan_2d",
+    "snapshot_format_write", "snapshot_format_partitioned_write",
+    "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
+    "snapshot_format_partitioned",
+    # r5-vintage stale greens (r9 verdict's refresh-debt list):
+    # re-certify the oldest evidence in the registry
+    "blocked_jaccard", "dedup_clusters", "dedup_exact",
+    "doc_fingerprints", "embedding_near_dup_exact", "embedding_topk",
+    "group_quantiles", "lang_id", "length_percentile",
+    "mad_outliers_grouped", "minhash_near_dup_exact", "moving_avg_band",
+    "multimodal_meta", "null_spike", "pipeline_curation",
+    "pipeline_full", "pipeline_gold", "rare_categories",
+    "semantic_dedup_exact", "simhash_near_dup_exact",
+    "stream_tumbling_agg", "text_stats", "token_shards",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
 _PRIOR_GREEN = (
     _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
-    + _GREEN_R07 + _GREEN_R08
+    + _GREEN_R07 + _GREEN_R08 + _GREEN_R09
 )
 
 
@@ -10424,6 +10820,7 @@ def _export_order() -> list[str]:
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
+        (_GREEN_R09, 8),
         (_GREEN_R08, 7),
         (_GREEN_R07, 6),
         (_GREEN_R06, 5),

@@ -524,14 +524,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
       maxFilesPerTrigger at commit granularity): each micro-batch
       after the first advances at most K versions — the STEADY-STATE
       bound for tables whose commits arrive faster than triggers.
-      The FIRST window of each run is ungated: the python DataSource
-      API has no admission-control hook and Spark resolves available
-      offsets before the reader ever learns the checkpoint cursor
-      (latestOffset precedes initialOffset even on a fresh stream,
-      observed), so gating it from a guess could only stall a
+      The FIRST window of a run is ungated by default: the python
+      DataSource API has no admission-control hook and Spark resolves
+      available offsets before the reader ever learns the checkpoint
+      cursor (latestOffset precedes initialOffset even on a fresh
+      stream, observed), so gating it from a guess could only stall a
       restarted stream below its checkpoint. Delta documents the same
       rate-limit-exceeded-after-restart nuance for the analogous
-      reason.
+      reason. ``.option('streamId', name)`` closes the residual hole:
+      commit() persists each completed batch's end version table-side
+      (``_snapshots/stream_cursors/``), and a restarted run's first
+      latestOffset re-arms the gate from it — a day-long outage then
+      drains its backlog at maxVersionsPerTrigger per batch instead
+      of one giant first batch. Advisory only: stale/missing hints
+      can never skip or replay data (windows are always planned
+      exactly from the manifests).
     - ``partitions(start, end)`` plans ONE InputPartition per fresh
       data file between the two versions (metadata-only, from
       manifests); every surviving manifest in the window must be an
@@ -549,12 +556,22 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, arrow_schema=None,
                  starting_version: int = 0,
-                 max_versions_per_trigger: int | None = None):
+                 max_versions_per_trigger: int | None = None,
+                 stream_id: str | None = None):
         self._path = path
         self._arrow_schema = arrow_schema
         self._starting_version = starting_version
         self._max_versions = max_versions_per_trigger
+        self._stream_id = stream_id
         self._last_end: int | None = None  # newest end this reader planned
+
+    def _cursor_hint_path(self) -> str:
+        import re as _re
+
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", self._stream_id)[:128]
+        return os.path.join(
+            self._path, "_snapshots", "stream_cursors", f"{safe}.json"
+        )
 
     def initialOffset(self) -> dict:
         # Delta-inclusive: consuming FROM startingVersion means the
@@ -562,7 +579,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"version": max(0, self._starting_version - 1)}
 
     def latestOffset(self) -> dict:
+        import json as _json
+
         head = _S.current_version(self._path) or 0
+        if self._max_versions is not None and self._last_end is None:
+            # FIRST window of a run: the python DataSource protocol
+            # answers latestOffset before the reader ever learns the
+            # checkpoint cursor (no setOffset/deserialize hook in the
+            # streaming-source runner), so in-API gating is impossible
+            # and a restart with a deep backlog would pull it ALL in
+            # one batch. With .option('streamId', …) set, commit()
+            # persists each completed batch's end version table-side;
+            # reading it back here re-arms the gate from the last
+            # completed batch. Admission-control only — any (start,
+            # end] window Spark actually asks for is still planned
+            # exactly from manifests, so exactly-once is untouched
+            # even if the hint is stale, deleted, or from a rolled-
+            # back checkpoint (a hint behind the cursor yields
+            # end <= start = an empty batch, then partitions() folds
+            # the true cursor in and the gate re-binds).
+            if self._stream_id is not None:
+                try:
+                    with open(self._cursor_hint_path()) as f:
+                        self._last_end = int(_json.load(f)["last_end"])
+                except (OSError, ValueError, KeyError):
+                    pass  # no hint: first run ever, or hint GC'd
         if self._max_versions is not None and self._last_end is not None:
             # baseline = the newest window edge this reader has seen
             # (partitions() folds in the true cursor each batch, so the
@@ -688,7 +729,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # progress lives in the Spark checkpoint, not the table
+        # exactly-once progress lives in the Spark checkpoint; with a
+        # streamId this ALSO drops a table-side hint of the completed
+        # end version so a restarted run's first latestOffset can
+        # re-arm maxVersionsPerTrigger (see latestOffset). Atomic
+        # replace, last-writer-wins — it is advisory admission state,
+        # never a correctness input.
+        if self._stream_id is None:
+            return
+        import json as _json
+        import uuid as _uuid
+
+        hp = self._cursor_hint_path()
+        os.makedirs(os.path.dirname(hp), exist_ok=True)
+        tmp = hp + f".tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as f:
+                _json.dump({"last_end": int(end["version"])}, f)
+            os.replace(tmp, hp)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 class SnapshotStreamDataSource(DataSource):
@@ -730,6 +793,10 @@ class SnapshotStreamDataSource(DataSource):
             to_arrow_schema(schema),
             starting_version=int(self.options.get("startingversion", 0)),
             max_versions_per_trigger=int(mv) if mv is not None else None,
+            # .option('streamId', …): names this stream so the rate
+            # gate survives restarts (commit() persists a table-side
+            # cursor hint; see SnapshotStreamReader.latestOffset)
+            stream_id=self.options.get("streamid"),
         )
 
 
@@ -1046,29 +1113,19 @@ class SnapshotDataSource(DataSource):
                 "pass .option('version', …) or .option('tag', …), "
                 "not both"
             )
-        if tag is not None:
-            tags = _S.list_tags(path)
-            if tag not in tags:
-                raise FileNotFoundError(
-                    f"no tag {tag!r} at {path} (have: {sorted(tags)})"
-                )
-            version = tags[tag]
-        if version is not None:
-            m = _S._load_manifest(path, int(version))
-        else:
-            as_of = self.options.get("asoftimestamp")
-            snaps = _S.list_snapshots(path)
-            if not snaps:
-                raise FileNotFoundError(f"no snapshots at {path}")
-            if as_of is not None:
-                snaps = [
-                    s for s in snaps if s["timestamp"] <= float(as_of)
-                ]
-                if not snaps:
-                    raise FileNotFoundError(
-                        f"no snapshot at or before {as_of} at {path}"
-                    )
-            m = _S._load_manifest(path, snaps[-1]["version"])
+        as_of = self.options.get("asoftimestamp")
+        # selection itself is _S._resolve_version — THE shared resolver
+        # every read path uses (and it never loads manifest shards just
+        # to pick a version); .option('branch', …) reads a WAP branch
+        # head exactly as the engine's read_snapshot(branch=…)
+        v = _S._resolve_version(
+            path,
+            int(version) if version is not None else None,
+            float(as_of) if as_of is not None else None,
+            tag,
+            self.options.get("branch"),
+        )
+        m = _S._load_manifest(path, v)
         # resolve once per read — schema() and reader() must see the
         # SAME pinned manifest even if a commit lands between the two
         # calls

@@ -26,14 +26,23 @@ Design — a minimal Iceberg-shaped commit log, parquet-native:
   file list at planning time). On object storage this is the whole
   point: O(1) listing per read, no eventually-consistent LIST.
 
-Scale shape: manifests are KB-per-commit metadata (file paths only —
-at 10⁵ files a manifest is a few MB, the same order as an Iceberg
-manifest list; beyond that, shard the manifest like Iceberg does).
-Reads are planned from the manifest so the data path count, not the
-table's full history, bounds planning. Expiry deletes manifests past
-the retention point (never the newest) and then garbage-collects data
-files no surviving manifest references — commit dirs are removed
-whole once unreferenced.
+Scale shape: manifests are KB-per-commit metadata. Past
+``_SHARD_INLINE_MAX`` total file entries the manifest SHARDS
+(Iceberg's manifest-list shape): the per-version file state
+(commits + stats + delete vectors) moves into immutable
+content-addressed shard files under ``_snapshots/shards/``, and the
+version's manifest becomes a small LIST of shard descriptors. An
+append reuses the parent's shards untouched and writes ONE new shard
+for its own files, so commit-time metadata writes are O(the commit),
+never O(the table) — at 100 TB / 800k files the old single-file form
+would rewrite hundreds of MB of JSON per commit; the sharded form
+writes KBs. :func:`snapshot_rewrite_manifests` compacts accumulated
+small shards (the metadata twin of data-file compaction). Reads are
+planned from the manifest so the data path count, not the table's
+full history, bounds planning. Expiry deletes manifests past the
+retention point (never the newest) and then garbage-collects data
+files — and manifest shards — nothing references; commit dirs are
+removed whole once unreferenced.
 
 LOCAL/HDFS-SEMANTICS: commit atomicity relies on ``os.link``
 fail-if-exists. On S3, swap the commit step for a conditional PUT
@@ -81,17 +90,180 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_snap_root(path), f"v{version:08d}.json")
 
 
-def list_snapshots(path: str) -> list[dict[str, Any]]:
+_SHARDS_DIR = "shards"
+# total file entries (data + delete) above which a manifest shards its
+# state into content-addressed shard files instead of inlining it —
+# tests shrink this to force sharding on tiny tables
+_SHARD_INLINE_MAX = 64
+
+
+def _shard_path(path: str, name: str) -> str:
+    return os.path.join(_snap_root(path), _SHARDS_DIR, name)
+
+
+def _resolve_manifest(path: str, manifest: dict) -> dict:
+    """Materialize a SHARDED manifest's file-level state in place: load
+    each referenced shard and merge its commits/stats/deletes, so every
+    downstream consumer sees the exact dict shape inline (v1) manifests
+    always had — readers, DML, maintenance, and tests are
+    shard-agnostic by construction. The ``shards`` descriptor list is
+    KEPT on the dict so the next commit can reuse unchanged shards.
+    Inline manifests pass through untouched."""
+    shards = manifest.get("shards")
+    if shards is None:
+        return manifest
+    commits: dict[str, list] = {}
+    stats: dict[str, dict] = {}
+    deletes: dict[str, list] = {}
+    for d in shards:
+        sp = _shard_path(path, d["name"])
+        try:
+            with open(sp) as f:
+                sh = json.load(f)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest shard {d['name']} of v{manifest.get('version')}"
+                f" missing at {path} — GC'd out from under a surviving "
+                f"manifest (expiry raced a writer?)"
+            ) from None
+        commits.update(sh.get("commits") or {})
+        stats.update(sh.get("stats") or {})
+        deletes.update(sh.get("deletes") or {})
+    manifest["commits"] = commits
+    if stats:
+        manifest["stats"] = stats
+    if deletes:
+        manifest["deletes"] = deletes
+    return manifest
+
+
+def _write_shard(
+    path: str,
+    commits: dict[str, list],
+    stats: dict[str, dict],
+    deletes: dict[str, list],
+) -> dict:
+    """Write one immutable shard file, CONTENT-ADDRESSED (name = hash
+    of canonical body): a commit retry or a racing writer landing the
+    identical state maps to the same file, so lost CAS races never
+    orphan per-attempt shards and the write is idempotent. Returns the
+    manifest-list descriptor — name plus the covered commit/delete
+    dirs, which is all the next commit needs to decide reuse without
+    re-reading shard contents."""
+    import hashlib
+
+    body: dict[str, Any] = {"commits": commits}
+    if stats:
+        body["stats"] = stats
+    if deletes:
+        body["deletes"] = deletes
+    blob = json.dumps(body, sort_keys=True)
+    name = f"sh-{hashlib.sha256(blob.encode()).hexdigest()[:20]}.json"
+    sp = _shard_path(path, name)
+    os.makedirs(os.path.dirname(sp), exist_ok=True)
+    if not os.path.isfile(sp):
+        tmp = sp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        try:
+            os.link(tmp, sp)
+        except FileExistsError:
+            pass  # identical content already landed
+        finally:
+            os.unlink(tmp)
+    return {
+        "name": name,
+        "commits": sorted(commits),
+        "deletes": sorted(deletes),
+    }
+
+
+def _commit_manifest_any(
+    path: str, version: int, manifest: dict, reuse_base: dict | None = None
+) -> bool:
+    """THE manifest-landing step every writer routes through: below
+    ``_SHARD_INLINE_MAX`` total file entries the manifest lands inline
+    (v1 — small tables pay nothing, old manifests stay readable
+    forever); above it the file-level state moves into shards. Shards
+    of ``reuse_base`` (the RESOLVED parent/target manifest) whose
+    covered entries ride through unchanged — same file lists, same
+    recorded stats, same delete vectors — are referenced as-is; only
+    the residual (typically: this commit's own files) becomes one new
+    shard. That makes an append's metadata write O(the commit): the
+    very property Iceberg's manifest list exists for."""
+    commits = manifest.get("commits") or {}
+    stats = manifest.get("stats") or {}
+    deletes = manifest.get("deletes") or {}
+    total = sum(len(fs) for fs in commits.values()) + sum(
+        len(fs) for fs in deletes.values()
+    )
+    if total <= _SHARD_INLINE_MAX:
+        if "shards" in manifest:
+            manifest = {k: v for k, v in manifest.items() if k != "shards"}
+        return _commit_manifest(path, version, manifest)
+    base = reuse_base or {}
+    base_commits = base.get("commits") or {}
+    base_stats = base.get("stats") or {}
+    base_deletes = base.get("deletes") or {}
+    reused: list[dict] = []
+    covered_c: set[str] = set()
+    covered_d: set[str] = set()
+    for d in base.get("shards") or []:
+        crels = d.get("commits") or []
+        drels = d.get("deletes") or []
+        if covered_c.intersection(crels) or covered_d.intersection(drels):
+            continue  # an earlier shard already covers an entry
+        ok = all(
+            rel in commits
+            and commits[rel] == base_commits.get(rel)
+            and (stats.get(rel) or {}) == (base_stats.get(rel) or {})
+            for rel in crels
+        ) and all(
+            drel in deletes and deletes[drel] == base_deletes.get(drel)
+            for drel in drels
+        )
+        if ok:
+            reused.append(d)
+            covered_c.update(crels)
+            covered_d.update(drels)
+    res_c = {r: fs for r, fs in commits.items() if r not in covered_c}
+    res_d = {r: fs for r, fs in deletes.items() if r not in covered_d}
+    descriptors = list(reused)
+    if res_c or res_d:
+        descriptors.append(
+            _write_shard(
+                path,
+                res_c,
+                {r: stats[r] for r in res_c if r in stats},
+                res_d,
+            )
+        )
+    out = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("commits", "stats", "deletes", "shards")
+    }
+    out["shards"] = descriptors
+    return _commit_manifest(path, version, out)
+
+
+def list_snapshots(path: str, resolve: bool = True) -> list[dict[str, Any]]:
     """All committed manifests, oldest first. Empty list for a table
-    with no snapshot history (or no table at all)."""
+    with no snapshot history (or no table at all). ``resolve=False``
+    skips shard materialization — version/timestamp selection over a
+    long history must stay O(history), not O(history × files)."""
     root = _snap_root(path)
     if not os.path.isdir(root):
         return []
     out = []
     for name in sorted(os.listdir(root)):
         if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(root, name)) as f:
-                out.append(json.load(f))
+            try:
+                with open(os.path.join(root, name)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # expired between listing and read
+            out.append(_resolve_manifest(path, m) if resolve else m)
     return out
 
 
@@ -110,22 +282,47 @@ def _version_numbers(path: str) -> list[int]:
     return sorted(out)
 
 
-def current_version(path: str) -> int | None:
-    """Newest committed version number, or None if no snapshots."""
+def _next_version(path: str) -> int:
+    """The next commit's version NUMBER: global max + 1 over every
+    manifest, main and branch alike — numbering is one shared sequence
+    (the filename CAS arbitrates it), while lineage is the ``parent``
+    pointer. For a branch-free table this is current_version + 1."""
     versions = _version_numbers(path)
-    return versions[-1] if versions else None
+    return (versions[-1] if versions else 0) + 1
+
+
+def current_version(path: str) -> int | None:
+    """Newest committed MAIN version number, or None if no snapshots.
+    Branch commits (manifests carrying ``ref``) interleave in the
+    shared number sequence but never move main's head: with branches
+    present the walk reads newest-first until it finds a main manifest
+    (typically one read); a branch-free table stays pure-listing."""
+    versions = _version_numbers(path)
+    if not versions:
+        return None
+    if not os.path.isdir(os.path.join(_snap_root(path), _BRANCHES_DIR)):
+        return versions[-1]
+    for v in reversed(versions):
+        try:
+            with open(_manifest_path(path, v)) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue
+        if m.get("ref") in (None, "main"):
+            return v
+    return None
 
 
 def _load_manifest(path: str, version: int) -> dict[str, Any]:
     mp = _manifest_path(path, version)
     if not os.path.isfile(mp):
-        have = [s["version"] for s in list_snapshots(path)]
+        have = _version_numbers(path)
         raise FileNotFoundError(
             f"snapshot v{version} not found at {path} (have: {have}) — "
             f"expired or never committed"
         )
     with open(mp) as f:
-        return json.load(f)
+        return _resolve_manifest(path, json.load(f))
 
 
 def _collect_file_stats(
@@ -172,6 +369,34 @@ def _collect_file_stats(
             meta.schema.column(i).name: i
             for i in range(meta.num_columns)
         }
+        # Hive-layout partition columns live in the PATH, not the
+        # footer: the dir value IS the column's value for every row,
+        # so a stats col encoded there gets exact [v, v] bounds for
+        # free — this is what lets a partition-spec migration
+        # (snapshot_rewrite_data_files(target_spec=…)) prove its
+        # migrated files skippable on the new partition column
+        out = []
+        for seg in rel.split("/")[:-1]:
+            if "=" not in seg:
+                continue
+            k, _, v = seg.partition("=")
+            if (
+                k in stats_cols
+                and k not in names
+                and v != "__HIVE_DEFAULT_PARTITION__"
+            ):
+                from urllib.parse import unquote
+
+                tv: Any = unquote(v)
+                # Spark's lexical rules, not Python's (int('1_0')
+                # would silently rewrite a string value that happens
+                # to parse): plain digits -> int, plain decimal ->
+                # float, anything else stays the string it is
+                if re.fullmatch(r"-?[0-9]+", tv):
+                    tv = int(tv)
+                elif re.fullmatch(r"-?[0-9]+\.[0-9]+", tv):
+                    tv = float(tv)
+                out.append((rel, k, json.dumps([tv, tv])))
         # NaN poisons the UPPER bound: Spark orders NaN greater than
         # every value (NaN matches x >= c for any c), so pruning a
         # file on max < lower is unsound if it holds NaN rows.
@@ -183,7 +408,6 @@ def _collect_file_stats(
         # NaN-sound — NaN matches no x <= c). Iceberg solves the same
         # hole with write-time nan_value_counts.
         mr_writer = (meta.created_by or "").startswith("parquet-mr")
-        out = []
         for col in stats_cols:
             ci = names.get(col)
             if ci is None:
@@ -289,9 +513,16 @@ def snapshot_write(
     expected_parent: int | _ExpectNoParent | None = None,
     stream_state: dict[str, int] | None = None,
     stats_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version of the table at
     ``path``; returns the committed version number.
+
+    ``branch=`` stages the commit on a named branch
+    (:func:`snapshot_branch`) instead of main: invisible to every
+    default read and incremental consumer until
+    :func:`snapshot_fast_forward` publishes it — the
+    write-audit-publish staging write.
 
     ``mode='overwrite'`` → the new version is exactly this frame;
     ``mode='append'`` → the new version is the parent's files plus
@@ -335,7 +566,11 @@ def snapshot_write(
     partition_by = partition_by or []
     os.makedirs(_snap_root(path), exist_ok=True)
 
-    cur = current_version(path)
+    cur = (
+        _branch_head(path, branch)
+        if branch is not None
+        else current_version(path)
+    )
     _check_expected_parent(path, cur, expected_parent)
     # the commit dir is unique PER WRITE, never shared: two racers
     # targeting the same version number must never share a directory —
@@ -366,6 +601,7 @@ def snapshot_write(
         stream_state=stream_state,
         stats_cols=stats_cols,
         spark=df.sparkSession,
+        branch=branch,
     )
 
 
@@ -440,6 +676,7 @@ def commit_staged_files(
     spark: SparkSession | None = None,
     deletes_add: dict[str, list[str]] | None = None,
     operation: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """THE manifest-commit half of :func:`snapshot_write`, public:
     commit ``files`` (parquet, ALREADY staged under
@@ -484,10 +721,19 @@ def commit_staged_files(
     # is the ordinary optimistic window: pass expected_parent, as the
     # MoR writers do, to close it.)
     entry_log: list | None = None
+    if branch is not None:
+        _load_branch_marker(path, branch)  # must exist, loud otherwise
     for _ in range(max_commit_retries):
-        cur = current_version(path)
+        # a branch commit's lineage base (state carry + CAS) is the
+        # BRANCH head; numbering stays global either way — version
+        # numbers are one shared sequence, ``parent`` is the lineage
+        cur = (
+            _branch_head(path, branch)
+            if branch is not None
+            else current_version(path)
+        )
         _check_expected_parent(path, cur, expected_parent)
-        version = (cur or 0) + 1
+        version = _next_version(path)
         try:
             parent = _load_manifest(path, cur) if cur is not None else {}
         except FileNotFoundError:
@@ -559,6 +805,8 @@ def commit_staged_files(
             "partition_by": effective_partition_by,
             "commits": commits,
         }
+        if branch is not None:
+            manifest["ref"] = branch
         if effective_stats_cols:
             manifest["stats_cols"] = effective_stats_cols
             manifest["stats"] = stats
@@ -568,7 +816,7 @@ def commit_staged_files(
             manifest["schema_log"] = schema_log
         if merged_state:
             manifest["stream_state"] = merged_state
-        if _commit_manifest(path, version, manifest):
+        if _commit_manifest_any(path, version, manifest, reuse_base=parent):
             return version
     raise ConcurrentSnapshotError(
         f"snapshot commit lost {max_commit_retries} optimistic-concurrency "
@@ -693,20 +941,279 @@ def list_tags(path: str) -> dict[str, int]:
     return out
 
 
+_BRANCHES_DIR = "branches"
+
+
+def _branch_marker_path(path: str, name: str) -> str:
+    if not _TAG_NAME_RE.fullmatch(name) or name == "main":
+        raise ValueError(
+            f"bad branch name {name!r}: use [A-Za-z0-9._-], max 128 "
+            f"chars ('main' is the implicit trunk, never a marker)"
+        )
+    return os.path.join(_snap_root(path), _BRANCHES_DIR, f"{name}.json")
+
+
+def snapshot_branch(
+    path: str, name: str, version: int | None = None
+) -> int | None:
+    """Create a BRANCH ref — Iceberg's ``CREATE BRANCH``: a named line
+    of development forked from ``version`` (default: main head; None
+    on an empty table forks "from empty"). Branch commits land through
+    ``snapshot_write(..., branch=name)`` — they share the global
+    version-number sequence but carry ``ref: name`` in the manifest,
+    so main's head, default reads, and incremental consumers never see
+    them until :func:`snapshot_fast_forward` publishes the branch.
+    That is the write-audit-publish (WAP) staging primitive: stage on
+    a branch, audit the branch read, publish on green. The marker is
+    immutable (os.link CAS, as tags); re-fork = drop + create.
+    Returns the base version."""
+    if version is None:
+        version = current_version(path)
+    if version is not None:
+        _load_manifest(path, version)  # must exist (and not be expired)
+    bp = _branch_marker_path(path, name)
+    os.makedirs(os.path.dirname(bp), exist_ok=True)
+    tmp = bp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"base": version, "timestamp": time.time()}, f)
+    try:
+        os.link(tmp, bp)
+    except FileExistsError:
+        raise ValueError(
+            f"branch {name!r} already exists at {path} "
+            f"(snapshot_drop_branch first to re-fork)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def snapshot_drop_branch(path: str, name: str) -> None:
+    """Drop a branch ref (Iceberg's ``DROP BRANCH``): its marker goes,
+    its staged manifests stop being expiry-pinned and age out under
+    the normal retention policy. Publishing is
+    :func:`snapshot_fast_forward`; dropping an unpublished branch
+    abandons its staged commits (the WAP failure path)."""
+    bp = _branch_marker_path(path, name)
+    try:
+        os.unlink(bp)
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no branch {name!r} at {path}") from None
+
+
+def list_branches(path: str) -> dict[str, dict]:
+    """All branch refs → {"base": version, "head": version} (head =
+    base until the branch's first commit). Empty for a branch-free
+    table."""
+    root = os.path.join(_snap_root(path), _BRANCHES_DIR)
+    if not os.path.isdir(root):
+        return {}
+    out: dict[str, dict] = {}
+    for fn in sorted(os.listdir(root)):
+        if fn.endswith(".json"):
+            try:
+                with open(os.path.join(root, fn)) as f:
+                    marker = json.load(f)
+                name = fn[: -len(".json")]
+                out[name] = {
+                    "base": marker.get("base"),
+                    "head": _branch_head(path, name, marker),
+                }
+            except (OSError, ValueError, KeyError):
+                continue  # partially-written racer debris
+    return out
+
+
+def _load_branch_marker(path: str, name: str) -> dict:
+    try:
+        with open(_branch_marker_path(path, name)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        have = sorted(list_branches(path))
+        raise FileNotFoundError(
+            f"no branch {name!r} at {path} (have: {have})"
+        ) from None
+
+
+def _branch_head(
+    path: str, name: str, marker: dict | None = None
+) -> int | None:
+    """The branch's newest committed version: the max-versioned
+    manifest carrying ``ref == name``, else the marker's base. Walks
+    newest-first and stops at the first match — O(1) reads past the
+    branch's own tail."""
+    if marker is None:
+        marker = _load_branch_marker(path, name)
+    base = marker.get("base")
+    for v in reversed(_version_numbers(path)):
+        if base is not None and v <= base:
+            break  # branch commits always postdate their base
+        try:
+            with open(_manifest_path(path, v)) as f:
+                if json.load(f).get("ref") == name:
+                    return v
+        except FileNotFoundError:
+            continue
+    return base
+
+
+def snapshot_fast_forward(path: str, name: str) -> int:
+    """PUBLISH a branch — Iceberg's ``fast_forward('main', branch)``,
+    the commit half of write-audit-publish: main's head becomes the
+    branch head's exact file-level state in ONE atomic manifest commit
+    (operation ``fast-forward``). Requires main not to have moved
+    since the fork (``parent`` must still be the branch base) — a
+    moved main raises :class:`ConcurrentSnapshotError` and the staged
+    branch stays intact for a re-fork + re-stage, never a silent
+    clobber of commits the audit didn't see. Metadata-only at any
+    size: the branch head's manifest shards are referenced as-is.
+
+    The published manifest records ``appends_only: true`` when every
+    staged branch commit was an append — :func:`fresh_append_commits`
+    then lets incremental consumers tail STRAIGHT ACROSS the publish
+    (the window diff yields exactly the staged dirs), so a WAP
+    pipeline feeding streams never forces re-syncs. A branch that
+    rewrote/deleted publishes as a rewrite (consumers re-sync, the
+    standard rule). Returns the new main version; the branch ref
+    remains (drop it after publish, or keep staging onto it — the
+    NEXT publish requires a fresh fork since main has moved)."""
+    marker = _load_branch_marker(path, name)
+    base = marker.get("base")
+    bh = _branch_head(path, name, marker)
+    if bh == base:
+        raise ValueError(
+            f"branch {name!r} at {path} has no staged commits to "
+            f"publish"
+        )
+    bm = _load_manifest(path, bh)
+    # every staged commit an append? walk the branch lineage via
+    # parent pointers (raw reads: ops only, never shard contents)
+    appends_only = True
+    v = bh
+    while v is not None and v != base:
+        with open(_manifest_path(path, v)) as f:
+            raw = json.load(f)
+        if raw.get("operation") != "append":
+            appends_only = False
+            break
+        v = raw.get("parent")
+    for _ in range(5):
+        main_head = current_version(path)
+        if main_head != base:
+            raise ConcurrentSnapshotError(
+                f"cannot fast-forward {name!r} at {path}: main moved "
+                f"v{base} -> v{main_head} since the fork — the audit "
+                f"verdict covers a state main no longer has; re-fork "
+                f"from the new head and re-stage"
+            )
+        version = _next_version(path)
+        manifest = {
+            "version": version,
+            "parent": main_head,
+            "operation": "fast-forward",
+            "appends_only": appends_only,
+            "published_from": name,
+            "timestamp": time.time(),
+            "partition_by": bm.get("partition_by") or [],
+            "commits": bm["commits"],
+        }
+        for k in ("stats_cols", "stats", "deletes", "schema_log",
+                  "stream_state"):
+            if bm.get(k):
+                manifest[k] = bm[k]
+        if _commit_manifest_any(path, version, manifest, reuse_base=bm):
+            return version
+    raise ConcurrentSnapshotError(
+        f"fast-forward of {name!r} at {path} lost 5 optimistic races"
+    )
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    audit,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    branch: str | None = None,
+    drop_branch_on_failure: bool = False,
+) -> dict[str, Any]:
+    """WRITE-AUDIT-PUBLISH in one call — the snapshot-native form of
+    the reference DQ orchestrator's promotion gate
+    (``src/data_quality/orchestrator.py:74-197`` + ``fail_on_error``:
+    validate, raise, and the load never lands): stage ``df`` on a
+    fresh branch, run ``audit`` against the BRANCH read (main is
+    untouched — a failing audit leaves it bit-identical), and
+    fast-forward main only on green.
+
+    ``audit`` is any callable ``(DataFrame) -> result``: a raise, or a
+    dict/dataclass result with a falsy ``passed`` attribute/key, is a
+    FAILED audit (``quality.orchestrator.validate_table`` satisfies
+    both contracts). Returns {"passed", "published_version" (None on
+    failure), "staged_version", "branch", "audit" (the result or the
+    exception string)}. On failure the staged branch is KEPT by
+    default for debugging (``drop_branch_on_failure=True`` abandons
+    it); on success the branch ref is dropped (its manifests age out
+    normally)."""
+    name = branch or f"wap-{uuid.uuid4().hex[:8]}"
+    snapshot_branch(path, name)
+    staged_version = snapshot_write(
+        df,
+        path,
+        mode=mode,
+        partition_by=partition_by,
+        stats_cols=stats_cols,
+        branch=name,
+    )
+    passed = True
+    audit_out: Any
+    try:
+        audit_out = audit(read_snapshot(spark, path, branch=name))
+        verdict = (
+            audit_out.get("passed")
+            if isinstance(audit_out, dict)
+            else getattr(audit_out, "passed", True)
+        )
+        passed = bool(verdict if verdict is not None else True)
+    except Exception as exc:
+        passed = False
+        audit_out = f"{type(exc).__name__}: {exc}"
+    published = None
+    if passed:
+        published = snapshot_fast_forward(path, name)
+        snapshot_drop_branch(path, name)
+    elif drop_branch_on_failure:
+        snapshot_drop_branch(path, name)
+    return {
+        "passed": passed,
+        "published_version": published,
+        "staged_version": staged_version,
+        "branch": name,
+        "audit": audit_out,
+    }
+
+
 def _resolve_version(
     path: str,
     version: int | None = None,
     as_of_timestamp: float | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> int:
     """THE version-selector shared by every read entry point
     (read_snapshot / scan_snapshot / the format source's options):
-    a version number, a wall-clock instant (newest snapshot committed
-    at or before it), a tag pin, or the head — at most one, resolved
-    identically everywhere."""
-    if sum(x is not None for x in (version, as_of_timestamp, tag)) > 1:
+    a version number, a wall-clock instant (newest MAIN snapshot
+    committed at or before it), a tag pin, a branch head, or the main
+    head — at most one, resolved identically everywhere. Staged
+    branch commits are invisible to every selector except their own
+    ``branch=`` (the WAP isolation property)."""
+    if sum(
+        x is not None for x in (version, as_of_timestamp, tag, branch)
+    ) > 1:
         raise ValueError(
-            "pass at most one of version= / as_of_timestamp= / tag="
+            "pass at most one of version= / as_of_timestamp= / tag= / "
+            "branch="
         )
     if tag is not None:
         tags = list_tags(path)
@@ -715,9 +1222,24 @@ def _resolve_version(
                 f"no tag {tag!r} at {path} (have: {sorted(tags)})"
             )
         return tags[tag]
+    if branch is not None:
+        head = _branch_head(path, branch)
+        if head is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} at {path} has no readable version "
+                f"(forked from an empty table, nothing committed yet)"
+            )
+        return head
     if version is not None:
         return version
-    snaps = list_snapshots(path)
+    # raw listing: selection needs version + timestamp + ref only, and
+    # must stay O(history) — never load shard contents to pick a
+    # version. Branch manifests are filtered out: they are not main.
+    snaps = [
+        s
+        for s in list_snapshots(path, resolve=False)
+        if s.get("ref") in (None, "main")
+    ]
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {path}")
     if as_of_timestamp is not None:
@@ -736,14 +1258,17 @@ def read_snapshot(
     version: int | None = None,
     as_of_timestamp: float | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read the table as of a version (``version=``), a wall-clock
     instant (``as_of_timestamp=`` → newest snapshot committed at or
-    before it), a named tag (``tag=``, :func:`snapshot_tag`), or the
-    current head (none of them). The plan is built from the manifest's
-    file list — no directory listing, and partition columns
-    parse/prune normally via ``basePath`` per commit dir."""
-    version = _resolve_version(path, version, as_of_timestamp, tag)
+    before it), a named tag (``tag=``, :func:`snapshot_tag`), a branch
+    head (``branch=``, :func:`snapshot_branch` — the audit read of
+    write-audit-publish), or the current main head (none of them).
+    The plan is built from the manifest's file list — no directory
+    listing, and partition columns parse/prune normally via
+    ``basePath`` per commit dir."""
+    version = _resolve_version(path, version, as_of_timestamp, tag, branch)
     manifest = _load_manifest(path, version)
     return _read_commits(
         spark,
@@ -847,7 +1372,22 @@ def fresh_append_commits(
         if from_version < v < to_version:
             window[v] = _load_manifest(path, v)
     for v, m in window.items():
-        if m["operation"] != "append" and v != first:
+        # STAGED BRANCH commits share the number sequence but are not
+        # main lineage: invisible to consumers until fast-forwarded,
+        # so they neither validate nor contribute to the window
+        if m.get("ref") not in (None, "main"):
+            continue
+        # rewrite-manifests is METADATA-ONLY (file set bit-identical to
+        # its parent): a window diff across it yields exactly the
+        # interleaved appends' dirs, so tailing stays sound — metadata
+        # maintenance must never force stream restarts. A fast-forward
+        # that published an APPENDS-ONLY branch is, for the window
+        # diff, exactly those appends (verified at publish time and
+        # recorded on the manifest); any other publish is a rewrite.
+        ok = m["operation"] in ("append", "rewrite-manifests") or (
+            m["operation"] == "fast-forward" and m.get("appends_only")
+        )
+        if not ok and v != first:
             raise ValueError(
                 f"v{v} is {m['operation']!r}, not append: incremental "
                 f"read is unsound across rewrites — re-sync with "
@@ -949,6 +1489,7 @@ def scan_snapshot(
     not_null=None,
     tag: str | None = None,
     as_of_timestamp: float | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Range-predicate read (``lower <= column <= upper``, either bound
     optional) with MANIFEST-LEVEL file pruning: any file whose recorded
@@ -986,7 +1527,7 @@ def scan_snapshot(
 
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
-    version = _resolve_version(path, version, as_of_timestamp, tag)
+    version = _resolve_version(path, version, as_of_timestamp, tag, branch)
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")
@@ -1045,6 +1586,7 @@ def scan_prune_stats(
     not_null=None,
     tag: str | None = None,
     as_of_timestamp: float | None = None,
+    branch: str | None = None,
 ) -> dict[str, int]:
     """How much :func:`scan_snapshot` would prune: {total_files,
     pruned_files, kept_files} from the manifest alone (no Spark, no
@@ -1057,7 +1599,7 @@ def scan_prune_stats(
     disagree with the plan — including a tagged or time-travel scan."""
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
-    version = _resolve_version(path, version, as_of_timestamp, tag)
+    version = _resolve_version(path, version, as_of_timestamp, tag, branch)
     manifest = _load_manifest(path, version)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")
@@ -1758,8 +2300,9 @@ def snapshot_delete_mor(
         delete_abs = os.path.join(path, delete_rel)
         new_deletes = dict(manifest.get("deletes") or {})
         new_deletes[delete_rel] = files
+        version = _next_version(path)
         new_manifest = {
-            "version": head + 1,
+            "version": version,
             "parent": head,
             "operation": "delete",
             "timestamp": time.time(),
@@ -1776,8 +2319,12 @@ def snapshot_delete_mor(
             new_manifest["schema_log"] = manifest["schema_log"]
         if manifest.get("stream_state"):
             new_manifest["stream_state"] = manifest["stream_state"]
-        if _commit_manifest(path, head + 1, new_manifest):
-            return head + 1
+        # data files ride through verbatim: every parent shard reuses,
+        # and only the new delete vector lands in a fresh shard
+        if _commit_manifest_any(
+            path, version, new_manifest, reuse_base=manifest
+        ):
+            return version
         # lost the race: the vectors were computed against a head that
         # no longer exists — discard and re-plan from the new head
         shutil.rmtree(delete_abs)
@@ -1967,6 +2514,8 @@ def snapshot_rewrite_data_files(
     smaller_than_bytes: int | None = None,
     target_partitions: int | None = None,
     max_commit_retries: int = 5,
+    target_spec: list[str] | None = None,
+    max_files: int | None = None,
 ) -> dict[str, Any]:
     """PARTIAL compaction — Iceberg's ``rewrite_data_files`` with
     delete-file compaction (the reference's maintenance surface,
@@ -1988,7 +2537,20 @@ def snapshot_rewrite_data_files(
     (operation ``compact`` — incremental consumers re-sync, as for
     any rewrite). Returns ``{"version", "rewritten_files",
     "dropped_delete_dirs"}``; a selection that matches nothing
-    returns the unchanged head and commits no version."""
+    returns the unchanged head and commits no version.
+
+    ``target_spec=[cols]`` is PARTITION-SPEC EVOLUTION's write side
+    (Iceberg's spec evolution + rewrite migration): files whose
+    path-encoded layout differs from the target join the selection
+    and are rewritten INTO it, and the table's recorded spec moves to
+    ``target_spec`` so future inherit-writes follow. ``max_files``
+    caps any selection, making migration INCREMENTAL — O(chosen
+    files) per maintenance cycle, never a forced full rewrite; mixed
+    layouts read whole throughout (r9's read-side guarantee), and the
+    table converges over successive cycles. Record the partition
+    column in ``stats_cols`` and migrated files carry exact [v, v]
+    manifest bounds parsed from their paths, so selective scans skip
+    them without footer reads."""
     import pyarrow.parquet as pq
 
     for _ in range(max_commit_retries):
@@ -2016,8 +2578,11 @@ def snapshot_rewrite_data_files(
                 masked |= refs
 
         selected: dict[str, list[str]] = {}
-        for rel, files in manifest["commits"].items():
+        budget = max_files if max_files is not None else float("inf")
+        for rel, files in sorted(manifest["commits"].items()):
             for f in files:
+                if budget <= 0:
+                    break
                 pick = f"{rel}/{f}" in masked
                 if not pick and smaller_than_bytes is not None:
                     try:
@@ -2027,8 +2592,17 @@ def snapshot_rewrite_data_files(
                         )
                     except OSError:
                         pick = False
+                if not pick and target_spec is not None:
+                    # a file's layout is its path-encoded key list
+                    keys = [
+                        seg.split("=", 1)[0]
+                        for seg in f.split("/")[:-1]
+                        if "=" in seg
+                    ]
+                    pick = keys != list(target_spec)
                 if pick:
                     selected.setdefault(rel, []).append(f)
+                    budget -= 1
         n_sel = sum(len(v) for v in selected.values())
         if n_sel == 0:
             return {
@@ -2052,7 +2626,14 @@ def snapshot_rewrite_data_files(
         )
         commit_abs = os.path.join(path, commit_rel)
         writer = df.coalesce(n).write.mode("error")
-        part_by = manifest.get("partition_by") or []
+        # spec evolution: rewritten rows land in the TARGET layout and
+        # the table's recorded spec moves with them (future
+        # inherit-writes follow); untouched commits keep their own
+        part_by = (
+            list(target_spec)
+            if target_spec is not None
+            else manifest.get("partition_by") or []
+        )
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(commit_abs)
@@ -2075,6 +2656,7 @@ def snapshot_rewrite_data_files(
                 if cst:
                     new_stats[rel] = cst
         new_commits[commit_rel] = files_new
+        version = _next_version(path)
         stats_cols = manifest.get("stats_cols") or []
         if stats_cols and files_new:
             new_stats[commit_rel] = _collect_file_stats(
@@ -2096,7 +2678,7 @@ def snapshot_rewrite_data_files(
                 dropped.append(drel)  # fully materialized: dead weight
 
         new_manifest = {
-            "version": head + 1,
+            "version": version,
             "parent": head,
             "operation": "compact",
             "timestamp": time.time(),
@@ -2113,9 +2695,11 @@ def snapshot_rewrite_data_files(
             new_manifest["schema_log"] = manifest["schema_log"]
         if manifest.get("stream_state"):
             new_manifest["stream_state"] = manifest["stream_state"]
-        if _commit_manifest(path, head + 1, new_manifest):
+        if _commit_manifest_any(
+            path, version, new_manifest, reuse_base=manifest
+        ):
             return {
-                "version": head + 1,
+                "version": version,
                 "rewritten_files": n_sel,
                 "dropped_delete_dirs": sorted(dropped),
             }
@@ -2125,6 +2709,83 @@ def snapshot_rewrite_data_files(
     raise ConcurrentSnapshotError(
         f"rewrite_data_files at {path} lost {max_commit_retries} "
         f"re-plan races — a writer loop is outrunning this one"
+    )
+
+
+def snapshot_rewrite_manifests(
+    path: str, target_shards: int = 1, max_commit_retries: int = 5
+) -> dict[str, Any]:
+    """Compact a sharded table's METADATA — Iceberg's
+    ``rewrite_manifests`` (the reference's maintenance trio,
+    ``iceberg_maintenance.py:97-174``, presumes format-side metadata
+    maintenance): every append leaves one small shard behind, so a
+    long-appended table's manifest list grows one descriptor per
+    commit; this rewrites the head's shard set into ``target_shards``
+    balanced shards and commits the SAME file-level state as a new
+    version (operation ``rewrite-manifests``). No data file is touched
+    and the file set is bit-identical, so incremental consumers tail
+    STRAIGHT ACROSS it (the one non-append operation
+    :func:`fresh_append_commits` admits — a window diff across it
+    yields exactly the interleaved appends' dirs). A head already
+    at/below the target, or too small to shard, is left untouched
+    with no new version. Returns {"version", "shards_before",
+    "shards_after"}."""
+    for _ in range(max_commit_retries):
+        head = current_version(path)
+        if head is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        manifest = _load_manifest(path, head)
+        shards = manifest.get("shards") or []
+        if len(shards) <= max(1, target_shards):
+            return {
+                "version": head,
+                "shards_before": len(shards),
+                "shards_after": len(shards),
+            }
+        commits = manifest["commits"]
+        stats = manifest.get("stats") or {}
+        deletes = manifest.get("deletes") or {}
+        # balance commit dirs across the target count by file count
+        # (greedy largest-first); delete vectors ride with group 0 —
+        # their volume is bounded by compaction cadence, not table size
+        groups: list[list[str]] = [[] for _ in range(max(1, target_shards))]
+        sizes = [0] * len(groups)
+        for rel in sorted(commits, key=lambda r: (-len(commits[r]), r)):
+            i = sizes.index(min(sizes))
+            groups[i].append(rel)
+            sizes[i] += len(commits[rel]) or 1
+        descriptors = []
+        for gi, g in enumerate(groups):
+            if not g and not (gi == 0 and deletes):
+                continue
+            descriptors.append(
+                _write_shard(
+                    path,
+                    {r: commits[r] for r in g},
+                    {r: stats[r] for r in g if r in stats},
+                    deletes if gi == 0 else {},
+                )
+            )
+        out = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("commits", "stats", "deletes", "shards")
+        }
+        version = _next_version(path)
+        out["version"] = version
+        out["parent"] = head
+        out["operation"] = "rewrite-manifests"
+        out["timestamp"] = time.time()
+        out["shards"] = descriptors
+        if _commit_manifest(path, version, out):
+            return {
+                "version": version,
+                "shards_before": len(shards),
+                "shards_after": len(descriptors),
+            }
+    raise ConcurrentSnapshotError(
+        f"rewrite_manifests at {path} lost {max_commit_retries} "
+        f"optimistic races"
     )
 
 
@@ -2191,7 +2852,7 @@ def snapshot_rollback(
     target = _load_manifest(path, to_version)
     for _ in range(max_commit_retries):
         cur = current_version(path)
-        version = (cur or 0) + 1
+        version = _next_version(path)
         manifest = {
             "version": version,
             "parent": cur,
@@ -2223,7 +2884,9 @@ def snapshot_rollback(
         # the evolution state as of that version)
         if target.get("schema_log"):
             manifest["schema_log"] = target["schema_log"]
-        if _commit_manifest(path, version, manifest):
+        # the target's own shards cover the rolled-back state verbatim,
+        # so a rollback of a sharded table stays metadata-only O(1)
+        if _commit_manifest_any(path, version, manifest, reuse_base=target):
             return version
     raise ConcurrentSnapshotError(
         f"rollback at {path} lost {max_commit_retries} optimistic races"
@@ -2358,7 +3021,7 @@ def _commit_schema_op(
                     f"table's layout keys on it — repartition via "
                     f"snapshot_compact(partition_by=...) first"
                 )
-        version = cur + 1
+        version = _next_version(path)
         log = list(manifest.get("schema_log") or [])
         log.append(
             {**entry, "v": version, "applies_to": sorted(manifest["commits"])}
@@ -2391,7 +3054,11 @@ def _commit_schema_op(
             new_manifest["deletes"] = manifest["deletes"]
         if manifest.get("stream_state"):
             new_manifest["stream_state"] = manifest["stream_state"]
-        if _commit_manifest(path, version, new_manifest):
+        # state rides through verbatim: every parent shard is reused,
+        # so schema evolution on a sharded table writes only the list
+        if _commit_manifest_any(
+            path, version, new_manifest, reuse_base=manifest
+        ):
             return version
     raise ConcurrentSnapshotError(
         f"schema evolution at {path} lost {max_commit_retries} "
@@ -2598,6 +3265,13 @@ def erase_rows(
             f"survive in them — snapshot_untag each first (an erasure "
             f"must be a deliberate release of every pin)"
         )
+    branches = list_branches(path)
+    if branches:
+        raise ValueError(
+            f"cannot hard-erase {path}: branches {sorted(branches)} "
+            f"pin staged snapshots past expiry, so erased rows would "
+            f"survive on them — snapshot_drop_branch each first"
+        )
     version = snapshot_delete(spark, path, predicate, partition_by)
     gc = expire_snapshots(
         path, keep_last=1, orphan_grace_hours=orphan_grace_hours
@@ -2687,6 +3361,7 @@ def expire_snapshots(
         return {
             "expired_versions": [],
             "removed_commit_dirs": [],
+            "removed_manifest_shards": [],
             "removed_staging_files": _sweep_staging(
                 path, grace_ts, dry_run=dry_run
             ),
@@ -2696,7 +3371,11 @@ def expire_snapshots(
         if older_than_hours is not None
         else None
     )
-    survivors = set(s["version"] for s in snaps[-keep_last:])
+    # keep_last counts MAIN versions: staged branch commits share the
+    # number sequence but not the retention ladder (their pin is the
+    # branch ref below)
+    main_snaps = [s for s in snaps if s.get("ref") in (None, "main")]
+    survivors = set(s["version"] for s in main_snaps[-keep_last:])
     if cutoff is not None:
         survivors |= {s["version"] for s in snaps if s["timestamp"] >= cutoff}
     # tagged versions are PINNED (Iceberg ref retention): an audit/
@@ -2704,6 +3383,13 @@ def expire_snapshots(
     # references — out of every retention policy until untagged
     tagged = set(list_tags(path).values())
     survivors |= {s["version"] for s in snaps if s["version"] in tagged}
+    # branch refs pin their HEAD (the state a fast-forward would
+    # publish) and their BASE (the fork point the publish CAS checks);
+    # intermediate staged commits age out like any old version
+    for info in list_branches(path).values():
+        for v in (info.get("head"), info.get("base")):
+            if v is not None:
+                survivors.add(v)
     expired = [s for s in snaps if s["version"] not in survivors]
     if not dry_run:
         for s in expired:
@@ -2711,12 +3397,17 @@ def expire_snapshots(
 
     kept_refs: set[str] = set()
     all_refs: set[str] = set()
+    kept_shards: set[str] = set()
+    all_shards: set[str] = set()
     for s in snaps:
         all_refs.update(s["commits"])
         all_refs.update(s.get("deletes") or {})
+        names = {d["name"] for d in s.get("shards") or []}
+        all_shards |= names
         if s["version"] in survivors:
             kept_refs.update(s["commits"])
             kept_refs.update(s.get("deletes") or {})
+            kept_shards |= names
     removed_dirs: list[str] = []
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
@@ -2735,9 +3426,43 @@ def expire_snapshots(
             if not dry_run:
                 shutil.rmtree(full)
             removed_dirs.append(rel)
+    # manifest-shard GC, the metadata twin of commit-dir GC: a shard a
+    # surviving manifest references is kept; one only expired manifests
+    # referenced is provably retired; one NO manifest references is
+    # either a lost racer's debris or a shard written moments before
+    # its manifest links (shards land first) — age-guarded like
+    # in-flight commit dirs
+    removed_shards: list[str] = []
+    shards_root = os.path.join(_snap_root(path), _SHARDS_DIR)
+    if os.path.isdir(shards_root):
+        for name in sorted(os.listdir(shards_root)):
+            full = os.path.join(shards_root, name)
+            if not name.endswith(".json"):
+                # a crashed _write_shard's tmp file: age-guarded sweep
+                try:
+                    if os.path.getmtime(full) < grace_ts and not dry_run:
+                        os.unlink(full)
+                except OSError:
+                    pass
+                continue
+            if name in kept_shards:
+                continue
+            if name not in all_shards:
+                try:
+                    if os.path.getmtime(full) >= grace_ts:
+                        continue
+                except OSError:
+                    continue
+            if not dry_run:
+                try:
+                    os.unlink(full)
+                except OSError:
+                    continue
+            removed_shards.append(name)
     return {
         "expired_versions": [s["version"] for s in expired],
         "removed_commit_dirs": removed_dirs,
+        "removed_manifest_shards": removed_shards,
         "removed_staging_files": _sweep_staging(
             path, grace_ts, dry_run=dry_run
         ),

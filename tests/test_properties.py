@@ -1036,3 +1036,96 @@ def test_bounds_exclude_soundness_against_arrow_footers(tmp_path_factory, data):
         assert not any(v is None for v in vals), (vals, entry)
     if null_count_exclude(entry, is_null=False):
         assert all(v is None for v in vals), (vals, entry)
+
+
+_REL = st.integers(min_value=0, max_value=9).map(lambda i: f"data/c{i:08d}-ab")
+
+
+@st.composite
+def _table_states(draw):
+    """A sequence of per-version file states: each is (commits, stats,
+    deletes) with small random file lists — append-like (superset of
+    previous), overwrite-like (fresh), or arbitrary (partial rewrite)."""
+    states = []
+    cur: dict[str, list[str]] = {}
+    for _ in range(draw(st.integers(min_value=1, max_value=6))):
+        kind = draw(st.sampled_from(["append", "overwrite", "rewrite"]))
+        if kind == "overwrite":
+            cur = {}
+        elif kind == "rewrite" and cur:
+            drop = draw(st.sampled_from(sorted(cur)))
+            cur = {k: v for k, v in cur.items() if k != drop}
+        rel = f"data/c{len(states):08d}-{draw(st.integers(0, 99)):02d}"
+        cur = dict(cur)
+        cur[rel] = sorted(
+            f"part-{i:05d}.parquet"
+            for i in range(draw(st.integers(min_value=0, max_value=5)))
+        )
+        stats = {
+            r: {fs[0]: [0, 1]} for r, fs in cur.items() if fs
+        } if draw(st.booleans()) else {}
+        deletes = (
+            {f"data/d{len(states):08d}-00": ["dv-0.parquet"]}
+            if draw(st.booleans())
+            else {}
+        )
+        states.append((dict(cur), stats, deletes))
+    return states
+
+
+@settings(max_examples=60, deadline=None)
+@given(_table_states(), st.integers(min_value=0, max_value=8))
+def test_sharded_manifests_roundtrip_and_compact_losslessly(
+    tmp_path_factory, states, threshold
+):
+    """PROPERTY (r9 verdict item 2): for ANY commit sequence and any
+    inline threshold, a manifest committed through the sharding step
+    resolves back to exactly the state that was committed — and
+    snapshot_rewrite_manifests preserves it bit-identically while
+    reducing the shard count to the target. Pure metadata layer: no
+    Spark, no parquet."""
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path_factory.mktemp("shardprop"))
+    os.makedirs(S._snap_root(path), exist_ok=True)
+    old_max = S._SHARD_INLINE_MAX
+    S._SHARD_INLINE_MAX = threshold
+    try:
+        parent: dict = {}
+        for v, (commits, stats, deletes) in enumerate(states, start=1):
+            manifest = {
+                "version": v,
+                "parent": v - 1 if v > 1 else None,
+                "operation": "append",
+                "timestamp": float(v),
+                "partition_by": [],
+                "commits": commits,
+            }
+            if stats:
+                manifest["stats"] = stats
+            if deletes:
+                manifest["deletes"] = deletes
+            assert S._commit_manifest_any(
+                path, v, dict(manifest), reuse_base=parent
+            )
+            resolved = S._load_manifest(path, v)
+            assert resolved["commits"] == commits
+            assert (resolved.get("stats") or {}) == stats
+            assert (resolved.get("deletes") or {}) == deletes
+            parent = resolved
+        head = S.current_version(path)
+        before = S._load_manifest(path, head)
+        rep = S.snapshot_rewrite_manifests(path, target_shards=1)
+        after = S._load_manifest(path, rep["version"])
+        assert after["commits"] == before["commits"]
+        assert (after.get("stats") or {}) == (before.get("stats") or {})
+        assert (after.get("deletes") or {}) == (
+            before.get("deletes") or {}
+        )
+        assert len(after.get("shards") or []) <= max(
+            1, len(before.get("shards") or [])
+        )
+    finally:
+        S._SHARD_INLINE_MAX = old_max

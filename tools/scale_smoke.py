@@ -74,6 +74,10 @@ QUERIES = [
     "snapshot_schema_evolution",  # metadata-only rename/drop + evolved read (r9)
     "snapshot_null_skip",   # null-count data skipping + pruned scan (r9)
     "snapshot_rewrite_debt",  # partial delete-file compaction (r9)
+    "snapshot_manifest_shards",  # sharded metadata + rewrite_manifests (r10)
+    "snapshot_wap",         # branch stage -> DQ audit -> fast-forward (r10)
+    "dq_metrics_exact",     # one-pass check counters + key integrity (r10)
+    # lineage_edges_exact: config-derived constants, no data dependence
     "tpch_q12_sql",         # fact-fact join + conditional priority split (r9)
 ]
 
