@@ -566,11 +566,20 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None  # newest end this reader planned
 
     def _cursor_hint_path(self) -> str:
+        import hashlib as _hashlib
         import re as _re
 
-        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", self._stream_id)[:128]
+        # sanitization is lossy ('job/a' and 'job:a' both map to
+        # job_a) — the raw-id digest keeps DISTINCT stream ids on
+        # distinct hint files, so two streams can never overwrite
+        # each other's admission cursor
+        safe = _re.sub(r"[^A-Za-z0-9._-]", "_", self._stream_id)[:96]
+        digest = _hashlib.sha256(self._stream_id.encode()).hexdigest()[:12]
         return os.path.join(
-            self._path, "_snapshots", "stream_cursors", f"{safe}.json"
+            self._path,
+            "_snapshots",
+            "stream_cursors",
+            f"{safe}-{digest}.json",
         )
 
     def initialOffset(self) -> dict:
@@ -615,7 +624,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
         self._last_end = max(self._last_end or 0, sv, ev)
-        if ev <= sv:
+        if ev < sv:
+            # an END below the checkpointed START can only come from a
+            # stale admission hint answered before the reader learned
+            # the true cursor (latestOffset precedes partitions in the
+            # runner protocol). Returning [] would let Spark COMMIT
+            # the regressed offset and silently REPLAY every version
+            # in between next batch — fail loudly instead, and delete
+            # the offending hint so the next restart re-arms clean.
+            try:
+                if self._stream_id is not None:
+                    os.unlink(self._cursor_hint_path())
+            except OSError:
+                pass
+            raise ValueError(
+                f"snapshot_stream: offset window ({sv}, {ev}] is "
+                f"inverted — the streamId admission hint fell behind "
+                f"the checkpoint cursor (a failed hint write, or two "
+                f"streams sharing one id?). The stale hint has been "
+                f"removed; restart the stream (if the restart replays "
+                f"this window from the offset log, clear its last "
+                f"uncommitted entry or use a fresh checkpoint)."
+            )
+        if ev == sv:
             return []
         # planning + append-only validation SHARED with the batch
         # incremental path (snapshots.fresh_append_commits) — the two
@@ -742,10 +773,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         hp = self._cursor_hint_path()
         os.makedirs(os.path.dirname(hp), exist_ok=True)
+        cur = int(end["version"])
+        try:
+            # MONOTONIC: never move the hint backwards — an
+            # out-of-order commit (or an operator's manual replay)
+            # must not plant the stale-hint state the inverted-window
+            # guard exists to catch
+            with open(hp) as f:
+                if int(_json.load(f).get("last_end", -1)) >= cur:
+                    return
+        except (OSError, ValueError):
+            pass
         tmp = hp + f".tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
         try:
             with open(tmp, "w") as f:
-                _json.dump({"last_end": int(end["version"])}, f)
+                _json.dump({"last_end": cur}, f)
             os.replace(tmp, hp)
         except OSError:
             try:

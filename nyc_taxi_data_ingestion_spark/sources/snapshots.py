@@ -137,6 +137,28 @@ def _resolve_manifest(path: str, manifest: dict) -> dict:
     return manifest
 
 
+def _manifest_refs(raw: dict) -> tuple[set, set, set]:
+    """(commit_rels, delete_rels, shard_names) a RAW manifest
+    references — from its inline fields or its shard descriptors'
+    coverage lists, WITHOUT loading shard contents. Expiry's GC and
+    the incremental window's diff base need exactly these keys, so
+    they stay O(history), never O(history x files)."""
+    shards = raw.get("shards")
+    names = {d["name"] for d in shards or []}
+    if shards is None:
+        return (
+            set(raw.get("commits") or {}),
+            set(raw.get("deletes") or {}),
+            names,
+        )
+    c: set = set()
+    d: set = set()
+    for desc in shards:
+        c.update(desc.get("commits") or [])
+        d.update(desc.get("deletes") or [])
+    return c, d, names
+
+
 def _write_shard(
     path: str,
     commits: dict[str, list],
@@ -162,15 +184,9 @@ def _write_shard(
     sp = _shard_path(path, name)
     os.makedirs(os.path.dirname(sp), exist_ok=True)
     if not os.path.isfile(sp):
-        tmp = sp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(blob)
-        try:
-            os.link(tmp, sp)
-        except FileExistsError:
-            pass  # identical content already landed
-        finally:
-            os.unlink(tmp)
+        # content-addressed: a False return means identical content
+        # already landed — exactly what we wanted
+        _atomic_link_new(sp, blob)
     return {
         "name": name,
         "commits": sorted(commits),
@@ -396,6 +412,14 @@ def _collect_file_stats(
                     tv = int(tv)
                 elif re.fullmatch(r"-?[0-9]+\.[0-9]+", tv):
                     tv = float(tv)
+                elif " " in tv or ":" in tv:
+                    # a timestamp-shaped dir value: Spark writes
+                    # 'YYYY-MM-DD HH:MM:SS' (space) where footer
+                    # bounds and predicates use ISO 'T' — and
+                    # ' ' < 'T' lexically, so recording the dir form
+                    # would wrongly prune same-day lower bounds.
+                    # No bound is the only sound bound here.
+                    continue
                 out.append((rel, k, json.dumps([tv, tv])))
         # NaN poisons the UPPER bound: Spark orders NaN greater than
         # every value (NaN matches x >= c for any c), so pruning a
@@ -824,27 +848,36 @@ def commit_staged_files(
     )
 
 
-def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
-    """THE commit step, shared by every manifest writer: land the
-    manifest atomically with fail-if-exists CAS, returning False on a
-    lost race (callers loop against the new head). The temp name is
-    unique per ATTEMPT — pid alone collides across threads of one
-    process racing the same version, and the winner's cleanup would
-    unlink the loser's temp out from under its os.link. On S3, swap
-    the os.link for a conditional PUT — this is the only place."""
-    tmp = (
-        _manifest_path(path, version)
-        + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    )
+def _atomic_link_new(dest: str, blob: str) -> bool:
+    """THE fail-if-exists CAS primitive every metadata writer shares —
+    manifests, shards, tag markers, branch markers: write ``blob`` to
+    a per-attempt temp name and hard-link it into ``dest``, returning
+    False if ``dest`` already exists (lost race / already landed).
+    The temp name is unique per ATTEMPT — pid alone collides across
+    threads of one process racing the same destination, and the
+    winner's cleanup would unlink the loser's temp out from under its
+    os.link. On S3, swap the os.link for a conditional PUT
+    (If-None-Match) — this is the ONLY place."""
+    tmp = dest + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write(blob)
     try:
-        os.link(tmp, _manifest_path(path, version))
+        os.link(tmp, dest)
         return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+
+
+def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
+    """THE commit step, shared by every manifest writer: land the
+    manifest atomically with the fail-if-exists CAS, returning False
+    on a lost race (callers loop against the new head)."""
+    return _atomic_link_new(
+        _manifest_path(path, version),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
 
 
 _TAGS_DIR = "tags"
@@ -874,18 +907,13 @@ def snapshot_tag(path: str, name: str, version: int | None = None) -> int:
     _load_manifest(path, version)  # must exist (and not be expired)
     tp = _tag_path(path, name)
     os.makedirs(os.path.dirname(tp), exist_ok=True)
-    tmp = tp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "timestamp": time.time()}, f)
-    try:
-        os.link(tmp, tp)
-    except FileExistsError:
+    if not _atomic_link_new(
+        tp, json.dumps({"version": version, "timestamp": time.time()})
+    ):
         raise ValueError(
             f"tag {name!r} already exists at {path} (tags are "
             f"immutable: snapshot_untag first to re-pin)"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
     # tag/expire race closure (best-effort on a shared filesystem): a
     # concurrent expire_snapshots computed its survivor set BEFORE this
     # tag landed, so the pinned version may have been GC'd in the
@@ -973,18 +1001,30 @@ def snapshot_branch(
         _load_manifest(path, version)  # must exist (and not be expired)
     bp = _branch_marker_path(path, name)
     os.makedirs(os.path.dirname(bp), exist_ok=True)
-    tmp = bp + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"base": version, "timestamp": time.time()}, f)
-    try:
-        os.link(tmp, bp)
-    except FileExistsError:
+    if not _atomic_link_new(
+        bp, json.dumps({"base": version, "timestamp": time.time()})
+    ):
         raise ValueError(
             f"branch {name!r} already exists at {path} "
             f"(snapshot_drop_branch first to re-fork)"
-        ) from None
-    finally:
-        os.unlink(tmp)
+        )
+    # branch/expire race closure — the same post-link re-check as
+    # snapshot_tag: an expire that computed survivors before this
+    # marker landed may have GC'd the base, leaving a dangling branch
+    # whose every read raises and whose writes die confusingly.
+    # Withdraw and raise instead.
+    if version is not None and not os.path.isfile(
+        _manifest_path(path, version)
+    ):
+        try:
+            os.unlink(bp)
+        except FileNotFoundError:
+            pass
+        raise FileNotFoundError(
+            f"snapshot v{version} at {path} expired while the branch "
+            f"was being created — the fork did not take; re-fork from "
+            f"a retained version"
+        )
     return version
 
 
@@ -1091,8 +1131,17 @@ def snapshot_fast_forward(path: str, name: str) -> int:
     appends_only = True
     v = bh
     while v is not None and v != base:
-        with open(_manifest_path(path, v)) as f:
-            raw = json.load(f)
+        try:
+            with open(_manifest_path(path, v)) as f:
+                raw = json.load(f)
+        except FileNotFoundError:
+            # an intermediate staged commit expired (expiry pins only
+            # the branch HEAD and BASE): the publish is still sound —
+            # the head manifest is the complete state — but the
+            # append-only property is no longer provable, so publish
+            # conservatively as a rewrite (consumers re-sync)
+            appends_only = False
+            break
         if raw.get("operation") != "append":
             appends_only = False
             break
@@ -1158,14 +1207,25 @@ def write_audit_publish(
     normally)."""
     name = branch or f"wap-{uuid.uuid4().hex[:8]}"
     snapshot_branch(path, name)
-    staged_version = snapshot_write(
-        df,
-        path,
-        mode=mode,
-        partition_by=partition_by,
-        stats_cols=stats_cols,
-        branch=name,
-    )
+    # infrastructure raises (a failed staging write, a publish that
+    # lost to a moved main) must not LEAK the ref: an orphaned branch
+    # pins staged snapshots out of expiry forever and blocks
+    # erase_rows. The staged work is unpublishable in either case
+    # (the caller re-forks and re-stages), so drop the ref and let
+    # its manifests age out; only a FAILED AUDIT keeps the branch
+    # (deliberate, for debugging — the documented contract).
+    try:
+        staged_version = snapshot_write(
+            df,
+            path,
+            mode=mode,
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+            branch=name,
+        )
+    except BaseException:
+        snapshot_drop_branch(path, name)
+        raise
     passed = True
     audit_out: Any
     try:
@@ -1181,7 +1241,11 @@ def write_audit_publish(
         audit_out = f"{type(exc).__name__}: {exc}"
     published = None
     if passed:
-        published = snapshot_fast_forward(path, name)
+        try:
+            published = snapshot_fast_forward(path, name)
+        except BaseException:
+            snapshot_drop_branch(path, name)
+            raise
         snapshot_drop_branch(path, name)
     elif drop_branch_on_failure:
         snapshot_drop_branch(path, name)
@@ -1376,7 +1440,14 @@ def fresh_append_commits(
     window = {to_version: new_manifest}
     for v in versions:
         if from_version < v < to_version:
-            window[v] = _load_manifest(path, v)
+            # interiors are consulted for operation/ref ONLY — raw
+            # reads keep the per-poll cost O(window), never loading
+            # shard contents a streaming consumer would just discard
+            try:
+                with open(_manifest_path(path, v)) as f:
+                    window[v] = json.load(f)
+            except FileNotFoundError:
+                continue  # expired under us: head has moved on anyway
     for v, m in window.items():
         # STAGED BRANCH commits share the number sequence but are not
         # main lineage: invisible to consumers until fast-forwarded,
@@ -1400,7 +1471,8 @@ def fresh_append_commits(
                 f"read_snapshot()"
             )
     try:
-        old_commits = set(_load_manifest(path, from_version)["commits"])
+        with open(_manifest_path(path, from_version)) as f:
+            old_commits, _, _ = _manifest_refs(json.load(f))
     except FileNotFoundError as exc:
         # the cursor's own manifest is the diff base; an expired one is
         # unreconstructible (each append's delta needs its parent).
@@ -3359,7 +3431,11 @@ def expire_snapshots(
     """
     keep_last = max(1, keep_last)
     grace_ts = time.time() - orphan_grace_hours * 3600
-    snaps = list_snapshots(path)
+    # RAW manifests: the sweep needs versions, timestamps, refs, and
+    # commit/delete KEYS — all present inline or in shard descriptors
+    # (_manifest_refs), so a 500-commit sharded table's expiry never
+    # re-reads O(versions x shards) shard contents
+    snaps = list_snapshots(path, resolve=False)
     if not snaps:
         # no snapshots ≠ no debris: a stream writer's first micro-batch
         # can stage files and crash before any manifest lands — sweep
@@ -3406,13 +3482,11 @@ def expire_snapshots(
     kept_shards: set[str] = set()
     all_shards: set[str] = set()
     for s in snaps:
-        all_refs.update(s["commits"])
-        all_refs.update(s.get("deletes") or {})
-        names = {d["name"] for d in s.get("shards") or []}
+        crels, drels, names = _manifest_refs(s)
+        all_refs |= crels | drels
         all_shards |= names
         if s["version"] in survivors:
-            kept_refs.update(s["commits"])
-            kept_refs.update(s.get("deletes") or {})
+            kept_refs |= crels | drels
             kept_shards |= names
     removed_dirs: list[str] = []
     data_root = os.path.join(path, _DATA_DIR)

@@ -1446,14 +1446,45 @@ def test_stream_restart_rate_limit_binds_from_persisted_cursor(
     assert windows == 5
     assert sorted(seen) == list(range(10, 110))
 
-    # a hint BEHIND a rolled-forward checkpoint can only yield an
-    # empty batch, never walk the stream backwards: partitions() folds
-    # the true cursor in and the gate re-binds from it
+    # an equal-edge window is a legitimate empty batch; partitions()
+    # folds the true cursor in and the gate re-binds from it
     r3 = SnapshotStreamReader(
         src, None, max_versions_per_trigger=2, stream_id="job-7"
     )
     r3.partitions({"version": 11}, {"version": 11})
     assert r3.latestOffset() == {"version": 11}
+
+    # hint writes are MONOTONIC: a replayed/out-of-order commit can
+    # never move the persisted cursor backwards
+    r2.commit({"version": 3})
+    r5 = SnapshotStreamReader(
+        src, None, max_versions_per_trigger=2, stream_id="job-7"
+    )
+    assert r5.latestOffset() == {"version": 11}  # still 9+2, not 3+2
+
+    # an INVERTED window (end below the checkpointed start — only a
+    # corrupted/foreign hint can produce it) fails LOUDLY instead of
+    # silently letting Spark commit a regressed offset and replay the
+    # gap, and the offending hint is removed so the next restart
+    # re-arms clean
+    import json as _json
+    import os as _os
+
+    r6 = SnapshotStreamReader(
+        src, None, max_versions_per_trigger=2, stream_id="job-7"
+    )
+    hp = r6._cursor_hint_path()
+    with open(hp, "w") as f:
+        _json.dump({"last_end": 2}, f)  # fell far behind the cursor
+    assert r6.latestOffset() == {"version": 4}  # gated from the bad hint
+    with pytest.raises(ValueError, match="inverted"):
+        r6.partitions({"version": 11}, {"version": 4})
+    assert not _os.path.exists(hp)  # self-healed for the next restart
+
+    # distinct stream ids never share a hint file, however similar
+    ra = SnapshotStreamReader(src, None, stream_id="job/a")
+    rb = SnapshotStreamReader(src, None, stream_id="job:a")
+    assert ra._cursor_hint_path() != rb._cursor_hint_path()
 
     # without a streamId the first window stays ungated (documented)
     r4 = SnapshotStreamReader(src, None, max_versions_per_trigger=2)

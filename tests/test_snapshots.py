@@ -2252,13 +2252,34 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
     assert not rep3["passed"] and "boom" in rep3["audit"]
     assert S.list_branches(path) == {}
 
+    # a publish that loses to a moved main escapes as an exception but
+    # never LEAKS the auto-generated branch ref (it would pin staged
+    # snapshots out of expiry forever and block erasure)
+    def racing_publish(spark_, df_, path_, audit_):
+        # a concurrent main commit lands between fork and publish
+        orig_ff = S.snapshot_fast_forward
+
+        def moved_main_ff(p, n):
+            snapshot_write(_frame(spark, 900, 901, "m"), p, mode="append")
+            return orig_ff(p, n)
+
+        S.snapshot_fast_forward = moved_main_ff
+        try:
+            return S.write_audit_publish(spark_, df_, path_, audit_)
+        finally:
+            S.snapshot_fast_forward = orig_ff
+
+    with pytest.raises(S.ConcurrentSnapshotError, match="main moved"):
+        racing_publish(spark, good, path, audit)
+    assert S.list_branches(path) == {}  # ref withdrawn, not leaked
+
     # expiry: an active branch pins its head + base out of keep_last
     S.snapshot_branch(path, "keep")
     snapshot_write(_frame(spark, 500, 502, "z"), path, mode="append",
                    branch="keep")
     S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
     staged = _rows(read_snapshot(spark, path, branch="keep"))
-    assert [(i, "z") for i in range(500, 502)] == staged[-2:]
+    assert {(i, "z") for i in range(500, 502)} <= set(staged)
 
 
 def test_rewrite_data_files_migrates_partition_spec_incrementally(
@@ -2340,3 +2361,48 @@ def test_rewrite_data_files_migrates_partition_spec_incrementally(
     assert sorted(r.id for r in got.collect()) == [
         i for i in range(40) if i % 4 == 3
     ]
+
+
+def test_path_bounds_skip_timestamp_shaped_values(spark, tmp_path):
+    """Path-derived [v, v] partition bounds are recorded only for
+    values with ONE serialization: Spark writes timestamp dirs as
+    'YYYY-MM-DD HH:MM:SS' (space) while footer bounds and the
+    documented predicate contract use ISO 'T' — and ' ' < 'T'
+    lexically, so recording the dir form would wrongly prune same-day
+    lower-bounded scans. Timestamp-shaped values get NO bound (kept
+    conservatively); ints, dates, and plain strings keep theirs."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-07-01 12:00:00"), (2, "2024-07-02 01:00:00")],
+        "id int, ts string",
+    ).select(F.col("id"), F.col("ts").cast("timestamp").alias("ts"))
+    S.snapshot_write(
+        df, path, partition_by=["ts"], stats_cols=["ts", "id"]
+    )
+    m = S._load_manifest(path, 1)
+    stats = next(iter(m["stats"].values()))
+    for f, bounds in stats.items():
+        assert "ts" not in bounds, f"timestamp dir value recorded: {bounds}"
+    # the ISO-form predicate that the space-form bound would have
+    # wrongly pruned returns every matching row
+    got = S.scan_snapshot(spark, path, "ts", lower="2024-07-01T00:00:00")
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+    # int and plain-string partition values DO get exact path bounds
+    p2 = str(tmp_path / "t2")
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(1, 10, "us"), (2, 20, "eu")], "id int, b int, r string"
+        ),
+        p2,
+        partition_by=["b", "r"],
+        stats_cols=["b", "r"],
+    )
+    st = S.scan_prune_stats(p2, "b", lower=15)
+    assert st["pruned_files"] >= 1
+    st2 = S.scan_prune_stats(p2, "r", lower="t")  # 'us' only
+    assert st2["pruned_files"] >= 1
