@@ -188,6 +188,38 @@ def run_maintenance(
                     row["delete_debt_rewrite"] = rep
             except Exception as exc:
                 row["delete_debt_error"] = str(exc)
+        if spec.get("snapshot_keep_last") is not None:
+            # metadata compaction (Iceberg's rewrite_manifests): a
+            # long-appended table accumulates one manifest shard per
+            # commit — compact once the descriptor list outgrows the
+            # threshold. Unconditional per cycle like the debt
+            # rewrite: below the threshold it commits NOTHING, and
+            # incremental consumers tail straight across it when it
+            # does (spec "rewrite_manifests_over": shard count that
+            # triggers, default 16; 0/None disables)
+            over = spec.get("rewrite_manifests_over", 16)
+            if over:
+                from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+                    _load_manifest,
+                    current_version,
+                    snapshot_rewrite_manifests,
+                )
+
+                try:
+                    head = current_version(path)
+                    n_shards = (
+                        len(
+                            _load_manifest(path, head).get("shards") or []
+                        )
+                        if head is not None
+                        else 0
+                    )
+                    if n_shards > over:
+                        row["manifests_rewritten"] = (
+                            snapshot_rewrite_manifests(path)
+                        )
+                except Exception as exc:
+                    row["manifest_rewrite_error"] = str(exc)
         expire_on = spec.get("expire_on")
         if expire_on:
             try:

@@ -1223,7 +1223,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     Options: ``statsCols`` (comma list) enables manifest bounds for
     this commit and onward (None inherits the table property, the
-    snapshot_write contract). ``partitionBy`` (comma list) writes a
+    snapshot_write contract). ``branch`` stages the commit on a WAP
+    branch (snapshots.snapshot_branch) — invisible to main until
+    fast-forwarded, so format-API producers get write-audit-publish
+    without routing rows through the engine. ``partitionBy`` (comma list) writes a
     Hive layout — each task splits its batch stream across
     ``col=value`` directories (one open file per distinct tuple it
     sees, partition columns stripped from file content like Spark's
@@ -1237,6 +1240,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
     def __init__(self, path: str, overwrite: bool, options: dict):
         self._path = path
         self._mode = "overwrite" if overwrite else "append"
+        # .option('branch', …) stages this commit on a WAP branch —
+        # invisible to main reads until snapshot_fast_forward
+        # publishes it, the same contract as snapshot_write(branch=)
+        self._branch = options.get("branch")
         sc = options.get("statscols")
         self._stats_cols = (
             [c.strip() for c in sc.split(",") if c.strip()]
@@ -1403,6 +1410,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             mode=self._mode,
             partition_by=self._partition_by,
             stats_cols=self._stats_cols,
+            branch=self._branch,
         )
 
     def abort(self, messages):

@@ -191,3 +191,54 @@ def test_run_maintenance_rewrites_delete_debt(spark, tmp_path):
     )
     assert "delete_debt_rewrite" not in row2
     assert current_version(path) == head
+
+
+def test_run_maintenance_compacts_manifest_shards(spark, tmp_path, monkeypatch):
+    """The maintenance cycle compacts a versioned table's manifest
+    shards once the descriptor list outgrows the threshold — metadata
+    maintenance in the same loop as data compaction, committing
+    nothing below the threshold."""
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.maintenance import (
+        run_maintenance,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_INLINE_MAX", 2)
+    path = str(tmp_path / "t")
+    for i in range(6):
+        S.snapshot_write(
+            spark.range(i * 10, i * 10 + 10).repartition(2),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    head = S.current_version(path)
+    n_before = len(S._load_manifest(path, head).get("shards") or [])
+    assert n_before > 3
+    rows = run_maintenance(
+        spark,
+        [{
+            "path": path,
+            "snapshot_keep_last": 10,
+            "rewrite_delete_debt": False,
+            "rewrite_manifests_over": 3,
+        }],
+        remove_orphans=False,
+    )
+    rep = rows[0]["manifests_rewritten"]
+    assert rep["shards_after"] <= 3 < rep["shards_before"]
+    got = sorted(r.id for r in S.read_snapshot(spark, path).collect())
+    assert got == list(range(60))
+    # below the threshold: the next cycle commits nothing
+    head2 = S.current_version(path)
+    rows2 = run_maintenance(
+        spark,
+        [{
+            "path": path,
+            "snapshot_keep_last": 10,
+            "rewrite_delete_debt": False,
+            "rewrite_manifests_over": 3,
+        }],
+        remove_orphans=False,
+    )
+    assert "manifests_rewritten" not in rows2[0]
+    assert S.current_version(path) == head2

@@ -1489,3 +1489,36 @@ def test_stream_restart_rate_limit_binds_from_persisted_cursor(
     # without a streamId the first window stays ungated (documented)
     r4 = SnapshotStreamReader(src, None, max_versions_per_trigger=2)
     assert r4.latestOffset() == {"version": 11}
+
+
+def test_format_writer_stages_on_branch(spark, tmp_path):
+    """The format batch writer's .option('branch', …) stages its commit
+    on a WAP branch: main reads stay bit-identical until
+    snapshot_fast_forward publishes, exactly snapshot_write(branch=)."""
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    S.snapshot_write(spark.range(0, 5), path)
+    S.snapshot_branch(path, "stage")
+    (
+        spark.range(100, 103)
+        .write.format("snapshot")
+        .mode("append")
+        .option("path", path)
+        .option("branch", "stage")
+        .save()
+    )
+    assert sorted(r.id for r in S.read_snapshot(spark, path).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert sorted(
+        r.id for r in S.read_snapshot(spark, path, branch="stage").collect()
+    ) == [0, 1, 2, 3, 4, 100, 101, 102]
+    S.snapshot_fast_forward(path, "stage")
+    assert sorted(r.id for r in S.read_snapshot(spark, path).collect()) == [
+        0, 1, 2, 3, 4, 100, 101, 102,
+    ]
