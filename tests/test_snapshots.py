@@ -2406,3 +2406,69 @@ def test_path_bounds_skip_timestamp_shaped_values(spark, tmp_path):
     assert st["pruned_files"] >= 1
     st2 = S.scan_prune_stats(p2, "r", lower="t")  # 'us' only
     assert st2["pruned_files"] >= 1
+
+
+def test_concurrent_appends_race_cleanly_through_sharded_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """Optimistic concurrency holds through the sharded-manifest
+    layout: racing appends (and a racing branch commit) all land under
+    the filename CAS, every landed version resolves to a consistent
+    state, content-addressed shards dedupe across retries, and the
+    final head reads the union of every append exactly once."""
+    import threading
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_SHARD_INLINE_MAX", 2)
+    path = str(tmp_path / "t")
+    S.snapshot_write(_frame(spark, 0, 10, "seed").repartition(2), path)
+    S.snapshot_branch(path, "side")
+    errs: list = []
+
+    def appender(lo):
+        try:
+            S.snapshot_write(
+                _frame(spark, lo, lo + 10, f"w{lo}").repartition(2),
+                path,
+                mode="append",
+                max_commit_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    def brancher():
+        try:
+            S.snapshot_write(
+                _frame(spark, 900, 905, "br").repartition(1),
+                path,
+                mode="append",
+                branch="side",
+                max_commit_retries=20,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(lo,))
+        for lo in (100, 200, 300, 400)
+    ] + [threading.Thread(target=brancher)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+
+    # main sees every append exactly once, never the branch rows
+    got = _rows(read_snapshot(spark, path))
+    want = [(i, "seed") for i in range(10)]
+    for lo in (100, 200, 300, 400):
+        want += [(i, f"w{lo}") for i in range(lo, lo + 10)]
+    assert got == sorted(want)
+    # the branch sees main-at-fork plus its own staged rows
+    br = _rows(read_snapshot(spark, path, branch="side"))
+    assert [(i, "br") for i in range(900, 905)] == br[-5:]
+    # every surviving version resolves without error (no torn shards)
+    for v in S._version_numbers(path):
+        m = S._load_manifest(path, v)
+        assert sum(len(fs) for fs in m["commits"].values()) >= 2
