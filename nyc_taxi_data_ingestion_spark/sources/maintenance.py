@@ -125,7 +125,10 @@ def run_maintenance(
 
     ``tables`` entries: ``{"path": str, "partition_by": [cols...],
     "expire_on": "partition_day" | None, "snapshot_keep_last": int |
-    None, "snapshot_compact": bool, "rewrite_delete_debt": bool}``.
+    None, "snapshot_compact": bool, "rewrite_delete_debt": bool,
+    "rewrite_manifests_over": int}`` (shard count above which the
+    versioned table's manifest metadata compacts per cycle; default
+    16, ``0``/``None`` disables).
     Versioned tables (``snapshot_keep_last`` set) get an automatic
     merge-on-read delete-debt rewrite each cycle — it commits nothing
     when there is no debt, so it never rotates identical history
@@ -199,21 +202,24 @@ def run_maintenance(
             # triggers, default 16; 0/None disables)
             over = spec.get("rewrite_manifests_over", 16)
             if over:
+                import json as _json
+
                 from nyc_taxi_data_ingestion_spark.sources.snapshots import (
-                    _load_manifest,
+                    _manifest_path,
                     current_version,
                     snapshot_rewrite_manifests,
                 )
 
                 try:
                     head = current_version(path)
-                    n_shards = (
-                        len(
-                            _load_manifest(path, head).get("shards") or []
-                        )
-                        if head is not None
-                        else 0
-                    )
+                    n_shards = 0
+                    if head is not None:
+                        # RAW read: counting descriptors must not pay
+                        # a full shard resolution every cycle
+                        with open(_manifest_path(path, head)) as fh:
+                            n_shards = len(
+                                _json.load(fh).get("shards") or []
+                            )
                     if n_shards > over:
                         row["manifests_rewritten"] = (
                             snapshot_rewrite_manifests(path)

@@ -611,8 +611,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 try:
                     with open(self._cursor_hint_path()) as f:
                         self._last_end = int(_json.load(f)["last_end"])
-                except (OSError, ValueError, KeyError):
-                    pass  # no hint: first run ever, or hint GC'd
+                except (OSError, ValueError, KeyError, TypeError,
+                        AttributeError):
+                    pass  # no/malformed hint: run ungated (advisory)
         if self._max_versions is not None and self._last_end is not None:
             # baseline = the newest window edge this reader has seen
             # (partitions() folds in the true cursor each batch, so the
@@ -778,11 +779,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # MONOTONIC: never move the hint backwards — an
             # out-of-order commit (or an operator's manual replay)
             # must not plant the stale-hint state the inverted-window
-            # guard exists to catch
+            # guard exists to catch. Any malformed shape is ignored:
+            # the hint is advisory admission state and must never be
+            # able to fail a commit.
             with open(hp) as f:
                 if int(_json.load(f).get("last_end", -1)) >= cur:
                     return
-        except (OSError, ValueError):
+        except (OSError, ValueError, TypeError, AttributeError):
             pass
         tmp = hp + f".tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
         try:

@@ -1224,7 +1224,10 @@ def write_audit_publish(
             branch=name,
         )
     except BaseException:
-        snapshot_drop_branch(path, name)
+        import contextlib
+
+        with contextlib.suppress(FileNotFoundError):
+            snapshot_drop_branch(path, name)
         raise
     passed = True
     audit_out: Any
@@ -1244,7 +1247,18 @@ def write_audit_publish(
         try:
             published = snapshot_fast_forward(path, name)
         except BaseException:
-            snapshot_drop_branch(path, name)
+            # drop the ref ONLY when the failure is terminal for this
+            # fork (main diverged: the audit verdict no longer covers
+            # main's state — re-fork and re-stage). A publish that
+            # merely lost version-number CAS races to OTHER branches'
+            # commits is retryable: the staged, audited state is still
+            # publishable, so the ref must survive.
+            import contextlib
+
+            marker = _load_branch_marker(path, name)
+            if current_version(path) != marker.get("base"):
+                with contextlib.suppress(FileNotFoundError):
+                    snapshot_drop_branch(path, name)
             raise
         snapshot_drop_branch(path, name)
     elif drop_branch_on_failure:
@@ -1447,7 +1461,17 @@ def fresh_append_commits(
                 with open(_manifest_path(path, v)) as f:
                     window[v] = json.load(f)
             except FileNotFoundError:
-                continue  # expired under us: head has moved on anyway
+                # expired between the listing and this read: the
+                # vanished manifest might have been the rewrite the
+                # append-only rule exists to catch — fail the poll
+                # loudly (consumers retry or re-sync) rather than
+                # silently span an unvalidated commit
+                raise ValueError(
+                    f"v{v} expired while the incremental window "
+                    f"({from_version}, {to_version}] was being "
+                    f"planned — retry the poll (run expiry and "
+                    f"consumers on separate schedules)"
+                ) from None
     for v, m in window.items():
         # STAGED BRANCH commits share the number sequence but are not
         # main lineage: invisible to consumers until fast-forwarded,

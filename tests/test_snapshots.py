@@ -2432,7 +2432,7 @@ def test_concurrent_appends_race_cleanly_through_sharded_metadata(
                 _frame(spark, lo, lo + 10, f"w{lo}").repartition(2),
                 path,
                 mode="append",
-                max_commit_retries=20,
+                max_commit_retries=64,
             )
         except Exception as exc:  # pragma: no cover - surfaced below
             errs.append(exc)
@@ -2444,7 +2444,7 @@ def test_concurrent_appends_race_cleanly_through_sharded_metadata(
                 path,
                 mode="append",
                 branch="side",
-                max_commit_retries=20,
+                max_commit_retries=64,
             )
         except Exception as exc:  # pragma: no cover - surfaced below
             errs.append(exc)
