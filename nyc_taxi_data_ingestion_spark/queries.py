@@ -10269,8 +10269,10 @@ def q_snapshot_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stats_cols=["o_orderkey"],
             )
         head = S.current_version(path)
-        raw = json.load(open(S._manifest_path(path, head)))
-        prev = json.load(open(S._manifest_path(path, head - 1)))
+        with open(S._manifest_path(path, head)) as fh:
+            raw = json.load(fh)
+        with open(S._manifest_path(path, head - 1)) as fh:
+            prev = json.load(fh)
         names, prev_names = (
             {d["name"] for d in m.get("shards") or []} for m in (raw, prev)
         )
@@ -10281,7 +10283,8 @@ def q_snapshot_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{sorted(prev_names)} -> {sorted(names)}"
             )
         (fresh,) = names - prev_names
-        fresh_body = json.load(open(S._shard_path(path, fresh)))
+        with open(S._shard_path(path, fresh)) as fh:
+            fresh_body = json.load(fh)
         if len(fresh_body["commits"]) != 1:
             raise RuntimeError(
                 f"new shard covers {len(fresh_body['commits'])} commit "
@@ -10433,24 +10436,24 @@ SELECT component, CAST(value AS DOUBLE) AS value FROM (
          COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) FROM lineitem
   UNION ALL
   SELECT 'out_of_range_l_quantity',
-         COUNT(CASE WHEN l_quantity < 0 OR l_quantity > 60 THEN 1 END)
+         COUNT(CASE WHEN l_quantity < 0 OR l_quantity > 30 THEN 1 END)
   FROM lineitem
   UNION ALL
   SELECT 'out_of_range_l_discount',
-         COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.11 THEN 1 END)
+         COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 END)
   FROM lineitem
   UNION ALL
   SELECT 'nulls_l_shipdate',
          COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM lineitem
   UNION ALL
   SELECT 'out_of_band_l_tax',
-         COUNT(CASE WHEN l_tax < 0 OR l_tax > 0.09 THEN 1 END)
+         COUNT(CASE WHEN l_tax < 0 OR l_tax > 0.04 THEN 1 END)
   FROM lineitem
   UNION ALL
-  SELECT 'missing_orderkeys',
+  SELECT 'childless_orderkeys',
          COUNT(*) FROM (
-           SELECT DISTINCT l_orderkey FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           SELECT DISTINCT o_orderkey FROM orders
+           WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
          )
 ) t
 """
@@ -10466,7 +10469,11 @@ def q_dq_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite's observed values (``run_expectations``), and the
     key-integrity reconciliation's distinct-missing count, each
     emitted as an exact integer the DuckDB oracle recomputes
-    independently. The composite weighted score stays in
+    independently. Bounds sit INSIDE the data's range on purpose —
+    every range/expectation counter pins a large NONZERO value, so a
+    counter silently stuck at zero (a when-condition that never
+    fires) hash-mismatches instead of passing; the two null counters
+    pin genuine zeros. The composite weighted score stays in
     ``dq_orchestration`` (rows-only — driver-side scoring); every
     number it is BUILT FROM is certified here."""
     from nyc_taxi_data_ingestion_spark.quality.checks import (
@@ -10484,29 +10491,27 @@ def q_dq_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    shipdate_exp = Expectation("not_null", "l_shipdate")
+    tax_exp = Expectation(
+        "between", "l_tax", min_value=0, max_value=0.04
+    )
     checks = run_checks(
         li,
         [
             NullCheck("l_orderkey"),
             NullCheck("l_quantity"),
-            RangeCheck("l_quantity", 0, 60),
-            RangeCheck("l_discount", 0, 0.11),
+            RangeCheck("l_quantity", 0, 30),
+            RangeCheck("l_discount", 0, 0.05),
         ],
     )["metrics"]
+    # observed values looked up BY NAME (positional unpacking of a
+    # dict would silently swap values if the suite ever reorders)
     exps = {
         r["name"]: r["observed"]
-        for r in run_expectations(
-            li,
-            [
-                Expectation("not_null", "l_shipdate"),
-                Expectation("between", "l_tax", min_value=0,
-                            max_value=0.09),
-            ],
-        )["results"]
+        for r in run_expectations(li, [shipdate_exp, tax_exp])["results"]
     }
-    (ship_obs, tax_obs) = list(exps.values())
     integrity = check_key_integrity(
-        li, orders, ["l_orderkey"], ["o_orderkey"]
+        orders, li, ["o_orderkey"], ["l_orderkey"]
     )
     rows = [
         ("row_count", float(checks["row_count"])),
@@ -10516,9 +10521,9 @@ def q_dq_metrics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
          float(checks["out_of_range_l_quantity"])),
         ("out_of_range_l_discount",
          float(checks["out_of_range_l_discount"])),
-        ("nulls_l_shipdate", float(ship_obs)),
-        ("out_of_band_l_tax", float(tax_obs)),
-        ("missing_orderkeys", float(integrity["missing_count"])),
+        ("nulls_l_shipdate", float(exps[shipdate_exp.name])),
+        ("out_of_band_l_tax", float(exps[tax_exp.name])),
+        ("childless_orderkeys", float(integrity["missing_count"])),
     ]
     return spark.createDataFrame(rows, "component string, value double")
 
@@ -10550,8 +10555,8 @@ def q_lineage_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     an (edge_type, source, target) row pinned against a literal
     oracle. The event LOG (uuids, timestamps) stays rows-only in
     ``lineage_events``; every derivation it certifies is exact here.
-    The source path is normalized to its logical table name so the
-    pin is scale-factor-independent."""
+    Table names are logical literals (not the config's sf-dependent
+    source path), so the pin is scale-factor-independent."""
     from nyc_taxi_data_ingestion_spark.plans.lineage import (
         LineageTracker,
         column_lineage,
@@ -10578,7 +10583,7 @@ def q_lineage_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             source_table="silver.orders",
             target_table=f"gold.{mart['name']}",
         )
-    events = [e for e in tr.events]
+    events = tr.events
     edges += sorted(
         ("TABLE", e["source_table"], e["target_table"]) for e in events
     )
