@@ -128,7 +128,10 @@ def run_maintenance(
     None, "snapshot_compact": bool, "rewrite_delete_debt": bool,
     "rewrite_manifests_over": int}`` (shard count above which the
     versioned table's manifest metadata compacts per cycle; default
-    16, ``0``/``None`` disables).
+    16, ``0``/``None`` disables). An optional ``"ref_retention"``
+    entry (fnmatch pattern → {"max_age_hours": h}) is passed through
+    to ``expire_snapshots`` so abandoned WAP branches / stale tags age
+    out per policy instead of pinning staged snapshots forever.
     Versioned tables (``snapshot_keep_last`` set) get an automatic
     merge-on-read delete-debt rewrite each cycle — it commits nothing
     when there is no debt, so it never rotates identical history
@@ -245,6 +248,7 @@ def run_maintenance(
                     path,
                     keep_last=keep_last,
                     older_than_hours=retention_days * 24,
+                    ref_retention=spec.get("ref_retention"),
                 )
             except Exception as exc:
                 row["snapshot_expire_error"] = str(exc)

@@ -598,15 +598,14 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # streaming-source runner), so in-API gating is impossible
             # and a restart with a deep backlog would pull it ALL in
             # one batch. With .option('streamId', …) set, commit()
-            # persists each completed batch's end version table-side;
-            # reading it back here re-arms the gate from the last
-            # completed batch. Admission-control only — any (start,
-            # end] window Spark actually asks for is still planned
-            # exactly from manifests, so exactly-once is untouched
-            # even if the hint is stale, deleted, or from a rolled-
-            # back checkpoint (a hint behind the cursor yields
-            # end <= start = an empty batch, then partitions() folds
-            # the true cursor in and the gate re-binds).
+            # persists each completed batch's end version table-side
+            # (partitions() also persists on every PLANNED window, so
+            # the hint is at most one in-flight batch behind); reading
+            # it back here re-arms the gate from the last completed
+            # batch. Admission-control only — any (start, end] window
+            # Spark actually asks for is still planned exactly from
+            # manifests, so exactly-once is untouched even if the hint
+            # is stale, deleted, or from a rolled-back checkpoint.
             if self._stream_id is not None:
                 try:
                     with open(self._cursor_hint_path()) as f:
@@ -620,6 +619,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # gate can never walk an offset backwards past the
             # checkpoint — it binds from the SECOND window of a run)
             head = min(head, self._last_end + self._max_versions)
+            # RATCHET: a hint that landed at-or-behind the checkpoint
+            # cursor makes end <= committed offset, so Spark plans NO
+            # batch and partitions() never runs to re-bind the cursor
+            # — without this the gate would return the same stale
+            # value every trigger and the stream would stall forever
+            # while the head advances. Advancing the in-memory edge
+            # each trigger walks a stale hint forward K versions per
+            # trigger until it clears the cursor and batches resume.
+            self._last_end = max(self._last_end, head)
         return {"version": head}
 
     def partitions(self, start: dict, end: dict):
@@ -649,6 +657,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             )
         if ev == sv:
             return []
+        # persist the hint on every PLANNED window (not only commit())
+        # so it can never fall more than one in-flight batch behind the
+        # checkpoint cursor — a crash between Spark's offset-WAL write
+        # and commit() then restarts with hint >= the WAL'd start, and
+        # the inverted-window poison pill below becomes unreachable
+        # short of a hint-write failing AND the process dying mid-batch
+        self._persist_hint(ev)
         # planning + append-only validation SHARED with the batch
         # incremental path (snapshots.fresh_append_commits) — the two
         # consumers can never drift on window semantics
@@ -767,6 +782,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # re-arm maxVersionsPerTrigger (see latestOffset). Atomic
         # replace, last-writer-wins — it is advisory admission state,
         # never a correctness input.
+        self._persist_hint(int(end["version"]))
+
+    def _persist_hint(self, cur: int) -> None:
         if self._stream_id is None:
             return
         import json as _json
@@ -774,7 +792,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         hp = self._cursor_hint_path()
         os.makedirs(os.path.dirname(hp), exist_ok=True)
-        cur = int(end["version"])
         try:
             # MONOTONIC: never move the hint backwards — an
             # out-of-order commit (or an operator's manual replay)

@@ -1135,11 +1135,13 @@ def snapshot_fast_forward(path: str, name: str) -> int:
             with open(_manifest_path(path, v)) as f:
                 raw = json.load(f)
         except FileNotFoundError:
-            # an intermediate staged commit expired (expiry pins only
-            # the branch HEAD and BASE): the publish is still sound —
-            # the head manifest is the complete state — but the
-            # append-only property is no longer provable, so publish
-            # conservatively as a rewrite (consumers re-sync)
+            # an intermediate staged commit expired (expiry pins a
+            # live branch's whole base..head chain, so this only
+            # happens for an expire/branch race or a pre-chain-pin
+            # table): the publish is still sound — the head manifest
+            # is the complete state — but the append-only property is
+            # no longer provable, so publish conservatively as a
+            # rewrite (consumers re-sync)
             appends_only = False
             break
         if raw.get("operation") != "append":
@@ -1199,7 +1201,10 @@ def write_audit_publish(
     ``audit`` is any callable ``(DataFrame) -> result``: a raise, or a
     dict/dataclass result with a falsy ``passed`` attribute/key, is a
     FAILED audit (``quality.orchestrator.validate_table`` satisfies
-    both contracts). Returns {"passed", "published_version" (None on
+    both contracts). FAIL-CLOSED: a dict/object result that carries no
+    ``passed`` verdict at all (a typo'd key, a metrics-only return, a
+    bare ``None``) is also a FAILED audit — a promotion gate must
+    never publish on an ambiguous verdict. Returns {"passed", "published_version" (None on
     failure), "staged_version", "branch", "audit" (the result or the
     exception string)}. On failure the staged branch is KEPT by
     default for debugging (``drop_branch_on_failure=True`` abandons
@@ -1233,12 +1238,20 @@ def write_audit_publish(
     audit_out: Any
     try:
         audit_out = audit(read_snapshot(spark, path, branch=name))
-        verdict = (
-            audit_out.get("passed")
-            if isinstance(audit_out, dict)
-            else getattr(audit_out, "passed", True)
-        )
-        passed = bool(verdict if verdict is not None else True)
+        # FAIL CLOSED: a structured result (dict / object) that lacks
+        # an explicit 'passed' verdict is a FAILED audit — a typo'd
+        # key or a metrics-only return must never silently publish
+        # unaudited data to main. Only bare truthy scalars (True, a
+        # non-empty summary string) pass-through as an affirmative.
+        if isinstance(audit_out, dict):
+            verdict = audit_out.get("passed")
+        elif hasattr(audit_out, "__dict__") or hasattr(
+            audit_out, "__slots__"
+        ):
+            verdict = getattr(audit_out, "passed", None)
+        else:
+            verdict = audit_out
+        passed = bool(verdict)
     except Exception as exc:
         passed = False
         audit_out = f"{type(exc).__name__}: {exc}"
@@ -3426,6 +3439,7 @@ def expire_snapshots(
     older_than_hours: float | None = None,
     orphan_grace_hours: float = 24.0,
     dry_run: bool = False,
+    ref_retention: dict[str, dict[str, float]] | None = None,
 ) -> dict[str, Any]:
     """Drop snapshot manifests past the retention point and
     garbage-collect data files nothing references — the reference's
@@ -3452,6 +3466,18 @@ def expire_snapshots(
     anything (Iceberg's expire_snapshots/remove_orphan_files dry-run):
     the operator sees exactly which versions, commit dirs, and staging
     files the real run would reclaim before committing to it.
+
+    ``ref_retention`` is PER-REF retention policy — Iceberg's
+    per-branch/tag ``max-snapshot-age-ms`` (ref properties, spec §
+    table metadata ``refs``): a mapping of fnmatch patterns over ref
+    names to ``{"max_age_hours": h}``. A branch whose last activity
+    (newest branch commit, else its fork time) — or a tag whose pin
+    time — is older than its matched policy has its REF DROPPED by
+    this run (first matching pattern wins; refs matching no pattern
+    are retained unconditionally, the default). The freed versions
+    then resume normal retention in the SAME sweep, so an abandoned
+    failed-audit WAP branch stops pinning staged snapshots forever.
+    ``dry_run`` reports would-be-dropped refs without dropping.
     """
     keep_last = max(1, keep_last)
     grace_ts = time.time() - orphan_grace_hours * 3600
@@ -3466,6 +3492,7 @@ def expire_snapshots(
         # anyway, and keep the result shape identical to the main path
         return {
             "expired_versions": [],
+            "expired_refs": [],
             "removed_commit_dirs": [],
             "removed_manifest_shards": [],
             "removed_staging_files": _sweep_staging(
@@ -3477,6 +3504,71 @@ def expire_snapshots(
         if older_than_hours is not None
         else None
     )
+    ts_by_version = {s["version"]: s["timestamp"] for s in snaps}
+    live_branches = list_branches(path)
+    live_tags = list_tags(path)
+    # per-ref retention (Iceberg ref-level max-snapshot-age): drop
+    # refs whose policy says they aged out BEFORE computing survivors,
+    # so the versions they pinned resume normal retention this sweep
+    expired_refs: list[str] = []
+    if ref_retention:
+        import fnmatch as _fnmatch
+
+        now = time.time()
+
+        def _policy_for(name: str) -> dict[str, float] | None:
+            for pat, pol in ref_retention.items():
+                if _fnmatch.fnmatchcase(name, pat):
+                    return pol
+            return None
+
+        for name, info in list(live_branches.items()):
+            pol = _policy_for(name)
+            max_age = (pol or {}).get("max_age_hours")
+            if max_age is None:
+                continue
+            # last activity = newest branch commit; a commit-less
+            # branch ages from its fork time (the marker timestamp),
+            # never from its (possibly ancient) main base's age
+            head = info.get("head")
+            last = ts_by_version.get(head, None) if (
+                head is not None and head != info.get("base")
+            ) else None
+            if last is None:
+                try:
+                    last = _load_branch_marker(path, name).get(
+                        "timestamp", 0.0
+                    )
+                except FileNotFoundError:
+                    continue  # dropped by a racer: nothing to age out
+            if now - (last or 0.0) > max_age * 3600:
+                expired_refs.append(f"branch:{name}")
+                if not dry_run:
+                    try:
+                        snapshot_drop_branch(path, name)
+                    except FileNotFoundError:
+                        pass  # racer already dropped it
+                # dropped either way for the survivor computation, so
+                # the dry-run report matches what a real run would do
+                del live_branches[name]
+        for name, pinned in list(live_tags.items()):
+            pol = _policy_for(name)
+            max_age = (pol or {}).get("max_age_hours")
+            if max_age is None:
+                continue
+            try:
+                with open(_tag_path(path, name)) as f:
+                    pin_ts = json.load(f).get("timestamp", 0.0)
+            except (OSError, ValueError):
+                continue
+            if now - pin_ts > max_age * 3600:
+                expired_refs.append(f"tag:{name}")
+                if not dry_run:
+                    try:
+                        snapshot_untag(path, name)
+                    except FileNotFoundError:
+                        pass
+                del live_tags[name]
     # keep_last counts MAIN versions: staged branch commits share the
     # number sequence but not the retention ladder (their pin is the
     # branch ref below)
@@ -3487,15 +3579,26 @@ def expire_snapshots(
     # tagged versions are PINNED (Iceberg ref retention): an audit/
     # compliance tag holds its snapshot — and the commit dirs it
     # references — out of every retention policy until untagged
-    tagged = set(list_tags(path).values())
+    tagged = set(live_tags.values())
     survivors |= {s["version"] for s in snaps if s["version"] in tagged}
-    # branch refs pin their HEAD (the state a fast-forward would
-    # publish) and their BASE (the fork point the publish CAS checks);
-    # intermediate staged commits age out like any old version
-    for info in list_branches(path).values():
-        for v in (info.get("head"), info.get("base")):
-            if v is not None:
-                survivors.add(v)
+    # branch refs pin their whole base..head PARENT CHAIN, not just
+    # the endpoints: intermediate staged commits are what lets
+    # snapshot_fast_forward prove appends_only at publish (and what
+    # version/time-travel reads of the branch resolve), so routine
+    # maintenance expiring a seconds-old mid-branch commit would
+    # silently degrade every publish to a rewrite
+    parents = {s["version"]: s.get("parent") for s in snaps}
+    for info in live_branches.values():
+        base, v = info.get("base"), info.get("head")
+        hops = 0
+        while v is not None and hops <= len(parents):
+            survivors.add(v)
+            if v == base:
+                break
+            v = parents.get(v)
+            hops += 1
+        if base is not None:
+            survivors.add(base)
     expired = [s for s in snaps if s["version"] not in survivors]
     if not dry_run:
         for s in expired:
@@ -3565,6 +3668,7 @@ def expire_snapshots(
             removed_shards.append(name)
     return {
         "expired_versions": [s["version"] for s in expired],
+        "expired_refs": expired_refs,
         "removed_commit_dirs": removed_dirs,
         "removed_manifest_shards": removed_shards,
         "removed_staging_files": _sweep_staging(

@@ -1491,6 +1491,66 @@ def test_stream_restart_rate_limit_binds_from_persisted_cursor(
     assert r4.latestOffset() == {"version": 11}
 
 
+def test_stream_gate_ratchet_unsticks_stale_hint(spark, tmp_path):
+    """ADVICE r10 (high): a persisted hint landing the gated end
+    exactly AT the checkpoint cursor made latestOffset return the
+    committed offset every trigger — Spark plans no batch, so
+    partitions() never runs to re-bind the cursor, and the stream
+    silently stalls forever while the head advances. The gate now
+    RATCHETS its in-memory edge each trigger, so a stale hint walks
+    forward K versions per trigger until batches resume; and
+    partitions() persists the hint on every PLANNED window (not just
+    commit()), so a crash between Spark's offset-WAL write and
+    commit() leaves the hint at most one in-flight batch behind."""
+    import json as _json
+    import os as _os
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "a")
+    snapshot_write(spark.range(0, 10), src)
+    for i in range(10):
+        snapshot_write(
+            spark.range(10 * (i + 1), 10 * (i + 2)), src, mode="append"
+        )
+    # head = 11. Steady-state drain crashed between Spark's batch
+    # commit (checkpoint cursor = 6) and the hint write (hint = 4,
+    # exactly one K=2 batch behind) — the stall scenario.
+    r = SnapshotStreamReader(
+        src, None, max_versions_per_trigger=2, stream_id="stall-1"
+    )
+    hp = r._cursor_hint_path()
+    _os.makedirs(_os.path.dirname(hp), exist_ok=True)
+    with open(hp, "w") as f:
+        _json.dump({"last_end": 4}, f)
+    # trigger 1: end == committed offset → Spark plans NO batch and
+    # partitions() is never called. Pre-fix this repeated forever.
+    assert r.latestOffset() == {"version": 6}
+    # trigger 2: the ratchet advanced the edge; batches resume
+    assert r.latestOffset() == {"version": 8}
+    assert r.partitions({"version": 6}, {"version": 8})
+    # planned-window persistence: hint is current BEFORE commit()
+    with open(hp) as f:
+        assert _json.load(f)["last_end"] == 8
+    # drains to head in K-sized windows from here
+    assert r.latestOffset() == {"version": 10}
+    assert r.partitions({"version": 8}, {"version": 10})
+    assert r.latestOffset() == {"version": 11}
+
+    # a restart right now (commit() never ran) re-arms from the
+    # planned-window hint — no inverted window, no stall
+    r2 = SnapshotStreamReader(
+        src, None, max_versions_per_trigger=2, stream_id="stall-1"
+    )
+    assert r2.latestOffset() == {"version": 11}  # 10 ratcheted to 11
+    assert r2.partitions({"version": 10}, {"version": 11})
+
+
 def test_format_writer_stages_on_branch(spark, tmp_path):
     """The format batch writer's .option('branch', …) stages its commit
     on a WAP branch: main reads stay bit-identical until

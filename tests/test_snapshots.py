@@ -2242,6 +2242,17 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
         (i, "a") for i in range(10)
     ] + [(100, "b"), (101, "b")]
 
+    # FAIL-CLOSED: a structured result with no 'passed' verdict at all
+    # (typo'd key / metrics-only dict / None return) must NOT publish
+    for ambiguous in (lambda df: {"pased": True, "rows": df.count()},
+                      lambda df: {"rows_checked": 2},
+                      lambda df: None):
+        repx = S.write_audit_publish(
+            spark, good, path, ambiguous, drop_branch_on_failure=True
+        )
+        assert not repx["passed"] and repx["published_version"] is None
+    assert S.list_branches(path) == {}
+
     # a raising audit is a failed audit, not a crash of the caller
     def exploding(df):
         raise RuntimeError("boom")
@@ -2280,6 +2291,102 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
     S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
     staged = _rows(read_snapshot(spark, path, branch="keep"))
     assert {(i, "z") for i in range(500, 502)} <= set(staged)
+
+
+def test_expire_pins_branch_chain_and_ages_refs_per_policy(
+    spark, tmp_path
+):
+    """r10 verdict items: (a) expiry pins a live branch's WHOLE
+    base..head parent chain — a routine maintenance sweep must not
+    expire a seconds-old mid-branch commit, or snapshot_fast_forward
+    loses appends_only provability and time-travel reads of
+    intermediate branch states break; (b) per-ref retention
+    (Iceberg's ref-level max-snapshot-age): an abandoned failed-audit
+    WAP branch ages out under ``ref_retention`` policy while a fresh
+    one survives, and its freed versions resume normal retention in
+    the SAME sweep."""
+    import json as _json
+    import time as _time
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 5, "a"), path)  # v1 (main)
+    S.snapshot_branch(path, "wap-x")
+    for lo in (10, 20, 30):  # v2, v3, v4 staged on the branch
+        snapshot_write(
+            _frame(spark, lo, lo + 2, "s"), path, mode="append",
+            branch="wap-x",
+        )
+    # (a) routine maintenance: mid-branch v2/v3 survive the sweep
+    rep = S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
+    assert not set(rep["expired_versions"]) & {2, 3, 4}
+    # intermediate branch states still time-travel
+    assert len(_rows(read_snapshot(spark, path, version=3))) == 5 + 4
+    # and the publish still proves appends_only across maintenance
+    pub = S.snapshot_fast_forward(path, "wap-x")
+    with open(S._manifest_path(path, pub)) as f:
+        m = _json.load(f)
+    assert m["operation"] == "fast-forward" and m["appends_only"] is True
+    S.snapshot_drop_branch(path, "wap-x")
+
+    # (b) per-ref retention: stage two WAP branches + two tags, then
+    # backdate one of each ten days
+    S.snapshot_branch(path, "wap-dead")
+    snapshot_write(_frame(spark, 40, 42, "d"), path, mode="append",
+                   branch="wap-dead")
+    dead_head = S.list_branches(path)["wap-dead"]["head"]
+    S.snapshot_branch(path, "wap-live")
+    snapshot_write(_frame(spark, 50, 52, "l"), path, mode="append",
+                   branch="wap-live")
+    S.snapshot_tag(path, "audit-dead")
+    S.snapshot_tag(path, "audit-live")
+    old = _time.time() - 10 * 24 * 3600
+    for fp in (S._manifest_path(path, dead_head),
+               S._branch_marker_path(path, "wap-dead"),
+               S._tag_path(path, "audit-dead")):
+        with open(fp) as f:
+            doc = _json.load(f)
+        doc["timestamp"] = old
+        with open(fp, "w") as f:
+            _json.dump(doc, f)
+
+    # dry_run names the would-be-dropped refs without dropping
+    dry = S.expire_snapshots(
+        path, keep_last=1, orphan_grace_hours=0.0, dry_run=True,
+        ref_retention={"wap-*": {"max_age_hours": 24.0},
+                       "audit-*": {"max_age_hours": 24.0}},
+    )
+    assert sorted(dry["expired_refs"]) == [
+        "branch:wap-dead", "tag:audit-dead",
+    ]
+    assert "wap-dead" in S.list_branches(path)
+    assert "audit-dead" in S.list_tags(path)
+
+    rep2 = S.expire_snapshots(
+        path, keep_last=1, orphan_grace_hours=0.0,
+        ref_retention={"wap-*": {"max_age_hours": 24.0},
+                       "audit-*": {"max_age_hours": 24.0}},
+    )
+    assert sorted(rep2["expired_refs"]) == [
+        "branch:wap-dead", "tag:audit-dead",
+    ]
+    # the dropped branch's staged version was freed in the SAME sweep
+    assert dead_head in rep2["expired_versions"]
+    assert "wap-dead" not in S.list_branches(path)
+    assert "audit-dead" not in S.list_tags(path)
+    # the fresh branch/tag survive, staged rows intact
+    assert "wap-live" in S.list_branches(path)
+    assert "audit-live" in S.list_tags(path)
+    live = _rows(read_snapshot(spark, path, branch="wap-live"))
+    assert {(50, "l"), (51, "l")} <= set(live)
+    # refs matching NO pattern are retained unconditionally
+    rep3 = S.expire_snapshots(
+        path, keep_last=1, orphan_grace_hours=0.0,
+        ref_retention={"other-*": {"max_age_hours": 0.0}},
+    )
+    assert rep3["expired_refs"] == []
+    assert "wap-live" in S.list_branches(path)
 
 
 def test_rewrite_data_files_migrates_partition_spec_incrementally(
