@@ -10168,6 +10168,130 @@ def q_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_SHARD_SKIP_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_orderkey) AS mn,
+         (MAX(o_orderkey) - MIN(o_orderkey)) // 6 + 1 AS w
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+         AS total_price
+FROM orders, b
+WHERE o_orderkey >= mn + 3 * w AND o_orderkey <= mn + 4 * w - 1
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_shard_skip", _SNAPSHOT_SHARD_SKIP_ORACLE,
+    tags=["S14", "§1.1"],
+)
+def q_snapshot_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/§1.1 — SHARD-LEVEL pruning on the read-planning path (r10
+    verdict item 1, the last O(table) step): shard descriptors carry
+    per-column bound hulls (Iceberg's manifest-list partition
+    summaries, ``iceberg_maintenance.py:97-174`` presumes them;
+    pruning claims ``docs/PERFORMANCE_OPTIMIZATION.md:424-440``), and
+    a selective scan LOADS only the shards whose hulls survive its
+    predicates — planning metadata is O(surviving shards), never
+    O(all files). Six range-disjoint commits are compacted into six
+    single-range shards (``rewrite_manifests`` rebuilds descriptors
+    with hulls); the in-query gates then require the bucket-3 scan to
+    (a) skip ≥4 of the 6 shards in the plan audit, (b) provably not
+    READ the skipped shard files (a load counter over
+    ``_resolve_manifest``), and (c) return rows that hash-match the
+    DuckDB oracle computing the same key range directly — data
+    skipping changed what was LOADED, never what the query returns.
+    At 800k files this is the difference between parsing the whole
+    file inventory driver-side per read and parsing one shard."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    mn, mx = base.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    mn, mx = int(mn), int(mx)
+    w = (mx - mn) // 6 + 1
+    path = tempfile.mkdtemp(prefix="spark_graft_shardskip_")
+    inline_max = S._SHARD_INLINE_MAX
+    try:
+        # 6 range-disjoint commits x 18 files; the lowered inline
+        # threshold shards every commit immediately, so the head's
+        # manifest list is six single-range shards with disjoint
+        # hulls — the 800k-file layout in miniature (restored below)
+        S._SHARD_INLINE_MAX = 17
+        for i in range(6):
+            S.snapshot_write(
+                base.where(
+                    (F.col("o_orderkey") >= mn + i * w)
+                    & (F.col("o_orderkey") <= mn + (i + 1) * w - 1)
+                ).repartition(18),
+                path,
+                mode="append" if i else "overwrite",
+                stats_cols=["o_orderkey"],
+            )
+        lo, hi = mn + 3 * w, mn + 4 * w - 1
+        st = S.scan_prune_stats(path, "o_orderkey", lower=lo, upper=hi)
+        # real exceptions, not asserts (python -O strips asserts)
+        if st["total_shards"] != 6 or st["skipped_shards"] < 4:
+            raise RuntimeError(
+                f"shard skipping ineffective for [{lo}, {hi}]: {st}"
+            )
+        # load-counter proof: planning READS only surviving shards
+        plan: dict = {}
+        import builtins
+
+        opened: list[str] = []
+        real_open = builtins.open
+
+        def counting_open(p, *a, **k):
+            if isinstance(p, str) and f"{S._SHARDS_DIR}/" in p.replace(
+                "\\", "/"
+            ):
+                opened.append(p)
+            return real_open(p, *a, **k)
+
+        builtins.open = counting_open
+        try:
+            S._load_manifest(
+                path,
+                S.current_version(path),
+                prune=[("o_orderkey", lo, hi)],
+                plan_out=plan,
+            )
+        finally:
+            builtins.open = real_open
+        if len(opened) != plan["loaded_shards"] or plan[
+            "skipped_files"
+        ] < 4 * 18:
+            raise RuntimeError(
+                f"planning read {len(opened)} shard files but claimed "
+                f"{plan}"
+            )
+        return (
+            S.scan_snapshot(spark, path, "o_orderkey", lower=lo, upper=hi)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        S._SHARD_INLINE_MAX = inline_max
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _CHUNK_WINDOWS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id,

@@ -1051,6 +1051,23 @@ class SnapshotBatchReader(DataSourceReader):
             if self._arrow_schema is not None
             else {}
         )
+        # LAZY shard resolution (r11): the reader receives the RAW
+        # manifest and resolves here, AFTER pushFilters — so the
+        # accumulated per-column hulls skip whole manifest shards via
+        # their descriptor summaries (never read off disk), and a
+        # selective filtered read plans from O(surviving shards) of
+        # metadata. A pre-resolved manifest (engine paths, tests)
+        # passes through untouched; stats/deletes/schema-log handling
+        # below is unchanged either way.
+        prune = [
+            (c, self._lo.get(c), self._hi.get(c))
+            for c in set(self._lo) | set(self._hi)
+        ]
+        self._shard_plan: dict = {}
+        self._manifest = _S._resolve_manifest(
+            self._path, self._manifest, prune=prune,
+            plan_out=self._shard_plan,
+        )
         stats = self._manifest.get("stats") or {}
         # merge-on-read: ship the version's delete parquet list with
         # every partition; each task loads positions for its own file.
@@ -1187,10 +1204,13 @@ class SnapshotDataSource(DataSource):
             tag,
             self.options.get("branch"),
         )
-        m = _S._load_manifest(path, v)
-        # resolve once per read — schema() and reader() must see the
-        # SAME pinned manifest even if a commit lands between the two
-        # calls
+        m = _S._load_manifest_raw(path, v)
+        # pin the RAW manifest once per read — schema() and reader()
+        # must see the SAME version even if a commit lands between the
+        # two calls. Resolution is deferred: schema() resolves a COPY
+        # (it needs one footer per commit), while the reader resolves
+        # in partitions() AFTER pushFilters so shard descriptors can
+        # be skipped wholesale (r11 shard-level pruning).
         self._resolved = (path, m)
         return self._resolved
 
@@ -1198,7 +1218,14 @@ class SnapshotDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path, m = self._manifest()
-        return from_arrow_schema(_table_arrow_schema(path, m))
+        resolved = getattr(self, "_schema_resolved", None)
+        if resolved is None:
+            # dict copy: _resolve_manifest materializes in place, and
+            # the reader's raw manifest must STAY raw for lazy pruning
+            resolved = self._schema_resolved = _S._resolve_manifest(
+                path, dict(m)
+            )
+        return from_arrow_schema(_table_arrow_schema(path, resolved))
 
     def reader(self, schema) -> DataSourceReader:
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -101,21 +101,70 @@ def _shard_path(path: str, name: str) -> str:
     return os.path.join(_snap_root(path), _SHARDS_DIR, name)
 
 
-def _resolve_manifest(path: str, manifest: dict) -> dict:
+def _shard_skippable(d: dict, prune) -> bool:
+    """True iff descriptor ``d``'s recorded column hulls prove EVERY
+    file in the shard empty for some range conjunct in ``prune`` —
+    the manifest-list partition-summary skip (Iceberg's per-manifest
+    ``partitions`` field). Hulls only record columns every covered
+    file has sound bounds for (see :func:`_shard_hulls`), so the
+    per-side test through :func:`bounds_exclude` is exactly as
+    conservative as the per-file rule it fronts. Descriptors without
+    hulls (pre-r11), with delete coverage (their vectors must apply
+    to OTHER shards' surviving files), or with no file count always
+    load."""
+    if d.get("deletes") or not d.get("hulls") or d.get("n_files") is None:
+        return False
+    hulls = d["hulls"]
+    return any(
+        bounds_exclude(hulls.get(col), lo, hi) for col, lo, hi in prune
+    )
+
+
+def _resolve_manifest(
+    path: str, manifest: dict, prune=None, plan_out: dict | None = None
+) -> dict:
     """Materialize a SHARDED manifest's file-level state in place: load
     each referenced shard and merge its commits/stats/deletes, so every
     downstream consumer sees the exact dict shape inline (v1) manifests
     always had — readers, DML, maintenance, and tests are
     shard-agnostic by construction. The ``shards`` descriptor list is
     KEPT on the dict so the next commit can reuse unchanged shards.
-    Inline manifests pass through untouched."""
+    Inline manifests (and already-resolved dicts) pass through
+    untouched.
+
+    ``prune`` (a list of ``(col, lo, hi)`` range conjuncts) enables
+    SHARD-LEVEL skipping for scan planning: shards whose descriptor
+    hulls prove every file empty are never read off disk, so a
+    selective scan's planning cost is O(surviving shards), not
+    O(table) — Iceberg's manifest-list partition summaries. The
+    result is a PRUNED VIEW (marked ``_pruned``): it must never seed
+    a commit's shard reuse (:func:`_commit_manifest_any` refuses).
+    Skipping disables itself under a schema log (predicates arrive in
+    logical names, hulls are recorded in write-time physical names).
+    ``plan_out`` (optional dict) receives {total_shards,
+    loaded_shards, skipped_shards, skipped_files} either way."""
     shards = manifest.get("shards")
-    if shards is None:
+    if shards is None or "commits" in manifest:
         return manifest
+    do_prune = bool(prune) and not manifest.get("schema_log")
     commits: dict[str, list] = {}
     stats: dict[str, dict] = {}
     deletes: dict[str, list] = {}
-    for d in shards:
+    to_load = list(shards)
+    skipped_descs: list[dict] = []
+    if do_prune:
+        to_load = []
+        for d in shards:
+            (skipped_descs if _shard_skippable(d, prune) else to_load
+             ).append(d)
+        if skipped_descs and not any(d.get("commits") for d in to_load):
+            # every data-bearing shard proven empty: keep one so
+            # downstream planning still has a schema-carrying file
+            # list (its files all prune at the per-file stage anyway)
+            to_load.append(skipped_descs.pop())
+    skipped = len(skipped_descs)
+    skipped_files = sum(d["n_files"] for d in skipped_descs)
+    for d in to_load:
         sp = _shard_path(path, d["name"])
         try:
             with open(sp) as f:
@@ -134,6 +183,15 @@ def _resolve_manifest(path: str, manifest: dict) -> dict:
         manifest["stats"] = stats
     if deletes:
         manifest["deletes"] = deletes
+    if skipped:
+        manifest["_pruned"] = True
+    if plan_out is not None:
+        plan_out.update(
+            total_shards=len(shards),
+            loaded_shards=len(shards) - skipped,
+            skipped_shards=skipped,
+            skipped_files=skipped_files,
+        )
     return manifest
 
 
@@ -159,6 +217,73 @@ def _manifest_refs(raw: dict) -> tuple[set, set, set]:
     return c, d, names
 
 
+def _shard_hulls(
+    commits: dict[str, list], stats: dict[str, dict]
+) -> dict[str, list]:
+    """Per-column [min-of-mins, max-of-maxes] over a shard's files —
+    the manifest-list partition/column summary that lets scan planning
+    skip the whole shard without reading it. SOUNDNESS: a column
+    enters the hull only when EVERY file in the shard has a recorded
+    stats entry for it (a stat-less file can never be pruned, so its
+    shard can never be skipped on that column); an all-NULL entry
+    counts as covered on both sides (any range conjunct excludes it
+    outright); a file missing one side (NaN-voided float upper bound)
+    voids that hull side; a NaN bound voids its side (NaN compares
+    false against everything, so it can't witness a hull edge);
+    incomparable mixed types drop the column. Either hull side may be
+    None — :func:`bounds_exclude` tests sides independently."""
+    total = sum(len(fs) for fs in commits.values())
+    if not total or not stats:
+        return {}
+    covered: dict[str, int] = {}
+    lo_acc: dict[str, Any] = {}
+    hi_acc: dict[str, Any] = {}
+    voided_lo: set[str] = set()
+    voided_hi: set[str] = set()
+    dead: set[str] = set()
+
+    def _nan(v) -> bool:
+        return isinstance(v, float) and v != v
+
+    for rel, files in commits.items():
+        rstats = stats.get(rel) or {}
+        for f in files:
+            for col, entry in (rstats.get(f) or {}).items():
+                if col in dead or entry is None:
+                    continue
+                covered[col] = covered.get(col, 0) + 1
+                if (
+                    len(entry) >= 4
+                    and entry[2] is not None
+                    and entry[3]
+                    and entry[2] == entry[3]
+                ):
+                    continue  # all-NULL: excluded by any range, no hull
+                lo, hi = entry[0], entry[1]
+                try:
+                    if lo is None or _nan(lo):
+                        voided_lo.add(col)
+                    elif col not in voided_lo:
+                        cur = lo_acc.get(col)
+                        lo_acc[col] = lo if cur is None else min(cur, lo)
+                    if hi is None or _nan(hi):
+                        voided_hi.add(col)
+                    elif col not in voided_hi:
+                        cur = hi_acc.get(col)
+                        hi_acc[col] = hi if cur is None else max(cur, hi)
+                except TypeError:
+                    dead.add(col)  # mixed incomparable types: no hull
+    out: dict[str, list] = {}
+    for col, n in covered.items():
+        if n != total or col in dead:
+            continue
+        lo = None if col in voided_lo else lo_acc.get(col)
+        hi = None if col in voided_hi else hi_acc.get(col)
+        if lo is not None or hi is not None:
+            out[col] = [lo, hi]
+    return out
+
+
 def _write_shard(
     path: str,
     commits: dict[str, list],
@@ -169,9 +294,11 @@ def _write_shard(
     of canonical body): a commit retry or a racing writer landing the
     identical state maps to the same file, so lost CAS races never
     orphan per-attempt shards and the write is idempotent. Returns the
-    manifest-list descriptor — name plus the covered commit/delete
-    dirs, which is all the next commit needs to decide reuse without
-    re-reading shard contents."""
+    manifest-list descriptor — name, the covered commit/delete dirs,
+    the file count, and per-column bound HULLS (r11: the Iceberg
+    manifest-list partition summary, :func:`_shard_hulls`) — all the
+    next commit needs to decide reuse, and all scan planning needs to
+    SKIP the shard, without re-reading shard contents."""
     import hashlib
 
     body: dict[str, Any] = {"commits": commits}
@@ -187,11 +314,16 @@ def _write_shard(
         # content-addressed: a False return means identical content
         # already landed — exactly what we wanted
         _atomic_link_new(sp, blob)
-    return {
+    desc = {
         "name": name,
         "commits": sorted(commits),
         "deletes": sorted(deletes),
+        "n_files": sum(len(fs) for fs in commits.values()),
     }
+    hulls = _shard_hulls(commits, stats)
+    if hulls:
+        desc["hulls"] = hulls
+    return desc
 
 
 def _commit_manifest_any(
@@ -207,6 +339,16 @@ def _commit_manifest_any(
     the residual (typically: this commit's own files) becomes one new
     shard. That makes an append's metadata write O(the commit): the
     very property Iceberg's manifest list exists for."""
+    if manifest.get("_pruned") or (reuse_base or {}).get("_pruned"):
+        # a shard-PRUNED view is a partial file inventory: committing
+        # from it would silently drop every skipped shard's files —
+        # table truncation. Scan planning and commits must never share
+        # a manifest object.
+        raise ValueError(
+            "refusing to commit from a shard-pruned manifest view "
+            "(loaded with prune=…): reload the version without "
+            "predicates before writing"
+        )
     commits = manifest.get("commits") or {}
     stats = manifest.get("stats") or {}
     deletes = manifest.get("deletes") or {}
@@ -329,7 +471,10 @@ def current_version(path: str) -> int | None:
     return None
 
 
-def _load_manifest(path: str, version: int) -> dict[str, Any]:
+def _load_manifest_raw(path: str, version: int) -> dict[str, Any]:
+    """The version's manifest as committed — shards unresolved (for
+    consumers that defer or prune resolution), with the shared
+    missing-version error."""
     mp = _manifest_path(path, version)
     if not os.path.isfile(mp):
         have = _version_numbers(path)
@@ -338,7 +483,19 @@ def _load_manifest(path: str, version: int) -> dict[str, Any]:
             f"expired or never committed"
         )
     with open(mp) as f:
-        return _resolve_manifest(path, json.load(f))
+        return json.load(f)
+
+
+def _load_manifest(
+    path: str,
+    version: int,
+    prune=None,
+    plan_out: dict | None = None,
+) -> dict[str, Any]:
+    return _resolve_manifest(
+        path, _load_manifest_raw(path, version), prune=prune,
+        plan_out=plan_out,
+    )
 
 
 def _collect_file_stats(
@@ -1643,7 +1800,11 @@ def scan_snapshot(
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
     version = _resolve_version(path, version, as_of_timestamp, tag, branch)
-    manifest = _load_manifest(path, version)
+    # shard-level skip first (manifest-list hulls): a selective scan
+    # over a many-shard table plans from O(surviving shards) of
+    # metadata, never O(table) — the per-file rule below then prunes
+    # within the shards that did load
+    manifest = _load_manifest(path, version, prune=preds)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")
     pruned: dict[str, list[str]] = {}
@@ -1715,10 +1876,14 @@ def scan_prune_stats(
     preds = _norm_scan_predicates(column, lower, upper, predicates, not_null)
     nn = list(not_null or [])
     version = _resolve_version(path, version, as_of_timestamp, tag, branch)
-    manifest = _load_manifest(path, version)
+    plan: dict[str, int] = {}
+    manifest = _load_manifest(path, version, prune=preds, plan_out=plan)
     stats = manifest.get("stats") or {}
     schema_log = manifest.get("schema_log")
-    total = pruned_n = 0
+    # shard-skipped files were proven empty from descriptor hulls
+    # without loading their shards: counted as pruned, exactly what
+    # scan_snapshot's plan does
+    total = pruned_n = plan.get("skipped_files", 0)
     for commit_rel, files in manifest["commits"].items():
         cstats = stats.get(commit_rel) or {}
         cpreds = _translate_pred_conjuncts(schema_log, commit_rel, preds)
@@ -1733,6 +1898,9 @@ def scan_prune_stats(
         "total_files": total,
         "pruned_files": pruned_n,
         "kept_files": total - pruned_n,
+        "total_shards": plan.get("total_shards", 0),
+        "loaded_shards": plan.get("loaded_shards", 0),
+        "skipped_shards": plan.get("skipped_shards", 0),
     }
 
 

@@ -2060,6 +2060,129 @@ def test_manifest_shards_commit_metadata_is_o_commit(
     assert st["pruned_files"] >= 10
 
 
+def test_shard_hulls_skip_whole_shards_at_scan_planning(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict item 1 — the last O(table) read-planning step:
+    shard descriptors carry per-column bound HULLS (Iceberg's
+    manifest-list partition summaries), and a selective scan loads
+    ONLY the shards whose hulls survive its predicates. Soundness
+    edges: delete-bearing shards always load (their vectors apply to
+    other shards' files), schema-evolved tables disable the skip
+    (logical-vs-physical names), pre-r11 descriptors (no hulls) always
+    load, and a pruned manifest view can never seed a commit."""
+    import json
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_SHARD_INLINE_MAX", 2)
+    path = str(tmp_path / "t")
+    # 8 appends of disjoint id ranges -> >=8 shards, each hulled
+    for i in range(8):
+        S.snapshot_write(
+            _frame(spark, i * 100, i * 100 + 10, f"g{i}").repartition(2),
+            path,
+            mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    raw = json.load(open(S._manifest_path(path, S.current_version(path))))
+    descs = raw["shards"]
+    assert len(descs) >= 7  # first two commits share the first shard
+    for d in descs:
+        assert d["n_files"] >= 2 and "id" in d["hulls"]
+
+    # a selective range loads only surviving shards
+    st = S.scan_prune_stats(path, "id", lower=300, upper=309)
+    assert st["total_shards"] == len(descs)
+    assert st["skipped_shards"] >= len(descs) - 2
+    assert st["loaded_shards"] <= 2
+    # parity: the audit's file accounting still covers the whole table
+    assert st["total_files"] == 16
+    assert st["kept_files"] == 2
+    # and the scan itself returns exactly the right rows
+    got = sorted(
+        r.id for r in S.scan_snapshot(
+            spark, path, "id", lower=300, upper=309
+        ).collect()
+    )
+    assert got == list(range(300, 310))
+    # a scan proving EVERYTHING empty still plans (schema-carrying
+    # shard retained) and returns an empty, correctly-typed frame
+    empty = S.scan_snapshot(spark, path, "id", lower=10_000)
+    assert empty.count() == 0 and "tag" in empty.columns
+
+    # plan bytes ∝ surviving shards: count shard files actually opened
+    import builtins
+
+    opened: list[str] = []
+    real_builtin_open = builtins.open
+
+    def counting_open(p, *a, **k):
+        if isinstance(p, str) and "/shards/" in p:
+            opened.append(p)
+        return real_builtin_open(p, *a, **k)
+
+    try:
+        monkeypatch.setattr(builtins, "open", counting_open)
+        S._load_manifest(
+            path, S.current_version(path), prune=[("id", 300, 309)]
+        )
+    finally:
+        monkeypatch.setattr(builtins, "open", real_builtin_open)
+    assert len(opened) <= 2
+
+    # the format source skips the same shards through pushFilters
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+
+    rdr = SnapshotBatchReader(path, S._load_manifest_raw(
+        path, S.current_version(path)
+    ))
+    rdr.pushFilters([
+        GreaterThanOrEqual(("id",), 300), LessThanOrEqual(("id",), 309),
+    ])
+    parts = [p for p in rdr.partitions() if p.file_abs]
+    assert len(parts) == 2
+    assert rdr._shard_plan["skipped_shards"] >= len(descs) - 2
+
+    # MoR: after a delete, the vector-bearing shard always loads and a
+    # shard-skipping scan of the deleted key's range stays correct
+    from pyspark.sql import functions as F
+
+    S.snapshot_delete_mor(spark, path, F.col("id") == 305)
+    st_after = S.scan_prune_stats(path, "id", lower=300, upper=309)
+    assert st_after["skipped_shards"] >= 1  # other shards still skip
+    got2 = sorted(
+        r.id for r in S.scan_snapshot(
+            spark, path, "id", lower=300, upper=309
+        ).collect()
+    )
+    assert got2 == [i for i in range(300, 310) if i != 305]
+
+    # a pruned view refuses to seed a commit
+    pruned_view = S._load_manifest(
+        path, S.current_version(path), prune=[("id", 300, 309)]
+    )
+    assert pruned_view.get("_pruned") is True
+    with pytest.raises(ValueError, match="shard-pruned"):
+        S._commit_manifest_any(path, 999, dict(pruned_view),
+                               reuse_base=pruned_view)
+
+    # schema evolution disables the skip (conservative load-all)
+    S.snapshot_rename_column(path, "tag", "label")
+    st2 = S.scan_prune_stats(path, "id", lower=300, upper=309)
+    assert st2["skipped_shards"] == 0
+    got3 = sorted(
+        r.id for r in S.scan_snapshot(
+            spark, path, "id", lower=300, upper=309
+        ).collect()
+    )
+    assert got3 == got2  # the MoR-deleted row stays deleted
+
+
 def test_rewrite_manifests_compacts_metadata_reads_equal(
     spark, tmp_path, monkeypatch
 ):
