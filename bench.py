@@ -9,9 +9,10 @@ check does, minus the pandas conversion.
 
 Flags:
   --round N     label the in-repo BENCH_full artifact r{N} explicitly
-                (without it the round is inferred from the newest
-                CORRECTNESS artifact + 1 — an inference a leftover
-                artifact can shift, r7 verdict item 6)
+                (without it the round is the newest CORRECTNESS
+                artifact's round — right for the driver's
+                end-of-round sweep, which runs after that artifact
+                lands; mid-round manual sweeps should pass --round)
   --single NAME internal: measure ONE query in a fresh process and
                 print {"query", "cold", "warm", "unstable", "rows"} —
                 used by the parent sweep to retire unstable_queries
@@ -334,9 +335,12 @@ def main() -> None:
     # the tail of the per-query map survives), so also persist the FULL
     # payload in-repo: round-over-round regressions stay auditable for
     # every query, not just the alphabetic tail. Round label: --round N
-    # wins; otherwise newest CORRECTNESS artifact + 1 (the bench for
-    # round N runs before the driver writes CORRECTNESS_r{N}) — the
-    # inference a stale artifact can shift, hence the flag.
+    # wins; otherwise the newest CORRECTNESS artifact's round — the
+    # driver's end-of-round bench runs AFTER it writes
+    # CORRECTNESS_r{N}, so max(rounds) IS the current round (the old
+    # max+1 inference stamped every end-of-round sweep with the NEXT
+    # round's name — r9/r10 verdict wart). Mid-round manual sweeps
+    # (before the driver's artifact lands) must pass --round N.
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = explicit_round
     try:
@@ -355,7 +359,7 @@ def main() -> None:
                 )
                 if m:
                     rounds.append(int(m.group(1)))
-            rnd = (max(rounds) if rounds else 0) + 1
+            rnd = max(rounds) if rounds else 1
         with open(
             os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w"
         ) as f:

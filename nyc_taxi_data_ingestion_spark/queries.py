@@ -10168,6 +10168,98 @@ def q_price_rank_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_DELETE_EQ_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderpriority = '2-HIGH'
+              THEN CAST(o_totalprice AS DOUBLE) * 2.0
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders
+  WHERE o_orderpriority <> '1-URGENT'
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_delete_eq", _SNAPSHOT_DELETE_EQ_ORACLE, tags=["S15", "M1"]
+)
+def q_snapshot_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/M1 — EQUALITY deletes, Iceberg v2's second delete flavor
+    (r10 verdict item 2; the reference's v2 tables get both flavors
+    from the format, ``ingest_to_iceberg.py`` + maintenance trio):
+    a streaming-CDC delete/upsert commits a KEY LIST with **zero
+    table reads and zero data rewrites** — O(keys) at any table size,
+    where the positional family must scan for (file, pos) targets.
+    The query stages orders in two commits, equality-DELETES every
+    '1-URGENT' key and equality-UPSERTS every '2-HIGH' order (price
+    doubled) — both commits run with the engine's commit-dirs→
+    DataFrame loop POISONED, so any table read during the writes
+    raises — then hash-matches the merged read-back against DuckDB
+    computing the same CASE/filter directly. The sequence rule
+    (applies_to) keeps the upsert's own rows out of its own delete's
+    scope; delete_debt gates that the entries really are pending
+    merge-on-read debt, not a silent rewrite."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_eqdel_")
+    real_union = S._union_commit_frames
+
+    def poisoned(*a, **k):
+        raise RuntimeError(
+            "equality delete/upsert READ the table — the zero-read "
+            "contract is broken"
+        )
+
+    try:
+        S.snapshot_write(base.where(F.col("o_orderkey") % 2 == 0), path)
+        S.snapshot_write(
+            base.where(F.col("o_orderkey") % 2 == 1), path, mode="append"
+        )
+        del_keys = base.where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        upserts = base.where(
+            F.col("o_orderpriority") == "2-HIGH"
+        ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
+        S._union_commit_frames = poisoned
+        try:
+            S.snapshot_delete_eq(spark, path, del_keys)
+            S.snapshot_upsert_eq(spark, path, upserts, ["o_orderkey"])
+        finally:
+            S._union_commit_frames = real_union
+        debt = S.delete_debt(path)
+        # real exceptions, not asserts (python -O strips asserts)
+        if debt["eq_delete_files"] < 2 or debt["eq_deleted_keys"] == 0:
+            raise RuntimeError(
+                f"expected pending equality-delete debt, got {debt}"
+            )
+        return (
+            S.read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        S._union_commit_frames = real_union
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_SHARD_SKIP_ORACLE = """
 WITH b AS (
   SELECT MIN(o_orderkey) AS mn,
@@ -10889,20 +10981,43 @@ _GREEN_R09 = [
     "snapshot_schema_evolution", "snapshot_update_mor", "tpch_q12_sql",
 ]
 
+# Hash-green in CORRECTNESS_r10.json — the full 50-row artifact, so
+# every name here carries an r10-fresh verdict (the freshest tier:
+# leftover prefix budget refreshes OLDER evidence first).
+_GREEN_R10 = [
+    "rare_categories", "null_spike", "moving_avg_band", "dedup_exact",
+    "text_stats", "doc_fingerprints", "lang_id", "embedding_topk",
+    "embedding_near_dup_exact", "blocked_jaccard", "multimodal_meta",
+    "minhash_near_dup_exact", "simhash_near_dup_exact", "pipeline_gold",
+    "pipeline_full", "stream_tumbling_agg", "length_percentile",
+    "token_shards", "group_quantiles", "dedup_clusters",
+    "pipeline_curation", "mad_outliers_grouped", "snapshot_diff",
+    "semantic_dedup_exact", "snapshot_incremental_read",
+    "snapshot_time_travel", "snapshot_schema_evolution",
+    "snapshot_merge_upsert", "snapshot_erase", "snapshot_merge_mor",
+    "snapshot_update_mor", "snapshot_delete_mor",
+    "snapshot_incremental_ingest", "snapshot_cdc", "mart_from_cdc",
+    "snapshot_stream_tail", "snapshot_pruned_scan", "snapshot_null_skip",
+    "snapshot_rewrite_debt", "snapshot_pruned_scan_2d",
+    "snapshot_format_write", "snapshot_format_partitioned_write",
+    "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
+    "snapshot_format_partitioned", "snapshot_manifest_shards",
+    "snapshot_wap", "dq_metrics_exact", "lineage_edges_exact",
+    "global_agg",
+]
+
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r10 rebuilt the
-# snapshot layer's METADATA SPINE — sharded manifests (every manifest
-# load now resolves through _resolve_manifest), branch refs (version
-# numbering moved to the shared global sequence via _next_version, and
-# every default read filters branch manifests), and the shared
-# _resolve_version rewrite the r9 verdict flagged as post-artifact
-# churn — so the ENTIRE snapshot family re-earns its verdict, plus the
-# 23 stale r5-vintage greens the r9 verdict listed as refresh debt
-# (verdict r9 item 1).
+# re-certifies them against the code as it stands now. r11 churned the
+# snapshot layer again, under every read and commit: shard-level hull
+# pruning (_resolve_manifest/_load_manifest signatures + the skip
+# path), equality deletes (_read_commits/_union_commit_frames tag,
+# commit_staged_files assembly, MoR live-row computation, rewrite /
+# rollback / schema-op carry), the format source's lazy manifest
+# resolution, the stream gate ratchet + branch lineage, and
+# expire/WAP hardening — so the ENTIRE snapshot family re-earns its
+# verdict at r11 HEAD.
 _REFRESH_FIRST: list[str] = [
-    # the whole snapshot family: manifest sharding + branch filtering
-    # sit under every one of these reads and commits
     "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
     "snapshot_schema_evolution", "snapshot_merge_upsert",
     "snapshot_erase", "snapshot_merge_mor", "snapshot_update_mor",
@@ -10912,24 +11027,38 @@ _REFRESH_FIRST: list[str] = [
     "snapshot_rewrite_debt", "snapshot_pruned_scan_2d",
     "snapshot_format_write", "snapshot_format_partitioned_write",
     "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
-    "snapshot_format_partitioned",
-    # r5-vintage stale greens (r9 verdict's refresh-debt list):
-    # re-certify the oldest evidence in the registry
-    "blocked_jaccard", "dedup_clusters", "dedup_exact",
-    "doc_fingerprints", "embedding_near_dup_exact", "embedding_topk",
-    "group_quantiles", "lang_id", "length_percentile",
-    "mad_outliers_grouped", "minhash_near_dup_exact", "moving_avg_band",
-    "multimodal_meta", "null_spike", "pipeline_curation",
-    "pipeline_full", "pipeline_gold", "rare_categories",
-    "semantic_dedup_exact", "simhash_near_dup_exact",
-    "stream_tumbling_agg", "text_stats", "token_shards",
+    "snapshot_format_partitioned", "snapshot_manifest_shards",
+    "snapshot_wap",
+]
+
+# The registry's OLDEST evidence (r10 verdict item 2): queries whose
+# freshest driver hash-match is the r6 artifact — computed from the
+# CORRECTNESS_r01..r10 files directly (the _GREEN_R* lists record
+# FIRST-green rounds, so they under-rank queries later rounds
+# re-certified). These take the prefix slots left after churn-refresh
+# and never-verified, ahead of everything r7+-fresh.
+_STALE_R6 = [
+    "asof_join", "bronze_ingest", "containment_pairs", "edit_near_dup",
+    "gini_concentration", "gopher_filter", "group_sample",
+    "grouping_sets_agg", "line_dedup", "market_basket", "mode_per_group",
+    "multimodal_frames", "pareto_share", "pii_redact",
+    "recursive_month_spine", "repetition_stats", "rfm_segments",
+    "scalar_subquery_agg", "sequence_pack", "span_removal",
+    "sql_model_mart", "stratified_sample", "stream_late_data",
+    "stream_session_windows", "stream_stateful_profile",
+    "token_diversity", "tpch_q10_sql", "tpch_q13_sql", "tpch_q15_sql",
+    "tpch_q17_sql", "tpch_q19_sql", "tpch_q21_sql", "tpch_q22_sql",
+    "tpch_q4_sql", "tpch_q7_sql", "tpch_q8_sql",
+    "trailing_window_revenue", "transition_reachability",
+    "variant_extract_agg", "weighted_median", "window_dedup",
+    "winsorize",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
 _PRIOR_GREEN = (
     _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
-    + _GREEN_R07 + _GREEN_R08 + _GREEN_R09
+    + _GREEN_R07 + _GREEN_R08 + _GREEN_R09 + _GREEN_R10
 )
 
 
@@ -10949,6 +11078,8 @@ def _export_order() -> list[str]:
     tier = {}
     for names, rank in (
         (_REFRESH_FIRST, 0),
+        (_STALE_R6, 1.5),
+        (_GREEN_R10, 9),
         (_GREEN_R09, 8),
         (_GREEN_R08, 7),
         (_GREEN_R07, 6),

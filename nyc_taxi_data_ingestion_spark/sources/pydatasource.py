@@ -179,6 +179,7 @@ class _FilePartition(InputPartition):
         file_rel: str | None = None,
         delete_files: list | None = None,
         schema_ops: list | None = None,
+        eq_deletes: list | None = None,
     ):
         self.file_abs = file_abs
         # Hive-encoded partition values parsed from the file's path
@@ -196,6 +197,12 @@ class _FilePartition(InputPartition):
         # batch before it is conformed — without this the conform step
         # would silently NULL a renamed column's values
         self.schema_ops = schema_ops or []
+        # equality deletes SCOPED to this file's commit dir (the
+        # applies_to sequence rule, resolved at planning): a list of
+        # ([abs key parquet paths], [key cols]) — the task loads each
+        # small key set and masks matching rows, Iceberg v2's second
+        # delete flavor through the format read path
+        self.eq_deletes = eq_deletes or []
 
 
 def _apply_schema_ops(batch, ops: list):
@@ -251,6 +258,52 @@ def _mask_deleted(batch, dels, offset: int):
         return batch
     keep = np.ones(n, dtype=bool)
     keep[dels[lo:hi] - offset] = False
+    return batch.filter(pa.array(keep))
+
+
+def _eq_key_sets(eq_deletes: list) -> list:
+    """Load a partition's scoped equality-delete key files into
+    ``[(cols, key_tuple_set)]`` — executed TASK-side once per data
+    file; key sets are small by the compaction-cadence contract.
+    NULL-safe per the Iceberg spec: to_pylist() yields None for null
+    key fields, and tuple equality treats None == None as a match."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for files, cols in eq_deletes:
+        keys: set = set()
+        for f in files:
+            t = pq.read_table(f, columns=list(cols))
+            keys.update(zip(*(t[c].to_pylist() for c in cols)))
+        if keys:
+            out.append((list(cols), keys))
+    return out
+
+
+def _mask_eq_deleted(batch, key_sets: list):
+    """Drop a batch's rows whose key tuple appears in any equality-
+    delete key set. A batch with no matches passes through untouched
+    (no copy). Key columns a batch lacks entirely read as NULL for
+    every row (schema drift within a table), so the tuple is built
+    with Nones for them — matching the engine path's null-safe join
+    over the unioned-by-name frame."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    keep = None
+    names = set(batch.schema.names)
+    for cols, keys in key_sets:
+        vals = [
+            batch[c].to_pylist() if c in names else [None] * n
+            for c in cols
+        ]
+        hit = [t in keys for t in zip(*vals)]
+        if any(hit):
+            if keep is None:
+                keep = [True] * n
+            keep = [k and not h for k, h in zip(keep, hit)]
+    if keep is None:
+        return batch
     return batch.filter(pa.array(keep))
 
 
@@ -557,13 +610,32 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, arrow_schema=None,
                  starting_version: int = 0,
                  max_versions_per_trigger: int | None = None,
-                 stream_id: str | None = None):
+                 stream_id: str | None = None,
+                 branch: str | None = None):
         self._path = path
         self._arrow_schema = arrow_schema
         self._starting_version = starting_version
         self._max_versions = max_versions_per_trigger
         self._stream_id = stream_id
+        self._branch = branch
         self._last_end: int | None = None  # newest end this reader planned
+
+    def _lineage(self) -> tuple[str | None, int | None]:
+        """(ref, head) of the lineage this stream tails: the branch
+        while its ref lives, MAIN after the branch is published and
+        dropped — an appends_only fast-forward carries the staged
+        dirs onto main, so the window diff across the publish yields
+        exactly the commits this stream has not consumed and tailing
+        survives the promotion (a rewrite publish fails the
+        append-only window rule loudly, as it must)."""
+        if self._branch is not None:
+            try:
+                head = _S._branch_head(self._path, self._branch)
+                if head is not None:
+                    return self._branch, head
+            except FileNotFoundError:
+                pass  # published + dropped (or never existed): main
+        return None, _S.current_version(self._path)
 
     def _cursor_hint_path(self) -> str:
         import hashlib as _hashlib
@@ -590,7 +662,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import json as _json
 
-        head = _S.current_version(self._path) or 0
+        _, head = self._lineage()
+        head = head or 0
         if self._max_versions is not None and self._last_end is None:
             # FIRST window of a run: the python DataSource protocol
             # answers latestOffset before the reader ever learns the
@@ -666,9 +739,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._persist_hint(ev)
         # planning + append-only validation SHARED with the batch
         # incremental path (snapshots.fresh_append_commits) — the two
-        # consumers can never drift on window semantics
+        # consumers can never drift on window semantics. The lineage
+        # is re-resolved per batch: a branch stream keeps validating
+        # against its branch until the ref is dropped (published),
+        # then falls back to main, where the appends_only
+        # fast-forward window admits and the diff yields exactly the
+        # unconsumed dirs.
+        ref, _ = self._lineage()
         try:
-            _, fresh = _S.fresh_append_commits(self._path, sv, ev)
+            _, fresh = _S.fresh_append_commits(self._path, sv, ev, ref=ref)
         except ValueError as exc:
             raise ValueError(
                 f"snapshot_stream: {exc} — restart the stream from a "
@@ -679,6 +758,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # rows); past the bootstrap no vector can exist in the window —
         # fresh_append_commits refuses to tail across a delete op
         delete_files = []
+        eq_entries: list = []
         schema_log = None
         if sv == 0:
             head_m = _S._load_manifest(self._path, ev)
@@ -687,6 +767,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 os.path.join(self._path, drel, df)
                 for drel, dfs in sorted(dels.items())
                 for df in dfs
+            ]
+            # equality deletes apply at BOOTSTRAP exactly like vectors
+            # (the window is the head STATE); past it no eq entry can
+            # exist in a window — fresh_append_commits refuses to tail
+            # across an eq-delete/eq-upsert commit
+            eq_entries = [
+                (
+                    set(ent.get("applies_to") or []),
+                    [
+                        os.path.join(self._path, drel, f)
+                        for f in ent["files"]
+                    ],
+                    list(ent["cols"]),
+                )
+                for drel, ent in sorted(
+                    (head_m.get("eq_deletes") or {}).items()
+                )
             ]
             # only the bootstrap window can hold PRE-evolution commits
             # (fresh_append_commits refuses to tail across a 'schema'
@@ -727,6 +824,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
         parts = []
         for rel, files in sorted(fresh.items()):
             ops = _S._schema_ops_for_commit(schema_log, rel)
+            eq_scope = [
+                (fs, cols) for ap, fs, cols in eq_entries if rel in ap
+            ]
             for f in files:
                 parts.append(
                     _FilePartition(
@@ -735,6 +835,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         file_rel=f"{rel}/{f}",
                         delete_files=delete_files,
                         schema_ops=ops,
+                        eq_deletes=eq_scope,
                     )
                 )
         return parts
@@ -756,6 +857,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if partition.delete_files
             else None
         )
+        eq_sets = (
+            _eq_key_sets(partition.eq_deletes)
+            if partition.eq_deletes
+            else None
+        )
         pf = pq.ParquetFile(partition.file_abs)
         offset = 0
         for b in pf.iter_batches():
@@ -769,6 +875,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values
                 )
+            if eq_sets:
+                # after ops + partition attach: key columns are in
+                # their logical names and path-encoded keys resolve
+                b = _mask_eq_deleted(b, eq_sets)
             yield (
                 _conform_batch(b, self._arrow_schema)
                 if self._arrow_schema is not None
@@ -833,7 +943,12 @@ class SnapshotStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("snapshot_stream requires .option('path', …)")
-        head = _S.current_version(path)
+        branch = self.options.get("branch")
+        head = (
+            _S._branch_head(path, branch)
+            if branch is not None
+            else _S.current_version(path)
+        )
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
         manifest = _S._load_manifest(path, head)
@@ -859,6 +974,10 @@ class SnapshotStreamDataSource(DataSource):
             # gate survives restarts (commit() persists a table-side
             # cursor hint; see SnapshotStreamReader.latestOffset)
             stream_id=self.options.get("streamid"),
+            # .option('branch', …): tail a WAP branch's staged commits
+            # (never main's), surviving its appends_only publish —
+            # the staging pipeline can stream off its own branch
+            branch=self.options.get("branch"),
         )
 
 
@@ -1081,10 +1200,30 @@ class SnapshotBatchReader(DataSourceReader):
             for df in dfs
         ]
         schema_log = self._manifest.get("schema_log")
+        # equality deletes ship with every data file their applies_to
+        # scope names (sequence rule resolved at planning): the task
+        # loads the small key sets and masks matches — same contract
+        # as positional vectors, zero cost for eq-free tables
+        eq_entries = [
+            (
+                set(ent.get("applies_to") or []),
+                [
+                    os.path.join(self._path, drel, f)
+                    for f in ent["files"]
+                ],
+                list(ent["cols"]),
+            )
+            for drel, ent in sorted(
+                (self._manifest.get("eq_deletes") or {}).items()
+            )
+        ]
         parts = []
         for rel, files in sorted(self._manifest["commits"].items()):
             cstats = stats.get(rel) or {}
             ops = _S._schema_ops_for_commit(schema_log, rel)
+            eq_scope = [
+                (fs, cols) for ap, fs, cols in eq_entries if rel in ap
+            ]
             for f in files:
                 pv = _partition_values(f)
                 bounds = dict(cstats.get(f) or {})
@@ -1124,6 +1263,7 @@ class SnapshotBatchReader(DataSourceReader):
                             file_rel=f"{rel}/{f}",
                             delete_files=delete_files,
                             schema_ops=ops,
+                            eq_deletes=eq_scope,
                         )
                     )
         # an all-pruned plan still needs >=1 partition for an empty scan
@@ -1140,6 +1280,11 @@ class SnapshotBatchReader(DataSourceReader):
             if partition.delete_files
             else None
         )
+        eq_sets = (
+            _eq_key_sets(partition.eq_deletes)
+            if partition.eq_deletes
+            else None
+        )
         pf = pq.ParquetFile(partition.file_abs)
         offset = 0
         for b in pf.iter_batches():
@@ -1153,6 +1298,10 @@ class SnapshotBatchReader(DataSourceReader):
                 b = _attach_partition_columns(
                     b, part_fields, partition.part_values
                 )
+            if eq_sets:
+                # after ops + partition attach: key columns are in
+                # their logical names and path-encoded keys resolve
+                b = _mask_eq_deleted(b, eq_sets)
             yield (
                 _conform_batch(b, self._arrow_schema)
                 if self._arrow_schema is not None

@@ -203,10 +203,14 @@ def _manifest_refs(raw: dict) -> tuple[set, set, set]:
     they stay O(history), never O(history x files)."""
     shards = raw.get("shards")
     names = {d["name"] for d in shards or []}
+    # equality-delete dirs always live INLINE on the manifest (never
+    # sharded — their volume is bounded by compaction cadence), so
+    # both branches count them as referenced delete dirs for GC
+    eq = set(raw.get("eq_deletes") or {})
     if shards is None:
         return (
             set(raw.get("commits") or {}),
-            set(raw.get("deletes") or {}),
+            set(raw.get("deletes") or {}) | eq,
             names,
         )
     c: set = set()
@@ -214,7 +218,7 @@ def _manifest_refs(raw: dict) -> tuple[set, set, set]:
     for desc in shards:
         c.update(desc.get("commits") or [])
         d.update(desc.get("deletes") or [])
-    return c, d, names
+    return c, d | eq, names
 
 
 def _shard_hulls(
@@ -846,7 +850,7 @@ def _check_expected_parent(path, cur, expected_parent) -> None:
 
 def commit_staged_files(
     path: str,
-    commit_rel: str,
+    commit_rel: str | None,
     files: list[str],
     mode: str = "append",
     partition_by: list[str] | None = None,
@@ -858,6 +862,7 @@ def commit_staged_files(
     deletes_add: dict[str, list[str]] | None = None,
     operation: str | None = None,
     branch: str | None = None,
+    eq_deletes_add: dict[str, dict] | None = None,
 ) -> int:
     """THE manifest-commit half of :func:`snapshot_write`, public:
     commit ``files`` (parquet, ALREADY staged under
@@ -876,18 +881,31 @@ def commit_staged_files(
     already-staged positional delete vectors IN THE SAME atomic
     commit as the data files (merge-on-read MERGE: mask + append is
     one manifest or nothing) — append mode only, since an overwrite's
-    fresh file set has nothing to mask. ``operation`` overrides the
-    recorded op name (e.g. 'merge') without changing semantics.
-    Other parameters as :func:`snapshot_write`."""
+    fresh file set has nothing to mask. ``eq_deletes_add`` registers
+    already-staged EQUALITY delete files the same way — entries are
+    ``{rel: {"files": [...], "cols": [key cols]}}``; the commit loop
+    stamps each with ``applies_to`` (the parent state's data dirs) so
+    the delete scopes to rows that existed before it, race-proof
+    under CAS retries (recomputed per attempt — data staged in the
+    SAME commit is never its own victim). ``commit_rel=None`` with
+    ``files=[]`` makes a METADATA-ONLY commit (a pure equality
+    delete: zero table reads, zero data writes). ``operation``
+    overrides the recorded op name (e.g. 'merge') without changing
+    semantics. Other parameters as :func:`snapshot_write`."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    if deletes_add and mode != "append":
+    if (deletes_add or eq_deletes_add) and mode != "append":
         raise ValueError(
-            "deletes_add requires mode='append': an overwrite's fresh "
-            "file set has no prior rows to mask"
+            "deletes_add/eq_deletes_add require mode='append': an "
+            "overwrite's fresh file set has no prior rows to mask"
+        )
+    if commit_rel is None and not (deletes_add or eq_deletes_add):
+        raise ValueError(
+            "commit_rel=None is the metadata-only delete commit — it "
+            "needs deletes_add or eq_deletes_add"
         )
     os.makedirs(_snap_root(path), exist_ok=True)
-    commit_abs = os.path.join(path, commit_rel)
+    commit_abs = os.path.join(path, commit_rel or "")
     # stats cache across retries, keyed by the effective column list —
     # a retry against a new parent may inherit DIFFERENT stats_cols
     stats_cache: dict[tuple, dict] = {}
@@ -936,6 +954,7 @@ def commit_staged_files(
         commits: dict[str, list[str]] = {}
         stats: dict[str, dict[str, dict[str, list]]] = {}
         deletes: dict[str, list[str]] = {}
+        eq_deletes: dict[str, dict] = {}
         schema_log: list[dict] = []
         if mode == "append" and cur is not None:
             commits.update(parent["commits"])
@@ -949,9 +968,26 @@ def commit_staged_files(
             # the log resets with the file set.
             stats.update(parent.get("stats") or {})
             deletes.update(parent.get("deletes") or {})
+            eq_deletes.update(parent.get("eq_deletes") or {})
             schema_log = list(parent.get("schema_log") or [])
         deletes.update(deletes_add or {})
-        commits[commit_rel] = sorted(files)
+        if eq_deletes_add:
+            # applies_to = the PARENT state's data dirs, captured per
+            # attempt: a CAS retry re-scopes against the new parent, so
+            # concurrently-committed rows stay in scope and data staged
+            # in THIS commit (commit_rel) never masks itself — the
+            # Iceberg sequence-number rule in dir-list form
+            applies = sorted(
+                r for r, fs in (parent.get("commits") or {}).items() if fs
+            )
+            for drel, ent in eq_deletes_add.items():
+                eq_deletes[drel] = {
+                    "files": sorted(ent["files"]),
+                    "cols": list(ent["cols"]),
+                    "applies_to": applies,
+                }
+        if commit_rel is not None:
+            commits[commit_rel] = sorted(files)
 
         # table properties: explicit list wins, None inherits the
         # parent's — the SAME contract for stats_cols and partition_by
@@ -968,7 +1004,7 @@ def commit_staged_files(
             if partition_by is not None
             else parent.get("partition_by") or []
         )
-        if effective_stats_cols and files:
+        if effective_stats_cols and files and commit_rel is not None:
             key = tuple(effective_stats_cols)
             if key not in stats_cache:
                 stats_cache[key] = _collect_file_stats(
@@ -990,9 +1026,19 @@ def commit_staged_files(
             manifest["ref"] = branch
         if effective_stats_cols:
             manifest["stats_cols"] = effective_stats_cols
+        if stats:
+            # recorded bounds describe FILES, not the property: an
+            # append that resets stats_cols=[] stops collecting for
+            # NEW files but must not drop the carried files' bounds —
+            # doing so silently turned every later scan unprunable AND
+            # broke shard reuse (stats mismatch → full O(table)
+            # metadata rewrite on the next commit; found by
+            # tools/metadata_stress.py, r11)
             manifest["stats"] = stats
         if deletes:
             manifest["deletes"] = deletes
+        if eq_deletes:
+            manifest["eq_deletes"] = eq_deletes
         if schema_log:
             manifest["schema_log"] = schema_log
         if merged_state:
@@ -1325,8 +1371,8 @@ def snapshot_fast_forward(path: str, name: str) -> int:
             "partition_by": bm.get("partition_by") or [],
             "commits": bm["commits"],
         }
-        for k in ("stats_cols", "stats", "deletes", "schema_log",
-                  "stream_state"):
+        for k in ("stats_cols", "stats", "deletes", "eq_deletes",
+                  "schema_log", "stream_state"):
             if bm.get(k):
                 manifest[k] = bm[k]
         if _commit_manifest_any(path, version, manifest, reuse_base=bm):
@@ -1528,6 +1574,7 @@ def read_snapshot(
         spark,
         path,
         manifest["commits"],
+        eq_deletes=manifest.get("eq_deletes"),
         deletes=manifest.get("deletes"),
         schema_log=manifest.get("schema_log"),
     )
@@ -1586,7 +1633,10 @@ def null_count_exclude(bounds, is_null: bool) -> bool:
 
 
 def fresh_append_commits(
-    path: str, from_version: int, to_version: int | None = None
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    ref: str | None = None,
 ) -> tuple[int, dict[str, list[str]]]:
     """THE shared planning step for every incremental consumer (batch
     ``read_appends_between`` and the ``snapshot_stream`` source):
@@ -1604,9 +1654,23 @@ def fresh_append_commits(
     version exempt — nothing precedes it to rewrite); a rewrite
     (overwrite/merge/compact/rollback) raises ValueError because file
     set differences no longer equal row additions. An inverted window
-    raises instead of silently returning an empty increment."""
+    raises instead of silently returning an empty increment.
+
+    ``ref`` selects the LINEAGE the window validates against: None is
+    main (the default — staged branch commits neither validate nor
+    contribute), a branch name validates that branch's own commits
+    instead and skips main's (branch state is fork-frozen: main
+    commits never touch branch manifests, so an interleaved main
+    rewrite cannot make branch tailing unsound). ``to_version``
+    should then be the branch head."""
     to_version = (
-        to_version if to_version is not None else current_version(path)
+        to_version
+        if to_version is not None
+        else (
+            _branch_head(path, ref)
+            if ref is not None
+            else current_version(path)
+        )
     )
     if to_version is None:
         raise FileNotFoundError(f"no snapshots at {path}")
@@ -1643,10 +1707,16 @@ def fresh_append_commits(
                     f"consumers on separate schedules)"
                 ) from None
     for v, m in window.items():
-        # STAGED BRANCH commits share the number sequence but are not
-        # main lineage: invisible to consumers until fast-forwarded,
-        # so they neither validate nor contribute to the window
-        if m.get("ref") not in (None, "main"):
+        # lineage filter: commits outside the consumed lineage share
+        # the number sequence but are invisible to this consumer —
+        # staged branch commits for a main tail (the WAP isolation
+        # property), and main's own interleaved commits for a branch
+        # tail (branch state is fork-frozen)
+        mref = m.get("ref")
+        in_lineage = (
+            mref == ref if ref is not None else mref in (None, "main")
+        )
+        if not in_lineage:
             continue
         # rewrite-manifests is METADATA-ONLY (file set bit-identical to
         # its parent): a window diff across it yields exactly the
@@ -1833,14 +1903,16 @@ def scan_snapshot(
             spark, path, manifest["commits"], schema_log=schema_log
         )
         return base.where(F.lit(False))
-    # MoR delete vectors never WIDEN recorded bounds, so stats pruning
-    # stays conservative-correct; surviving files still apply them
+    # MoR delete vectors / equality deletes never WIDEN recorded
+    # bounds, so stats pruning stays conservative-correct; surviving
+    # files still apply them
     out = _read_commits(
         spark,
         path,
         pruned,
         deletes=manifest.get("deletes"),
         schema_log=schema_log,
+        eq_deletes=manifest.get("eq_deletes"),
     )
     for col, lo, hi in preds:
         if lo is not None:
@@ -1982,6 +2054,7 @@ def _read_commits(
     commits: dict[str, list[str]],
     deletes: dict[str, list[str]] | None = None,
     schema_log: list[dict] | None = None,
+    eq_deletes: dict[str, dict] | None = None,
 ) -> DataFrame:
     """Plan a read over manifest-listed commit dirs — the one place
     file lists become DataFrames (read_snapshot AND incremental reads
@@ -2002,14 +2075,14 @@ def _read_commits(
     (:func:`snapshot_rename_column` / :func:`snapshot_drop_column`):
     version-gated per commit dir, applied as plan-time projections —
     a table that never evolved pays nothing."""
-    if not deletes:
+    if not deletes and not eq_deletes:
         return _union_commit_frames(
             spark, path, commits, tag=False, schema_log=schema_log
         )
     tagged = _tagged_commits(spark, path, commits, schema_log=schema_log)
-    return _apply_delete_vectors(spark, path, tagged, deletes).drop(
-        "__snap_file", "__snap_pos"
-    )
+    out = _apply_delete_vectors(spark, path, tagged, deletes)
+    out = _apply_eq_deletes(spark, path, out, eq_deletes)
+    return out.drop("__snap_file", "__snap_pos", "__snap_rel")
 
 
 def _tagged_commits(
@@ -2065,15 +2138,22 @@ def _union_commit_frames(
             # dir (commit dirs embed a uuid, so the delimiter cannot
             # recur elsewhere in the path)
             pat = re.escape("/" + commit_rel + "/") + "(.*)$"
-            df = df.withColumn(
-                "__snap_file",
-                F.concat(
-                    F.lit(commit_rel + "/"),
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"), pat, 1
+            df = (
+                df.withColumn(
+                    "__snap_file",
+                    F.concat(
+                        F.lit(commit_rel + "/"),
+                        F.regexp_extract(
+                            F.col("_metadata.file_path"), pat, 1
+                        ),
                     ),
-                ),
-            ).withColumn("__snap_pos", F.col("_metadata.row_index"))
+                )
+                .withColumn("__snap_pos", F.col("_metadata.row_index"))
+                # the commit dir is a plan-time constant: equality
+                # deletes scope by REL (their applies_to capture), and
+                # a literal beats re-parsing __snap_file per row
+                .withColumn("__snap_rel", F.lit(commit_rel))
+            )
         parts.append(df)
     if not parts:
         raise FileNotFoundError(
@@ -2117,6 +2197,52 @@ def _apply_delete_vectors(
         & (tagged["__snap_pos"] == dv["pos"]),
         "left_anti",
     )
+
+
+def _apply_eq_deletes(
+    spark: SparkSession,
+    path: str,
+    tagged: DataFrame,
+    eq_deletes: dict[str, dict] | None,
+) -> DataFrame:
+    """Anti-join a :func:`_tagged_commits` frame against the manifest's
+    EQUALITY delete files — Iceberg v2's second delete flavor: each
+    entry is a small parquet of key rows written with ZERO table reads
+    (:func:`snapshot_delete_eq`), scoped to the data commit dirs that
+    existed when it committed (``applies_to``, the sequence-number
+    rule: rows appended later are never its victims). Matching is
+    null-safe per Iceberg's spec (a NULL key field matches NULL). The
+    key set BROADCASTS — equality deletes are the streaming-CDC path
+    between compactions, so key volume is bounded by compaction
+    cadence, never table size; :func:`snapshot_compact` /
+    ``rewrite_data_files`` materialize them away."""
+    from pyspark.sql import functions as F
+
+    if not eq_deletes:
+        return tagged
+    out = tagged
+    for drel in sorted(eq_deletes):
+        ent = eq_deletes[drel]
+        applies = ent.get("applies_to") or []
+        files = [os.path.join(path, drel, f) for f in ent["files"]]
+        if not applies or not files:
+            continue
+        cols = list(ent["cols"])
+        keys = (
+            spark.read.parquet(*files)
+            .select([F.col(c).alias(f"__eqk_{c}") for c in cols])
+            .distinct()
+            .crossJoin(
+                spark.createDataFrame(
+                    [(r,) for r in applies], "__eq_rel string"
+                )
+            )
+        )
+        cond = out["__snap_rel"] == keys["__eq_rel"]
+        for c in cols:
+            cond = cond & out[c].eqNullSafe(keys[f"__eqk_{c}"])
+        out = out.join(F.broadcast(keys), cond, "left_anti")
+    return out
 
 
 def stream_state(path: str, version: int | None = None) -> dict[str, int]:
@@ -2373,12 +2499,17 @@ def snapshot_merge_mor(
             manifest["commits"],
             schema_log=manifest.get("schema_log"),
         )
-        live = _apply_delete_vectors(
-            spark, path, tagged, manifest.get("deletes")
+        live = _apply_eq_deletes(
+            spark,
+            path,
+            _apply_delete_vectors(
+                spark, path, tagged, manifest.get("deletes")
+            ),
+            manifest.get("eq_deletes"),
         )
         live_cols = [
             c for c in live.columns
-            if c not in ("__snap_file", "__snap_pos")
+            if c not in ("__snap_file", "__snap_pos", "__snap_rel")
         ]
         missing = [c for c in live_cols if c not in updates.columns]
         if missing:
@@ -2464,8 +2595,13 @@ def snapshot_update_mor(
             manifest["commits"],
             schema_log=manifest.get("schema_log"),
         )
-        live = _apply_delete_vectors(
-            spark, path, tagged, manifest.get("deletes")
+        live = _apply_eq_deletes(
+            spark,
+            path,
+            _apply_delete_vectors(
+                spark, path, tagged, manifest.get("deletes")
+            ),
+            manifest.get("eq_deletes"),
         )
         unknown = [c for c in set_exprs if c not in live.columns]
         if unknown:
@@ -2489,7 +2625,9 @@ def snapshot_update_mor(
         # the PRE-update row (SQL UPDATE semantics) — sequential
         # withColumn would let {"a": col("b"), "b": col("a")} read the
         # already-updated a and depend on dict order
-        rewritten = matched.drop("__snap_file", "__snap_pos").withColumns(
+        rewritten = matched.drop(
+            "__snap_file", "__snap_pos", "__snap_rel"
+        ).withColumns(
             set_exprs
         )
         data_rel = os.path.join(
@@ -2570,8 +2708,13 @@ def snapshot_delete_mor(
             manifest["commits"],
             schema_log=manifest.get("schema_log"),
         )
-        live = _apply_delete_vectors(
-            spark, path, tagged, manifest.get("deletes")
+        live = _apply_eq_deletes(
+            spark,
+            path,
+            _apply_delete_vectors(
+                spark, path, tagged, manifest.get("deletes")
+            ),
+            manifest.get("eq_deletes"),
         )
         hits = live.where(predicate.eqNullSafe(True)).select(
             F.col("__snap_file").alias("file_path"),
@@ -2598,6 +2741,8 @@ def snapshot_delete_mor(
         if manifest.get("stats_cols"):
             new_manifest["stats_cols"] = manifest["stats_cols"]
             new_manifest["stats"] = manifest.get("stats") or {}
+        if manifest.get("eq_deletes"):
+            new_manifest["eq_deletes"] = manifest["eq_deletes"]
         if manifest.get("schema_log"):
             new_manifest["schema_log"] = manifest["schema_log"]
         if manifest.get("stream_state"):
@@ -2615,6 +2760,153 @@ def snapshot_delete_mor(
         f"MoR delete at {path} lost {max_commit_retries} re-plan races "
         f"— a writer loop is outrunning this one"
     )
+
+
+def _stage_eq_delete(path: str, head, keys_df: DataFrame, cols) -> tuple:
+    """Stage an equality-delete key file (distinct key rows, one small
+    parquet). Returns ``(eq_rel, files, n_keys)`` — ``(None, [], 0)``
+    for an empty key set (nothing to commit)."""
+    eq_rel = os.path.join(
+        _DATA_DIR, f"e{(head or 0) + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    eq_abs = os.path.join(path, eq_rel)
+    keys_df.select(*cols).distinct().coalesce(1).write.mode(
+        "error"
+    ).parquet(eq_abs)
+    files, n_keys = _staged_parquet_files(eq_abs)
+    if n_keys == 0:
+        shutil.rmtree(eq_abs)
+        return None, [], 0
+    return eq_rel, files, n_keys
+
+
+def snapshot_delete_eq(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: list[str] | None = None,
+    max_commit_retries: int = 5,
+) -> int:
+    """EQUALITY delete — Iceberg v2's second delete flavor (format
+    spec: equality delete files; the reference's v2 tables get both
+    from the format): delete every live row whose ``key_cols`` tuple
+    appears in ``keys_df``, with **zero table reads and zero data
+    writes** — the key list lands as one small parquet and the commit
+    is metadata-only. This is the streaming-CDC delete path at 100 TB:
+    a positional delete (:func:`snapshot_delete_mor`) must SCAN the
+    table to find (file, pos) targets before committing; an equality
+    delete is O(keys) regardless of table size.
+
+    Scope follows Iceberg's sequence-number rule, recorded as the
+    parent state's data dirs (``applies_to``): rows appended AFTER
+    this commit are never its victims, even if their keys match.
+    NULL key fields match NULL (null-safe equality, per the spec).
+    Readers (engine + both format sources, batch and stream
+    bootstrap) anti-join the broadcast key set after positional
+    vectors; :func:`snapshot_compact` / ``rewrite_data_files``
+    materialize the entries away and drop dead ones — audit the debt
+    with :func:`delete_debt` (``eq_delete_files``/``eq_deleted_keys``).
+    Incremental consumers refuse to tail across it, like every
+    rewrite. Deleting by PREDICATE is the positional family's job;
+    this is the by-key fast path. Returns the new head version."""
+    cols = list(key_cols) if key_cols is not None else list(keys_df.columns)
+    if not cols:
+        raise ValueError("snapshot_delete_eq needs at least one key column")
+    missing = [c for c in cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df lacks key column(s): {missing}")
+    head = current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    eq_rel, files, n_keys = _stage_eq_delete(path, head, keys_df, cols)
+    if n_keys == 0:
+        return head
+    try:
+        return commit_staged_files(
+            path,
+            None,
+            [],
+            mode="append",
+            max_commit_retries=max_commit_retries,
+            eq_deletes_add={eq_rel: {"files": files, "cols": cols}},
+            operation="eq-delete",
+        )
+    except BaseException:
+        shutil.rmtree(os.path.join(path, eq_rel), ignore_errors=True)
+        raise
+
+
+def snapshot_upsert_eq(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    max_commit_retries: int = 5,
+) -> int:
+    """Streaming-CDC UPSERT via equality deletes — Iceberg's streaming
+    upsert shape (one commit: an equality delete of the update keys +
+    the update rows as a plain data append): every live row sharing a
+    key with ``updates`` is superseded, new keys simply insert, and
+    the whole operation does **zero table reads** — O(|updates|)
+    regardless of table size, where :func:`snapshot_merge_mor` must
+    scan the target to locate (file, pos) victims. The sequence rule
+    keeps it sound under CAS retries: ``applies_to`` is stamped from
+    the parent state per attempt, so the update rows staged in this
+    same commit are never their own victims. Reads pay the broadcast
+    anti-join until compaction materializes; ``updates`` need not be
+    key-unique against the TABLE, but must be unique per key within
+    itself (raised otherwise — no order column exists to arbitrate).
+    Returns the new head version."""
+    from pyspark.sql import functions as F
+
+    if not key_cols:
+        raise ValueError("snapshot_upsert_eq needs key columns")
+    missing = [c for c in key_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lack key column(s): {missing}")
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "updates carry duplicate keys — dedupe first (no order "
+            "column exists to pick a winner)"
+        )
+    head = current_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    eq_rel, eq_files, n_keys = _stage_eq_delete(
+        path, head, updates, key_cols
+    )
+    data_rel = os.path.join(
+        _DATA_DIR, f"c{head + 1:08d}-{uuid.uuid4().hex[:8]}"
+    )
+    data_abs = os.path.join(path, data_rel)
+    updates.write.mode("error").parquet(data_abs)
+    data_files, n_rows = _staged_parquet_files(data_abs)
+    try:
+        return commit_staged_files(
+            path,
+            data_rel,
+            data_files,
+            mode="append",
+            max_commit_retries=max_commit_retries,
+            eq_deletes_add=(
+                {eq_rel: {"files": eq_files, "cols": list(key_cols)}}
+                if n_keys
+                else None
+            ),
+            operation="eq-upsert",
+        )
+    except BaseException:
+        shutil.rmtree(data_abs, ignore_errors=True)
+        if eq_rel:
+            shutil.rmtree(os.path.join(path, eq_rel), ignore_errors=True)
+        raise
 
 
 def delete_debt(path: str, version: int | None = None) -> dict:
@@ -2641,10 +2933,23 @@ def delete_debt(path: str, version: int | None = None) -> dict:
             n_rows += pq.ParquetFile(
                 os.path.join(path, drel, f)
             ).metadata.num_rows
+    # equality-delete debt, counted the same footer-only way: each
+    # live entry costs readers one broadcast anti-join until
+    # compaction materializes it
+    eq = manifest.get("eq_deletes") or {}
+    eq_files = eq_keys = 0
+    for drel, ent in eq.items():
+        for f in ent.get("files") or []:
+            eq_files += 1
+            eq_keys += pq.ParquetFile(
+                os.path.join(path, drel, f)
+            ).metadata.num_rows
     return {
         "data_files": data_files,
         "delete_files": n_files,
         "deleted_rows": n_rows,
+        "eq_delete_files": eq_files,
+        "eq_deleted_keys": eq_keys,
     }
 
 
@@ -2856,9 +3161,21 @@ def snapshot_rewrite_data_files(
                 refs.update(t["file_path"].unique().to_pylist())
             vec_refs[drel] = refs
         masked: set[str] = set()
+        eq_deletes_head = manifest.get("eq_deletes") or {}
         if with_deletes:
             for refs in vec_refs.values():
                 masked |= refs
+            # equality-delete debt compacts at REL granularity (the
+            # entry's applies_to scope): every file in a scoped dir is
+            # selected so the key anti-join materializes and the entry
+            # dies — the eq twin of vector materialization
+            eq_rels = {
+                r
+                for ent in eq_deletes_head.values()
+                for r in ent.get("applies_to") or []
+            }
+            for rel in eq_rels & set(manifest["commits"]):
+                masked |= {f"{rel}/{f}" for f in manifest["commits"][rel]}
 
         selected: dict[str, list[str]] = {}
         budget = max_files if max_files is not None else float("inf")
@@ -2900,6 +3217,7 @@ def snapshot_rewrite_data_files(
             selected,
             deletes=deletes,
             schema_log=manifest.get("schema_log"),
+            eq_deletes=eq_deletes_head,
         )
         n = target_partitions or max(
             1, min(spark.sparkContext.defaultParallelism, n_sel)
@@ -2959,6 +3277,19 @@ def snapshot_rewrite_data_files(
                 new_deletes[drel] = dfs  # still masks a live file
             else:
                 dropped.append(drel)  # fully materialized: dead weight
+        # eq entries follow the same rule at rel granularity: one
+        # whose every scoped dir lost all its files is materialized
+        surviving_rels = {
+            rel
+            for rel, fs in new_commits.items()
+            if rel != commit_rel and fs
+        }
+        new_eq: dict[str, dict] = {}
+        for drel, ent in eq_deletes_head.items():
+            if surviving_rels & set(ent.get("applies_to") or []):
+                new_eq[drel] = ent
+            else:
+                dropped.append(drel)
 
         new_manifest = {
             "version": version,
@@ -2974,6 +3305,8 @@ def snapshot_rewrite_data_files(
             new_manifest["stats"] = new_stats
         if new_deletes:
             new_manifest["deletes"] = new_deletes
+        if new_eq:
+            new_manifest["eq_deletes"] = new_eq
         if manifest.get("schema_log"):
             new_manifest["schema_log"] = manifest["schema_log"]
         if manifest.get("stream_state"):
@@ -3113,13 +3446,15 @@ def read_appends_between(
     # window dirs (fresh_append_commits refuses to tail ACROSS delete
     # and schema commits) — so a non-bootstrap poll stays one-manifest
     # cheap, the O(window) contract of the docstring
-    dels = schema_log = None
+    dels = schema_log = eq_dels = None
     if from_version == 0:
         head_manifest = _load_manifest(path, to_version)
         dels = head_manifest.get("deletes")
         schema_log = head_manifest.get("schema_log")
+        eq_dels = head_manifest.get("eq_deletes")
     return _read_commits(
-        spark, path, fresh, deletes=dels, schema_log=schema_log
+        spark, path, fresh, deletes=dels, schema_log=schema_log,
+        eq_deletes=eq_dels,
     )
 
 
@@ -3159,9 +3494,12 @@ def snapshot_rollback(
             manifest["stats"] = target.get("stats") or {}
         # the rolled-back-to file set is only correct WITH its delete
         # vectors: a rollback across a MoR delete must resurrect the
-        # rows, and one to after it must keep them deleted
+        # rows, and one to after it must keep them deleted — equality
+        # deletes follow the identical rule
         if target.get("deletes"):
             manifest["deletes"] = target["deletes"]
+        if target.get("eq_deletes"):
+            manifest["eq_deletes"] = target["eq_deletes"]
         # likewise its schema log: a rollback across a rename/drop must
         # restore the old logical schema (the target's log is exactly
         # the evolution state as of that version)
@@ -3304,6 +3642,24 @@ def _commit_schema_op(
                     f"table's layout keys on it — repartition via "
                     f"snapshot_compact(partition_by=...) first"
                 )
+        # equality-delete key columns are identifier fields (Iceberg
+        # restricts evolving them for the same reason): a live eq
+        # entry's key files and recorded cols name the column as of
+        # delete time, so renaming/dropping it would break every read's
+        # key match — materialize the debt first (snapshot_compact /
+        # rewrite_data_files), then evolve
+        touched = entry["from"] if entry["op"] == "rename" else entry["column"]
+        eq_refs = [
+            drel
+            for drel, ent in (manifest.get("eq_deletes") or {}).items()
+            if touched in (ent.get("cols") or [])
+        ]
+        if eq_refs:
+            raise ValueError(
+                f"cannot {entry['op']} {touched!r}: it is a key column "
+                f"of live equality-delete entries {sorted(eq_refs)} — "
+                f"compact the table to materialize them first"
+            )
         version = _next_version(path)
         log = list(manifest.get("schema_log") or [])
         log.append(
@@ -3335,6 +3691,8 @@ def _commit_schema_op(
             new_manifest["stats"] = manifest["stats"]
         if manifest.get("deletes"):
             new_manifest["deletes"] = manifest["deletes"]
+        if manifest.get("eq_deletes"):
+            new_manifest["eq_deletes"] = manifest["eq_deletes"]
         if manifest.get("stream_state"):
             new_manifest["stream_state"] = manifest["stream_state"]
         # state rides through verbatim: every parent shard is reused,

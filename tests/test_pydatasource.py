@@ -1551,6 +1551,73 @@ def test_stream_gate_ratchet_unsticks_stale_hint(spark, tmp_path):
     assert r2.partitions({"version": 10}, {"version": 11})
 
 
+def test_stream_tails_branch_and_survives_publish(spark, tmp_path):
+    """r10 verdict item 7: .option('branch', …) on the STREAM source —
+    a staging pipeline tails its own WAP branch: it sees staged
+    commits and never main's interleaved ones (branch state is
+    fork-frozen), and it SURVIVES the branch's appends_only publish
+    (the lineage falls back to main across the fast-forward with an
+    empty diff — no re-sync, no replay)."""
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+    )
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    def ids(reader, sv, ev):
+        out = []
+        for p in reader.partitions({"version": sv}, {"version": ev}):
+            for b in reader.read(p):
+                out.extend(b["id"].to_pylist())
+        return sorted(out)
+
+    path = str(tmp_path / "t")
+    snapshot_write(spark.range(0, 5), path)  # v1 main
+    # phase A — isolation: branch + interleaved MAIN commit
+    S.snapshot_branch(path, "iso")
+    snapshot_write(spark.range(10, 15), path, mode="append",
+                   branch="iso")  # v2 staged
+    snapshot_write(spark.range(100, 105), path, mode="append")  # v3 MAIN
+    snapshot_write(spark.range(20, 25), path, mode="append",
+                   branch="iso")  # v4 staged
+    r = SnapshotStreamReader(path, None, branch="iso")
+    head = r.latestOffset()["version"]
+    assert head == 4  # the BRANCH head, not main's 3
+    got = ids(r, 0, head)
+    assert got == list(range(5)) + list(range(10, 15)) + list(range(20, 25))
+    assert not any(100 <= i < 105 for i in got)  # main's commit invisible
+    # abandoning the branch fails the stream LOUDLY (cursor is ahead
+    # of main; silently re-reading main would replay/duplicate)
+    S.snapshot_drop_branch(path, "iso")
+    assert r.latestOffset()["version"] == 3  # fell back to main head
+    with pytest.raises(ValueError, match="inverted"):
+        r.partitions({"version": 4}, {"version": 3})
+
+    # phase B — publish survival: fresh fork from the current head
+    S.snapshot_branch(path, "stage")
+    snapshot_write(spark.range(200, 203), path, mode="append",
+                   branch="stage")  # v5 staged
+    r2 = SnapshotStreamReader(path, None, branch="stage")
+    h2 = r2.latestOffset()["version"]
+    assert h2 == 5
+    assert ids(r2, 0, h2) == sorted(
+        list(range(5)) + list(range(100, 105)) + list(range(200, 203))
+    )
+    pub = S.snapshot_fast_forward(path, "stage")
+    S.snapshot_drop_branch(path, "stage")
+    # the lineage falls back to main; the publish window diffs empty
+    # (the fast-forward carries exactly the dirs already consumed)
+    h3 = r2.latestOffset()["version"]
+    assert h3 == pub
+    assert ids(r2, h2, h3) == []
+    # and post-publish main appends flow straight through
+    snapshot_write(spark.range(300, 302), path, mode="append")
+    h4 = r2.latestOffset()["version"]
+    assert ids(r2, h3, h4) == [300, 301]
+
+
 def test_format_writer_stages_on_branch(spark, tmp_path):
     """The format batch writer's .option('branch', …) stages its commit
     on a WAP branch: main reads stay bit-identical until

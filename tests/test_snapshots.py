@@ -1122,7 +1122,8 @@ def test_rollback_carries_stats_and_delete_debt_audit(spark, tmp_path):
     assert scan_prune_stats(path, "id", 0, 10)["pruned_files"] > 0
 
     assert delete_debt(path) == {
-        "data_files": 4, "delete_files": 0, "deleted_rows": 0
+        "data_files": 4, "delete_files": 0, "deleted_rows": 0,
+        "eq_delete_files": 0, "eq_deleted_keys": 0,
     }
     snapshot_delete_mor(spark, path, F.col("id") < 30)
     debt = delete_debt(path)
@@ -2414,6 +2415,143 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
     S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
     staged = _rows(read_snapshot(spark, path, branch="keep"))
     assert {(i, "z") for i in range(500, 502)} <= set(staged)
+
+
+def test_stats_cols_reset_keeps_carried_bounds(spark, tmp_path):
+    """Recorded bounds describe FILES, not the table property: an
+    append that resets stats_cols=[] stops collecting for its own
+    files but must carry the parent files' bounds — dropping them
+    silently turned later scans unprunable AND broke shard reuse
+    (a stats mismatch forces a full O(table) metadata rewrite on the
+    next commit; found by tools/metadata_stress.py, r11)."""
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    snapshot_write(
+        _frame(spark, 0, 100, "a").repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshot_write(
+        _frame(spark, 100, 110, "b"), path, mode="append", stats_cols=[]
+    )
+    st = S.scan_prune_stats(path, "id", lower=0, upper=5)
+    assert st["pruned_files"] > 0  # the statted files still prune
+    m = S._load_manifest(path, S.current_version(path))
+    assert m.get("stats")  # carried bounds survived the reset
+    assert not m.get("stats_cols")  # the property itself did reset
+
+
+def test_equality_delete_lifecycle(spark, tmp_path, monkeypatch):
+    """r10 verdict item 2 — Iceberg v2's SECOND delete flavor: an
+    equality delete commits a key list with ZERO table reads (proven
+    by poisoning the engine's one commit-dirs→DataFrame loop), every
+    reader anti-joins it (engine, format batch, stream bootstrap,
+    scan, CDC), the sequence rule exempts rows appended later,
+    compaction materializes the entries, and rollback restores them."""
+    import json as _json
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+        register_snapshot_format,
+    )
+
+    path = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 0, 10, "a"), path)  # v1
+    snapshot_write(_frame(spark, 10, 20, "b"), path, mode="append")  # v2
+
+    keys = spark.createDataFrame([(3,), (12,), (99,)], "id long")
+    real_union = S._union_commit_frames
+
+    def boom(*a, **k):
+        raise AssertionError("equality delete READ the table")
+
+    monkeypatch.setattr(S, "_union_commit_frames", boom)
+    v3 = S.snapshot_delete_eq(spark, path, keys)  # zero-read commit
+    monkeypatch.setattr(S, "_union_commit_frames", real_union)
+    live = [i for i in range(20) if i not in (3, 12)]
+
+    # engine read + time travel
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == live
+    assert len(_rows(read_snapshot(spark, path, version=2))) == 20
+    # scan path (manifest pruning + eq anti-join compose)
+    got = sorted(
+        r.id
+        for r in S.scan_snapshot(spark, path, "id", 10, 15).collect()
+    )
+    assert got == [10, 11, 13, 14, 15]
+    # format batch read, plain and filtered
+    register_snapshot_format(spark)
+    fmt = spark.read.format("snapshot").option("path", path).load()
+    assert sorted(r.id for r in fmt.collect()) == live
+    assert sorted(
+        r.id for r in fmt.where("id between 10 and 15").collect()
+    ) == [10, 11, 13, 14, 15]
+    # stream bootstrap masks eq-deleted rows
+    rdr = SnapshotStreamReader(path, None)
+    seen = []
+    for p in rdr.partitions({"version": 0}, {"version": v3}):
+        for b in rdr.read(p):
+            seen.extend(b["id"].to_pylist())
+    assert sorted(seen) == live
+    # CDC between the pre- and post-delete versions
+    ch = S.snapshot_changes(spark, path, 2, v3, keys=["id"])
+    removed = sorted(
+        r.id for r in ch.where("status = 'removed'").collect()
+    )
+    assert removed == [3, 12]
+
+    # SEQUENCE RULE: re-appending a deleted key resurrects it (the
+    # delete scopes to dirs that existed when it committed)
+    snapshot_write(_frame(spark, 3, 4, "c"), path, mode="append")  # v4
+    rows = _rows(read_snapshot(spark, path))
+    assert (3, "c") in set(rows) and (3, "a") not in set(rows)
+    assert sorted(i for i, _t in rows) == sorted(live + [3])
+
+    # eq-upsert: one zero-read commit replaces by key + inserts new
+    upd = spark.createDataFrame([(5, "u"), (100, "u")], "id long, tag string")
+    monkeypatch.setattr(S, "_union_commit_frames", boom)
+    S.snapshot_upsert_eq(spark, path, upd, ["id"])  # v5
+    monkeypatch.setattr(S, "_union_commit_frames", real_union)
+    rows = _rows(read_snapshot(spark, path))
+    assert (5, "u") in set(rows) and (5, "a") not in set(rows)
+    assert (100, "u") in set(rows)
+    by_id = {}
+    for i, t in rows:
+        by_id.setdefault(i, []).append(t)
+    assert all(len(v) == 1 for v in by_id.values())
+
+    # debt audit sees the eq entries; identifier columns are guarded
+    debt = S.delete_debt(path)
+    assert debt["eq_delete_files"] >= 2 and debt["eq_deleted_keys"] >= 4
+    with pytest.raises(ValueError, match="equality-delete"):
+        S.snapshot_rename_column(path, "id", "key")
+    with pytest.raises(ValueError, match="equality-delete"):
+        S.snapshot_drop_column(path, "id")
+
+    # partial rewrite materializes the entries and drops them dead
+    before = sorted(_rows(read_snapshot(spark, path)))
+    rep = S.snapshot_rewrite_data_files(spark, path)
+    assert rep["rewritten_files"] > 0
+    head_m = S._load_manifest(path, S.current_version(path))
+    assert not head_m.get("eq_deletes")
+    assert sorted(_rows(read_snapshot(spark, path))) == before
+    assert S.delete_debt(path)["eq_delete_files"] == 0
+    # the guard releases once the debt is materialized
+    S.snapshot_rename_column(path, "id", "key")
+    S.snapshot_rename_column(path, "key", "id")
+
+    # rollback to the eq-delete version restores its delete state
+    S.snapshot_rollback(path, v3)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == live
+    with open(S._manifest_path(path, S.current_version(path))) as f:
+        assert _json.load(f).get("eq_deletes")
+
+    # GC: the key dirs are manifest-referenced, so expiry keeps them
+    # while any surviving version needs them
+    S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == live
 
 
 def test_expire_pins_branch_chain_and_ages_refs_per_policy(
