@@ -261,12 +261,25 @@ def _mask_deleted(batch, dels, offset: int):
     return batch.filter(pa.array(keep))
 
 
+_EQ_NAN = "\x00__eq_nan__"  # canonical stand-in: NaN != NaN in Python
+
+
+def _eq_norm(v):
+    """Key-field normalization for set-membership matching: Spark's
+    eqNullSafe treats NaN = NaN as TRUE (the engine read path's join
+    semantics), but Python tuple equality does not — map every NaN to
+    one canonical token so the two advertised-equivalent read paths
+    can never disagree on a float key."""
+    return _EQ_NAN if isinstance(v, float) and v != v else v
+
+
 def _eq_key_sets(eq_deletes: list) -> list:
     """Load a partition's scoped equality-delete key files into
     ``[(cols, key_tuple_set)]`` — executed TASK-side once per data
     file; key sets are small by the compaction-cadence contract.
     NULL-safe per the Iceberg spec: to_pylist() yields None for null
-    key fields, and tuple equality treats None == None as a match."""
+    key fields, and tuple equality treats None == None as a match;
+    NaN keys match via :func:`_eq_norm`."""
     import pyarrow.parquet as pq
 
     out = []
@@ -274,7 +287,10 @@ def _eq_key_sets(eq_deletes: list) -> list:
         keys: set = set()
         for f in files:
             t = pq.read_table(f, columns=list(cols))
-            keys.update(zip(*(t[c].to_pylist() for c in cols)))
+            keys.update(
+                tuple(_eq_norm(v) for v in row)
+                for row in zip(*(t[c].to_pylist() for c in cols))
+            )
         if keys:
             out.append((list(cols), keys))
     return out
@@ -297,7 +313,9 @@ def _mask_eq_deleted(batch, key_sets: list):
             batch[c].to_pylist() if c in names else [None] * n
             for c in cols
         ]
-        hit = [t in keys for t in zip(*vals)]
+        hit = [
+            tuple(_eq_norm(v) for v in t) in keys for t in zip(*vals)
+        ]
         if any(hit):
             if keep is None:
                 keep = [True] * n
@@ -662,7 +680,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         import json as _json
 
-        _, head = self._lineage()
+        # resolve the lineage ONCE per trigger and cache the ref for
+        # partitions() — _branch_head walks manifests above the fork
+        # base, so re-resolving on the planning call would double an
+        # O(main churn) scan on the polling hot path (r11 review)
+        ref, head = self._lineage()
+        self._cached_ref = ref
         head = head or 0
         if self._max_versions is not None and self._last_end is None:
             # FIRST window of a run: the python DataSource protocol
@@ -740,12 +763,18 @@ class SnapshotStreamReader(DataSourceStreamReader):
         # planning + append-only validation SHARED with the batch
         # incremental path (snapshots.fresh_append_commits) — the two
         # consumers can never drift on window semantics. The lineage
-        # is re-resolved per batch: a branch stream keeps validating
-        # against its branch until the ref is dropped (published),
-        # then falls back to main, where the appends_only
-        # fast-forward window admits and the diff yields exactly the
-        # unconsumed dirs.
-        ref, _ = self._lineage()
+        # ref comes from this trigger's latestOffset (cached there);
+        # a branch stream keeps validating against its branch until
+        # the ref is dropped (published), then falls back to main,
+        # where the appends_only fast-forward window admits and the
+        # diff yields exactly the unconsumed dirs. A WAL-replayed
+        # batch on restart (partitions before any latestOffset)
+        # resolves fresh.
+        ref = (
+            self._cached_ref
+            if hasattr(self, "_cached_ref")
+            else self._lineage()[0]
+        )
         try:
             _, fresh = _S.fresh_append_commits(self._path, sv, ev, ref=ref)
         except ValueError as exc:

@@ -251,9 +251,23 @@ def _shard_hulls(
 
     for rel, files in commits.items():
         rstats = stats.get(rel) or {}
+        if not isinstance(rstats, dict):
+            return {}  # unrecognized stats shape: no hull, never a crash
         for f in files:
-            for col, entry in (rstats.get(f) or {}).items():
+            fstats = rstats.get(f)
+            if fstats is None:
+                continue
+            if not isinstance(fstats, dict):
+                # not the {col: [lo, hi, ...]} shape this layer writes
+                # (a legacy/hand-built manifest): the file counts as
+                # uncovered for every column, so no hull forms and the
+                # shard always loads — conservative by construction
+                continue
+            for col, entry in fstats.items():
                 if col in dead or entry is None:
+                    continue
+                if not isinstance(entry, (list, tuple)) or len(entry) < 2:
+                    dead.add(col)  # untrusted entry shape: no hull
                     continue
                 covered[col] = covered.get(col, 0) + 1
                 if (
@@ -1404,10 +1418,11 @@ def write_audit_publish(
     ``audit`` is any callable ``(DataFrame) -> result``: a raise, or a
     dict/dataclass result with a falsy ``passed`` attribute/key, is a
     FAILED audit (``quality.orchestrator.validate_table`` satisfies
-    both contracts). FAIL-CLOSED: a dict/object result that carries no
-    ``passed`` verdict at all (a typo'd key, a metrics-only return, a
-    bare ``None``) is also a FAILED audit — a promotion gate must
-    never publish on an ambiguous verdict. Returns {"passed", "published_version" (None on
+    both contracts). FAIL-CLOSED: a result that carries no ``passed``
+    verdict (a typo'd key, a metrics-only dict/list, a bare ``None``)
+    is also a FAILED audit — a promotion gate must never publish on
+    an ambiguous verdict. The only bare affirmatives are ``True`` and
+    a non-empty string summary. Returns {"passed", "published_version" (None on
     failure), "staged_version", "branch", "audit" (the result or the
     exception string)}. On failure the staged branch is KEPT by
     default for debugging (``drop_branch_on_failure=True`` abandons
@@ -1441,19 +1456,23 @@ def write_audit_publish(
     audit_out: Any
     try:
         audit_out = audit(read_snapshot(spark, path, branch=name))
-        # FAIL CLOSED: a structured result (dict / object) that lacks
-        # an explicit 'passed' verdict is a FAILED audit — a typo'd
-        # key or a metrics-only return must never silently publish
-        # unaudited data to main. Only bare truthy scalars (True, a
-        # non-empty summary string) pass-through as an affirmative.
+        # FAIL CLOSED: only an explicit affirmative publishes — a dict
+        # or object carries its verdict in 'passed' (missing = FAILED:
+        # a typo'd key or metrics-only return must never silently
+        # promote), and the only bare affirmatives are True / a
+        # non-empty string summary. Any other shape — a list/tuple of
+        # metric rows, a number, a set — is ambiguous and FAILS (a
+        # truthy [{'passed': False}] must not publish).
         if isinstance(audit_out, dict):
             verdict = audit_out.get("passed")
+        elif isinstance(audit_out, (bool, str)) or audit_out is None:
+            verdict = audit_out
         elif hasattr(audit_out, "__dict__") or hasattr(
             audit_out, "__slots__"
         ):
             verdict = getattr(audit_out, "passed", None)
         else:
-            verdict = audit_out
+            verdict = None
         passed = bool(verdict)
     except Exception as exc:
         passed = False
@@ -1736,7 +1755,8 @@ def fresh_append_commits(
             )
     try:
         with open(_manifest_path(path, from_version)) as f:
-            old_commits, _, _ = _manifest_refs(json.load(f))
+            old_raw = json.load(f)
+            old_commits, _, _ = _manifest_refs(old_raw)
     except FileNotFoundError as exc:
         # the cursor's own manifest is the diff base; an expired one is
         # unreconstructible (each append's delta needs its parent).
@@ -1752,6 +1772,26 @@ def fresh_append_commits(
             f"retained, or re-sync with a fresh bootstrap "
             f"(from_version=0 reads the head state)"
         ) from exc
+    # LINEAGE-BREAK guard (r11 review): every admitted op PRESERVES
+    # the cursor's commit dirs (appends add; rewrite-manifests and
+    # appends_only publishes keep the file state) — so old ⊄ new can
+    # only mean the cursor belongs to a line of development the
+    # target never absorbed (e.g. a branch stream whose UNPUBLISHED
+    # branch was dropped, with main's head version number already
+    # past the cursor). Silently diffing would skip the lost dirs and
+    # strand already-emitted rows the target never had; the consumer
+    # must re-sync instead. A PUBLISHED branch cursor passes: the
+    # fast-forward carried its every dir onto main, which is exactly
+    # what makes tailing across the publish sound.
+    lost = set(old_commits) - set(new_manifest["commits"])
+    if lost:
+        raise ValueError(
+            f"cursor v{from_version} is not an ancestor state of "
+            f"v{to_version} ({len(lost)} of its commit dirs are "
+            f"absent from the target) — the lineage diverged (an "
+            f"unpublished branch dropped, or a cross-line cursor): "
+            f"re-sync with a fresh bootstrap"
+        )
     return to_version, {
         rel: files
         for rel, files in new_manifest["commits"].items()
@@ -2232,13 +2272,12 @@ def _apply_eq_deletes(
             spark.read.parquet(*files)
             .select([F.col(c).alias(f"__eqk_{c}") for c in cols])
             .distinct()
-            .crossJoin(
-                spark.createDataFrame(
-                    [(r,) for r in applies], "__eq_rel string"
-                )
-            )
         )
-        cond = out["__snap_rel"] == keys["__eq_rel"]
+        # scope rides in the JOIN CONDITION as an isin over the
+        # stream-side plan-time literal __snap_rel — broadcasting
+        # keys x applies_to dirs would inflate the build side by the
+        # dir count (r11 review) for zero extra selectivity
+        cond = out["__snap_rel"].isin(applies)
         for c in cols:
             cond = cond & out[c].eqNullSafe(keys[f"__eqk_{c}"])
         out = out.join(F.broadcast(keys), cond, "left_anti")

@@ -1594,6 +1594,23 @@ def test_stream_tails_branch_and_survives_publish(spark, tmp_path):
     assert r.latestOffset()["version"] == 3  # fell back to main head
     with pytest.raises(ValueError, match="inverted"):
         r.partitions({"version": 4}, {"version": 3})
+    # and when main's head version is AHEAD of the abandoned cursor,
+    # the lineage-break guard fires instead of silently mixing lines
+    # (the cursor's staged dirs are not in main's state — r11 review)
+    p2 = str(tmp_path / "t2")
+    snapshot_write(spark.range(0, 3), p2)  # v1
+    S.snapshot_branch(p2, "dead")
+    snapshot_write(spark.range(10, 13), p2, mode="append",
+                   branch="dead")  # v2 staged
+    rx = SnapshotStreamReader(p2, None, branch="dead")
+    assert ids(rx, 0, 2) == [0, 1, 2, 10, 11, 12]  # consumed to cursor 2
+    S.snapshot_drop_branch(p2, "dead")  # abandoned, NOT published
+    for i in range(3):
+        snapshot_write(spark.range(20 + i, 21 + i), p2,
+                       mode="append")  # v3..v5: main head passes 2
+    assert rx.latestOffset()["version"] == 5
+    with pytest.raises(ValueError, match="lineage"):
+        rx.partitions({"version": 2}, {"version": 5})
 
     # phase B — publish survival: fresh fork from the current head
     S.snapshot_branch(path, "stage")

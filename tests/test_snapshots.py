@@ -2370,7 +2370,11 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
     # (typo'd key / metrics-only dict / None return) must NOT publish
     for ambiguous in (lambda df: {"pased": True, "rows": df.count()},
                       lambda df: {"rows_checked": 2},
-                      lambda df: None):
+                      lambda df: None,
+                      # a truthy CONTAINER is still ambiguous — the
+                      # embedded verdict here is a FAIL (r11 review)
+                      lambda df: [{"check": "rows", "passed": False}],
+                      lambda df: 1):
         repx = S.write_audit_publish(
             spark, good, path, ambiguous, drop_branch_on_failure=True
         )
@@ -2552,6 +2556,28 @@ def test_equality_delete_lifecycle(spark, tmp_path, monkeypatch):
     # while any surviving version needs them
     S.expire_snapshots(path, keep_last=1, orphan_grace_hours=0.0)
     assert sorted(r.id for r in read_snapshot(spark, path).collect()) == live
+
+    # NaN float keys: Spark's eqNullSafe matches NaN = NaN, and the
+    # format path's tuple sets must agree (r11 review) — both read
+    # paths drop the NaN-keyed row
+    nan = float("nan")
+    p3 = str(tmp_path / "t3")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 1.0), (2, nan), (3, 3.0)], "id long, x double"
+        ),
+        p3,
+    )
+    S.snapshot_delete_eq(
+        spark, p3, spark.createDataFrame([(nan,)], "x double")
+    )
+    eng = sorted(r.id for r in read_snapshot(spark, p3).collect())
+    fmt3 = sorted(
+        r.id
+        for r in spark.read.format("snapshot")
+        .option("path", p3).load().collect()
+    )
+    assert eng == fmt3 == [1, 3]
 
 
 def test_expire_pins_branch_chain_and_ages_refs_per_policy(
