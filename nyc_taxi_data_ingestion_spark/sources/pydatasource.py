@@ -292,7 +292,12 @@ def _eq_key_sets(eq_deletes: list) -> list:
                 for row in zip(*(t[c].to_pylist() for c in cols))
             )
         if keys:
-            out.append((list(cols), keys))
+            # per-row normalization in the masking loop is only needed
+            # when some KEY holds the NaN token — a batch NaN can never
+            # match otherwise, normalized or not
+            out.append(
+                (list(cols), keys, any(_EQ_NAN in k for k in keys))
+            )
     return out
 
 
@@ -308,14 +313,18 @@ def _mask_eq_deleted(batch, key_sets: list):
     n = batch.num_rows
     keep = None
     names = set(batch.schema.names)
-    for cols, keys in key_sets:
+    for cols, keys, needs_norm in key_sets:
         vals = [
             batch[c].to_pylist() if c in names else [None] * n
             for c in cols
         ]
-        hit = [
-            tuple(_eq_norm(v) for v in t) in keys for t in zip(*vals)
-        ]
+        if needs_norm:
+            hit = [
+                tuple(_eq_norm(v) for v in t) in keys
+                for t in zip(*vals)
+            ]
+        else:
+            hit = [t in keys for t in zip(*vals)]
         if any(hit):
             if keep is None:
                 keep = [True] * n

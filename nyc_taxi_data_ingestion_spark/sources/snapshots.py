@@ -237,8 +237,8 @@ def _shard_hulls(
     incomparable mixed types drop the column. Either hull side may be
     None — :func:`bounds_exclude` tests sides independently."""
     total = sum(len(fs) for fs in commits.values())
-    if not total or not stats:
-        return {}
+    if not total or not stats or not isinstance(stats, dict):
+        return {}  # incl. a non-dict legacy stats blob: no hull
     covered: dict[str, int] = {}
     lo_acc: dict[str, Any] = {}
     hi_acc: dict[str, Any] = {}
@@ -1467,12 +1467,18 @@ def write_audit_publish(
             verdict = audit_out.get("passed")
         elif isinstance(audit_out, (bool, str)) or audit_out is None:
             verdict = audit_out
-        elif hasattr(audit_out, "__dict__") or hasattr(
-            audit_out, "__slots__"
-        ):
-            verdict = getattr(audit_out, "passed", None)
+        elif hasattr(audit_out, "passed"):
+            verdict = audit_out.passed
         else:
-            verdict = None
+            # a numpy/pandas bool-like scalar (np.bool_ from a metric
+            # comparison) unwraps through .item(); anything else —
+            # a list of metric rows, a number, a passed-less object —
+            # stays ambiguous and fails closed
+            try:
+                iv = audit_out.item()
+            except (AttributeError, ValueError, TypeError):
+                iv = None
+            verdict = iv if isinstance(iv, bool) else None
         passed = bool(verdict)
     except Exception as exc:
         passed = False
@@ -1755,8 +1761,7 @@ def fresh_append_commits(
             )
     try:
         with open(_manifest_path(path, from_version)) as f:
-            old_raw = json.load(f)
-            old_commits, _, _ = _manifest_refs(old_raw)
+            old_commits, _, _ = _manifest_refs(json.load(f))
     except FileNotFoundError as exc:
         # the cursor's own manifest is the diff base; an expired one is
         # unreconstructible (each append's delta needs its parent).

@@ -2368,18 +2368,30 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
 
     # FAIL-CLOSED: a structured result with no 'passed' verdict at all
     # (typo'd key / metrics-only dict / None return) must NOT publish
+    import numpy as np
+
     for ambiguous in (lambda df: {"pased": True, "rows": df.count()},
                       lambda df: {"rows_checked": 2},
                       lambda df: None,
                       # a truthy CONTAINER is still ambiguous — the
                       # embedded verdict here is a FAIL (r11 review)
                       lambda df: [{"check": "rows", "passed": False}],
-                      lambda df: 1):
+                      lambda df: 1,
+                      lambda df: np.bool_(False)):
         repx = S.write_audit_publish(
             spark, good, path, ambiguous, drop_branch_on_failure=True
         )
         assert not repx["passed"] and repx["published_version"] is None
     assert S.list_branches(path) == {}
+    # numpy bool-like scalars ARE explicit verdicts (a metric
+    # comparison like nulls < 0.01 returns np.bool_) — True publishes
+    rep_np = S.write_audit_publish(
+        spark,
+        spark.createDataFrame([(200, "b")], "id long, tag string"),
+        path,
+        lambda df: np.bool_(True),
+    )
+    assert rep_np["passed"] and rep_np["published_version"] is not None
 
     # a raising audit is a failed audit, not a crash of the caller
     def exploding(df):
