@@ -2830,6 +2830,7 @@ def snapshot_delete_eq(
     keys_df: DataFrame,
     key_cols: list[str] | None = None,
     max_commit_retries: int = 5,
+    branch: str | None = None,
 ) -> int:
     """EQUALITY delete — Iceberg v2's second delete flavor (format
     spec: equality delete files; the reference's v2 tables get both
@@ -2852,14 +2853,20 @@ def snapshot_delete_eq(
     with :func:`delete_debt` (``eq_delete_files``/``eq_deleted_keys``).
     Incremental consumers refuse to tail across it, like every
     rewrite. Deleting by PREDICATE is the positional family's job;
-    this is the by-key fast path. Returns the new head version."""
+    this is the by-key fast path. ``branch=`` stages the delete on a
+    WAP branch (scoped to the BRANCH head's dirs), invisible to main
+    until published — staged CDC. Returns the new head version."""
     cols = list(key_cols) if key_cols is not None else list(keys_df.columns)
     if not cols:
         raise ValueError("snapshot_delete_eq needs at least one key column")
     missing = [c for c in cols if c not in keys_df.columns]
     if missing:
         raise ValueError(f"keys_df lacks key column(s): {missing}")
-    head = current_version(path)
+    head = (
+        _branch_head(path, branch)
+        if branch is not None
+        else current_version(path)
+    )
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     eq_rel, files, n_keys = _stage_eq_delete(path, head, keys_df, cols)
@@ -2874,6 +2881,7 @@ def snapshot_delete_eq(
             max_commit_retries=max_commit_retries,
             eq_deletes_add={eq_rel: {"files": files, "cols": cols}},
             operation="eq-delete",
+            branch=branch,
         )
     except BaseException:
         shutil.rmtree(os.path.join(path, eq_rel), ignore_errors=True)
@@ -2886,6 +2894,7 @@ def snapshot_upsert_eq(
     updates: DataFrame,
     key_cols: list[str],
     max_commit_retries: int = 5,
+    branch: str | None = None,
 ) -> int:
     """Streaming-CDC UPSERT via equality deletes — Iceberg's streaming
     upsert shape (one commit: an equality delete of the update keys +
@@ -2900,7 +2909,8 @@ def snapshot_upsert_eq(
     anti-join until compaction materializes; ``updates`` need not be
     key-unique against the TABLE, but must be unique per key within
     itself (raised otherwise — no order column exists to arbitrate).
-    Returns the new head version."""
+    ``branch=`` stages the upsert on a WAP branch, invisible to main
+    until published. Returns the new head version."""
     from pyspark.sql import functions as F
 
     if not key_cols:
@@ -2920,7 +2930,11 @@ def snapshot_upsert_eq(
             "updates carry duplicate keys — dedupe first (no order "
             "column exists to pick a winner)"
         )
-    head = current_version(path)
+    head = (
+        _branch_head(path, branch)
+        if branch is not None
+        else current_version(path)
+    )
     if head is None:
         raise FileNotFoundError(f"no snapshots at {path}")
     eq_rel, eq_files, n_keys = _stage_eq_delete(
@@ -2945,6 +2959,7 @@ def snapshot_upsert_eq(
                 else None
             ),
             operation="eq-upsert",
+            branch=branch,
         )
     except BaseException:
         shutil.rmtree(data_abs, ignore_errors=True)

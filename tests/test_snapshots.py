@@ -2814,6 +2814,126 @@ def test_path_bounds_skip_timestamp_shaped_values(spark, tmp_path):
     assert st2["pruned_files"] >= 1
 
 
+def test_concurrent_eq_deletes_race_appends_linearizably(
+    spark, tmp_path
+):
+    """Equality deletes under racing appends are LINEARIZABLE: the
+    per-attempt applies_to stamp means a CAS-retried delete re-scopes
+    against whatever parent actually won, so the final state always
+    equals the serial replay of the committed version order — an
+    append that landed before the delete is scoped (its matching keys
+    die), one that landed after is exempt. Also: a branch-staged eq
+    upsert stays invisible to main and publishes whole."""
+    import threading
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    S.snapshot_write(_frame(spark, 0, 40, "seed"), path)
+    errs: list = []
+
+    def appender(lo):
+        try:
+            S.snapshot_write(
+                _frame(spark, lo, lo + 20, f"w{lo}"),
+                path,
+                mode="append",
+                max_commit_retries=64,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    def eq_deleter(mod):
+        try:
+            S.snapshot_delete_eq(
+                spark,
+                path,
+                spark.range(0, 200).where(f"id % 10 = {mod}"),
+                ["id"],
+                max_commit_retries=64,
+            )
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=appender, args=(lo,))
+        for lo in (100, 140)
+    ] + [
+        threading.Thread(target=eq_deleter, args=(m,)) for m in (3, 7)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    # serial replay of the committed version order = expected state
+    import json as _json
+
+    expected: dict[int, str] = {}
+    for v in sorted(S._version_numbers(path)):
+        with open(S._manifest_path(path, v)) as f:
+            raw = _json.load(f)
+        op = raw["operation"]
+        if op in ("overwrite", "append"):
+            lo_tag = raw["version"]
+            # recover this commit's rows by reading ONLY its new dir
+            new_rels = set(raw["commits"]) - (
+                set(prev_commits) if v > 1 else set()
+            )
+            for rel in new_rels:
+                rows = S._union_commit_frames(
+                    spark, path, {rel: raw["commits"][rel]}, tag=False
+                ).collect()
+                for r in rows:
+                    expected[r.id] = r.tag
+        elif op == "eq-delete":
+            # replay the commit's OWN entries (not carried ones) as
+            # key removal: applies_to covers the whole parent state,
+            # and every id live at this point of the replay came from
+            # an applies_to dir, so plain removal is exact
+            import pyarrow.parquet as pq
+
+            with open(S._manifest_path(path, raw["parent"])) as f:
+                parent_eq = set(_json.load(f).get("eq_deletes") or {})
+            for drel, ent in raw["eq_deletes"].items():
+                if drel in parent_eq:
+                    continue
+                for kf in ent["files"]:
+                    t = pq.read_table(os.path.join(path, drel, kf))
+                    for k in t["id"].to_pylist():
+                        expected.pop(k, None)
+        prev_commits = raw["commits"]
+    got = {
+        r.id: r.tag for r in read_snapshot(spark, path).collect()
+    }
+    assert got == expected
+
+    # branch-staged eq upsert: invisible to main, publishes whole
+    S.snapshot_branch(path, "cdc")
+    up = spark.createDataFrame(
+        [(0, "UP"), (5000, "UP")], "id long, tag string"
+    )
+    S.snapshot_upsert_eq(spark, path, up, ["id"], branch="cdc")
+    main_now = {
+        r.id: r.tag for r in read_snapshot(spark, path).collect()
+    }
+    assert main_now == got  # main untouched
+    staged = {
+        r.id: r.tag
+        for r in read_snapshot(spark, path, branch="cdc").collect()
+    }
+    assert staged.get(5000) == "UP"
+    if 0 in got:
+        assert staged.get(0) == "UP"
+    S.snapshot_fast_forward(path, "cdc")
+    S.snapshot_drop_branch(path, "cdc")
+    pub = {
+        r.id: r.tag for r in read_snapshot(spark, path).collect()
+    }
+    assert pub == staged
+
+
 def test_concurrent_appends_race_cleanly_through_sharded_metadata(
     spark, tmp_path, monkeypatch
 ):
