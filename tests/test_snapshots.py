@@ -2814,6 +2814,96 @@ def test_path_bounds_skip_timestamp_shaped_values(spark, tmp_path):
     assert st2["pruned_files"] >= 1
 
 
+def test_eq_deletes_compose_with_shard_skipping_and_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Interplay hardening: equality deletes ride INLINE on a SHARDED
+    manifest, so hull-based shard skipping and the eq anti-join
+    compose — a selective scan loads only surviving shards AND still
+    masks eq-deleted keys inside them; snapshot_rewrite_manifests
+    (metadata-only shard compaction) carries the eq entries; and the
+    format read agrees with the engine read throughout."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_INLINE_MAX", 2)
+    path = str(tmp_path / "t")
+    # 5 range-disjoint commits of 2 files each -> >=5 hulled shards
+    for i in range(5):
+        S.snapshot_write(
+            _frame(spark, i * 100, i * 100 + 10, f"g{i}").repartition(2),
+            path,
+            mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    # eq-delete two keys in bucket 3 and one in bucket 1, zero reads
+    S.snapshot_delete_eq(
+        spark, path,
+        spark.createDataFrame([(305,), (308,), (101,)], "id long"),
+    )
+    # scan bucket 3: other shards skip, eq mask still applies
+    st = S.scan_prune_stats(path, "id", lower=300, upper=309)
+    assert st["skipped_shards"] >= 3
+    got = sorted(
+        r.id for r in S.scan_snapshot(
+            spark, path, "id", lower=300, upper=309
+        ).collect()
+    )
+    assert got == [i for i in range(300, 310) if i not in (305, 308)]
+    # metadata-only shard compaction carries the eq entries verbatim
+    rep = S.snapshot_rewrite_manifests(path, target_shards=2)
+    assert rep["shards_after"] < rep["shards_before"]
+    head_raw = _json.load(
+        open(S._manifest_path(path, S.current_version(path)))
+    )
+    assert head_raw.get("eq_deletes") and "shards" in head_raw
+    # engine and format reads agree post-compaction
+    eng = sorted(r.id for r in S.read_snapshot(spark, path).collect())
+    register_snapshot_format(spark)
+    fmt = sorted(
+        r.id
+        for r in spark.read.format("snapshot")
+        .option("path", path).load()
+        .where(F.col("id").between(0, 1000)).collect()
+    )
+    expect = [
+        i for i in range(0, 410)
+        if i % 100 < 10 and i not in (305, 308, 101)
+    ]
+    assert eng == fmt == expect
+
+
+def test_metadata_stress_ratios_hold():
+    """The 100k-entry metadata-stress claims, gated as RATIOS (wall
+    clocks are machine-dependent; byte/shard proportions are not):
+    an append commits a small fraction of total metadata (O(commit)),
+    and a selective resolve reads a small fraction of the shard bytes
+    (O(surviving shards)) while pruning nearly every file."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/metadata_stress.py", "200", "50"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["file_entries"] == 200 * 50 + 8
+    # commit metadata is O(commit), not O(table)
+    assert rep["commit_bytes"] < 0.2 * rep["full_bytes"]
+    # planning bytes and shard loads ∝ surviving shards
+    assert rep["pruned_shards"] <= 3
+    assert rep["pruned_bytes"] < 0.05 * rep["full_bytes"]
+    assert rep["kept_files"] < 100
+
+
 def test_concurrent_eq_deletes_race_appends_linearizably(
     spark, tmp_path
 ):
