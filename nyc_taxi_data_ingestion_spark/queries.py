@@ -10196,9 +10196,12 @@ def q_snapshot_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the positional family must scan for (file, pos) targets.
     The query stages orders in two commits, equality-DELETES every
     '1-URGENT' key and equality-UPSERTS every '2-HIGH' order (price
-    doubled) — both commits run with the engine's commit-dirs→
-    DataFrame loop POISONED, so any table read during the writes
-    raises — then hash-matches the merged read-back against DuckDB
+    doubled) — both commits run inside the engine's scoped
+    ``forbid_table_reads`` guard (a contextvar hook inside the ONE
+    commit-dirs→DataFrame loop: any table read during the writes
+    raises, with zero process-global mutation — r11 ADVICE replaced
+    the module-attribute poison) — then hash-matches the merged
+    read-back against DuckDB
     computing the same CASE/filter directly. The sequence rule
     (applies_to) keeps the upsert's own rows out of its own delete's
     scope; delete_debt gates that the entries really are pending
@@ -10215,14 +10218,6 @@ def q_snapshot_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
     path = tempfile.mkdtemp(prefix="spark_graft_eqdel_")
-    real_union = S._union_commit_frames
-
-    def poisoned(*a, **k):
-        raise RuntimeError(
-            "equality delete/upsert READ the table — the zero-read "
-            "contract is broken"
-        )
-
     try:
         S.snapshot_write(base.where(F.col("o_orderkey") % 2 == 0), path)
         S.snapshot_write(
@@ -10234,12 +10229,11 @@ def q_snapshot_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         upserts = base.where(
             F.col("o_orderpriority") == "2-HIGH"
         ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(2.0))
-        S._union_commit_frames = poisoned
-        try:
+        with S.forbid_table_reads(
+            "equality delete/upsert must be O(keys): zero table reads"
+        ):
             S.snapshot_delete_eq(spark, path, del_keys)
             S.snapshot_upsert_eq(spark, path, upserts, ["o_orderkey"])
-        finally:
-            S._union_commit_frames = real_union
         debt = S.delete_debt(path)
         # real exceptions, not asserts (python -O strips asserts)
         if debt["eq_delete_files"] < 2 or debt["eq_deleted_keys"] == 0:
@@ -10256,7 +10250,109 @@ def q_snapshot_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        S._union_commit_frames = real_union
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_SNAPSHOT_UPSERT_EQ_ORACLE = """
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+ups AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) * 3.0 AS price
+  FROM orders WHERE o_orderpriority = '3-MEDIUM'
+  UNION ALL
+  SELECT o_orderkey + m + 1 AS o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders, mx WHERE o_orderpriority = '5-LOW'
+),
+merged AS (
+  SELECT o_orderkey, o_orderpriority, price FROM ups
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_upsert_eq", _SNAPSHOT_UPSERT_EQ_ORACLE,
+    tags=["S15", "M1", "§1.1"],
+)
+def q_snapshot_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/M1/§1.1 — the CDC-UPSERT face of equality deletes (r11
+    verdict item 2; Iceberg's streaming upsert shape, and the
+    highest-traffic eq path a real CDC consumer hits — the MERGE
+    semantics of the reference's
+    ``gold/models/analytics/daily_trip_stats.sql:1-11``, done as ONE
+    atomic commit that is an equality delete of the update keys plus
+    a plain data append): every live '3-MEDIUM' order is superseded
+    by a price-tripled update row, a shifted-key copy of every
+    '5-LOW' order INSERTS (new keys simply land), and the whole
+    operation runs inside the engine's scoped ``forbid_table_reads``
+    guard — **zero table reads, O(|updates|) at any table size**,
+    where MERGE-on-read must scan the target for (file, pos)
+    victims. In-query gates: the upsert is exactly one version
+    (atomicity), delete_debt shows live eq entries (pending
+    merge-on-read debt, not a silent rewrite), and the merged
+    read-back hash-matches DuckDB reconstructing last-writer-wins
+    directly from the base table."""
+    import shutil
+    import tempfile
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    mx = int(base.agg(F.max("o_orderkey")).first()[0])
+    path = tempfile.mkdtemp(prefix="spark_graft_equp_")
+    try:
+        S.snapshot_write(base.where(F.col("o_orderkey") % 2 == 0), path)
+        S.snapshot_write(
+            base.where(F.col("o_orderkey") % 2 == 1), path, mode="append"
+        )
+        v0 = S.current_version(path)
+        updates = base.where(
+            F.col("o_orderpriority") == "3-MEDIUM"
+        ).withColumn("price", F.col("price") * F.lit(3.0))
+        inserts = base.where(
+            F.col("o_orderpriority") == "5-LOW"
+        ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mx + 1))
+        with S.forbid_table_reads(
+            "CDC upsert must be O(updates): zero table reads"
+        ):
+            v1 = S.snapshot_upsert_eq(
+                spark, path, updates.unionByName(inserts), ["o_orderkey"]
+            )
+        # real exceptions, not asserts (python -O strips asserts)
+        if v1 != v0 + 1:
+            raise RuntimeError(
+                f"upsert must be ONE atomic commit: v{v0} -> v{v1}"
+            )
+        debt = S.delete_debt(path)
+        if debt["eq_delete_files"] < 1 or debt["eq_deleted_keys"] == 0:
+            raise RuntimeError(
+                f"expected pending equality-delete debt, got {debt}"
+            )
+        return (
+            S.read_snapshot(spark, path)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("price").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
         shutil.rmtree(path, ignore_errors=True)
 
 
@@ -10315,23 +10411,23 @@ def q_snapshot_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn, mx = int(mn), int(mx)
     w = (mx - mn) // 6 + 1
     path = tempfile.mkdtemp(prefix="spark_graft_shardskip_")
-    inline_max = S._SHARD_INLINE_MAX
     try:
-        # 6 range-disjoint commits x 18 files; the lowered inline
-        # threshold shards every commit immediately, so the head's
+        # 6 range-disjoint commits x 18 files; the SCOPED inline
+        # threshold (contextvar, not a module-global swap — r11
+        # ADVICE) shards every commit immediately, so the head's
         # manifest list is six single-range shards with disjoint
-        # hulls — the 800k-file layout in miniature (restored below)
-        S._SHARD_INLINE_MAX = 17
-        for i in range(6):
-            S.snapshot_write(
-                base.where(
-                    (F.col("o_orderkey") >= mn + i * w)
-                    & (F.col("o_orderkey") <= mn + (i + 1) * w - 1)
-                ).repartition(18),
-                path,
-                mode="append" if i else "overwrite",
-                stats_cols=["o_orderkey"],
-            )
+        # hulls — the 800k-file layout in miniature
+        with S.shard_inline_max(17):
+            for i in range(6):
+                S.snapshot_write(
+                    base.where(
+                        (F.col("o_orderkey") >= mn + i * w)
+                        & (F.col("o_orderkey") <= mn + (i + 1) * w - 1)
+                    ).repartition(18),
+                    path,
+                    mode="append" if i else "overwrite",
+                    stats_cols=["o_orderkey"],
+                )
         lo, hi = mn + 3 * w, mn + 4 * w - 1
         st = S.scan_prune_stats(path, "o_orderkey", lower=lo, upper=hi)
         # real exceptions, not asserts (python -O strips asserts)
@@ -10339,30 +10435,19 @@ def q_snapshot_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"shard skipping ineffective for [{lo}, {hi}]: {st}"
             )
-        # load-counter proof: planning READS only surviving shards
+        # load-counter proof: planning READS only surviving shards —
+        # the engine's scoped observer records every shard file
+        # _resolve_manifest actually pulls off disk (no I/O
+        # interception, no interpreter-global mutation)
         plan: dict = {}
-        import builtins
-
         opened: list[str] = []
-        real_open = builtins.open
-
-        def counting_open(p, *a, **k):
-            if isinstance(p, str) and f"{S._SHARDS_DIR}/" in p.replace(
-                "\\", "/"
-            ):
-                opened.append(p)
-            return real_open(p, *a, **k)
-
-        builtins.open = counting_open
-        try:
+        with S.observe_shard_loads(opened):
             S._load_manifest(
                 path,
                 S.current_version(path),
                 prune=[("o_orderkey", lo, hi)],
                 plan_out=plan,
             )
-        finally:
-            builtins.open = real_open
         if len(opened) != plan["loaded_shards"] or plan[
             "skipped_files"
         ] < 4 * 18:
@@ -10380,7 +10465,6 @@ def q_snapshot_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        S._SHARD_INLINE_MAX = inline_max
         shutil.rmtree(path, ignore_errors=True)
 
 
@@ -11006,17 +11090,42 @@ _GREEN_R10 = [
     "global_agg",
 ]
 
+# Hash-green in CORRECTNESS_r11.json — the full 50-row artifact
+# (24-query snapshot churn refresh + 2 new + 24 of the r6-stale pool).
+_GREEN_R11 = [
+    "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
+    "snapshot_schema_evolution", "snapshot_merge_upsert",
+    "snapshot_erase", "snapshot_merge_mor", "snapshot_update_mor",
+    "snapshot_delete_mor", "snapshot_incremental_ingest",
+    "snapshot_cdc", "mart_from_cdc", "snapshot_stream_tail",
+    "snapshot_pruned_scan", "snapshot_null_skip",
+    "snapshot_rewrite_debt", "snapshot_pruned_scan_2d",
+    "snapshot_format_write", "snapshot_format_partitioned_write",
+    "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
+    "snapshot_format_partitioned", "snapshot_manifest_shards",
+    "snapshot_wap", "snapshot_delete_eq", "snapshot_shard_skip",
+    "winsorize", "stream_late_data", "stream_session_windows",
+    "stream_stateful_profile", "bronze_ingest", "pii_redact",
+    "gopher_filter", "repetition_stats", "sql_model_mart",
+    "group_sample", "edit_near_dup", "containment_pairs",
+    "window_dedup", "span_removal", "token_diversity",
+    "stratified_sample", "sequence_pack", "line_dedup", "asof_join",
+    "multimodal_frames", "transition_reachability", "tpch_q4_sql",
+    "tpch_q7_sql", "tpch_q8_sql",
+]
+
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r11 churned the
-# snapshot layer again, under every read and commit: shard-level hull
-# pruning (_resolve_manifest/_load_manifest signatures + the skip
-# path), equality deletes (_read_commits/_union_commit_frames tag,
-# commit_staged_files assembly, MoR live-row computation, rewrite /
-# rollback / schema-op carry), the format source's lazy manifest
-# resolution, the stream gate ratchet + branch lineage, and
-# expire/WAP hardening — so the ENTIRE snapshot family re-earns its
-# verdict at r11 HEAD.
+# re-certifies them against the code as it stands now. r12 churned the
+# snapshot layer under every read and commit AGAIN: scoped
+# instrumentation hooks replaced the module-global swaps
+# (_commit_manifest_any threshold, _resolve_manifest load observer,
+# _union_commit_frames zero-read guard — r11 ADVICE), the WAP verdict
+# fails closed on strings, expire's ref retention retains
+# timestamp-less legacy refs, the format reader resolves a COPY of
+# the pinned manifest, and the manifest head now persists the union
+# schema — so the ENTIRE snapshot family re-earns its verdict at r12
+# HEAD, plus the two rewritten lifecycle queries.
 _REFRESH_FIRST: list[str] = [
     "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
     "snapshot_schema_evolution", "snapshot_merge_upsert",
@@ -11028,37 +11137,32 @@ _REFRESH_FIRST: list[str] = [
     "snapshot_format_write", "snapshot_format_partitioned_write",
     "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
     "snapshot_format_partitioned", "snapshot_manifest_shards",
-    "snapshot_wap",
+    "snapshot_wap", "snapshot_delete_eq", "snapshot_shard_skip",
 ]
 
-# The registry's OLDEST evidence (r10 verdict item 2): queries whose
-# freshest driver hash-match is the r6 artifact — computed from the
-# CORRECTNESS_r01..r10 files directly (the _GREEN_R* lists record
-# FIRST-green rounds, so they under-rank queries later rounds
-# re-certified). These take the prefix slots left after churn-refresh
-# and never-verified, ahead of everything r7+-fresh.
+# The registry's OLDEST evidence (r10 verdict item 2, r11 item 1):
+# queries whose freshest driver hash-match is the r6 artifact —
+# computed from the CORRECTNESS_r01..r11 files directly (the
+# _GREEN_R* lists record FIRST-green rounds, so they under-rank
+# queries later rounds re-certified). These take the prefix slots
+# left after churn-refresh and never-verified, ahead of everything
+# r7+-fresh. r11's 50-prefix retired 24 of the original 42; these 18
+# are the remainder, and r12's prefix (26 churn + 1 new + 18 here =
+# 45) absorbs them all.
 _STALE_R6 = [
-    "asof_join", "bronze_ingest", "containment_pairs", "edit_near_dup",
-    "gini_concentration", "gopher_filter", "group_sample",
-    "grouping_sets_agg", "line_dedup", "market_basket", "mode_per_group",
-    "multimodal_frames", "pareto_share", "pii_redact",
-    "recursive_month_spine", "repetition_stats", "rfm_segments",
-    "scalar_subquery_agg", "sequence_pack", "span_removal",
-    "sql_model_mart", "stratified_sample", "stream_late_data",
-    "stream_session_windows", "stream_stateful_profile",
-    "token_diversity", "tpch_q10_sql", "tpch_q13_sql", "tpch_q15_sql",
-    "tpch_q17_sql", "tpch_q19_sql", "tpch_q21_sql", "tpch_q22_sql",
-    "tpch_q4_sql", "tpch_q7_sql", "tpch_q8_sql",
-    "trailing_window_revenue", "transition_reachability",
-    "variant_extract_agg", "weighted_median", "window_dedup",
-    "winsorize",
+    "gini_concentration", "grouping_sets_agg", "market_basket",
+    "mode_per_group", "pareto_share", "recursive_month_spine",
+    "rfm_segments", "scalar_subquery_agg", "tpch_q10_sql",
+    "tpch_q13_sql", "tpch_q15_sql", "tpch_q17_sql", "tpch_q19_sql",
+    "tpch_q21_sql", "tpch_q22_sql", "trailing_window_revenue",
+    "variant_extract_agg", "weighted_median",
 ]
 
 # Union kept for tools/refresh_prior_green.py (anything here holds SOME
 # verdict; anything absent has never been driver-checked).
 _PRIOR_GREEN = (
     _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
-    + _GREEN_R07 + _GREEN_R08 + _GREEN_R09 + _GREEN_R10
+    + _GREEN_R07 + _GREEN_R08 + _GREEN_R09 + _GREEN_R10 + _GREEN_R11
 )
 
 
@@ -11079,6 +11183,7 @@ def _export_order() -> list[str]:
     for names, rank in (
         (_REFRESH_FIRST, 0),
         (_STALE_R6, 1.5),
+        (_GREEN_R11, 10),
         (_GREEN_R10, 9),
         (_GREEN_R09, 8),
         (_GREEN_R08, 7),

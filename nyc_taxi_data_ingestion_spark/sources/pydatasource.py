@@ -1221,8 +1221,15 @@ class SnapshotBatchReader(DataSourceReader):
             for c in set(self._lo) | set(self._hi)
         ]
         self._shard_plan: dict = {}
+        # resolve a COPY: _resolve_manifest materializes in place and
+        # its 'commits'-present early return would make any second
+        # resolution a no-op — if the DataSource-pinned dict were
+        # resolved here, another scan with different pushed filters
+        # would plan from THIS scan's pruned file inventory and
+        # silently drop rows (r11 ADVICE). The pinned manifest must
+        # stay raw; each reader owns its own pruned view.
         self._manifest = _S._resolve_manifest(
-            self._path, self._manifest, prune=prune,
+            self._path, dict(self._manifest), prune=prune,
             plan_out=self._shard_plan,
         )
         stats = self._manifest.get("stats") or {}

@@ -96,6 +96,77 @@ _SHARDS_DIR = "shards"
 # tests shrink this to force sharding on tiny tables
 _SHARD_INLINE_MAX = 64
 
+# ---------------------------------------------------------------
+# Scoped instrumentation hooks (thread-scoped, NEVER module-global
+# swaps): lifecycle queries and tests prove metadata-path claims —
+# "planning loaded only surviving shards", "this DML read zero table
+# data" — in-query. Swapping module attributes or builtins.open for
+# that is process-wide and unsafe under concurrent driver threads
+# (r11 ADVICE); these hooks key on threading.get_ident(), so a
+# parallel query in the same process is untouched. A plain dict (not
+# contextvars/threading.local) because the format sources cloudpickle
+# this module BY VALUE to executors and ContextVar objects are
+# unpicklable; hook values are ints/strings/list.append, all
+# picklable, and executor threads see no entry for their own tid.
+# ---------------------------------------------------------------
+import contextlib as _contextlib
+import threading as _threading
+
+_THREAD_HOOKS: dict[int, dict[str, Any]] = {}
+
+
+def _hook(name: str):
+    h = _THREAD_HOOKS.get(_threading.get_ident())
+    return h.get(name) if h else None
+
+
+@_contextlib.contextmanager
+def _scoped_hook(name: str, value: Any):
+    tid = _threading.get_ident()
+    slot = _THREAD_HOOKS.setdefault(tid, {})
+    had, prev = name in slot, slot.get(name)
+    slot[name] = value
+    try:
+        yield
+    finally:
+        if had:
+            slot[name] = prev
+        else:
+            slot.pop(name, None)
+            if not slot:
+                _THREAD_HOOKS.pop(tid, None)
+
+
+def _shard_inline_max() -> int:
+    ov = _hook("shard_inline_max")
+    return _SHARD_INLINE_MAX if ov is None else ov
+
+
+def shard_inline_max(n: int):
+    """Scoped override of the inline→sharded manifest threshold —
+    forces tiny tables into the sharded layout (the 800k-file shape
+    in miniature) without mutating the module global under other
+    threads' feet."""
+    return _scoped_hook("shard_inline_max", int(n))
+
+
+def observe_shard_loads(into: list):
+    """Scoped observer: every manifest shard file
+    :func:`_resolve_manifest` actually reads off disk within the
+    scope appends its name to ``into`` — the independent load-count
+    proof behind shard-skipping claims, without intercepting I/O."""
+    return _scoped_hook("shard_load_observer", into.append)
+
+
+def forbid_table_reads(reason: str):
+    """Scoped zero-read guard: any commit-dirs→DataFrame
+    materialization (:func:`_union_commit_frames` — THE loop every
+    table read routes through) on this thread inside the scope
+    raises. Equality delete/upsert queries run their commits under
+    this to prove the O(keys) zero-table-read contract by
+    construction."""
+    return _scoped_hook("table_read_guard", str(reason))
+
 
 def _shard_path(path: str, name: str) -> str:
     return os.path.join(_snap_root(path), _SHARDS_DIR, name)
@@ -164,8 +235,11 @@ def _resolve_manifest(
             to_load.append(skipped_descs.pop())
     skipped = len(skipped_descs)
     skipped_files = sum(d["n_files"] for d in skipped_descs)
+    obs = _hook("shard_load_observer")
     for d in to_load:
         sp = _shard_path(path, d["name"])
+        if obs is not None:
+            obs(d["name"])
         try:
             with open(sp) as f:
                 sh = json.load(f)
@@ -373,7 +447,7 @@ def _commit_manifest_any(
     total = sum(len(fs) for fs in commits.values()) + sum(
         len(fs) for fs in deletes.values()
     )
-    if total <= _SHARD_INLINE_MAX:
+    if total <= _shard_inline_max():
         if "shards" in manifest:
             manifest = {k: v for k, v in manifest.items() if k != "shards"}
         return _commit_manifest(path, version, manifest)
@@ -1421,8 +1495,10 @@ def write_audit_publish(
     both contracts). FAIL-CLOSED: a result that carries no ``passed``
     verdict (a typo'd key, a metrics-only dict/list, a bare ``None``)
     is also a FAILED audit — a promotion gate must never publish on
-    an ambiguous verdict. The only bare affirmatives are ``True`` and
-    a non-empty string summary. Returns {"passed", "published_version" (None on
+    an ambiguous verdict. The only bare affirmative is ``True``
+    (``np.bool_(True)`` unwraps); strings are ALWAYS ambiguous —
+    audits that summarize failures as text ('3 checks failed') must
+    not publish. Returns {"passed", "published_version" (None on
     failure), "staged_version", "branch", "audit" (the result or the
     exception string)}. On failure the staged branch is KEPT by
     default for debugging (``drop_branch_on_failure=True`` abandons
@@ -1456,30 +1532,32 @@ def write_audit_publish(
     audit_out: Any
     try:
         audit_out = audit(read_snapshot(spark, path, branch=name))
-        # FAIL CLOSED: only an explicit affirmative publishes — a dict
-        # or object carries its verdict in 'passed' (missing = FAILED:
-        # a typo'd key or metrics-only return must never silently
-        # promote), and the only bare affirmatives are True / a
-        # non-empty string summary. Any other shape — a list/tuple of
-        # metric rows, a number, a set — is ambiguous and FAILS (a
-        # truthy [{'passed': False}] must not publish).
-        if isinstance(audit_out, dict):
-            verdict = audit_out.get("passed")
-        elif isinstance(audit_out, (bool, str)) or audit_out is None:
-            verdict = audit_out
-        elif hasattr(audit_out, "passed"):
-            verdict = audit_out.passed
-        else:
-            # a numpy/pandas bool-like scalar (np.bool_ from a metric
-            # comparison) unwraps through .item(); anything else —
-            # a list of metric rows, a number, a passed-less object —
-            # stays ambiguous and fails closed
+        # FAIL CLOSED: only an explicit boolean True publishes — a
+        # dict or object carries its verdict in 'passed' (missing =
+        # FAILED: a typo'd key or metrics-only return must never
+        # silently promote). Strings are ALWAYS ambiguous: this very
+        # function encodes audit failures as summary strings, so a
+        # non-empty '3 checks failed' must not read as affirmative.
+        # Any other shape — a list/tuple of metric rows, a number, a
+        # set — is ambiguous and FAILS (a truthy [{'passed': False}]
+        # must not publish). np.bool_ unwraps through .item().
+
+        def _as_bool(v):
+            if isinstance(v, bool):
+                return v
             try:
-                iv = audit_out.item()
+                iv = v.item()
             except (AttributeError, ValueError, TypeError):
-                iv = None
-            verdict = iv if isinstance(iv, bool) else None
-        passed = bool(verdict)
+                return None
+            return iv if isinstance(iv, bool) else None
+
+        if isinstance(audit_out, dict):
+            verdict = _as_bool(audit_out.get("passed"))
+        elif hasattr(audit_out, "passed"):
+            verdict = _as_bool(audit_out.passed)
+        else:
+            verdict = _as_bool(audit_out)
+        passed = verdict is True
     except Exception as exc:
         passed = False
         audit_out = f"{type(exc).__name__}: {exc}"
@@ -2163,6 +2241,11 @@ def _union_commit_frames(
     union-by-name merges the per-commit schemas."""
     from pyspark.sql import functions as F
 
+    guard = _hook("table_read_guard")
+    if guard is not None:
+        raise RuntimeError(
+            f"table read inside a forbid_table_reads scope ({guard})"
+        )
     parts: list[DataFrame] = []
     for commit_rel, files in sorted(commits.items()):
         if not files:
@@ -4121,12 +4204,16 @@ def expire_snapshots(
             ) else None
             if last is None:
                 try:
-                    last = _load_branch_marker(path, name).get(
-                        "timestamp", 0.0
-                    )
+                    last = _load_branch_marker(path, name).get("timestamp")
                 except FileNotFoundError:
                     continue  # dropped by a racer: nothing to age out
-            if now - (last or 0.0) > max_age * 3600:
+                if last is None:
+                    # legacy/hand-built marker without a timestamp:
+                    # RETAIN unconditionally — a GC path must never
+                    # fail open to delete on missing metadata (r11
+                    # ADVICE; mirrors the unmatched-ref default)
+                    continue
+            if now - last > max_age * 3600:
                 expired_refs.append(f"branch:{name}")
                 if not dry_run:
                     try:
@@ -4143,9 +4230,12 @@ def expire_snapshots(
                 continue
             try:
                 with open(_tag_path(path, name)) as f:
-                    pin_ts = json.load(f).get("timestamp", 0.0)
+                    pin_ts = json.load(f).get("timestamp")
             except (OSError, ValueError):
                 continue
+            if pin_ts is None:
+                continue  # timestamp-less legacy tag: retain (never
+                # fail open to delete in a GC path — r11 ADVICE)
             if now - pin_ts > max_age * 3600:
                 expired_refs.append(f"tag:{name}")
                 if not dry_run:

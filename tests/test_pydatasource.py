@@ -1666,3 +1666,63 @@ def test_format_writer_stages_on_branch(spark, tmp_path):
     assert sorted(r.id for r in S.read_snapshot(spark, path).collect()) == [
         0, 1, 2, 3, 4, 100, 101, 102,
     ]
+
+
+def test_reader_resolution_never_contaminates_pinned_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: partitions() must resolve a COPY of the pinned raw
+    manifest. _resolve_manifest materializes in place and its
+    'commits'-present early return makes any second resolution a
+    no-op — an in-place resolve here would let one scan's PRUNED file
+    inventory silently become every later scan's plan (different
+    pushed filters -> dropped rows). Three readers share one pinned
+    raw dict; each must plan from the full inventory."""
+    import json
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+
+    monkeypatch.setattr(S, "_SHARD_INLINE_MAX", 2)
+    path = str(tmp_path / "t")
+    for i in range(6):
+        S.snapshot_write(
+            spark.range(i * 100, i * 100 + 10)
+            .select(F.col("id"), F.lit(f"g{i}").alias("tag"))
+            .repartition(2),
+            path,
+            mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    raw = json.load(
+        open(S._manifest_path(path, S.current_version(path)))
+    )
+    assert raw.get("shards") and "commits" not in raw
+
+    # scan 1: selective high-range — shard-level pruning kicks in
+    r1 = SnapshotBatchReader(path, raw)
+    r1.pushFilters([GreaterThanOrEqual(("id",), 500)])
+    files1 = {p.file_abs for p in r1.partitions() if p.file_abs}
+    assert 1 <= len(files1) <= 2
+    assert r1._shard_plan["skipped_shards"] >= 1
+
+    # the PINNED dict stayed raw: scan 1 resolved its own copy
+    assert "commits" not in raw and "_pruned" not in raw
+
+    # scan 2, SAME pinned dict, disjoint filter: must see ITS files
+    # (an in-place resolve would replay scan 1's pruned inventory
+    # here and return zero files)
+    r2 = SnapshotBatchReader(path, raw)
+    r2.pushFilters([LessThan(("id",), 10)])
+    files2 = {p.file_abs for p in r2.partitions() if p.file_abs}
+    assert 1 <= len(files2) <= 2 and files2.isdisjoint(files1)
+
+    # scan 3, unfiltered: the complete inventory
+    r3 = SnapshotBatchReader(path, raw)
+    files3 = {p.file_abs for p in r3.partitions() if p.file_abs}
+    assert len(files3) == 12 and files1 | files2 <= files3
+    assert "commits" not in raw

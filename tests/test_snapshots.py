@@ -2377,7 +2377,14 @@ def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
                       # embedded verdict here is a FAIL (r11 review)
                       lambda df: [{"check": "rows", "passed": False}],
                       lambda df: 1,
-                      lambda df: np.bool_(False)):
+                      lambda df: np.bool_(False),
+                      # strings are ALWAYS ambiguous — the exception
+                      # path encodes failures as strings, so a text
+                      # summary must never read as affirmative (r11
+                      # ADVICE): neither bare nor inside 'passed'
+                      lambda df: "3 checks failed",
+                      lambda df: "ok",
+                      lambda df: {"passed": "yes"}):
         repx = S.write_audit_publish(
             spark, good, path, ambiguous, drop_branch_on_failure=True
         )
@@ -2686,6 +2693,31 @@ def test_expire_pins_branch_chain_and_ages_refs_per_policy(
     )
     assert rep3["expired_refs"] == []
     assert "wap-live" in S.list_branches(path)
+
+    # legacy/hand-built metadata WITHOUT a timestamp key: a GC path
+    # must retain, never fail open to delete (r11 ADVICE — the old
+    # 0.0 default read such refs as epoch-old and dropped them under
+    # any matching policy)
+    S.snapshot_branch(path, "wap-legacy")  # commit-less: ages from marker
+    S.snapshot_tag(path, "audit-legacy")
+    for fp in (S._branch_marker_path(path, "wap-legacy"),
+               S._tag_path(path, "audit-legacy")):
+        with open(fp) as f:
+            doc = _json.load(f)
+        doc.pop("timestamp", None)
+        with open(fp, "w") as f:
+            _json.dump(doc, f)
+    rep4 = S.expire_snapshots(
+        path, keep_last=1, orphan_grace_hours=0.0,
+        ref_retention={"wap-*": {"max_age_hours": 0.0},
+                       "audit-*": {"max_age_hours": 0.0}},
+    )
+    assert "branch:wap-legacy" not in rep4["expired_refs"]
+    assert "tag:audit-legacy" not in rep4["expired_refs"]
+    assert "wap-legacy" in S.list_branches(path)
+    assert "audit-legacy" in S.list_tags(path)
+    S.snapshot_drop_branch(path, "wap-legacy")
+    S.snapshot_untag(path, "audit-legacy")
 
 
 def test_rewrite_data_files_migrates_partition_spec_incrementally(
