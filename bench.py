@@ -47,13 +47,14 @@ def _flag_value(name: str) -> str | None:
 
 
 def _newest_prior_artifact(sf) -> dict:
-    """The newest committed BENCH_full artifact's warm timings — the
-    cross-round baseline for the inflated-number retry (empty dict if
-    none parse; the retry heuristic then never fires). Regex anchored
-    to the canonical name (variant artifacts like *_definitive are not
-    baselines), and an artifact measured at a DIFFERENT scale factor
-    is skipped — comparing sf0.1 numbers against an sf1 run would flag
-    every query as inflated and spawn hours of fresh-JVM retries."""
+    """The newest committed BENCH_full artifact — the cross-round
+    baseline for the inflated-number retry and the plan-drift flag
+    (empty dict if none parse; both heuristics then never fire).
+    Regex anchored to the canonical name (variant artifacts like
+    *_definitive are not baselines), and an artifact measured at a
+    DIFFERENT scale factor is skipped — comparing sf0.1 numbers
+    against an sf1 run would flag every query as inflated and spawn
+    hours of fresh-JVM retries."""
     import glob
     import re
 
@@ -69,10 +70,34 @@ def _newest_prior_artifact(sf) -> dict:
                 d = json.load(f)
             if d.get("sf") != sf:
                 continue
-            return dict(d["queries"])
+            return d
         except Exception:
             continue
     return {}
+
+
+def _plan_fingerprint(df) -> str:
+    """Canonicalized physical-plan fingerprint (r11 verdict item 4):
+    a short hash of the executed plan's tree with the run-varying
+    tokens stripped — expression ids (#123), hex uuids, filesystem
+    paths (lifecycle queries write temp tables), and every literal
+    number (partition counts, AQE stats, plan node ids). Two sweeps
+    on identical code then hash identically, and a wall-clock move
+    WITHOUT a fingerprint move is environment, not code — the
+    distinction r10/r11 had to prove by hand with git-diff and
+    cross-sweep ratios."""
+    import hashlib
+    import re
+
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return "unavailable"
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"\b[0-9a-f]{8,}\b", "<hex>", s)
+    s = re.sub(r"(file:)?/[^\s,\])]+", "<path>", s)
+    s = re.sub(r"\b\d+\b", "<n>", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
 def _build_session():
@@ -135,9 +160,11 @@ def _measure(spark, q, sf_dir: str):
     cold = round(time.time() - t0, 3)
     runs: list[float] = []
     unstable = False
+    df = None
     while len(runs) < 4:
         t0 = time.time()
-        n = q.fn(spark, sf_dir).count()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
         runs.append(time.time() - t0)
         if len(runs) >= 2:
             a, b = sorted(runs)[:2]
@@ -149,7 +176,10 @@ def _measure(spark, q, sf_dir: str):
         # windows) — flag it so round-over-round comparisons discount
         # it instead of reading a regression into it
         unstable = True
-    return cold, round(min(runs), 3), unstable, n
+    # fingerprint the LAST warm run's frame: plan-string retrieval is
+    # driver-side only (no re-execution — rebuilding the frame would
+    # re-run the lifecycle queries' writes)
+    return cold, round(min(runs), 3), unstable, n, _plan_fingerprint(df)
 
 
 def _single(name: str) -> None:
@@ -161,7 +191,7 @@ def _single(name: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = _build_session()
     _warmup(spark, names={name})
-    cold, warm, unstable, n = _measure(spark, REGISTRY[name], sf_dir)
+    cold, warm, unstable, n, _fp = _measure(spark, REGISTRY[name], sf_dir)
     print(
         json.dumps(
             {
@@ -209,14 +239,15 @@ def main() -> None:
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     unstable: list[str] = []
+    fingerprints: dict[str, str] = {}
     for name, q in sorted(REGISTRY.items()):
         try:
-            c, w, u, n = _measure(spark, q, sf_dir)
+            c, w, u, n, fp = _measure(spark, q, sf_dir)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
-        cold[name], timings[name] = c, w
+        cold[name], timings[name], fingerprints[name] = c, w, fp
         if u:
             unstable.append(name)
         print(
@@ -239,9 +270,10 @@ def main() -> None:
     #    artifact can. Both numbers are kept under singles_remeasured,
     #    so a REAL regression shows up as a retry that stays slow.
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    prior = _newest_prior_artifact(
+    prior_art = _newest_prior_artifact(
         float(sf_label) if sf_label.replace(".", "").isdigit() else sf_label
     )
+    prior = dict(prior_art.get("queries") or {})
     inflated = [
         n
         for n, w in timings.items()
@@ -326,7 +358,22 @@ def main() -> None:
             sum(timings.get(q, 0.0) for q in medallion), 3
         ),
         "baseline_reference_pipeline_sec": 42.9,
+        # canonicalized physical-plan hashes (r11 verdict item 4):
+        # plan_changed separates code-driven moves from environment —
+        # a wall-clock regression whose fingerprint is unchanged vs
+        # the prior artifact is the VM, not the plan
+        "plan_fingerprints": fingerprints,
     }
+    prior_fp = prior_art.get("plan_fingerprints") or {}
+    if prior_fp:
+        payload["plan_changed"] = sorted(
+            n
+            for n, fp in fingerprints.items()
+            if n in prior_fp and fp != prior_fp[n]
+        )
+        for n in payload["plan_changed"]:
+            print(f"# {n}: PLAN CHANGED vs prior artifact",
+                  file=sys.stderr)
     if remeasured:
         payload["singles_remeasured"] = remeasured
     if errors:

@@ -541,10 +541,18 @@ def _table_arrow_schema(path: str, manifest: dict):
     types (int32→int64), and anchoring to any single commit either
     silently drops the new columns or crashes the vectorized reader on
     the widened ones (both measured). A genuinely conflicting pair
-    (string vs long) fails here, at planning, with pyarrow's error."""
+    (string vs long) fails here, at planning, with pyarrow's error.
+
+    r12: manifests record this union in their HEAD at commit time
+    (snapshots._record_union_schema) — when present it IS the answer,
+    with zero footer reads and zero shard resolution; the walk below
+    is the legacy-manifest fallback."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    rec = _S.recorded_schema(manifest)
+    if rec is not None:
+        return rec
     schema_log = manifest.get("schema_log")
     schemas = []
     for rel, files in sorted(manifest["commits"].items()):
@@ -989,7 +997,11 @@ class SnapshotStreamDataSource(DataSource):
         )
         if head is None:
             raise FileNotFoundError(f"no snapshots at {path}")
-        manifest = _S._load_manifest(path, head)
+        raw = _S._load_manifest_raw(path, head)
+        rec = _S.recorded_schema(raw)
+        if rec is not None:
+            return from_arrow_schema(rec)  # zero shard loads (r12)
+        manifest = _S._resolve_manifest(path, raw)
         return from_arrow_schema(_table_arrow_schema(path, manifest))
 
     def streamReader(self, schema) -> DataSourceStreamReader:
@@ -1412,6 +1424,12 @@ class SnapshotDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         path, m = self._manifest()
+        rec = _S.recorded_schema(m)
+        if rec is not None:
+            # commit-time record in the manifest HEAD: schema() is one
+            # manifest read at ANY file count — no shard resolution,
+            # no per-commit footer walk (r11 verdict item 3)
+            return from_arrow_schema(rec)
         resolved = getattr(self, "_schema_resolved", None)
         if resolved is None:
             # dict copy: _resolve_manifest materializes in place, and

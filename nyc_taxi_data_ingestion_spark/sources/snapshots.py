@@ -418,6 +418,269 @@ def _write_shard(
     return desc
 
 
+def _schema_to_b64(sch) -> str:
+    import base64
+
+    return base64.b64encode(sch.serialize().to_pybytes()).decode("ascii")
+
+
+def schema_from_b64(b64: str):
+    import base64
+
+    import pyarrow as pa
+
+    return pa.ipc.read_schema(pa.py_buffer(base64.b64decode(b64)))
+
+
+def recorded_schema(manifest: dict):
+    """The union Arrow schema recorded in the MANIFEST HEAD at commit
+    time (r11 verdict item 3), or None for legacy manifests. Stored in
+    two parts mirroring how readers compose it: the data footer-union
+    (``arrow_schema_b64``) plus the typed Hive-partition fields
+    (``partition_schema_b64``), partition fields appended only where
+    no footer carries the name. With this present, ``schema()`` is ONE
+    manifest read at any file count — no shard resolution, no
+    one-footer-per-commit walk (~0.16 s per load() at 100k entries,
+    ~1.3 s at 800k, for zero information)."""
+    b64 = manifest.get("arrow_schema_b64")
+    if not b64:
+        return None
+    try:
+        import pyarrow as pa
+
+        data = schema_from_b64(b64)
+        pb64 = manifest.get("partition_schema_b64")
+        if not pb64:
+            return data
+        names = set(data.names)
+        return pa.schema(
+            list(data)
+            + [f for f in schema_from_b64(pb64) if f.name not in names]
+        )
+    except Exception:
+        return None  # unreadable record: readers fall back to the walk
+
+
+def _dir_logical_schema(path: str, rel: str, files: list, schema_log):
+    """One commit dir's LOGICAL Arrow schema: its first file's footer
+    (files within a commit share a writer schema) with the dir's
+    rename/drop ops replayed — the per-dir unit both the full union
+    walk and the incremental append recording unify over."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pairs = _replay_schema_ops(
+        [
+            (f.name, f)
+            for f in pq.ParquetFile(
+                os.path.join(path, rel, files[0])
+            ).schema_arrow
+        ],
+        _schema_ops_for_commit(schema_log, rel),
+    )
+    return pa.schema([f.with_name(n) for n, f in pairs])
+
+
+def _full_union_schema(path: str, manifest: dict):
+    """(data_union_schema, partition_fields) recomputed from scratch:
+    one footer per commit dir + whole-version partition inference —
+    the read path's historic cost, now paid once per non-append
+    commit instead of per reader session."""
+    import pyarrow as pa
+
+    from . import pydatasource as _pds
+
+    slog = manifest.get("schema_log")
+    schemas = [
+        _dir_logical_schema(path, rel, files, slog)
+        for rel, files in sorted((manifest.get("commits") or {}).items())
+        if files
+    ]
+    if not schemas:
+        raise FileNotFoundError(f"no data files in that version of {path}")
+    try:
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except TypeError:
+        unified = pa.unify_schemas(schemas)
+    data = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in unified]
+    )
+    names = set(data.names)
+    part = [
+        f
+        for f in _pds._infer_partition_fields(manifest)
+        if f.name not in names
+    ]
+    return data, part
+
+
+def _widen_partition_type(a, b):
+    """The whole-version partition-inference lattice, applied
+    pairwise so an append can widen the RECORDED partition typing
+    without re-scanning every dir's path values: equal stays, numerics
+    take the wider (int32<int64<float64), any string involvement is
+    string, and a date/numeric mix falls to string (each side fails
+    the other's strict parse). Returns None only for types inference
+    never produces — the caller then recomputes exactly."""
+    import pyarrow as pa
+
+    if a == b:
+        return a
+    order = {pa.int32(): 0, pa.int64(): 1, pa.float64(): 2}
+    if a in order and b in order:
+        return a if order[a] >= order[b] else b
+    known = set(order) | {pa.string(), pa.date32()}
+    if a in known and b in known:
+        return pa.string()
+    return None
+
+
+def _record_union_schema(
+    path: str, manifest: dict, base: dict | None
+) -> None:
+    """Persist the table's current union schema in the manifest head
+    (r11 verdict item 3). Incremental for the hot path — a pure
+    append unifies the parent's recorded schema with ONE footer per
+    new commit dir and widens partition typing from the new dirs'
+    path values; a single rename/drop transforms the recorded schema
+    directly (O(1), keeping schema evolution KB-scale at any file
+    count). Anything else (overwrite, rewrite/compaction, legacy
+    parent without a record, uncertain partition-type transition)
+    recomputes from scratch. BEST-EFFORT: any failure (metadata-only
+    synthetic commits whose files have no footers, exotic types)
+    leaves the fields absent and readers fall back to the historic
+    footer walk — a recorded schema is always exactly what that walk
+    would return."""
+    manifest.pop("arrow_schema_b64", None)
+    manifest.pop("partition_schema_b64", None)
+    try:
+        import pyarrow as pa
+
+        from . import pydatasource as _pds
+
+        commits = manifest.get("commits") or {}
+        slog = list(manifest.get("schema_log") or [])
+        b = base or {}
+        bslog = list(b.get("schema_log") or [])
+        bc = b.get("commits") or {}
+        data_b64 = b.get("arrow_schema_b64")
+        same_files = set(bc) <= set(commits) and all(
+            commits.get(r) == fs for r, fs in bc.items()
+        )
+        carried = None
+        if data_b64 and same_files and slog == bslog:
+            data = schema_from_b64(data_b64)
+            pb64 = b.get("partition_schema_b64")
+            part = {
+                f.name: f
+                for f in (schema_from_b64(pb64) if pb64 else [])
+            }
+            fresh = {
+                r: fs for r, fs in commits.items() if r not in bc and fs
+            }
+            ok = True
+            if fresh:
+                schemas = [data] + [
+                    _dir_logical_schema(path, r, fs, slog)
+                    for r, fs in sorted(fresh.items())
+                ]
+                try:
+                    data = pa.unify_schemas(
+                        schemas, promote_options="permissive"
+                    )
+                except TypeError:
+                    data = pa.unify_schemas(schemas)
+                data = pa.schema(
+                    [
+                        pa.field(f.name, f.type, nullable=True)
+                        for f in data
+                    ]
+                )
+                raw: dict[str, list] = {}
+                for _rel, fs in sorted(fresh.items()):
+                    for f in fs:
+                        for k, v in _pds._partition_values(f).items():
+                            raw.setdefault(k, []).append(v)
+                fresh_part = {
+                    f.name: f
+                    for f in _pds._infer_partition_fields(
+                        {"commits": fresh}
+                    )
+                }
+                for k, vs in raw.items():
+                    if not any(v is not None for v in vs):
+                        # no type evidence (all-null values): the
+                        # whole-version inference skips nulls, so an
+                        # existing typing stands; a brand-new column
+                        # types string, exactly as the full walk would
+                        part.setdefault(
+                            k, pa.field(k, pa.string(), nullable=True)
+                        )
+                        continue
+                    fold = part.get(k)
+                    if fold is None:
+                        part[k] = fresh_part[k]
+                        continue
+                    w = _widen_partition_type(
+                        fold.type, fresh_part[k].type
+                    )
+                    if w is None:
+                        ok = False
+                        break
+                    part[k] = pa.field(k, w, nullable=True)
+            if ok:
+                carried = (data, part)
+        elif (
+            data_b64
+            and same_files
+            and set(bc) == set(commits)
+            and len(slog) == len(bslog) + 1
+            and slog[:-1] == bslog
+        ):
+            # single metadata-only rename/drop: transform the record
+            # directly — schema evolution stays O(1) at any file count
+            entry = slog[-1]
+            data = schema_from_b64(data_b64)
+            pb64 = b.get("partition_schema_b64")
+            part = {
+                f.name: f
+                for f in (schema_from_b64(pb64) if pb64 else [])
+            }
+            if entry.get("op") == "rename":
+                src, dst = entry.get("from"), entry.get("to")
+                if (
+                    src in data.names
+                    and dst not in data.names
+                    and dst not in part
+                    and src not in part
+                ):
+                    i = data.get_field_index(src)
+                    carried = (
+                        data.set(i, data.field(i).with_name(dst)),
+                        part,
+                    )
+            elif entry.get("op") == "drop":
+                col = entry.get("column")
+                if col in data.names and col not in part:
+                    carried = (
+                        data.remove(data.get_field_index(col)),
+                        part,
+                    )
+        if carried is None:
+            data, part_fields = _full_union_schema(path, manifest)
+            part = {f.name: f for f in part_fields}
+        else:
+            data, part = carried
+        manifest["arrow_schema_b64"] = _schema_to_b64(data)
+        if part:
+            manifest["partition_schema_b64"] = _schema_to_b64(
+                pa.schema(list(part.values()))
+            )
+    except Exception:
+        manifest.pop("arrow_schema_b64", None)
+        manifest.pop("partition_schema_b64", None)
+
+
 def _commit_manifest_any(
     path: str, version: int, manifest: dict, reuse_base: dict | None = None
 ) -> bool:
@@ -441,6 +704,12 @@ def _commit_manifest_any(
             "(loaded with prune=…): reload the version without "
             "predicates before writing"
         )
+    # every landing manifest records the table's union schema in its
+    # HEAD (never in shards): readers' schema() becomes one manifest
+    # read at any file count. Recomputed here (incremental for
+    # appends/schema-ops) — a stale record copied from a parent dict
+    # must never ride through a file-set change.
+    _record_union_schema(path, manifest, reuse_base)
     commits = manifest.get("commits") or {}
     stats = manifest.get("stats") or {}
     deletes = manifest.get("deletes") or {}

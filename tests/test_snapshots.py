@@ -2934,6 +2934,10 @@ def test_metadata_stress_ratios_hold():
     assert rep["pruned_shards"] <= 3
     assert rep["pruned_bytes"] < 0.05 * rep["full_bytes"]
     assert rep["kept_files"] < 100
+    # schema() from the manifest-head record (r12): ZERO shard loads
+    # at any file count — the last O(shards) reader-session step
+    assert rep["schema_shards"] == 0
+    assert rep["schema_sec"] < 0.1 * rep["full_resolve_sec"] + 0.01
 
 
 def test_concurrent_eq_deletes_race_appends_linearizably(
@@ -3120,3 +3124,132 @@ def test_concurrent_appends_race_cleanly_through_sharded_metadata(
     for v in S._version_numbers(path):
         m = S._load_manifest(path, v)
         assert sum(len(fs) for fs in m["commits"].values()) >= 2
+
+
+def test_manifest_head_records_union_schema(spark, tmp_path, monkeypatch):
+    """r11 verdict item 3 — the last O(shards) reader-session step:
+    every landing manifest records the table's union Arrow schema in
+    its HEAD (data footer-union + typed partition fields), so
+    schema() is one manifest read at any file count. The record must
+    EQUAL what the legacy one-footer-per-commit walk returns after
+    every lifecycle shape: append (incremental — proven by poisoning
+    the full recompute), schema evolution (O(1) record transform),
+    partition-type widening across appends, overwrite/compaction
+    (recompute), rollback (carries the target's record), and a
+    sharded table answers schema() with ZERO shard loads."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotDataSource,
+        _table_arrow_schema,
+    )
+
+    def head_rec_vs_walk(path):
+        raw = _json.load(
+            open(S._manifest_path(path, S.current_version(path)))
+        )
+        rec = S.recorded_schema(raw)
+        stripped = {
+            k: v
+            for k, v in raw.items()
+            if k not in ("arrow_schema_b64", "partition_schema_b64")
+        }
+        walk = _table_arrow_schema(
+            path, S._resolve_manifest(path, stripped)
+        )
+        return rec, walk
+
+    path = str(tmp_path / "t")
+    S.snapshot_write(_frame(spark, 0, 10, "a"), path, stats_cols=["id"])
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk)
+
+    # appends take the INCREMENTAL path: full recompute poisoned
+    def boom(*a, **k):
+        raise AssertionError("append recomputed the union from scratch")
+
+    monkeypatch.setattr(S, "_full_union_schema", boom)
+    S.snapshot_write(
+        spark.range(10, 20).select(
+            F.col("id"),
+            F.lit("b").alias("tag"),
+            F.lit(1.5).alias("extra"),  # union widens by a new column
+        ),
+        path,
+        mode="append",
+    )
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk)
+    assert "extra" in rec.names
+
+    # metadata-only rename/drop transform the record in O(1)
+    S.snapshot_rename_column(path, "tag", "label")
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk) and "label" in rec.names
+    S.snapshot_drop_column(path, "extra")
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk)
+    assert "extra" not in rec.names
+    monkeypatch.undo()
+
+    # overwrite recomputes; rollback carries the target's record
+    S.snapshot_write(_frame(spark, 0, 5, "z"), path, mode="overwrite")
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk)
+    S.snapshot_rollback(path, 1)
+    rec, walk = head_rec_vs_walk(path)
+    assert rec is not None and rec.equals(walk)
+    assert rec.names == ["id", "tag"]  # v1's schema, pre-evolution
+
+    # partitioned: appends WIDEN the recorded partition typing
+    # (int32-fitting values, then one beyond 2^31)
+    p2 = str(tmp_path / "p")
+    S.snapshot_write(
+        spark.range(0, 6).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket")
+        ),
+        p2,
+        partition_by=["bucket"],
+    )
+    rec, walk = head_rec_vs_walk(p2)
+    assert rec is not None and rec.equals(walk)
+    import pyarrow as pa
+
+    assert rec.field("bucket").type == pa.int32()
+    S.snapshot_write(
+        spark.range(6, 9).select(
+            F.col("id"), F.lit(3_000_000_000).alias("bucket")
+        ),
+        p2,
+        mode="append",
+        partition_by=["bucket"],
+    )
+    rec, walk = head_rec_vs_walk(p2)
+    assert rec is not None and rec.equals(walk)
+    assert rec.field("bucket").type == pa.int64()
+
+    # sharded table: schema() loads ZERO shards and still matches
+    p3 = str(tmp_path / "s")
+    with S.shard_inline_max(2):
+        for i in range(4):
+            S.snapshot_write(
+                _frame(spark, i * 10, i * 10 + 10, f"g{i}").repartition(2),
+                p3,
+                mode="append" if i else "overwrite",
+                stats_cols=["id"],
+            )
+    raw = _json.load(open(S._manifest_path(p3, S.current_version(p3))))
+    assert raw.get("shards") and "commits" not in raw
+    loaded: list = []
+    with S.observe_shard_loads(loaded):
+        sch = SnapshotDataSource(options={"path": p3}).schema()
+    assert loaded == []
+    assert [f.name for f in sch.fields] == ["id", "tag"]
+
+    # compaction recomputes from the rewritten footers
+    S.snapshot_compact(spark, p3)
+    rec, walk = head_rec_vs_walk(p3)
+    assert rec is not None and rec.equals(walk)

@@ -65,6 +65,8 @@ def synth_table(path: str) -> None:
             # stress measures exactly the hulls a real table records
             descriptors.append(S._write_shard(path, group_c, group_s, {}))
             group_c, group_s = {}, {}
+    import pyarrow as pa
+
     manifest = {
         "version": 1,
         "parent": None,
@@ -73,6 +75,12 @@ def synth_table(path: str) -> None:
         "partition_by": [],
         "stats_cols": ["k"],
         "shards": descriptors,
+        # the commit-time union-schema record (r12): real commits
+        # compute this from footers; the synthetic table declares its
+        # one column directly — schema() must then read ZERO shards
+        "arrow_schema_b64": S._schema_to_b64(
+            pa.schema([pa.field("k", pa.int64(), nullable=True)])
+        ),
     }
     assert S._commit_manifest(path, 1, manifest)
     print(
@@ -146,6 +154,16 @@ def main() -> None:
         )
         st = S.scan_prune_stats(path, "k", lower=lo, upper=lo + 50)
 
+        # 4. schema() from the manifest-head record (r12): one head
+        # read, ZERO shard loads at any file count — previously this
+        # resolved every shard and opened one footer per commit dir
+        from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+            SnapshotDataSource,
+        )
+
+        ds = SnapshotDataSource(options={"path": path, "version": "1"})
+        schema_wall, schema_n, schema_bytes = shard_bytes_read(ds.schema)
+
         total_files = N_RELS * FILES_PER_REL + 8
         print(f"{'':28s}{'wall':>10s}{'shards':>8s}{'bytes':>12s}")
         print(f"{'synth+rebalance':28s}{build:>9.2f}s")
@@ -162,6 +180,10 @@ def main() -> None:
             f"{pruned_n:>8d}{pruned_bytes:>12,d}"
         )
         print(
+            f"{'schema() from head record':28s}{schema_wall:>9.4f}s"
+            f"{schema_n:>8d}{schema_bytes:>12,d}"
+        )
+        print(
             f"# prune audit over {total_files} files: {st}"
         )
         print(json.dumps({
@@ -174,6 +196,8 @@ def main() -> None:
             "pruned_resolve_sec": round(pruned_wall, 4),
             "pruned_shards": pruned_n,
             "pruned_bytes": pruned_bytes,
+            "schema_sec": round(schema_wall, 4),
+            "schema_shards": schema_n,
             "kept_files": st["kept_files"],
             "skipped_shards": st["skipped_shards"],
         }))
