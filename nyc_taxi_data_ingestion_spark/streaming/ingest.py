@@ -897,3 +897,122 @@ def running_totals_stream(
         outputMode="append",
         timeMode="none",
     )
+
+
+def snapshot_drain_to_head(
+    spark: SparkSession,
+    path: str,
+    sink,
+    *,
+    stream_id: str,
+    checkpoint_dir: str,
+    max_versions_per_trigger: int,
+    branch: str | None = None,
+    prearm_gate: bool = False,
+    timeout_per_window_sec: int = 300,
+) -> dict:
+    """BOUNDED DRAIN over a snapshot-table backlog — AvailableNow
+    semantics done right under a rate limit (r11 verdict item 7, the
+    streaming form of the reference's batch Airflow cadence,
+    ``nyc_taxi_medallion_dag.py:504-512``): drain exactly to the head
+    version observed AT ENTRY, in ``max_versions_per_trigger``-sized
+    windows, then stop. Spark's own ``Trigger.AvailableNow`` latches
+    ONE ``latestOffset`` per run for a Python stream source, so a
+    gated restart drains a single window and terminates with the
+    backlog stranded (measured: 6-version backlog, gate 2 → one
+    20-row batch, 40 rows never drained). This loop re-runs the
+    drain-then-stop query against the SAME checkpoint until the
+    table-side admission cursor (``.option('streamId', …)``) reaches
+    the entry head — each run is one rate-limited window, restarts
+    are exactly-once by the checkpoint/offset log, and commits
+    landing AFTER entry stay for the next cadence.
+
+    ``sink`` is a foreachBatch callable ``(batch_df, batch_id)``.
+    ``prearm_gate=True`` writes the admission cursor BEFORE the first
+    run, so even a FRESH stream's bootstrap is windowed (valid only
+    for an all-appends history: a windowed plan across a rewrite
+    raises, by the incremental-read contract — leave False to let the
+    bootstrap window read the head STATE whole). Returns
+    {"windows", "runs", "head_at_entry", "drained_to"}."""
+    import json as _json
+    import os
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as _S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+        register_snapshot_stream,
+    )
+
+    register_snapshot_stream(spark)
+    hint_path = SnapshotStreamReader(
+        path, stream_id=stream_id
+    )._cursor_hint_path()
+
+    def cursor() -> int | None:
+        try:
+            with open(hint_path) as f:
+                return int(_json.load(f)["last_end"])
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
+    head_at_entry = (
+        _S._branch_head(path, branch)
+        if branch is not None
+        else _S.current_version(path)
+    )
+    if head_at_entry is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    if prearm_gate and cursor() is None:
+        os.makedirs(os.path.dirname(hint_path), exist_ok=True)
+        with open(hint_path, "w") as f:
+            _json.dump({"last_end": 0}, f)
+
+    windows = runs = 0
+    while True:
+        cur = cursor()
+        if cur is not None and cur >= head_at_entry:
+            break
+        reader = (
+            spark.readStream.format("snapshot_stream")
+            .option("path", path)
+            .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+            .option("streamId", stream_id)
+        )
+        if branch is not None:
+            reader = reader.option("branch", branch)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_per_window_sec):
+                raise TimeoutError(
+                    f"drain window did not finish in "
+                    f"{timeout_per_window_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        runs += 1
+        windows += len(q.recentProgress)
+        new_cur = cursor()
+        if new_cur == cur:
+            if cur is None:
+                # no hint and the run planned nothing: the checkpoint
+                # cursor already sits at the head (hint deleted or
+                # never written) — nothing to drain
+                break
+            raise RuntimeError(
+                f"drain made no progress at cursor {cur} (entry head "
+                f"v{head_at_entry}) — is another stream consuming "
+                f"this streamId's checkpoint?"
+            )
+    return {
+        "windows": windows,
+        "runs": runs,
+        "head_at_entry": head_at_entry,
+        "drained_to": cursor(),
+    }
