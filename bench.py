@@ -70,34 +70,56 @@ def _newest_prior_artifact(sf) -> dict:
                 d = json.load(f)
             if d.get("sf") != sf:
                 continue
+            if not isinstance(d.get("queries"), dict) or not d["queries"]:
+                continue  # malformed artifact: fall back to the next
+                # older baseline instead of silently disabling both
+                # cross-round heuristics for the whole sweep
             return d
         except Exception:
             continue
     return {}
 
 
-def _plan_fingerprint(df) -> str:
-    """Canonicalized physical-plan fingerprint (r11 verdict item 4):
-    a short hash of the executed plan's tree with the run-varying
-    tokens stripped — expression ids (#123), hex uuids, filesystem
-    paths (lifecycle queries write temp tables), and every literal
-    number (partition counts, AQE stats, plan node ids). Two sweeps
-    on identical code then hash identically, and a wall-clock move
-    WITHOUT a fingerprint move is environment, not code — the
-    distinction r10/r11 had to prove by hand with git-diff and
-    cross-sweep ratios."""
-    import hashlib
+def _canonical_plan(s: str) -> str:
+    """Strip the run-varying tokens from a physical-plan string —
+    expression ids (#123), hex uuids, filesystem paths (lifecycle
+    queries write temp tables), and every literal number (partition
+    counts, AQE stats, plan node ids)."""
     import re
 
-    try:
-        s = df._jdf.queryExecution().executedPlan().toString()
-    except Exception:
-        return "unavailable"
     s = re.sub(r"#\d+", "#", s)
     s = re.sub(r"\b[0-9a-f]{8,}\b", "<hex>", s)
     s = re.sub(r"(file:)?/[^\s,\])]+", "<path>", s)
     s = re.sub(r"\b\d+\b", "<n>", s)
-    return hashlib.sha256(s.encode()).hexdigest()[:16]
+    return s
+
+
+def _plan_fingerprint(df, inner_plans: list | None = None) -> str:
+    """Canonicalized physical-plan fingerprint (r11 verdict item 4):
+    a short hash over the final frame's executed-plan tree PLUS every
+    plan captured at a localCheckpoint boundary during the run
+    (``inner_plans``). The inner plans matter: 35 lifecycle queries
+    return ``.localCheckpoint(eager=True)`` frames whose own plan is
+    just a Scan-ExistingRDD — without the checkpoint-boundary capture
+    their real plans would be invisible and plan_changed could never
+    flag a code-driven change in the whole snapshot family. Two
+    sweeps on identical code hash identically, and a wall-clock move
+    WITHOUT a fingerprint move is environment, not code — the
+    distinction r10/r11 had to prove by hand with git-diff and
+    cross-sweep ratios."""
+    import hashlib
+
+    parts = [_canonical_plan(p) for p in (inner_plans or [])]
+    try:
+        parts.append(
+            _canonical_plan(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        )
+    except Exception:
+        if not parts:
+            return "unavailable"
+    return hashlib.sha256("\n---\n".join(parts).encode()).hexdigest()[:16]
 
 
 def _build_session():
@@ -161,11 +183,40 @@ def _measure(spark, q, sf_dir: str):
     runs: list[float] = []
     unstable = False
     df = None
+    # capture each localCheckpoint boundary's pre-truncation plan
+    # during the warm runs (driver-side string read, no re-execution):
+    # checkpointed frames erase their lineage by design, so this is
+    # the only place the lifecycle queries' real plans are observable.
+    # Patch the CLASSIC DataFrame: in Spark 4 pyspark.sql.DataFrame is
+    # the dispatch base and classic sessions run the subclass's own
+    # localCheckpoint — patching the base never fires (measured).
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # older layout: one concrete class
+        from pyspark.sql import DataFrame as _DF
+
+    inner: list[str] = []
+    real_lc = _DF.localCheckpoint
+
+    def _capturing_lc(self, eager=True):
+        try:
+            inner.append(
+                self._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
+        return real_lc(self, eager=eager)
+
     while len(runs) < 4:
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        runs.append(time.time() - t0)
+        inner.clear()
+        _DF.localCheckpoint = _capturing_lc
+        try:
+            t0 = time.time()
+            df = q.fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        finally:
+            _DF.localCheckpoint = real_lc
         if len(runs) >= 2:
             a, b = sorted(runs)[:2]
             if b <= a * 1.25:
@@ -176,10 +227,13 @@ def _measure(spark, q, sf_dir: str):
         # windows) — flag it so round-over-round comparisons discount
         # it instead of reading a regression into it
         unstable = True
-    # fingerprint the LAST warm run's frame: plan-string retrieval is
-    # driver-side only (no re-execution — rebuilding the frame would
-    # re-run the lifecycle queries' writes)
-    return cold, round(min(runs), 3), unstable, n, _plan_fingerprint(df)
+    return (
+        cold,
+        round(min(runs), 3),
+        unstable,
+        n,
+        _plan_fingerprint(df, inner),
+    )
 
 
 def _single(name: str) -> None:

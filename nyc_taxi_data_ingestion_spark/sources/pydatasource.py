@@ -548,30 +548,21 @@ def _table_arrow_schema(path: str, manifest: dict):
     with zero footer reads and zero shard resolution; the walk below
     is the legacy-manifest fallback."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     rec = _S.recorded_schema(manifest)
     if rec is not None:
         return rec
     schema_log = manifest.get("schema_log")
-    schemas = []
-    for rel, files in sorted(manifest["commits"].items()):
-        if files:
-            # metadata-only schema evolution: the published schema is
-            # the LOGICAL one — replay this commit's rename/drop ops
-            # over its footer fields before unifying
-            pairs = _S._replay_schema_ops(
-                [
-                    (f.name, f)
-                    for f in pq.ParquetFile(
-                        os.path.join(path, rel, files[0])
-                    ).schema_arrow
-                ],
-                _S._schema_ops_for_commit(schema_log, rel),
-            )
-            schemas.append(
-                pa.schema([f.with_name(n) for n, f in pairs])
-            )
+    # metadata-only schema evolution: the published schema is the
+    # LOGICAL one — each dir's footer with its rename/drop ops
+    # replayed. _dir_logical_schema is THE shared per-dir unit (the
+    # commit-time recorder unifies over the same helper, so the
+    # record==walk invariant can't drift between two copies)
+    schemas = [
+        _S._dir_logical_schema(path, rel, files, schema_log)
+        for rel, files in sorted(manifest["commits"].items())
+        if files
+    ]
     if not schemas:
         raise FileNotFoundError(f"no data files in that version of {path}")
     try:

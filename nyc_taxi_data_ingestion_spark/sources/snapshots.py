@@ -636,6 +636,15 @@ def _record_union_schema(
             and set(bc) == set(commits)
             and len(slog) == len(bslog) + 1
             and slog[:-1] == bslog
+            # Hive-layout guard: with NO path-encoded partition dirs
+            # anywhere, dropping/renaming a footer column can never
+            # resurrect it as a path-typed partition field — with any
+            # '=' dir present the legacy walk COULD re-emit the name
+            # from paths after the op, so recompute exactly instead
+            # of transforming (r12 review)
+            and not any(
+                "=" in f for fs in commits.values() for f in fs
+            )
         ):
             # single metadata-only rename/drop: transform the record
             # directly — schema evolution stays O(1) at any file count

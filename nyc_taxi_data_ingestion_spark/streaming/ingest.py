@@ -1005,11 +1005,19 @@ def snapshot_drain_to_head(
                 # cursor already sits at the head (hint deleted or
                 # never written) — nothing to drain
                 break
-            raise RuntimeError(
-                f"drain made no progress at cursor {cur} (entry head "
-                f"v{head_at_entry}) — is another stream consuming "
-                f"this streamId's checkpoint?"
-            )
+            # hint stale-behind the checkpoint (a swallowed hint-write
+            # failure leaves the checkpoint committed past the hint):
+            # Spark planned no batch because the gated end sits at or
+            # below the committed offset, which also proves the
+            # checkpoint is >= cur + gate — so walking the hint
+            # forward one gate per no-progress run is SAFE (it can
+            # never admit a window wider than the gate) and SELF-HEALS
+            # instead of failing this healthy checkpoint forever
+            # (r12 review); the loop still terminates: the hint
+            # strictly advances toward the entry head every pass
+            bumped = min(head_at_entry, cur + max_versions_per_trigger)
+            with open(hint_path, "w") as f:
+                _json.dump({"last_end": bumped}, f)
     return {
         "windows": windows,
         "runs": runs,

@@ -614,3 +614,24 @@ def test_snapshot_drain_to_head_bounded_windows(spark, tmp_path):
         max_versions_per_trigger=2,
     )
     assert rep2["runs"] == 0 and sorted(out) == list(range(70))
+
+    # SELF-HEAL (r12 review): a hint stale-behind the checkpoint (a
+    # swallowed hint-write failure) must not fail the drain forever —
+    # the loop walks the hint forward one gate per no-progress run
+    # until it reaches the head, replaying NOTHING (exactly-once holds)
+    import json as _json
+
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotStreamReader,
+    )
+
+    hp = SnapshotStreamReader(
+        path, stream_id="drain-t"
+    )._cursor_hint_path()
+    with open(hp, "w") as f:
+        _json.dump({"last_end": 3}, f)
+    rep3 = snapshot_drain_to_head(
+        spark, path, sink, stream_id="drain-t", checkpoint_dir=ck,
+        max_versions_per_trigger=2,
+    )
+    assert rep3["drained_to"] == 7 and sorted(out) == list(range(70))
