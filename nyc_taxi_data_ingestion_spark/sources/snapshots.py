@@ -3813,6 +3813,19 @@ def snapshot_rewrite_manifests(
         out["operation"] = "rewrite-manifests"
         out["timestamp"] = time.time()
         out["shards"] = descriptors
+        if "arrow_schema_b64" not in out:
+            # LEGACY-TABLE upgrade path (r12): a pre-record table gets
+            # its union schema computed once here — metadata
+            # maintenance is exactly where a one-off footer walk is
+            # acceptable — and every later schema() is one head read.
+            # (The resolved head's record, when present, rode through
+            # the wholesale copy above: file set is bit-identical.)
+            tmp = dict(out)
+            tmp["commits"] = commits
+            _record_union_schema(path, tmp, None)
+            for k in ("arrow_schema_b64", "partition_schema_b64"):
+                if k in tmp:
+                    out[k] = tmp[k]
         if _commit_manifest(path, version, out):
             return {
                 "version": version,

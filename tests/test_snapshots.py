@@ -3253,3 +3253,56 @@ def test_manifest_head_records_union_schema(spark, tmp_path, monkeypatch):
     S.snapshot_compact(spark, p3)
     rec, walk = head_rec_vs_walk(p3)
     assert rec is not None and rec.equals(walk)
+
+
+def test_rewrite_manifests_backfills_schema_record(spark, tmp_path):
+    """Legacy-table upgrade path (r12): a pre-record manifest (no
+    arrow_schema_b64 — any table written before the commit-time union
+    record existed) gets the record backfilled by the next
+    snapshot_rewrite_manifests maintenance pass, so its schema() too
+    becomes one head read. The backfill is computed from the resolved
+    state (one footer walk, paid once, inside maintenance) and must
+    equal the legacy walk."""
+    import json as _json
+    import os as _os
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        _table_arrow_schema,
+    )
+
+    path = str(tmp_path / "t")
+    with S.shard_inline_max(2):
+        for i in range(4):
+            S.snapshot_write(
+                _frame(spark, i * 10, i * 10 + 10, f"g{i}").repartition(2),
+                path,
+                mode="append" if i else "overwrite",
+                stats_cols=["id"],
+            )
+    # simulate a legacy head: strip the record
+    head = S.current_version(path)
+    mp = S._manifest_path(path, head)
+    m = _json.load(open(mp))
+    m.pop("arrow_schema_b64", None)
+    m.pop("partition_schema_b64", None)
+    _os.unlink(mp)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    assert S.recorded_schema(_json.load(open(mp))) is None
+
+    with S.shard_inline_max(2):
+        rep = S.snapshot_rewrite_manifests(path, target_shards=2)
+    raw = _json.load(open(S._manifest_path(path, rep["version"])))
+    rec = S.recorded_schema(raw)
+    assert rec is not None
+    stripped = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("arrow_schema_b64", "partition_schema_b64")
+    }
+    walk = _table_arrow_schema(path, S._resolve_manifest(path, stripped))
+    assert rec.equals(walk)
+    assert sorted(r.id for r in read_snapshot(spark, path).collect()) == (
+        list(range(40))
+    )
