@@ -1129,3 +1129,96 @@ def test_sharded_manifests_roundtrip_and_compact_losslessly(
         )
     finally:
         S._SHARD_INLINE_MAX = old_max
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["app", "col", "ren", "drop", "part", "ow"]),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_schema_record_equals_walk_for_any_lifecycle(
+    spark, tmp_path_factory, ops
+):
+    """PROPERTY (r12): for ANY sequence of lifecycle operations —
+    plain appends, column-adding appends, metadata-only rename/drop,
+    Hive-partitioned appends interleaved with flat ones, overwrite —
+    the union schema RECORDED in the manifest head equals what the
+    legacy one-footer-per-commit walk computes from the same state.
+    This is the invariant every recorded_schema fast path (batch
+    format, stream source) rides on; the incremental append unify,
+    the O(1) schema-op transform with its Hive guard, and the full
+    recompute must all land on the walk's answer."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        _table_arrow_schema,
+    )
+
+    path = str(tmp_path_factory.mktemp("recprop")) + "/t"
+    S.snapshot_write(
+        spark.range(0, 4).select(F.col("id"), F.lit("a").alias("tag")),
+        path,
+        stats_cols=["id"],
+    )
+    cols = {"id", "tag"}
+    lo = 100
+    for op in ops:
+        if op == "app":
+            S.snapshot_write(spark.range(lo, lo + 3), path, mode="append")
+        elif op == "col":
+            S.snapshot_write(
+                spark.range(lo, lo + 3).select(
+                    F.col("id"), F.lit(2.5).alias("extra")
+                ),
+                path,
+                mode="append",
+            )
+            cols.add("extra")
+        elif op == "ren" and "tag" in cols and "label" not in cols:
+            S.snapshot_rename_column(path, "tag", "label")
+            cols.discard("tag")
+            cols.add("label")
+        elif op == "drop" and "extra" in cols:
+            S.snapshot_drop_column(path, "extra")
+            cols.discard("extra")
+        elif op == "part":
+            S.snapshot_write(
+                spark.range(lo, lo + 4).select(
+                    F.col("id"), (F.col("id") % 2).alias("bucket")
+                ),
+                path,
+                mode="append",
+                partition_by=["bucket"],
+            )
+            cols.add("bucket")
+        elif op == "ow":
+            S.snapshot_write(
+                spark.range(0, 4).select(
+                    F.col("id"), F.lit("z").alias("tag")
+                ),
+                path,
+                mode="overwrite",
+            )
+            cols = {"id", "tag"}
+        lo += 10
+        raw = _json.load(
+            open(S._manifest_path(path, S.current_version(path)))
+        )
+        rec = S.recorded_schema(raw)
+        stripped = {
+            k: v
+            for k, v in raw.items()
+            if k not in ("arrow_schema_b64", "partition_schema_b64")
+        }
+        walk = _table_arrow_schema(
+            path, S._resolve_manifest(path, stripped)
+        )
+        assert rec is not None and rec.equals(walk), (
+            f"record != walk after {op}: {rec} vs {walk}"
+        )
