@@ -88,9 +88,13 @@ def _canonical_plan(s: str) -> str:
     import re
 
     s = re.sub(r"#\d+", "#", s)
-    s = re.sub(r"\b[0-9a-f]{8,}\b", "<hex>", s)
     s = re.sub(r"(file:)?/[^\s,\])]+", "<path>", s)
+    # digits BEFORE the hex rule: a pure-decimal token of 8+ digits
+    # must canonicalize as <n> like its shorter siblings, not <hex> —
+    # otherwise a run-varying count crossing the 8-digit boundary
+    # between sweeps flips the hash (r12 review)
     s = re.sub(r"\b\d+\b", "<n>", s)
+    s = re.sub(r"\b[0-9a-f]{8,}\b", "<hex>", s)
     return s
 
 
@@ -198,18 +202,23 @@ def _measure(spark, q, sf_dir: str):
     inner: list[str] = []
     real_lc = _DF.localCheckpoint
 
-    def _capturing_lc(self, eager=True):
+    def _capturing_lc(self, *a, **kw):
         try:
             inner.append(
                 self._jdf.queryExecution().executedPlan().toString()
             )
         except Exception:
             pass
-        return real_lc(self, eager=eager)
+        return real_lc(self, *a, **kw)
 
     while len(runs) < 4:
-        inner.clear()
-        _DF.localCheckpoint = _capturing_lc
+        # capture only on the FIRST warm run: plans don't change
+        # across runs, and stringifying a plan per checkpoint inside
+        # the timed window would contaminate checkpoint-heavy
+        # queries' warm numbers (min over runs takes the later,
+        # unpatched runs) — r12 review
+        if not runs:
+            _DF.localCheckpoint = _capturing_lc
         try:
             t0 = time.time()
             df = q.fn(spark, sf_dir)

@@ -934,33 +934,49 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def _persist_hint(self, cur: int) -> None:
         if self._stream_id is None:
             return
-        import json as _json
-        import uuid as _uuid
+        _write_cursor_hint(self._cursor_hint_path(), cur)
 
-        hp = self._cursor_hint_path()
-        os.makedirs(os.path.dirname(hp), exist_ok=True)
+
+def _read_cursor_hint(hp: str) -> int | None:
+    """The admission cursor a hint file records, or None (absent /
+    malformed — the hint is advisory and must never fail a reader)."""
+    import json as _json
+
+    try:
+        with open(hp) as f:
+            return int(_json.load(f)["last_end"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_cursor_hint(hp: str, cur: int) -> None:
+    """THE hint writer — shared by the stream reader's commit/plan
+    persistence and the drain loop's prearm/self-heal, so every
+    write is ATOMIC (tmp + os.replace: a crash can never leave a
+    torn JSON that reads as 'no hint' and un-gates the next run)
+    and MONOTONIC: never move the hint backwards — an out-of-order
+    commit (or an operator's manual replay) must not plant the
+    stale-hint state the inverted-window guard exists to catch.
+    Any malformed existing shape is ignored; any write failure is
+    swallowed (advisory admission state, never a correctness
+    input)."""
+    import json as _json
+    import uuid as _uuid
+
+    os.makedirs(os.path.dirname(hp), exist_ok=True)
+    prev = _read_cursor_hint(hp)
+    if prev is not None and prev >= cur:
+        return
+    tmp = hp + f".tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as f:
+            _json.dump({"last_end": cur}, f)
+        os.replace(tmp, hp)
+    except OSError:
         try:
-            # MONOTONIC: never move the hint backwards — an
-            # out-of-order commit (or an operator's manual replay)
-            # must not plant the stale-hint state the inverted-window
-            # guard exists to catch. Any malformed shape is ignored:
-            # the hint is advisory admission state and must never be
-            # able to fail a commit.
-            with open(hp) as f:
-                if int(_json.load(f).get("last_end", -1)) >= cur:
-                    return
-        except (OSError, ValueError, TypeError, AttributeError):
-            pass
-        tmp = hp + f".tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
-        try:
-            with open(tmp, "w") as f:
-                _json.dump({"last_end": cur}, f)
-            os.replace(tmp, hp)
+            os.unlink(tmp)
         except OSError:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            pass
 
 
 class SnapshotStreamDataSource(DataSource):

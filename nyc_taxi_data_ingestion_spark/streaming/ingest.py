@@ -932,14 +932,17 @@ def snapshot_drain_to_head(
     run, so even a FRESH stream's bootstrap is windowed (valid only
     for an all-appends history: a windowed plan across a rewrite
     raises, by the incremental-read contract — leave False to let the
-    bootstrap window read the head STATE whole). Returns
-    {"windows", "runs", "head_at_entry", "drained_to"}."""
-    import json as _json
-    import os
-
+    bootstrap window read the head STATE whole; note an UNGATED
+    bootstrap reads the head as of its own run, so a commit racing
+    into the gap between entry and the first run rides along — only
+    gated windows are clamped to the entry head). Returns
+    {"windows" (cursor-advancing runs), "runs", "head_at_entry",
+    "drained_to"}."""
     from nyc_taxi_data_ingestion_spark.sources import snapshots as _S
     from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
         SnapshotStreamReader,
+        _read_cursor_hint,
+        _write_cursor_hint,
         register_snapshot_stream,
     )
 
@@ -948,13 +951,6 @@ def snapshot_drain_to_head(
         path, stream_id=stream_id
     )._cursor_hint_path()
 
-    def cursor() -> int | None:
-        try:
-            with open(hint_path) as f:
-                return int(_json.load(f)["last_end"])
-        except (OSError, ValueError, KeyError, TypeError):
-            return None
-
     head_at_entry = (
         _S._branch_head(path, branch)
         if branch is not None
@@ -962,20 +958,29 @@ def snapshot_drain_to_head(
     )
     if head_at_entry is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    if prearm_gate and cursor() is None:
-        os.makedirs(os.path.dirname(hint_path), exist_ok=True)
-        with open(hint_path, "w") as f:
-            _json.dump({"last_end": 0}, f)
+    if prearm_gate and _read_cursor_hint(hint_path) is None:
+        # shared writer: atomic (a torn hint would read as 'no hint'
+        # and UN-GATE the next run — the unbounded window this
+        # function exists to prevent) and monotonic
+        _write_cursor_hint(hint_path, 0)
 
     windows = runs = 0
     while True:
-        cur = cursor()
+        cur = _read_cursor_hint(hint_path)
         if cur is not None and cur >= head_at_entry:
             break
+        # clamp the per-run gate to the ENTRY head: latestOffset gates
+        # against head-NOW, so a post-entry commit inside hint+gate
+        # would otherwise be drained this cadence in violation of the
+        # documented contract (r12 review) — min(gate, remaining)
+        # makes the final window stop exactly at head_at_entry
+        gate = max_versions_per_trigger
+        if cur is not None:
+            gate = max(1, min(gate, head_at_entry - cur))
         reader = (
             spark.readStream.format("snapshot_stream")
             .option("path", path)
-            .option("maxVersionsPerTrigger", str(max_versions_per_trigger))
+            .option("maxVersionsPerTrigger", str(gate))
             .option("streamId", stream_id)
         )
         if branch is not None:
@@ -997,8 +1002,13 @@ def snapshot_drain_to_head(
             if q.isActive:
                 q.stop()
         runs += 1
-        windows += len(q.recentProgress)
-        new_cur = cursor()
+        new_cur = _read_cursor_hint(hint_path)
+        if new_cur != cur and new_cur is not None:
+            # windows = runs that ADVANCED the cursor (AvailableNow
+            # latches one gated window per run); recentProgress is
+            # capped at ~100 entries and emits no-data events, so it
+            # both over- and under-counts (r12 review)
+            windows += 1
         if new_cur == cur:
             if cur is None:
                 # no hint and the run planned nothing: the checkpoint
@@ -1015,12 +1025,13 @@ def snapshot_drain_to_head(
             # instead of failing this healthy checkpoint forever
             # (r12 review); the loop still terminates: the hint
             # strictly advances toward the entry head every pass
-            bumped = min(head_at_entry, cur + max_versions_per_trigger)
-            with open(hint_path, "w") as f:
-                _json.dump({"last_end": bumped}, f)
+            _write_cursor_hint(
+                hint_path,
+                min(head_at_entry, cur + max_versions_per_trigger),
+            )
     return {
         "windows": windows,
         "runs": runs,
         "head_at_entry": head_at_entry,
-        "drained_to": cursor(),
+        "drained_to": _read_cursor_hint(hint_path),
     }

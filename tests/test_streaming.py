@@ -635,3 +635,58 @@ def test_snapshot_drain_to_head_bounded_windows(spark, tmp_path):
         max_versions_per_trigger=2,
     )
     assert rep3["drained_to"] == 7 and sorted(out) == list(range(70))
+
+
+def test_snapshot_drain_clamps_to_entry_head_under_racing_writer(
+    spark, tmp_path
+):
+    """r12 review: latestOffset gates against head-NOW, so without a
+    clamp the final gated window could swallow up to gate-1 commits
+    that landed AFTER the drain started. A writer racing one commit in
+    during the drain must see it left for the next cadence: the drain
+    stops exactly at the head observed at entry."""
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.streaming.ingest import (
+        snapshot_drain_to_head,
+    )
+
+    path = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    out: list = []
+    raced = {"done": False}
+
+    def sink(batch_df, batch_id):
+        out.extend(r.id for r in batch_df.collect())
+        if not raced["done"]:
+            # a concurrent producer lands a commit mid-drain
+            raced["done"] = True
+            S.snapshot_write(spark.range(900, 905), path, mode="append")
+
+    S.snapshot_write(spark.range(0, 5), path)
+    rep0 = snapshot_drain_to_head(
+        spark, path, lambda df, bid: out.extend(
+            r.id for r in df.collect()
+        ),
+        stream_id="drain-race", checkpoint_dir=ck,
+        max_versions_per_trigger=2,
+    )
+    assert rep0["drained_to"] == 1
+    # 5-version backlog (head 6) while the stream is down; the racing
+    # sink will push head to 7 during the drain — an unclamped final
+    # window (5, 7] would swallow it
+    for i in range(1, 6):
+        S.snapshot_write(spark.range(i * 10, i * 10 + 5), path,
+                         mode="append")
+    rep = snapshot_drain_to_head(
+        spark, path, sink, stream_id="drain-race", checkpoint_dir=ck,
+        max_versions_per_trigger=2,
+    )
+    assert rep["head_at_entry"] == 6 and rep["drained_to"] == 6
+    assert 900 not in out  # post-entry commit stays for next cadence
+    # ...and the next cadence picks it up exactly once
+    rep2 = snapshot_drain_to_head(
+        spark, path, sink, stream_id="drain-race", checkpoint_dir=ck,
+        max_versions_per_trigger=2,
+    )
+    assert rep2["drained_to"] == 7
+    assert sorted(x for x in out if x >= 900) == list(range(900, 905))
