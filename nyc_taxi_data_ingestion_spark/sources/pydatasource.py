@@ -1333,6 +1333,72 @@ class SnapshotBatchReader(DataSourceReader):
         # an all-pruned plan still needs >=1 partition for an empty scan
         return parts or [_FilePartition("")]
 
+    def _surviving_row_groups(self, pf, schema_ops):
+        """ROW-GROUP pruning inside a kept file (r12): the task-side
+        twin of the manifest-bounds file skip — Spark's native parquet
+        reader row-group-prunes on pushed filters, and this source
+        must match or a selective scan reads whole 128 MB files for a
+        one-row-group answer. Returns (surviving group indices, group
+        start offsets). The pushed conjuncts arrive in LOGICAL names;
+        footer statistics are keyed by write-time PHYSICAL names, so
+        the dir's schema ops map between them exactly as file-level
+        bounds do in partitions(). Exclusion reuses THE shared
+        predicates (bounds_exclude / null_count_exclude):
+        parquet-truncated string maxima stay valid upper bounds, NaN
+        stats compare false, incomparable types keep — all
+        conservative-safe, and Spark re-evaluates every filter on the
+        returned rows anyway."""
+        md = pf.metadata
+        offsets, off = [], 0
+        for i in range(md.num_row_groups):
+            offsets.append(off)
+            off += md.row_group(i).num_rows
+        if md.num_row_groups <= 1 or not (
+            self._lo or self._hi or self._null
+        ):
+            return list(range(md.num_row_groups)), offsets
+        phys_of = {}
+        if schema_ops:
+            names = [c.name for c in pf.schema_arrow]
+            for logical, phys in _S._replay_schema_ops(
+                [(c, c) for c in names], schema_ops
+            ):
+                phys_of[logical] = phys
+        col_idx = {
+            md.schema.column(j).name: j for j in range(md.num_columns)
+        }
+        conjuncts = [
+            (c, self._lo.get(c), self._hi.get(c), None)
+            for c in set(self._lo) | set(self._hi)
+        ] + [(c, None, None, isn) for c, isn in self._null.items()]
+        keep, kept_offsets = [], []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            excluded = False
+            for col, lo, hi, isn in conjuncts:
+                j = col_idx.get(phys_of.get(col, col))
+                if j is None:
+                    continue
+                st = rg.column(j).statistics
+                if st is None:
+                    continue
+                nulls = st.null_count if st.has_null_count else None
+                mn, mx = (
+                    (st.min, st.max) if st.has_min_max else (None, None)
+                )
+                bounds = [mn, mx, nulls, rg.num_rows]
+                if isn is None:
+                    if _S.bounds_exclude(bounds, lo, hi):
+                        excluded = True
+                        break
+                elif _S.null_count_exclude(bounds, isn):
+                    excluded = True
+                    break
+            if not excluded:
+                keep.append(i)
+                kept_offsets.append(offsets[i])
+        return keep, kept_offsets
+
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
@@ -1350,27 +1416,34 @@ class SnapshotBatchReader(DataSourceReader):
             else None
         )
         pf = pq.ParquetFile(partition.file_abs)
-        offset = 0
-        for b in pf.iter_batches():
-            n = b.num_rows
-            if dels is not None:
-                b = _mask_deleted(b, dels, offset)
-            offset += n
-            if partition.schema_ops:
-                b = _apply_schema_ops(b, partition.schema_ops)
-            if part_fields:
-                b = _attach_partition_columns(
-                    b, part_fields, partition.part_values
+        groups, offsets = self._surviving_row_groups(
+            pf, partition.schema_ops
+        )
+        # per-group iteration with TRUE start offsets: positional
+        # delete vectors key on file-global row position, so a skipped
+        # group must not shift later groups' positions
+        for g, g_off in zip(groups, offsets):
+            offset = g_off
+            for b in pf.iter_batches(row_groups=[g]):
+                n = b.num_rows
+                if dels is not None:
+                    b = _mask_deleted(b, dels, offset)
+                offset += n
+                if partition.schema_ops:
+                    b = _apply_schema_ops(b, partition.schema_ops)
+                if part_fields:
+                    b = _attach_partition_columns(
+                        b, part_fields, partition.part_values
+                    )
+                if eq_sets:
+                    # after ops + partition attach: key columns are in
+                    # their logical names and path-encoded keys resolve
+                    b = _mask_eq_deleted(b, eq_sets)
+                yield (
+                    _conform_batch(b, self._arrow_schema)
+                    if self._arrow_schema is not None
+                    else b
                 )
-            if eq_sets:
-                # after ops + partition attach: key columns are in
-                # their logical names and path-encoded keys resolve
-                b = _mask_eq_deleted(b, eq_sets)
-            yield (
-                _conform_batch(b, self._arrow_schema)
-                if self._arrow_schema is not None
-                else b
-            )
 
 
 class SnapshotDataSource(DataSource):

@@ -1726,3 +1726,94 @@ def test_reader_resolution_never_contaminates_pinned_manifest(
     files3 = {p.file_abs for p in r3.partitions() if p.file_abs}
     assert len(files3) == 12 and files1 | files2 <= files3
     assert "commits" not in raw
+
+
+def test_row_group_pruning_skips_groups_and_keeps_positions(
+    spark, tmp_path
+):
+    """r12 — task-side ROW-GROUP pruning: a kept file's pushed range
+    conjuncts skip whole row groups via footer statistics (what
+    Spark's native parquet reader does; without it a selective scan
+    reads whole 128 MB files for a one-row-group answer), and
+    positional delete vectors still mask by FILE-GLOBAL row position
+    across the skipped groups (a skipped group must not shift later
+    groups' offsets). Pruning is advisory-safe: Spark re-evaluates
+    every filter, so the unit-level contract is 'yields a superset of
+    matching rows, strictly fewer than the whole file'."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+
+    path = str(tmp_path / "t")
+    # ONE file, many small row groups with sequential ids: the engine
+    # write has no row-group-size knob, so stage the parquet directly
+    # and commit it through the normal staged-commit path
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {"id": range(10_000), "v": [i % 7 for i in range(10_000)]}
+    )
+    rel = "data/c00000001-rgtest"
+    _os.makedirs(_os.path.join(path, rel), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        _os.path.join(path, rel, "part-00000.parquet"),
+        row_group_size=500,
+    )
+    S.commit_staged_files(path, rel, ["part-00000.parquet"])
+    m = S._load_manifest(path, S.current_version(path))
+    (rel,) = [r for r, fs in m["commits"].items() if fs]
+    f = m["commits"][rel][0]
+    import os as _os
+
+    pf = pq.ParquetFile(_os.path.join(path, rel, f))
+    assert pf.metadata.num_row_groups >= 10
+
+    def rows_for(filters):
+        r = SnapshotBatchReader(path, dict(m))
+        if filters:
+            r.pushFilters(filters)
+        total = []
+        for p in r.partitions():
+            if p.file_abs:
+                for b in r.read(p):
+                    total.extend(b.column("id").to_pylist())
+        return sorted(total)
+
+    full = rows_for([])
+    assert full == list(range(10_000))
+    kept = rows_for(
+        [GreaterThanOrEqual(("id",), 4000), LessThan(("id",), 4200)]
+    )
+    # superset of the matching rows, far fewer than the file
+    assert set(range(4000, 4200)) <= set(kept)
+    assert len(kept) < 2500
+
+    # positional deletes mask by file-global position even when
+    # earlier groups are skipped: delete ids 4100..4149 (positions
+    # equal ids here), then re-scan the same selective range
+    S.snapshot_delete(
+        spark, path, (F.col("id") >= 4100) & (F.col("id") < 4150)
+    )
+    m2 = S._load_manifest(path, S.current_version(path))
+    r2 = SnapshotBatchReader(path, dict(m2))
+    r2.pushFilters(
+        [GreaterThanOrEqual(("id",), 4000), LessThan(("id",), 4200)]
+    )
+    got = []
+    for p in r2.partitions():
+        if p.file_abs:
+            for b in r2.read(p):
+                got.extend(b.column("id").to_pylist())
+    got = set(got)
+    assert set(range(4000, 4100)) <= got
+    assert set(range(4150, 4200)) <= got
+    assert not (set(range(4100, 4150)) & got)
