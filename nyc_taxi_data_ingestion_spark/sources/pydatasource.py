@@ -1419,12 +1419,40 @@ class SnapshotBatchReader(DataSourceReader):
         groups, offsets = self._surviving_row_groups(
             pf, partition.schema_ops
         )
+        # DECODE-level column pruning (r12): read only the file
+        # columns the negotiated schema (the .option('columns')
+        # projection) and eq-delete key masking need — the protocol
+        # has no pruning hook, so this is where a wide table stops
+        # paying full decode for a narrow projection. Mapping is
+        # logical→physical via the dir's schema ops; a column absent
+        # from the footer (path-encoded partition value, later-added
+        # lineage) is attached/conformed downstream as before, and
+        # eq keys read here but outside the projection are dropped by
+        # the conform step AFTER masking.
+        read_cols = None
+        if self._arrow_schema is not None:
+            phys_of = {}
+            if partition.schema_ops:
+                for logical, phys in _S._replay_schema_ops(
+                    [(c, c) for c in pf.schema_arrow.names],
+                    partition.schema_ops,
+                ):
+                    phys_of[logical] = phys
+            need = [f.name for f in self._arrow_schema]
+            for _files, cols in partition.eq_deletes or []:
+                need.extend(cols)
+            in_file = set(pf.schema_arrow.names)
+            read_cols = [
+                phys
+                for logical in dict.fromkeys(need)
+                if (phys := phys_of.get(logical, logical)) in in_file
+            ]
         # per-group iteration with TRUE start offsets: positional
         # delete vectors key on file-global row position, so a skipped
         # group must not shift later groups' positions
         for g, g_off in zip(groups, offsets):
             offset = g_off
-            for b in pf.iter_batches(row_groups=[g]):
+            for b in pf.iter_batches(row_groups=[g], columns=read_cols):
                 n = b.num_rows
                 if dels is not None:
                     b = _mask_deleted(b, dels, offset)
@@ -1500,6 +1528,30 @@ class SnapshotDataSource(DataSource):
         self._resolved = (path, m)
         return self._resolved
 
+    def _project_columns(self, sch):
+        """Apply ``.option('columns', 'a,b,…')`` — EXPLICIT projection
+        pushdown (r12): the Python DataSource protocol has no
+        column-pruning hook (reader() receives the full schema
+        whatever the query selects, measured), so without this every
+        format-API scan decodes every column. Naming the needed
+        columns prunes at the parquet DECODE level task-side — on a
+        wide table this is the same order of win column pruning gives
+        Spark's native reader. Unknown names fail loudly at planning;
+        order follows the option, mirroring a SELECT list."""
+        import pyarrow as pa
+
+        opt = self.options.get("columns")
+        if not opt:
+            return sch
+        want = [c.strip() for c in opt.split(",") if c.strip()]
+        missing = [c for c in want if c not in sch.names]
+        if missing:
+            raise ValueError(
+                f"columns option names unknown column(s) {missing}; "
+                f"table has {sch.names}"
+            )
+        return pa.schema([sch.field(c) for c in want])
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -1509,7 +1561,7 @@ class SnapshotDataSource(DataSource):
             # commit-time record in the manifest HEAD: schema() is one
             # manifest read at ANY file count — no shard resolution,
             # no per-commit footer walk (r11 verdict item 3)
-            return from_arrow_schema(rec)
+            return from_arrow_schema(self._project_columns(rec))
         resolved = getattr(self, "_schema_resolved", None)
         if resolved is None:
             # dict copy: _resolve_manifest materializes in place, and
@@ -1517,7 +1569,9 @@ class SnapshotDataSource(DataSource):
             resolved = self._schema_resolved = _S._resolve_manifest(
                 path, dict(m)
             )
-        return from_arrow_schema(_table_arrow_schema(path, resolved))
+        return from_arrow_schema(
+            self._project_columns(_table_arrow_schema(path, resolved))
+        )
 
     def reader(self, schema) -> DataSourceReader:
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -1817,3 +1817,65 @@ def test_row_group_pruning_skips_groups_and_keeps_positions(
     assert set(range(4000, 4100)) <= got
     assert set(range(4150, 4200)) <= got
     assert not (set(range(4100, 4150)) & got)
+
+
+def test_columns_option_projects_at_decode_level(spark, tmp_path):
+    """r12 — explicit projection pushdown: the Python DataSource
+    protocol passes reader() the FULL schema whatever the query
+    selects (no column-pruning hook), so .option('columns', …) is how
+    a format-API consumer stops paying full decode on a wide table.
+    Semantics: schema() returns exactly the named columns in option
+    order; values match the full read; renamed columns project under
+    their logical name; eq-delete masking still applies when the KEY
+    column is outside the projection (keys are read for masking, then
+    dropped by the conform step); partition path columns project;
+    unknown names fail at planning."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.range(0, 100).select(
+            F.col("id"),
+            F.lit("x").alias("a"),
+            (F.col("id") * 2.0).alias("b"),
+            (F.col("id") % 3).alias("p"),
+        ),
+        path,
+        partition_by=["p"],
+    )
+
+    def rd(cols=None):
+        r = spark.read.format("snapshot").option("path", path)
+        if cols:
+            r = r.option("columns", cols)
+        return r.load()
+
+    assert rd("b,id").columns == ["b", "id"]
+    got = {r.id: r.b for r in rd("b,id").collect()}
+    assert got == {i: i * 2.0 for i in range(100)}
+    # partition path column projects (attached from dir values)
+    assert sorted(
+        set(r.p for r in rd("p").collect())
+    ) == [0, 1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown column"):
+        rd("nope").collect()
+
+    # renamed column projects under its LOGICAL name
+    S.snapshot_rename_column(path, "a", "label")
+    assert set(r.label for r in rd("label").collect()) == {"x"}
+
+    # eq-delete masking with the key OUTSIDE the projection
+    S.snapshot_delete_eq(
+        spark, path, spark.range(0, 50).select(F.col("id")), ["id"]
+    )
+    vals = sorted(r.b for r in rd("b").collect())
+    assert vals == [i * 2.0 for i in range(50, 100)]
+    assert rd("b").columns == ["b"]
