@@ -1092,10 +1092,18 @@ class SnapshotBatchReader(DataSourceReader):
     pruning is advisory-safe: strict/non-strict edges and files
     without bounds can only KEEP extra files, never drop live rows."""
 
-    def __init__(self, path: str, manifest: dict, arrow_schema=None):
+    def __init__(
+        self, path: str, manifest: dict, arrow_schema=None,
+        full_schema=None,
+    ):
         self._path = path
         self._manifest = manifest
         self._arrow_schema = arrow_schema
+        # the UNPROJECTED table schema — set by the DataSource when a
+        # .option('columns') projection narrows arrow_schema, so
+        # masking-only columns (eq keys in the partition path) keep
+        # their true types
+        self._full_schema = full_schema
         self._lo: dict = {}
         self._hi: dict = {}
         self._null: dict = {}  # col -> True (IS NULL) / False (IS NOT NULL)
@@ -1333,21 +1341,45 @@ class SnapshotBatchReader(DataSourceReader):
         # an all-pruned plan still needs >=1 partition for an empty scan
         return parts or [_FilePartition("")]
 
-    def _surviving_row_groups(self, pf, schema_ops):
+    def _needed_physical(self, partition) -> dict:
+        """logical → in-file physical name for every column this task
+        touches (pruning conjuncts, the negotiated projection,
+        eq-delete keys), via THE shared reverse walk
+        (snapshots._physical_in_ops) — None when the logical has no
+        physical backing in this dir (dropped / renamed-away lineage:
+        its value here is NULL, so neither stale stats nor stale data
+        may serve it). Computed ONCE per task and shared by row-group
+        pruning and decode projection (r12 review: the forward-replay
+        name fallback resurrected stale physical columns for re-added
+        logicals, pruning every IS NULL match)."""
+        logicals = set(self._lo) | set(self._hi) | set(self._null)
+        if self._arrow_schema is not None:
+            logicals |= {f.name for f in self._arrow_schema}
+        for _files, cols in partition.eq_deletes or []:
+            logicals |= set(cols)
+        ops = partition.schema_ops
+        return {c: _S._physical_in_ops(ops, c) for c in logicals}
+
+    def _surviving_row_groups(self, pf, phys_of: dict):
         """ROW-GROUP pruning inside a kept file (r12): the task-side
         twin of the manifest-bounds file skip — Spark's native parquet
         reader row-group-prunes on pushed filters, and this source
         must match or a selective scan reads whole 128 MB files for a
         one-row-group answer. Returns (surviving group indices, group
-        start offsets). The pushed conjuncts arrive in LOGICAL names;
-        footer statistics are keyed by write-time PHYSICAL names, so
-        the dir's schema ops map between them exactly as file-level
-        bounds do in partitions(). Exclusion reuses THE shared
-        predicates (bounds_exclude / null_count_exclude):
-        parquet-truncated string maxima stay valid upper bounds, NaN
-        stats compare false, incomparable types keep — all
-        conservative-safe, and Spark re-evaluates every filter on the
-        returned rows anyway."""
+        start offsets). Exclusion reuses THE shared predicates
+        (bounds_exclude / null_count_exclude): parquet-truncated
+        string maxima stay valid upper bounds, incomparable types
+        keep, and the FLOAT NaN rule mirrors commit-time stats
+        recording (snapshots._collect_file_stats): Spark orders NaN
+        greatest, parquet-mr signals NaN presence as max=NaN while
+        arrow-cpp silently EXCLUDES it from min/max — so for float
+        columns from non-mr writers the upper bound is voided (min
+        pruning stays NaN-sound), an mr NaN max voids the upper
+        bound, and a NaN min (all-NaN group) voids both sides.
+        Conservative-safe throughout, and Spark re-evaluates every
+        filter on the returned rows anyway."""
+        import math
+
         md = pf.metadata
         offsets, off = [], 0
         for i in range(md.num_row_groups):
@@ -1357,16 +1389,10 @@ class SnapshotBatchReader(DataSourceReader):
             self._lo or self._hi or self._null
         ):
             return list(range(md.num_row_groups)), offsets
-        phys_of = {}
-        if schema_ops:
-            names = [c.name for c in pf.schema_arrow]
-            for logical, phys in _S._replay_schema_ops(
-                [(c, c) for c in names], schema_ops
-            ):
-                phys_of[logical] = phys
         col_idx = {
             md.schema.column(j).name: j for j in range(md.num_columns)
         }
+        mr_writer = (md.created_by or "").startswith("parquet-mr")
         conjuncts = [
             (c, self._lo.get(c), self._hi.get(c), None)
             for c in set(self._lo) | set(self._hi)
@@ -1376,7 +1402,8 @@ class SnapshotBatchReader(DataSourceReader):
             rg = md.row_group(i)
             excluded = False
             for col, lo, hi, isn in conjuncts:
-                j = col_idx.get(phys_of.get(col, col))
+                phys = phys_of.get(col)
+                j = col_idx.get(phys) if phys is not None else None
                 if j is None:
                     continue
                 st = rg.column(j).statistics
@@ -1386,6 +1413,16 @@ class SnapshotBatchReader(DataSourceReader):
                 mn, mx = (
                     (st.min, st.max) if st.has_min_max else (None, None)
                 )
+                if md.schema.column(j).physical_type in (
+                    "FLOAT",
+                    "DOUBLE",
+                ):
+                    if isinstance(mn, float) and math.isnan(mn):
+                        mn = mx = None  # all-NaN group: no sound side
+                    elif not mr_writer or (
+                        isinstance(mx, float) and math.isnan(mx)
+                    ):
+                        mx = None  # NaN rows may exist above max
                 bounds = [mn, mx, nulls, rg.num_rows]
                 if isn is None:
                     if _S.bounds_exclude(bounds, lo, hi):
@@ -1416,28 +1453,20 @@ class SnapshotBatchReader(DataSourceReader):
             else None
         )
         pf = pq.ParquetFile(partition.file_abs)
-        groups, offsets = self._surviving_row_groups(
-            pf, partition.schema_ops
-        )
+        phys_of = self._needed_physical(partition)
+        groups, offsets = self._surviving_row_groups(pf, phys_of)
         # DECODE-level column pruning (r12): read only the file
         # columns the negotiated schema (the .option('columns')
         # projection) and eq-delete key masking need — the protocol
         # has no pruning hook, so this is where a wide table stops
-        # paying full decode for a narrow projection. Mapping is
-        # logical→physical via the dir's schema ops; a column absent
-        # from the footer (path-encoded partition value, later-added
-        # lineage) is attached/conformed downstream as before, and
-        # eq keys read here but outside the projection are dropped by
-        # the conform step AFTER masking.
+        # paying full decode for a narrow projection. A column with
+        # no physical backing in this dir (path-encoded partition
+        # value, later-added or re-added lineage) is attached /
+        # conformed downstream as before, and eq keys read here but
+        # outside the projection are dropped by the conform step
+        # AFTER masking.
         read_cols = None
         if self._arrow_schema is not None:
-            phys_of = {}
-            if partition.schema_ops:
-                for logical, phys in _S._replay_schema_ops(
-                    [(c, c) for c in pf.schema_arrow.names],
-                    partition.schema_ops,
-                ):
-                    phys_of[logical] = phys
             need = [f.name for f in self._arrow_schema]
             for _files, cols in partition.eq_deletes or []:
                 need.extend(cols)
@@ -1445,7 +1474,33 @@ class SnapshotBatchReader(DataSourceReader):
             read_cols = [
                 phys
                 for logical in dict.fromkeys(need)
-                if (phys := phys_of.get(logical, logical)) in in_file
+                if (phys := phys_of.get(logical)) is not None
+                and phys in in_file
+            ]
+        # eq-delete keys that live in the PARTITION PATH must be
+        # attached for masking even when the projection excludes them
+        # (r12 review: a projected read otherwise resurrected every
+        # row eq-deleted by a partition-column key); the conform step
+        # drops them after the mask. Typing comes from the UNPROJECTED
+        # table schema the DataSource hands the reader.
+        if eq_sets and partition.part_values:
+            have = {f.name for f in part_fields}
+            eq_cols = {
+                c
+                for _files, cols in partition.eq_deletes or []
+                for c in cols
+            }
+            src = (
+                self._full_schema
+                if self._full_schema is not None
+                else self._arrow_schema
+            )
+            part_fields = part_fields + [
+                f
+                for f in (src or [])
+                if f.name in partition.part_values
+                and f.name in eq_cols
+                and f.name not in have
             ]
         # per-group iteration with TRUE start offsets: positional
         # delete vectors key on file-global row position, so a skipped
@@ -1550,18 +1605,25 @@ class SnapshotDataSource(DataSource):
                 f"columns option names unknown column(s) {missing}; "
                 f"table has {sch.names}"
             )
+        if len(want) != len(set(want)):
+            # pa.schema would happily publish duplicate fields and the
+            # failure would surface as an ambiguous-reference error
+            # far from this option (r12 review) — fail at planning
+            raise ValueError(
+                f"columns option repeats column(s): {opt!r}"
+            )
         return pa.schema([sch.field(c) for c in want])
 
-    def schema(self):
-        from pyspark.sql.pandas.types import from_arrow_schema
-
+    def _unprojected_arrow(self):
+        """The table's FULL Arrow schema for the pinned version —
+        recorded-in-head fast path, footer-walk fallback (cached)."""
         path, m = self._manifest()
         rec = _S.recorded_schema(m)
         if rec is not None:
             # commit-time record in the manifest HEAD: schema() is one
             # manifest read at ANY file count — no shard resolution,
             # no per-commit footer walk (r11 verdict item 3)
-            return from_arrow_schema(self._project_columns(rec))
+            return rec
         resolved = getattr(self, "_schema_resolved", None)
         if resolved is None:
             # dict copy: _resolve_manifest materializes in place, and
@@ -1569,15 +1631,30 @@ class SnapshotDataSource(DataSource):
             resolved = self._schema_resolved = _S._resolve_manifest(
                 path, dict(m)
             )
+        return _table_arrow_schema(path, resolved)
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
         return from_arrow_schema(
-            self._project_columns(_table_arrow_schema(path, resolved))
+            self._project_columns(self._unprojected_arrow())
         )
 
     def reader(self, schema) -> DataSourceReader:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         path, m = self._manifest()
-        return SnapshotBatchReader(path, m, to_arrow_schema(schema))
+        # under a columns projection the negotiated schema is narrow;
+        # the reader still needs the FULL schema's typing for
+        # masking-only attaches (eq keys in the partition path)
+        full = (
+            self._unprojected_arrow()
+            if self.options.get("columns")
+            else None
+        )
+        return SnapshotBatchReader(
+            path, m, to_arrow_schema(schema), full_schema=full
+        )
 
     def writer(self, schema, overwrite: bool):
         path = self.options.get("path")

@@ -2409,6 +2409,27 @@ def _replay_schema_ops(pairs, ops):
     return out
 
 
+def _physical_in_ops(ops: list[dict] | None, logical: str) -> str | None:
+    """The reverse walk of one commit's schema ops: the IN-FILE name
+    backing ``logical``, or None when it has no physical backing there
+    (dropped, or renamed away and later re-added — its value in that
+    commit is NULL). THE shared mapping primitive: manifest-stats
+    translation AND the format reader's row-group pruning / column
+    projection all route through it, so a forward-replay name
+    collision (stale physical stats serving a re-added logical) can
+    never reappear in one path only."""
+    name = logical
+    for e in reversed(ops or []):
+        if e["op"] == "rename":
+            if e["to"] == name:
+                name = e["from"]
+            elif e["from"] == name:
+                return None  # renamed away; logical name is a re-add
+        elif e["op"] == "drop" and e["column"] == name:
+            return None
+    return name
+
+
 def _physical_column(
     schema_log: list[dict] | None, commit_rel: str, logical: str
 ) -> str | None:
@@ -2420,16 +2441,9 @@ def _physical_column(
     (dropped, or renamed away and later re-added): its value there is
     NULL, so no recorded bound may be used (files stay conservatively
     unpruned)."""
-    name = logical
-    for e in reversed(_schema_ops_for_commit(schema_log, commit_rel)):
-        if e["op"] == "rename":
-            if e["to"] == name:
-                name = e["from"]
-            elif e["from"] == name:
-                return None  # renamed away; logical name is a re-add
-        elif e["op"] == "drop" and e["column"] == name:
-            return None
-    return name
+    return _physical_in_ops(
+        _schema_ops_for_commit(schema_log, commit_rel), logical
+    )
 
 
 def _translate_pred_conjuncts(

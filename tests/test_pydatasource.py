@@ -1879,3 +1879,121 @@ def test_columns_option_projects_at_decode_level(spark, tmp_path):
     vals = sorted(r.b for r in rd("b").collect())
     assert vals == [i * 2.0 for i in range(50, 100)]
     assert rd("b").columns == ["b"]
+
+
+def test_row_group_pruning_nan_and_lineage_soundness(spark, tmp_path):
+    """r12 review — the two ways row-group pruning could silently drop
+    matching rows, now closed: (a) arrow-cpp footers EXCLUDE NaN from
+    min/max while Spark orders NaN greatest, so a float upper bound
+    from a non-parquet-mr writer must be voided (a `v > big` scan
+    must still surface the NaN row); (b) a dropped-then-re-added
+    logical column has NO physical backing in old dirs — the old
+    file's same-named footer stats (null_count=0) must not serve an
+    IS NULL pushdown whose every row matches."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThan, IsNull
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+    )
+
+    # (a) NaN: one arrow-cpp file, two row groups; NaN hides in the
+    # low-range group whose max footer reads 2.0
+    p1 = str(tmp_path / "nan")
+    rel = "data/c00000001-nan"
+    _os.makedirs(_os.path.join(p1, rel), exist_ok=True)
+    pq.write_table(
+        pa.table({"v": pa.array(
+            [1.0, 2.0, float("nan"), 100.0, 101.0, 102.0], pa.float64()
+        )}),
+        _os.path.join(p1, rel, "part-00000.parquet"),
+        row_group_size=3,
+    )
+    S.commit_staged_files(p1, rel, ["part-00000.parquet"])
+    m = S._load_manifest(p1, S.current_version(p1))
+    r = SnapshotBatchReader(p1, dict(m))
+    r.pushFilters([GreaterThan(("v",), 50.0)])
+    got = []
+    for p in r.partitions():
+        if p.file_abs:
+            for b in r.read(p):
+                got.extend(b.column("v").to_pylist())
+    assert any(math.isnan(v) for v in got), (
+        "NaN row lost to a non-mr float upper bound"
+    )
+
+    # (b) drop-then-readd lineage vs IS NULL pushdown
+    p2 = str(tmp_path / "lin")
+    S.snapshot_write(
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") * 1.0).alias("x")
+        ).coalesce(1),
+        p2,
+    )
+    S.snapshot_drop_column(p2, "x")
+    S.snapshot_write(
+        spark.range(100, 105).select(
+            F.col("id"), F.lit(7.0).alias("x")
+        ).coalesce(1),
+        p2,
+        mode="append",
+    )
+    m2 = S._load_manifest(p2, S.current_version(p2))
+    r2 = SnapshotBatchReader(p2, dict(m2))
+    r2.pushFilters([IsNull(("x",))])
+    ids = []
+    for p in r2.partitions():
+        if p.file_abs:
+            for b in r2.read(p):
+                t = b.to_pydict()
+                ids.extend(
+                    i for i, x in zip(t["id"], t.get("x", [None] * len(t["id"])))
+                    if x is None
+                )
+    assert sorted(ids) == list(range(50)), (
+        "old-lineage rows (logical x IS NULL) lost to stale physical stats"
+    )
+
+
+def test_columns_projection_keeps_partition_key_eq_deletes(
+    spark, tmp_path
+):
+    """r12 review (confirmed end-to-end then fixed): an equality
+    delete keyed on a PARTITION PATH column must still mask when the
+    projection excludes that column — the key is attached for masking
+    from the unprojected schema's typing, then dropped by conform."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        register_snapshot_format,
+    )
+
+    register_snapshot_format(spark)
+    path = str(tmp_path / "t")
+    S.snapshot_write(
+        spark.range(0, 99).select(
+            F.col("id"), (F.col("id") % 3).alias("p"),
+            (F.col("id") * 2.0).alias("b"),
+        ),
+        path,
+        partition_by=["p"],
+    )
+    S.snapshot_delete_eq(
+        spark, path, spark.createDataFrame([(1,)], "p long"), ["p"]
+    )
+    full = spark.read.format("snapshot").option("path", path).load()
+    assert full.where(F.col("p") == 1).count() == 0
+    proj = (
+        spark.read.format("snapshot").option("path", path)
+        .option("columns", "b,id").load()
+    )
+    ids = sorted(r.id for r in proj.collect())
+    assert ids == sorted(i for i in range(99) if i % 3 != 1)
+    assert proj.columns == ["b", "id"]
