@@ -10356,6 +10356,136 @@ def q_snapshot_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+_SNAPSHOT_PROJECTED_SCAN_ORACLE = """
+WITH b AS (
+  SELECT MIN(o_orderkey) AS mn,
+         (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS w
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(30,4)))
+            AS DOUBLE) AS total_price
+FROM orders, b
+WHERE o_orderkey <= mn + w
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "snapshot_projected_scan", _SNAPSHOT_PROJECTED_SCAN_ORACLE,
+    tags=["S14", "§1.1"],
+)
+def q_snapshot_projected_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/§1.1 — the r12 TASK-side read-path pair, driver-verified:
+    ROW-GROUP pruning (each group's footer statistics tested through
+    the shared ``bounds_exclude`` rule — what Spark's native parquet
+    reader does, ``docs/PERFORMANCE_OPTIMIZATION.md:424-440``'s
+    pruning claims at sub-file granularity) and EXPLICIT COLUMN
+    PROJECTION (``.option('columns', …)`` — the Python DataSource
+    protocol hands reader() the full schema whatever the query
+    selects, so decode-level pruning needs the option). Orders land
+    as ONE file of ≥8 sequential row groups plus two wide distractor
+    columns; the query then gates in-query that (a) the projected
+    load's schema is EXACTLY the named columns (the distractors never
+    reach the plan), (b) a pushed first-eighth key range leaves at
+    most 3 of the ≥8 row groups surviving (reader-unit audit via the
+    same code path the scan runs), and (c) the projected, pruned,
+    filtered aggregate hash-matches DuckDB computing the same range
+    on the raw table — skipping changed what was DECODED, never what
+    the query returns."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    from nyc_taxi_data_ingestion_spark.functions.numeric import dsum
+    from nyc_taxi_data_ingestion_spark.sources import snapshots as S
+    from nyc_taxi_data_ingestion_spark.sources.pydatasource import (
+        SnapshotBatchReader,
+        register_snapshot_format,
+    )
+
+    register_snapshot_format(spark)
+    # stage driver-side with an explicit row_group_size (the engine
+    # write has no such knob): orders sorted by key -> disjoint
+    # per-group key ranges, the 128 MB-file layout in miniature
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    ).sort_by("o_orderkey")
+    t = t.set_column(
+        t.schema.get_field_index("o_totalprice"),
+        "o_totalprice",
+        pc.cast(t["o_totalprice"], pa.float64()),
+    )
+    wide = pc.binary_join_element_wise(
+        pc.cast(t["o_orderkey"], pa.string()),
+        pa.array(["distractor-payload"] * len(t)),
+        "-",
+    )
+    t = t.append_column("filler_a", wide).append_column("filler_b", wide)
+    path = tempfile.mkdtemp(prefix="spark_graft_projscan_")
+    rel = "data/c00000001-projscan"
+    os.makedirs(os.path.join(path, rel), exist_ok=True)
+    n_groups = 8
+    pq.write_table(
+        t,
+        os.path.join(path, rel, "part-00000.parquet"),
+        row_group_size=max(1, (len(t) + n_groups - 1) // n_groups),
+    )
+    try:
+        S.commit_staged_files(path, rel, ["part-00000.parquet"])
+        mn = int(pc.min(t["o_orderkey"]).as_py())
+        mx = int(pc.max(t["o_orderkey"]).as_py())
+        hi = mn + (mx - mn) // 8
+        df = (
+            spark.read.format("snapshot")
+            .option("path", path)
+            .option(
+                "columns", "o_orderkey,o_orderpriority,o_totalprice"
+            )
+            .load()
+        )
+        # real exceptions, not asserts (python -O strips asserts)
+        if df.columns != [
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+        ]:
+            raise RuntimeError(
+                f"projection leaked distractors: {df.columns}"
+            )
+        # reader-unit audit through the SAME pruning code the scan
+        # runs: the first-eighth range must skip most row groups
+        m = S._load_manifest(path, S.current_version(path))
+        r = SnapshotBatchReader(path, dict(m))
+        r.pushFilters([LessThanOrEqual(("o_orderkey",), hi)])
+        (part,) = [p for p in r.partitions() if p.file_abs]
+        pf = pq.ParquetFile(part.file_abs)
+        groups, _offs = r._surviving_row_groups(
+            pf, r._needed_physical(part)
+        )
+        if pf.metadata.num_row_groups < n_groups or len(groups) > 3:
+            raise RuntimeError(
+                f"row-group pruning ineffective: "
+                f"{len(groups)}/{pf.metadata.num_row_groups} survive"
+            )
+        return (
+            df.where(F.col("o_orderkey") <= F.lit(hi))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 _SNAPSHOT_SHARD_SKIP_ORACLE = """
 WITH b AS (
   SELECT MIN(o_orderkey) AS mn,
