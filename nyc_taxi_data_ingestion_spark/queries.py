@@ -3736,6 +3736,71 @@ WHERE d.doc_id % 5 = 0
 """
 
 
+_BLOOM_DEDUP_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_new_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 10 >= 6
+GROUP BY lang
+"""
+
+
+@register("bloom_dedup", _BLOOM_DEDUP_ORACLE, tags=["llm-dedup"])
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental dedup through a blocked-Bloom PREFILTER
+    (llm/dedup.bloom_incremental_dedup, r12) — the identity-key fast
+    path for 'dedupe this batch against a 10^10-key corpus': a
+    distributed blocked Bloom build over the corpus keys (one block
+    per key via JVM xxhash64, built by-block so shuffle is O(keys)),
+    then batch rows the filter proves ABSENT skip the membership join
+    entirely and only the maybe-seen sliver pays the exact anti-join.
+    Correctness never depends on the false-positive rate — FPs are
+    weeded by the verify — which is what makes this oracle-equal to
+    the plain anti-join. Corpus = documents with doc_id%10 < 6; batch
+    = doc_id%10 >= 4 (overlap 4-5); in-query gates: the filter must
+    flag every true member (the no-false-negative guarantee the
+    exactness rides on) and must route strictly fewer rows than the
+    whole batch into the join (the prefilter earns its keep)."""
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        bloom_maybe_contains,
+        build_blocked_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_keys = docs.where(F.col("doc_id") % 10 < 6).select("doc_id")
+    batch = docs.where(F.col("doc_id") % 10 >= 4)
+    bloom = build_blocked_bloom(corpus_keys, "doc_id")
+    flagged = bloom_maybe_contains(batch, "doc_id", bloom)
+    n_batch = batch.count()
+    n_cand = flagged.where(F.col("maybe_seen")).count()
+    n_seen = batch.join(corpus_keys, "doc_id", "left_semi").count()
+    # real exceptions, not asserts (python -O strips asserts)
+    if n_cand < n_seen:
+        raise RuntimeError(
+            f"bloom FALSE NEGATIVE: {n_cand} flagged < {n_seen} true "
+            f"members — exactness guarantee broken"
+        )
+    if n_cand >= n_batch:
+        raise RuntimeError(
+            f"bloom prefilter ineffective: {n_cand}/{n_batch} rows "
+            f"still pay the join"
+        )
+    survivors = flagged.where(~F.col("maybe_seen")).unionByName(
+        flagged.where(F.col("maybe_seen")).join(
+            corpus_keys, "doc_id", "left_anti"
+        )
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @register("incremental_dedup_exact", _INCR_EXACT_ORACLE, tags=["llm-dedup"])
 def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup survivor rule, exact-verification twin

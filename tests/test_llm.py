@@ -1532,3 +1532,57 @@ def test_ivfadc_corpus_sized_queries_and_batch_independence(spark, emb):
     finally:
         spark.conf.set(conf, prev)
     assert big == small
+
+
+def test_blocked_bloom_no_false_negatives_and_exact_dedup(spark):
+    """r12 — blocked Bloom prefilter: (a) the NO-FALSE-NEGATIVE
+    guarantee holds for every member including keys whose xxhash64 is
+    NEGATIVE (the build blocks with JVM pmod on signed int64; a probe
+    using unsigned modulo would diverge exactly there — the bug the
+    first implementation had); (b) the measured false-positive rate
+    is near the configured ~1%; (c) bloom_incremental_dedup returns
+    EXACTLY the plain anti-join's rows; (d) the build is
+    deterministic (same keys → identical bytes), which keeps every
+    downstream count reproducible."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        bloom_incremental_dedup,
+        bloom_maybe_contains,
+        build_blocked_bloom,
+    )
+
+    corpus = spark.range(0, 30_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    batch = spark.range(20_000, 50_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bloom = build_blocked_bloom(corpus, "k")
+    flagged = bloom_maybe_contains(batch, "k", bloom)
+    # (a) every true member flagged — including negative-hash keys
+    missed = (
+        flagged.join(corpus, "k", "left_semi")
+        .where(~F.col("maybe_seen"))
+        .count()
+    )
+    assert missed == 0
+    neg_members = (
+        flagged.join(corpus, "k", "left_semi")
+        .where(F.xxhash64("k") < 0)
+        .count()
+    )
+    assert neg_members > 0  # the regression case is actually exercised
+    # (b) fp rate in the configured ballpark (10 bits/key, k=7 ≈ 1%)
+    fp = (flagged.where(F.col("maybe_seen")).count() - 10_000) / 20_000
+    assert 0 <= fp < 0.05
+    # (c) exact equality with the plain anti-join
+    got = sorted(
+        r.k for r in bloom_incremental_dedup(corpus, batch, "k").collect()
+    )
+    want = sorted(
+        r.k for r in batch.join(corpus, "k", "left_anti").collect()
+    )
+    assert got == want and len(got) == 20_000
+    # (d) deterministic build
+    assert build_blocked_bloom(corpus, "k")["blocks"] == bloom["blocks"]

@@ -79,6 +79,7 @@ QUERIES = [
     "snapshot_delete_eq",   # zero-read equality delete + eq upsert (r11)
     "snapshot_upsert_eq",   # CDC upsert face: eq-delete + append, one commit (r12)
     "snapshot_projected_scan",  # row-group prune + decode projection (r12)
+    "bloom_dedup",          # blocked-bloom prefilter + exact verify (r12)
     "snapshot_wap",         # branch stage -> DQ audit -> fast-forward (r10)
     "dq_metrics_exact",     # one-pass check counters + key integrity (r10)
     # lineage_edges_exact: config-derived constants, no data dependence
