@@ -6558,6 +6558,98 @@ def q_tpch_q4_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q9_TEMPLATE = """
+SELECT nation, o_year,
+       CAST(ROUND(SUM(amount), 4) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(6,4)) AS amount
+  FROM {part}, {supplier}, {lineitem}, {orders}, {nation}
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%ring%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "tpch_q9_sql",
+    _TPCH_Q9_TEMPLATE.format(
+        part="part", supplier="supplier", lineitem="lineitem",
+        orders="orders", nation="nation",
+    ),
+    tags=["J3", "A12", "sql"],
+)
+def q_tpch_q9_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit) through spark.sql(): the
+    five-table star join — two broadcast dims (part filtered by a
+    substring BEFORE the join, supplier→nation) hanging off the
+    lineitem⋈orders fact-fact co-shuffle on orderkey — grouped by
+    nation × order-year. ADAPTED like q4: the testdata carries no
+    partsupp, so profit omits the ps_supplycost×l_quantity term
+    (amount = discounted extended price); the join/aggregate shape —
+    the thing Q9 exercises — is intact. One verbatim ANSI string on
+    both engines."""
+    for t in ("part", "supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q9_TEMPLATE.format(
+            part="tpch_part_v", supplier="tpch_supplier_v",
+            lineitem="tpch_lineitem_v", orders="tpch_orders_v",
+            nation="tpch_nation_v",
+        )
+    )
+
+
+_TPCH_Q16_TEMPLATE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM {lineitem}, {part}
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#3'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "tpch_q16_sql",
+    _TPCH_Q16_TEMPLATE.format(
+        lineitem="lineitem", part="part", supplier="supplier",
+    ),
+    tags=["J4", "A9", "sql"],
+)
+def q_tpch_q16_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) through spark.sql():
+    negated dim predicates + an IN-list + a NOT IN anti-subquery
+    feeding a COUNT(DISTINCT) over a 3-key group — the distinct
+    aggregation expands to a two-phase shuffle and the NOT IN must
+    become a broadcast null-aware anti-join. ADAPTED like q4: no
+    partsupp in the testdata, so the part↔supplier pairs come from
+    lineitem and the complaint exclusion (no comment column) becomes
+    the negative-balance suppliers. One verbatim ANSI string on both
+    engines."""
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}_v")
+    return spark.sql(
+        _TPCH_Q16_TEMPLATE.format(
+            lineitem="tpch_lineitem_v", part="tpch_part_v",
+            supplier="tpch_supplier_v",
+        )
+    )
+
+
 _TPCH_Q7_TEMPLATE = """
 SELECT supp_nation, cust_nation, l_year,
        CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue

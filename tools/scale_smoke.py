@@ -80,6 +80,8 @@ QUERIES = [
     "snapshot_upsert_eq",   # CDC upsert face: eq-delete + append, one commit (r12)
     "snapshot_projected_scan",  # row-group prune + decode projection (r12)
     "bloom_dedup",          # blocked-bloom prefilter + exact verify (r12)
+    "tpch_q9_sql",          # 5-table star join x year rollup (r12)
+    "tpch_q16_sql",         # NOT IN anti-subquery + count-distinct (r12)
     "snapshot_wap",         # branch stage -> DQ audit -> fast-forward (r10)
     "dq_metrics_exact",     # one-pass check counters + key integrity (r10)
     # lineage_edges_exact: config-derived constants, no data dependence
