@@ -37,6 +37,13 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None = None, tags: list[str] | None = None):
     def deco(fn):
+        if name in REGISTRY:
+            # a duplicate @register would SILENTLY replace a green
+            # query with new semantics, stranding its driver verdict
+            # (nearly happened in r12: a re-added tpch_q1_sql
+            # overwrote the original; only the doc-count gate caught
+            # it) — fail at import instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = Query(fn=fn, oracle=oracle, tags=tags or [])
         return fn
 
