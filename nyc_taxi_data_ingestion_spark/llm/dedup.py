@@ -1316,9 +1316,18 @@ def bloom_maybe_contains(
     block_bits = bloom["block_bits"]
     k = bloom["k"]
     block_bytes = block_bits // 8
-    bc = SparkSession.getActiveSession().sparkContext.broadcast(
-        bloom["blocks"]
-    )
+    # ONE broadcast per filter, cached on the dict: a fresh broadcast
+    # per probe call would pin another full copy of the filter bytes
+    # on the driver and every executor until GC + ContextCleaner
+    # happen to reclaim it — at the 1e9-key design point (~1.25 GB)
+    # a repeated-probe loop (bench sweeps, per-micro-batch CDC)
+    # exhausts executor memory (r12 review)
+    bc = bloom.get("_broadcast")
+    if bc is None:
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(
+            bloom["blocks"]
+        )
+        bloom["_broadcast"] = bc
 
     # no type hints: under `from __future__ import annotations` the
     # stringified pd.Series hint is unresolvable in this scope and
@@ -1355,6 +1364,7 @@ def bloom_incremental_dedup(
     key_col: str,
     bits_per_key: int = 10,
     k_probes: int = 7,
+    bloom: dict | None = None,
 ) -> DataFrame:
     """EXACT incremental dedup through a Bloom PREFILTER — the
     standard 100 TB shape for 'dedupe this batch against a 10^10-key
@@ -1366,11 +1376,27 @@ def bloom_incremental_dedup(
     correctness never depends on fpp; fpp only moves the join input
     size. Compare :func:`incremental_exact_dedup` (content
     similarity): this is the identity-key fast path a CDC-style
-    ingest runs first."""
-    bloom = build_blocked_bloom(
-        corpus_keys, key_col, bits_per_key=bits_per_key,
-        k_probes=k_probes,
-    )
+    ingest runs first. ``bloom=`` reuses a prebuilt
+    :func:`build_blocked_bloom` filter (recurring batches against one
+    corpus build once, probe many). The key columns must have EQUAL
+    types on both sides: xxhash64 is type-sensitive while Spark's
+    equality join coerces, so a bigint corpus probed by a string
+    batch would hash-miss true members into definite-new and SILENTLY
+    return duplicates — refused loudly instead (r12 review)."""
+    ct = dict(corpus_keys.dtypes)[key_col]
+    bt = dict(batch_df.dtypes)[key_col]
+    if ct != bt:
+        raise ValueError(
+            f"bloom_incremental_dedup: key column {key_col!r} types "
+            f"differ (corpus {ct!r} vs batch {bt!r}) — xxhash64 is "
+            f"type-sensitive, so a coercing join would diverge from "
+            f"the probe; cast one side first"
+        )
+    if bloom is None:
+        bloom = build_blocked_bloom(
+            corpus_keys, key_col, bits_per_key=bits_per_key,
+            k_probes=k_probes,
+        )
     flagged = bloom_maybe_contains(batch_df, key_col, bloom)
     definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     survivors = (

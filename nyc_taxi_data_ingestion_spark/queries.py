@@ -3770,6 +3770,7 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness rides on) and must route strictly fewer rows than the
     whole batch into the join (the prefilter earns its keep)."""
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        bloom_incremental_dedup,
         bloom_maybe_contains,
         build_blocked_bloom,
     )
@@ -3779,24 +3780,32 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 >= 4)
     bloom = build_blocked_bloom(corpus_keys, "doc_id")
     flagged = bloom_maybe_contains(batch, "doc_id", bloom)
+    # PER-ROW no-false-negative gate (r12 review: a count comparison
+    # lets false positives mask a false negative — this enforces the
+    # guarantee member by member for the same semi-join cost)
+    missed = (
+        flagged.join(corpus_keys, "doc_id", "left_semi")
+        .where(~F.col("maybe_seen"))
+        .count()
+    )
+    # real exceptions, not asserts (python -O strips asserts)
+    if missed:
+        raise RuntimeError(
+            f"bloom FALSE NEGATIVE: {missed} true members unflagged "
+            f"— exactness guarantee broken"
+        )
     n_batch = batch.count()
     n_cand = flagged.where(F.col("maybe_seen")).count()
-    n_seen = batch.join(corpus_keys, "doc_id", "left_semi").count()
-    # real exceptions, not asserts (python -O strips asserts)
-    if n_cand < n_seen:
-        raise RuntimeError(
-            f"bloom FALSE NEGATIVE: {n_cand} flagged < {n_seen} true "
-            f"members — exactness guarantee broken"
-        )
     if n_cand >= n_batch:
         raise RuntimeError(
             f"bloom prefilter ineffective: {n_cand}/{n_batch} rows "
             f"still pay the join"
         )
-    survivors = flagged.where(~F.col("maybe_seen")).unionByName(
-        flagged.where(F.col("maybe_seen")).join(
-            corpus_keys, "doc_id", "left_anti"
-        )
+    # the RESULT routes through the library helper (same probe, same
+    # prebuilt filter) so the oracle verdict covers the public API,
+    # not a hand-copied clone of it
+    survivors = bloom_incremental_dedup(
+        corpus_keys, batch, "doc_id", bloom=bloom
     )
     return (
         survivors.groupBy("lang")

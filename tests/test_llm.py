@@ -1586,3 +1586,37 @@ def test_blocked_bloom_no_false_negatives_and_exact_dedup(spark):
     assert got == want and len(got) == 20_000
     # (d) deterministic build
     assert build_blocked_bloom(corpus, "k")["blocks"] == bloom["blocks"]
+
+
+def test_bloom_dedup_type_mismatch_refused_and_broadcast_cached(spark):
+    """r12 review hardening: (a) xxhash64 is type-sensitive while
+    Spark's equality join coerces, so mismatched key dtypes would
+    silently return duplicates — refused loudly; (b) repeated probes
+    of one filter reuse ONE cached broadcast instead of pinning a
+    fresh copy of the filter bytes per call."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_ingestion_spark.llm.dedup import (
+        bloom_incremental_dedup,
+        bloom_maybe_contains,
+        build_blocked_bloom,
+    )
+
+    corpus = spark.range(0, 1000).select(F.col("id").alias("k"))
+    batch_str = spark.range(500, 1500).select(
+        F.col("id").cast("string").alias("k")
+    )
+    with _pytest.raises(ValueError, match="type"):
+        bloom_incremental_dedup(corpus, batch_str, "k")
+
+    batch = spark.range(500, 1500).select(F.col("id").alias("k"))
+    bloom = build_blocked_bloom(corpus, "k")
+    bloom_maybe_contains(batch, "k", bloom).count()
+    bc1 = bloom.get("_broadcast")
+    assert bc1 is not None
+    bloom_maybe_contains(batch, "k", bloom).count()
+    assert bloom.get("_broadcast") is bc1  # cached, not re-broadcast
+    # reuse path returns the exact anti-join through the same filter
+    got = bloom_incremental_dedup(corpus, batch, "k", bloom=bloom)
+    assert sorted(r.k for r in got.collect()) == list(range(1000, 1500))
