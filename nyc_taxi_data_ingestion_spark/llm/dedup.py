@@ -37,6 +37,33 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_by(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition a NARROW frame across the default parallelism
+    before a CPU-heavy per-row stage. AQE sizes shuffle partitions by
+    BYTES, so a candidate-pair exchange of a few hundred KB coalesces
+    to ONE partition — and a verify stage downstream (array_intersect
+    over shingle arrays, banded DP) then runs its whole CPU budget on
+    one core (measured: blocked_jaccard's verify was a single 3 s task
+    at sf0.1 while 31 cores idled). Keys are high-cardinality ids, so
+    the hash spreads evenly; the explicit partition count is respected
+    by AQE (user-specified repartitions are not re-coalesced). Hash
+    partitioning (not round-robin) keeps the placement deterministic
+    under task retry and skips keyless repartition's sort-before-
+    repartition pass. At real scale candidate frames already arrive
+    wide and this narrow-row exchange is noise next to the verify CPU
+    it parallelizes — same contract as :func:`spread` for scans.
+
+    Partitioning goes through ``xxhash64(keys)`` rather than the raw
+    key columns: a dedup aggregate upstream already hash-partitions on
+    exactly (id_a, id_b), so a raw-key repartition is provably
+    redundant and the optimizer REMOVES it — leaving the verify on the
+    AQE-coalesced single partition this function exists to prevent.
+    The derived expression keeps the exchange (and the explicit
+    partition count keeps AQE from re-coalescing it)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.xxhash64(*[F.col(c) for c in key_cols]))
+
+
 # -- shingling ---------------------------------------------------------------
 
 
@@ -257,8 +284,12 @@ def jaccard_verify(
             )
             .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
         ).persist()
+        # spread the narrow pair frame before the verify join: the
+        # cached candidate list is a few hundred KB, which AQE/cache
+        # partitioning concentrates on one core for the array work
         withs = (
-            pairs.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+            spread_by(pairs, "id_a", "id_b")
+            .join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
             .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -553,8 +584,17 @@ def blocked_jaccard_pairs(
     # rank each doc's tokens by the block-global (df, token) order;
     # keep the prefix: rank ≤ n − ceil(τ·n) + 1
     w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
+    # the count-back join is pinned to SORT-MERGE: both sides are
+    # corpus-derived (exploded tokens x vocabulary counts), so neither
+    # is EVER broadcastable at scale — but the planner's size estimate
+    # for an exploded subtree comes from the un-exploded file bytes,
+    # and under a generous autoBroadcastJoinThreshold it "broadcasts"
+    # the whole exploded token table (measured: two ~2 s single-thread
+    # relation builds per call at sf0.1, the top cost of the whole
+    # operator). The hint states what is true at every scale and keeps
+    # AQE from re-deriving the broadcast from the same wrong estimate.
     prefix = (
-        tok.join(dfreq, on=[*block_cols, "__tok"])
+        tok.join(dfreq.hint("merge"), on=[*block_cols, "__tok"])
         .withColumn("__rank", F.row_number().over(w))
         .filter(
             F.col("__rank")
@@ -576,10 +616,16 @@ def blocked_jaccard_pairs(
         cond = cond & (F.col("a.__touch") | F.col("b.__touch"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cand = (
-        a.join(b, cond)
+    # prefix x prefix is the inverted-index SELF-join: both legs are
+    # the same corpus-proportional posting table — same merge pin as
+    # the count-back join above (a broadcast of one leg is the same
+    # estimate error twice)
+    cand = spread_by(
+        a.join(b.hint("merge"), cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"]),
+        "id_a",
+        "id_b",
     )
     sets = sh.select("__id", "__sh")
     withs = cand.join(
@@ -642,7 +688,10 @@ def containment_pairs(
             F.explode("__sh").alias("__tok"),
         )
         dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
-        ranked = tok.join(dfreq, on=[*block_cols, "__tok"])
+        # merge pin: corpus-derived x corpus-derived — see
+        # blocked_jaccard_pairs (the estimate for an exploded subtree
+        # under-counts and "broadcasts" the token table otherwise)
+        ranked = tok.join(dfreq.hint("merge"), on=[*block_cols, "__tok"])
         w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
         # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
         prefix = (
@@ -662,10 +711,12 @@ def containment_pairs(
         )
         for c in block_cols:
             cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        cand = (
-            a.join(b, cond)
+        cand = spread_by(
+            a.join(b.hint("merge"), cond)
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .dropDuplicates(["id_a", "id_b"]),
+            "id_a",
+            "id_b",
         )
         sets = sh.select("__id", "__sh")
         withs = cand.join(
