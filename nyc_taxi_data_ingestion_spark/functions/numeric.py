@@ -68,6 +68,8 @@ def exact_quantiles(
     max_task_rows: int = 4_000_000,
     max_rounds: int = 8,
     out_prefix: str = "q",
+    known_n: int | None = None,
+    stats_out: dict | None = None,
 ):
     """Exact ``quantile_cont`` values (linear interpolation, the Spark
     ``percentile`` / DuckDB ``quantile_cont`` contract) at each of
@@ -100,7 +102,16 @@ def exact_quantiles(
     (driver-side Python doubles are the same IEEE 754 ops). Null
     values are excluded, like both built-ins. Empty input yields one
     all-NULL row.
-    """
+
+    ``known_n`` skips the initial count job when the caller can PROVE
+    the non-null row count (e.g. mad_outliers' second pass runs over
+    ``|x − median|``, which is null exactly where pass one's input
+    was — so pass one's count carries over; each count job is a full
+    scan plus a driver round-trip, the dominant wall cost of the
+    multi-pass exact operators at bench scale). A wrong ``known_n``
+    selects wrong ranks, so only pass it on a provable identity.
+    ``stats_out``, when given a dict, receives ``{"n": <count>}`` so
+    a later pass can reuse the count."""
     import math
 
     spark = df.sparkSession
@@ -110,13 +121,24 @@ def exact_quantiles(
         F.col("v").isNotNull()
     )
 
-    n = vals.count()
-    if n == 0:
-        row = spark.createDataFrame(
-            [tuple([None] * len(fracs))],
-            ", ".join(f"{c} double" for c in out_cols),
+    def _one_row(values):
+        # ONE-partition literal frame (not createDataFrame, whose
+        # parallelize backing carries defaultParallelism partitions:
+        # a downstream crossJoin of two such frames planned as a
+        # CartesianProduct then fans out 32x32 = 1024 near-empty
+        # tasks — measured 4x the whole operator's wall, r12)
+        return spark.range(0, 1, 1, 1).select(
+            *[
+                F.lit(val).cast("double").alias(c)
+                for c, val in zip(out_cols, values)
+            ]
         )
-        return row
+
+    n = known_n if known_n is not None else vals.count()
+    if stats_out is not None:
+        stats_out["n"] = n
+    if n == 0:
+        return _one_row([None] * len(fracs))
 
     pos = [p * (n - 1) for p in fracs]
     needed = sorted({r for p in pos for r in (math.floor(p), math.ceil(p))})
@@ -221,13 +243,17 @@ def exact_quantiles(
     for p in pos:
         lo_r, hi_r = math.floor(p), math.ceil(p)
         vlo, vhi = resolved[lo_r], resolved[hi_r]
-        if p == lo_r:
+        if p == lo_r or vlo == vhi:
+            # the second arm mirrors Percentile.getPercentile's
+            # higherKey == lowerKey shortcut: when both bracketing
+            # values are equal Spark skips interpolation entirely —
+            # the weighted form can differ in the last ulp
+            # (hypothesis: 9 copies of -61.0 at p=1.19e-07 →
+            # -60.99999999999999 interpolated vs -61.0 returned)
             out.append(vlo)
         else:
             out.append(vlo * (hi_r - p) + vhi * (p - lo_r))
-    return spark.createDataFrame(
-        [tuple(out)], ", ".join(f"{c} double" for c in out_cols)
-    )
+    return _one_row(out)
 
 
 def grouped_select_at_ranks(

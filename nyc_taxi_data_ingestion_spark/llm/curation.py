@@ -512,11 +512,21 @@ def ngram_novelty(
 
     Returns (id_col, n_grams, rare_cnt, rare_frac).
     """
-    pre = df.select(
-        F.col(id_col),
-        F.regexp_replace(
-            F.lower(F.trim(_c(text_col))), r"\s+", " "
-        ).alias("__norm"),
+    # project to (id, normalized text) FIRST, then spread: the char
+    # k-gram explode is this operator's CPU and a single-file table
+    # scans as one task, serializing both passes onto one core
+    # (llm/dedup.spread is a no-op once the scan carries >=
+    # defaultParallelism partitions, so real-scale inputs never pay
+    # the extra text shuffle).
+    from nyc_taxi_data_ingestion_spark.llm.dedup import spread
+
+    pre = spread(
+        df.select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.lower(F.trim(_c(text_col))), r"\s+", " "
+            ).alias("__norm"),
+        )
     )
     n = F.greatest(F.length("__norm") - k + 1, F.lit(1))
     g = pre.select(

@@ -868,15 +868,25 @@ def window_dup_stats(
     ``dup_frac`` is a ratio of exact integer counts — one IEEE
     division, bit-identical in any engine (determinism contract)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
-    n = F.size(toks)
     # docs shorter than k tokens contribute their whole token tuple as
     # one window — same degenerate-doc rule as shingles()
+    # project to the two needed columns, then spread: the tokenize +
+    # per-window xxhash64 is the CPU of this operator, and a
+    # single-file table scans as ONE task (measured: the two explode
+    # passes ran as two concurrent 4.6 s single tasks while 30 cores
+    # idled). spread() is a no-op once the scan already carries >=
+    # defaultParallelism partitions, so real-scale inputs never pay
+    # the extra text shuffle.
+    src = spread(df.select(F.col(id_col), c.alias("__t")))
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("__t"))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
     wins = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
-    win = df.select(F.col(id_col), F.explode(wins).alias("__wh"))
+    win = src.select(F.col(id_col), F.explode(wins).alias("__wh"))
     per = win.groupBy(id_col, "__wh").agg(F.count("*").alias("__c"))
     # corpus-wide totals from the NARROW explode branch, joined back.
     # Not from `per` (that re-executes per's shuffle — verified zero

@@ -183,32 +183,60 @@ def fingerprint_collisions(
     (whole-set) and containment (subset) with localized-overlap
     detection. Returns (id_a, id_b, shared_fps), id_a < id_b.
 
-    Scale shape: the pair join is an inverted index on the fingerprint
-    key; fingerprints with document frequency > ``max_df`` are dropped
-    BEFORE pairing (the O(df²) posting-list blowup — a boilerplate
-    fingerprint shared by 10⁶ docs would emit 10¹² pairs; dropping it
-    loses only pairs whose entire overlap is boilerplate, the exact
-    trade blocked_jaccard's prefix filter makes). Only (fp, id) scalars
-    shuffle; the df-filter side partial-aggregates map-side."""
+    Scale shape (r12 restructure): ONE winnowing pass and ONE
+    fp-keyed shuffle. The old shape expressed the inverted index as a
+    df-count aggregate + semi-join + fp-keyed SELF-join, which
+    (a) re-executed the winnowing subtree four times — Spark does no
+    common-subexpression elimination across join legs (measured: the
+    winnowing stages were 3 of the top 4 by executor time) — and
+    (b) shuffled the (fp, id) table three more times. Now the document
+    frequency is a count window over the single fp-partitioned pass,
+    the > ``max_df`` drop happens in place (the O(df²) posting-list
+    blowup guard: a boilerplate fingerprint shared by 10⁶ docs would
+    emit 10¹² pairs; dropping it loses only pairs whose entire overlap
+    is boilerplate, the exact trade blocked_jaccard's prefix filter
+    makes), and pairs are generated from each fp's SORTED posting list
+    with array combinators — bounded at ≤ max_df ids per group by the
+    preceding filter, so no aggregation buffer ever holds a hot key's
+    full posting list. Skew note: the count window places a hot fp's
+    raw rows in one task (the old semi-join's probe side funneled the
+    same rows to the same place, so this is not a regression); rows
+    are 2 scalars wide, so even a 10⁸-doc boilerplate key is a ~4 GB
+    spill-not-crash task."""
     fps = winnow_fingerprints(
         df, id_col=id_col, text_col=text_col, k=k, window=window
     )
-    rare = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("fp")
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("fp")
+    slim = fps.withColumn("__df", F.count("*").over(wdf)).filter(
+        F.col("__df") <= max_df
     )
-    slim = fps.join(rare, "fp", "left_semi")
-    a = slim.withColumnRenamed(id_col, "id_a").alias("a")
-    b = slim.withColumnRenamed(id_col, "id_b").alias("b")
+    # per-fp sorted posting list (reuses the window's fp partitioning
+    # — no second exchange), then all ordered pairs (i < j) via array
+    # combinators; sort_array gives id_a < id_b for free
+    grouped = slim.groupBy("fp").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "__ids", i + 2, F.size(F.col("__ids"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.id_a") < F.col("b.id_b")),
-        )
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
         .select(

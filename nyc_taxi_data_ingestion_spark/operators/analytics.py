@@ -581,46 +581,59 @@ def pagerank_fixedpoint(
     1/scale per term, so at the default 10⁻¹² granularity the ranking
     order matches the float form far beyond any realistic tie.
 
-    Same plan shape per iteration as :func:`pagerank`: one (src)-keyed
-    join of the rank vector onto the out-degree'd edge list, one
-    (dst)-keyed partial agg, dangling mass as an in-plan broadcast
-    one-row aggregate, rank vector localCheckpoint-ed per round.
-    Damping is the standard 0.85 expressed as ·85 div 100."""
+    Per-iteration plan shape (r12 optimization — one shuffle join
+    per round): contributions = ONE (src)-keyed join of the rank
+    vector onto the degree-annotated edge list (degree pre-joined
+    ONCE outside the loop; the old shape joined rank onto outdeg and
+    then onto the edge list — two shuffle joins every round), one
+    (dst)-keyed partial agg, dangling mass as a plain aggregate over
+    a dangling FLAG carried on the node frame (the old per-round
+    semi-join against a dangling-node list is gone), rank vector
+    localCheckpoint-ed per round. All arithmetic is integer, so the
+    restructure is bit-identical by construction. Damping is the
+    standard 0.85 expressed as ·85 div 100."""
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # node frame with the static dangling flag (no out-edges) — the
+    # flag rides along the per-round rebuild so dangling mass needs
+    # no join, just a conditional sum over the rank vector
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .join(outdeg, F.col("node") == F.col("__s"), "left")
+        .select("node", F.col("__s").isNull().alias("__dg"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
-    outdeg = e.groupBy("__s").agg(
-        F.count("*").alias("__deg")
-    ).localCheckpoint(eager=True)
-    dangling_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["__s"], "left_anti"
-    ).localCheckpoint(eager=True)
+        return nodes.select("node").withColumn(
+            "rank_fp", F.lit(0).cast("long")
+        )
+    # degree-annotated edge list, computed once: (src, dst, out-degree)
+    edeg = e.join(outdeg, "__s").localCheckpoint(eager=True)
     tele = (15 * scale) // (100 * n)  # (1-d)/n in fixed point, exact
-    r = nodes.selectExpr("node", f"CAST({scale // n} AS BIGINT) AS r")
+    r = nodes.selectExpr(
+        "node", "__dg", f"CAST({scale // n} AS BIGINT) AS r"
+    )
     r = r.localCheckpoint(eager=True)
     for _ in range(iters):
         dang = F.broadcast(
-            r.join(dangling_nodes, "node", "left_semi").agg(
-                F.coalesce(F.sum("r"), F.lit(0))
+            r.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__dg"), F.col("r"))), F.lit(0)
+                )
                 .cast("long")
                 .alias("__dang")
             )
         )
         contrib = (
-            r.join(outdeg, r["node"] == outdeg["__s"])
-            .selectExpr("node", "r div __deg AS __c")
-            .join(e, F.col("node") == F.col("__s"))
+            r.join(edeg, F.col("node") == F.col("__s"))
+            .selectExpr("__d", "r div __deg AS __c")
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum("__c").cast("long").alias("__in"))
         )
@@ -629,6 +642,7 @@ def pagerank_fixedpoint(
             .crossJoin(dang)
             .selectExpr(
                 "node",
+                "__dg",
                 f"CAST({tele} AS BIGINT)"
                 f" + (85 * (coalesce(__in, CAST(0 AS BIGINT))"
                 f" + (__dang div {n}))) div 100 AS r",
@@ -670,23 +684,26 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    outdeg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
+    # node frame with the static dangling flag (no out-edges), derived
+    # once — per round only the flagged mass is aggregated, with no
+    # join (r12: the old shape paid a semi-join against a
+    # dangling-node list every round)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .join(outdeg, F.col("node") == F.col("__s"), "left")
+        .select("node", F.col("__s").isNull().alias("__dg"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("__s").agg(
-        F.count("*").alias("__deg")
-    ).localCheckpoint(eager=True)
-    # the DANGLING SET (no out-edges) is static across iterations —
-    # derive it once; per round only its current MASS is aggregated
-    dangling_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["__s"], "left_anti"
-    ).localCheckpoint(eager=True)
+        return nodes.select("node").withColumn("rank", F.lit(0.0))
+    # degree-annotated edge list, computed once — contributions are
+    # then ONE (src)-keyed shuffle join per round instead of two
+    # (rank onto outdeg, then onto the edge list)
+    edeg = e.join(outdeg, "__s").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
@@ -696,14 +713,18 @@ def pagerank(
         # per-iteration driver collect (2 extra jobs/round measured
         # ~2x the whole iteration cost on a dim-sized graph)
         dangling = F.broadcast(
-            ranks.join(dangling_nodes, "node", "left_semi").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__dg"), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("__dang")
             )
         )
         contrib = (
-            ranks.join(outdeg, ranks["node"] == outdeg["__s"])
-            .select("node", (F.col("rank") / F.col("__deg")).alias("__c"))
-            .join(e, F.col("node") == F.col("__s"))
+            ranks.join(edeg, F.col("node") == F.col("__s"))
+            .select(
+                "__d", (F.col("rank") / F.col("__deg")).alias("__c")
+            )
             .groupBy(F.col("__d").alias("node"))
             .agg(F.sum("__c").alias("__in"))
         )
@@ -712,6 +733,7 @@ def pagerank(
             .crossJoin(dangling)
             .select(
                 "node",
+                "__dg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -741,4 +763,4 @@ def pagerank(
             )
             if delta is not None and delta < tol:
                 break
-    return ranks
+    return ranks.select("node", "rank")

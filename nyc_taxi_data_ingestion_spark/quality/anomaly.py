@@ -553,42 +553,42 @@ def mad_outliers(
     # exact_quantiles resolves to a one-row LOCAL relation (its
     # iterative selection runs bounded driver rounds), so each pass's
     # result broadcasts for free — the second pass never re-derives
-    # the first through lineage
-    med_row = exact_quantiles(df, value_col, [0.5]).select(
+    # the first through lineage. r12 job-count trim (the wall here is
+    # sequential full-scan jobs, not compute): pass two reuses pass
+    # one's non-null count (|x − median| is null exactly where x is,
+    # so the counts are provably identical) and the old standalone
+    # n_rows aggregation is folded into the final outlier count — 6
+    # scan jobs down to 4.
+    so: dict = {}
+    med_row = exact_quantiles(df, value_col, [0.5], stats_out=so).select(
         F.col("q0").alias("median")
     )
     dev = df.crossJoin(F.broadcast(med_row)).select(
         "median", F.abs(v - F.col("median")).alias("__ad"), v.alias("__v")
     )
-    mad_med = exact_quantiles(dev, "__ad", [0.5]).select(
-        F.col("q0").alias("mad")
-    )
-    mad_row = (
-        dev.groupBy("median")
-        .agg(F.count("*").alias("n_rows"))
-        .crossJoin(F.broadcast(mad_med))
-        .select("median", "mad", "n_rows")
-    )
-    fenced = mad_row.select(
+    mad_med = exact_quantiles(
+        dev, "__ad", [0.5], known_n=so["n"]
+    ).select(F.col("q0").alias("mad"))
+    fenced = med_row.crossJoin(mad_med).select(
         "median",
         "mad",
-        (F.col("median") - F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
-            "lower_fence"
-        ),
-        (F.col("median") + F.lit(k) * F.lit(1.4826) * F.col("mad")).alias(
-            "upper_fence"
-        ),
-        "n_rows",
+        (
+            F.col("median") - F.lit(k) * F.lit(1.4826) * F.col("mad")
+        ).alias("lower_fence"),
+        (
+            F.col("median") + F.lit(k) * F.lit(1.4826) * F.col("mad")
+        ).alias("upper_fence"),
     )
     return (
         df.crossJoin(F.broadcast(fenced))
-        .groupBy("median", "mad", "lower_fence", "upper_fence", "n_rows")
+        .groupBy("median", "mad", "lower_fence", "upper_fence")
         .agg(
             F.count(
                 F.when(
                     (v < F.col("lower_fence")) | (v > F.col("upper_fence")), 1
                 )
-            ).alias("n_outliers")
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
             "median", "mad", "lower_fence", "upper_fence",

@@ -5,7 +5,8 @@ session confs fails here the way it would under the real round
 driver), an entry() smoke at sf0.001, an N-prefix oracle compare at
 sf0.01 through tests/oracle.compare_query, and nothing else.
 
-Usage: python tools/driver_sim.py [N]    (default N=50)
+Usage: python tools/driver_sim.py [N]       (default N=50)
+       python tools/driver_sim.py name ...  (named subset)
 
 ~1-2 s per query; the full 50-prefix is ~90 s. Exit code 1 on any
 compare failure.
@@ -21,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = sys.argv[1:]
+    names = [a for a in args if not a.isdigit()]
+    n = int(args[0]) if args and args[0].isdigit() else 50
 
     from pyspark.sql import SparkSession
 
@@ -39,7 +42,13 @@ def main() -> None:
 
     from tests.oracle import compare_query
 
-    prefix = list(e.queries())[:n]
+    registered = list(e.queries())
+    if names:
+        unknown = sorted(set(names) - set(registered))
+        assert not unknown, f"unknown queries: {unknown}"
+        prefix = names
+    else:
+        prefix = registered[:n]
     failed = []
     t0 = time.time()
     for i, name in enumerate(prefix):
