@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -570,31 +570,26 @@ def blocked_jaccard_pairs(
         F.size("__sh").alias("__n"),
         F.explode("__sh").alias("__tok"),
     )
-    # document frequency per (block, token): groupBy + join back, NOT a
-    # token-partitioned window. The join's count side partial-aggregates
-    # map-side (a stopword token with df=10^8 combines to one row per
-    # task) and AQE skew-splits the join; a window over the token key
-    # would put every occurrence of a hot token in ONE partition. The
-    # re-computed branch under the count side is only the narrow explode
-    # (scan-speed) — the acceptable class of subtree duplication.
+    # document frequency per (block, token): a COUNT WINDOW over the
+    # token key (r12) — one (block, tok) shuffle of the exploded table,
+    # no join, no second evaluation of the shingle branch. The r11
+    # shape (groupBy + merge-pinned join back) shuffled the SAME full
+    # occurrence table by (block, tok) for the SMJ probe side AND
+    # re-ran scan→shingle→explode under the count side, so the window
+    # is skew-neutral (a hot token's occurrences land in one partition
+    # either way; WindowExec's group buffer spills, it does not
+    # collect) and strictly cheaper: one exchange and one shingle
+    # branch instead of two of each (measured: the shingle subtree was
+    # executing 4x per call — Spark does no cross-leg CSE).
     # df counts the WHOLE block (touch-pred docs included) so the token
     # order — and therefore every prefix — is identical with or without
     # touch_pred; only the pair condition below changes.
-    dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
+    wdf = Window.partitionBy(*block_cols, "__tok")
     # rank each doc's tokens by the block-global (df, token) order;
     # keep the prefix: rank ≤ n − ceil(τ·n) + 1
     w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
-    # the count-back join is pinned to SORT-MERGE: both sides are
-    # corpus-derived (exploded tokens x vocabulary counts), so neither
-    # is EVER broadcastable at scale — but the planner's size estimate
-    # for an exploded subtree comes from the un-exploded file bytes,
-    # and under a generous autoBroadcastJoinThreshold it "broadcasts"
-    # the whole exploded token table (measured: two ~2 s single-thread
-    # relation builds per call at sf0.1, the top cost of the whole
-    # operator). The hint states what is true at every scale and keeps
-    # AQE from re-deriving the broadcast from the same wrong estimate.
     prefix = (
-        tok.join(dfreq.hint("merge"), on=[*block_cols, "__tok"])
+        tok.withColumn("__df", F.count("*").over(wdf))
         .withColumn("__rank", F.row_number().over(w))
         .filter(
             F.col("__rank")
@@ -687,11 +682,13 @@ def containment_pairs(
             F.size("__sh").alias("__n"),
             F.explode("__sh").alias("__tok"),
         )
-        dfreq = tok.groupBy(*block_cols, "__tok").agg(F.count("*").alias("__df"))
-        # merge pin: corpus-derived x corpus-derived — see
-        # blocked_jaccard_pairs (the estimate for an exploded subtree
-        # under-counts and "broadcasts" the token table otherwise)
-        ranked = tok.join(dfreq.hint("merge"), on=[*block_cols, "__tok"])
+        # df as a count window over (block, tok) — one shuffle, no
+        # join-back, no second shingle branch; skew-neutral vs the old
+        # merge-pinned SMJ probe side (see blocked_jaccard_pairs, r12)
+        ranked = tok.withColumn(
+            "__df",
+            F.count("*").over(Window.partitionBy(*block_cols, "__tok")),
+        )
         w = Window.partitionBy(*block_cols, "__id").orderBy("__df", "__tok")
         # A-side prefix: rank ≤ |A| − ⌈τ·|A|⌉ + 1 rarest tokens
         prefix = (
@@ -1194,14 +1191,14 @@ def connected_components_star(
     Per round: LARGE-STAR hangs every neighbor LARGER than the center
     onto the center's minimum (strictly decreases large-neighbor
     potential, never disconnects); SMALL-STAR re-hangs the ≤-center
-    neighbors onto their minimum. Each op is one per-center min
-    aggregate JOINED back onto the adjacency — never a per-center
-    ``collect_set`` (the eventual component min is a hub whose
-    neighborhood approaches the component size; an array of it on one
-    row is the OOM the algorithm exists to avoid, while the agg
-    partial-combines map-side and AQE skew-splits the join). Fixed
-    point = every node points directly at its component min (a star),
-    detected by the exact integer endpoint-sum going stable.
+    neighbors onto their minimum. Each op is one per-center MIN WINDOW
+    over the adjacency (r12: the old per-op groupBy + join-back
+    evaluated the adjacency explode twice and paid two exchanges; the
+    window is one exchange, one evaluation, and the same partitioning
+    the join's probe side already imposed, so hub-center skew is
+    unchanged — WindowExec's group buffer spills, it does not
+    ``collect_set`` the neighborhood onto one row). Fixed point =
+    every node points directly at its component min (a star).
 
     This is the registry default (dedup_clusters): measured at parity
     with min-label even on diameter-2-4 near-dup graphs (r5 sf0.1:
@@ -1221,6 +1218,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev = None
+    prev_count = None
     for _ in range(max_iterations):
         # large-star: center u over symmetrized adjacency; m = min of
         # closed neighborhood; every neighbor w > u re-hangs onto m
@@ -1232,27 +1230,38 @@ def connected_components_star(
                 )
             ).alias("e")
         ).select("e.c", "e.n")
-        lmin = adj.groupBy("c").agg(
-            F.least(F.min("n"), F.first("c")).alias("m")
-        )
         ls = (
-            adj.join(lmin, "c")
+            adj.withColumn(
+                "m",
+                F.least(
+                    F.min("n").over(Window.partitionBy("c")), F.col("c")
+                ),
+            )
             .filter(F.col("n") > F.col("c"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
         )
         # small-star: center u over the high→low orientation; its ≤
-        # neighbors (and u itself) all hang onto the minimum
-        ss_adj = ls.select(
+        # neighbors (and u itself) all hang onto the minimum — emitted
+        # as (n → m) per row plus (c → m) per row; the (c, m) copies
+        # collapse in the distinct below
+        ssw = ls.select(
             F.greatest("u", "v").alias("c"), F.least("u", "v").alias("n")
-        )
-        smin = ss_adj.groupBy("c").agg(F.min("n").alias("m"))
+        ).withColumn("m", F.min("n").over(Window.partitionBy("c")))
         cur = (
-            ss_adj.join(smin, "c")
-            .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .unionByName(
-                smin.select(F.col("c").alias("u"), F.col("m").alias("v"))
+            ssw.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("n").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("c").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("e")
             )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
@@ -1262,11 +1271,14 @@ def connected_components_star(
         # sum signature can collide between distinct consecutive sets
         # (e.g. {(3,1),(4,2)} vs {(4,1),(3,2)}) and silently return
         # wrong labels; one anti-join per round is the honest cost.
-        if prev is not None:
-            same_count = cur.count() == prev.count()
-            if same_count and cur.join(prev, ["u", "v"], "left_anti").isEmpty():
+        # prev's count is carried over from its own round — re-counting
+        # the checkpointed prev every round was a pure extra job.
+        cur_count = cur.count()
+        if prev is not None and cur_count == prev_count:
+            if cur.join(prev, ["u", "v"], "left_anti").isEmpty():
                 break
         prev = cur
+        prev_count = cur_count
     else:
         raise RuntimeError(
             "connected_components_star did not converge in"
