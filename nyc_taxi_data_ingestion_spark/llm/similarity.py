@@ -466,7 +466,15 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("c_norm"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
-    q = queries.select(
+    # spread the QUERY side too (r12): when the query frame is a
+    # corpus-proportional slice of a single-file table, its scan is
+    # one task and the nprobe-cell probe UDF + explode serialize onto
+    # one core (measured: a 4 s single-task stage in knn_label_prop
+    # while 31 cores idled). Conditional — a multi-partition query
+    # frame at real scale pays no extra shuffle.
+    from nyc_taxi_data_ingestion_spark.llm.dedup import spread
+
+    q = spread(queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),

@@ -304,16 +304,27 @@ def ks_drift(
     location (ties to the smallest value)."""
     from pyspark.sql import Window
 
-    oc = old.select(F.col(value_col).alias("v")).where(
-        F.col("v").isNotNull()
-    ).groupBy("v").agg(F.count("*").alias("oc"))
-    nc = new.select(F.col(value_col).alias("v")).where(
-        F.col("v").isNotNull()
-    ).groupBy("v").agg(F.count("*").alias("nc"))
-    per = oc.join(nc, "v", "full_outer").select(
-        "v",
-        F.coalesce("oc", F.lit(0)).alias("oc"),
-        F.coalesce("nc", F.lit(0)).alias("nc"),
+    # per-value counts for BOTH sides in ONE aggregation (r12): tag
+    # each side, union, and conditionally count — one shuffle with
+    # map-side partial aggregation where the old shape paid two
+    # groupBy shuffles plus a full-outer join (and this subtree is
+    # re-evaluated by every consumer branch below, multiplying the
+    # saving). count(when(...)) is the same exact integer as the
+    # per-side count(*); absent values on a side count 0, exactly
+    # what the old coalesce produced.
+    tagged = (
+        old.select(F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .select("v", F.lit(1).alias("__side"))
+        .unionByName(
+            new.select(F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .select("v", F.lit(0).alias("__side"))
+        )
+    )
+    per = tagged.groupBy("v").agg(
+        F.count(F.when(F.col("__side") == 1, True)).alias("oc"),
+        F.count(F.when(F.col("__side") == 0, True)).alias("nc"),
     )
     # deterministic monotone bucketing: bucket(v) = #boundaries <= v.
     # Boundary placement only affects balance, never correctness.
@@ -632,14 +643,6 @@ def ks_drift_grouped(
 
     g = list(group_cols)
 
-    def counts(frame: DataFrame, alias: str) -> DataFrame:
-        return (
-            frame.select(*g, F.col(value_col).alias("v"))
-            .where(F.col("v").isNotNull())
-            .groupBy(*g, "v")
-            .agg(F.count("*").alias(alias))
-        )
-
     def totals(frame: DataFrame, alias: str) -> DataFrame:
         return (
             frame.select(*g, F.col(value_col).alias("v"))
@@ -648,12 +651,21 @@ def ks_drift_grouped(
             .agg(F.count("*").alias(alias))
         )
 
-    oc, nc = counts(old, "oc"), counts(new, "nc")
-    per = oc.join(nc, [*g, "v"], "full_outer").select(
-        *g,
-        "v",
-        F.coalesce("oc", F.lit(0)).alias("oc"),
-        F.coalesce("nc", F.lit(0)).alias("nc"),
+    # one tagged union + conditional count instead of two groupBys +
+    # full-outer join — see ks_drift (r12); identical exact integers
+    tagged = (
+        old.select(*g, F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(*g, "v", F.lit(1).alias("__side"))
+        .unionByName(
+            new.select(*g, F.col(value_col).alias("v"))
+            .where(F.col("v").isNotNull())
+            .select(*g, "v", F.lit(0).alias("__side"))
+        )
+    )
+    per = tagged.groupBy(*g, "v").agg(
+        F.count(F.when(F.col("__side") == 1, True)).alias("oc"),
+        F.count(F.when(F.col("__side") == 0, True)).alias("nc"),
     )
     # deterministic per-group monotone bucketing: bucket(v) =
     # #boundaries <= v (ks_drift's rule, grouped)

@@ -1016,15 +1016,31 @@ def _collect_file_stats(
                 )
         return out
 
-    # a footer read is ~ms: below a handful of files a Spark job's
-    # scheduling overhead dwarfs the work, and streaming micro-batch
-    # appends (1-4 files each) route through here on every commit of a
-    # stats-enabled table — read those driver-side; fan out only when
-    # the commit is genuinely wide. spark=None (commit_staged_files
-    # from a python-DataSource writer's commit hook, where no session
-    # is reachable) always takes the sequential path.
-    if spark is None or len(files) <= 8:
-        rows = [t for rel in files for t in _file_stats(rel)]
+    # a footer read is ~ms of GIL-released I/O: up to ~a thousand
+    # files, a driver-side THREAD POOL finishes in tens of ms, while a
+    # Spark mapInPandas job pays task scheduling plus a Python-worker
+    # spawn per slice (measured r12: one 18-file commit's stats job
+    # cost 1.5-2.5 s of pure overhead, ~70 exec-s across 50 tasks, and
+    # stats-enabled multi-commit queries paid it per commit). Fan out
+    # only when the commit is genuinely wide — beyond
+    # SPARK_GRAFT_STATS_DRIVER_MAX files (default 1024; a 100 TB table
+    # reaches ~800k files across MANY commits, but a single commit in
+    # the thousands of files should use the cluster). spark=None
+    # (commit_staged_files from a python-DataSource writer's commit
+    # hook, where no session is reachable) always stays driver-side.
+    driver_max = int(os.environ.get("SPARK_GRAFT_STATS_DRIVER_MAX", "1024"))
+    if spark is None or len(files) <= max(driver_max, 8):
+        if len(files) <= 8:
+            rows = [t for rel in files for t in _file_stats(rel)]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(files))) as pool:
+                rows = [
+                    t
+                    for per_file in pool.map(_file_stats, files)
+                    for t in per_file
+                ]
     else:
 
         def scan(batches):
