@@ -73,37 +73,71 @@ def validate_table(
     reference persists as metrics JSON (metrics.py:312-337)."""
     report: dict[str, Any] = {"table": table_name}
 
-    check_result = run_checks(df, config.checks)
-    report["checks"] = check_result
+    # The stages up to scoring are INDEPENDENT driver actions over the
+    # same table (checks agg, expectations agg, per-column anomaly
+    # passes, null-spike passes, freshness max). Running them
+    # sequentially leaves the cluster idle in every driver round-trip
+    # and every stage tail, so they overlap through a small thread
+    # pool (guide §2.6: Spark's scheduler runs concurrent jobs FIFO,
+    # later jobs back-fill executors freed by earlier tails). Each
+    # task's result — and the assembled report — is identical to the
+    # sequential form; exceptions propagate on .result() exactly as
+    # they did inline.
+    from concurrent.futures import ThreadPoolExecutor
 
-    exp_result = run_expectations(df, config.expectations)
-    report["expectations"] = exp_result
-
-    report["anomalies"] = {
-        col: {
+    def _anomaly(col: str) -> dict[str, Any]:
+        return {
             k: v
             for k, v in zscore_anomalies(
                 df, col, config.zscore_k, with_sample=False
             ).items()
             if k != "sample"
         }
-        for col in config.anomaly_columns
-    }
 
-    if config.null_spike_columns:
-        from nyc_taxi_data_ingestion_spark.quality.store import historical_null_rate
+    def _spike(col: str) -> dict[str, Any]:
+        from nyc_taxi_data_ingestion_spark.quality.store import (
+            historical_null_rate,
+        )
 
-        spark = df.sparkSession
-        report["null_spikes"] = {}
-        for col in config.null_spike_columns:
-            hist = (
-                historical_null_rate(spark, config.metrics_store, table_name, col)
-                if config.metrics_store
-                else None
+        hist = (
+            historical_null_rate(
+                df.sparkSession, config.metrics_store, table_name, col
             )
-            report["null_spikes"][col] = null_spike(
-                df, col, historical_rate=hist, factor=config.null_spike_factor
-            )
+            if config.metrics_store
+            else None
+        )
+        return null_spike(
+            df, col, historical_rate=hist, factor=config.null_spike_factor
+        )
+
+    def _freshness():
+        return df.agg(F.max(config.timestamp_column)).first()[0]
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_checks = pool.submit(run_checks, df, config.checks)
+        f_exp = pool.submit(run_expectations, df, config.expectations)
+        f_anom = {
+            col: pool.submit(_anomaly, col)
+            for col in config.anomaly_columns
+        }
+        f_spike = {
+            col: pool.submit(_spike, col)
+            for col in config.null_spike_columns
+        }
+        f_fresh = (
+            pool.submit(_freshness) if config.timestamp_column else None
+        )
+        check_result = f_checks.result()
+        report["checks"] = check_result
+        exp_result = f_exp.result()
+        report["expectations"] = exp_result
+        report["anomalies"] = {
+            col: f.result() for col, f in f_anom.items()
+        }
+        if config.null_spike_columns:
+            report["null_spikes"] = {
+                col: f.result() for col, f in f_spike.items()
+            }
 
     components = {
         "completeness": completeness_from_checks(check_result["metrics"]),
@@ -127,7 +161,7 @@ def validate_table(
         ),
     }
     if config.timestamp_column:
-        max_ts = df.agg(F.max(config.timestamp_column)).first()[0]
+        max_ts = f_fresh.result()
         if max_ts is not None:
             as_of = config.as_of or datetime.now(timezone.utc).replace(tzinfo=None)
             if not isinstance(max_ts, datetime):  # DATE column

@@ -2545,10 +2545,18 @@ def q_dq_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    recons = [
-        check_row_count(li, li),
-        check_key_integrity(li, orders, ["l_orderkey"], ["o_orderkey"]),
-    ]
+    # the two reconciliations are independent actions — overlap them
+    # (guide §2.6); measured sequential at ~half this query's wall
+    from nyc_taxi_data_ingestion_spark.quality.reconciliation import _par2
+
+    recons = list(
+        _par2(
+            lambda: check_row_count(li, li),
+            lambda: check_key_integrity(
+                li, orders, ["l_orderkey"], ["o_orderkey"]
+            ),
+        )
+    )
     report = validate_table(
         li,
         ValidationConfig(
