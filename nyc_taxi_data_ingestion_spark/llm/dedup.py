@@ -760,8 +760,13 @@ def edit_near_dups(
       family's count-filter. Counting over a SUBSET alphabet keeps
       the bound lossless — uncounted characters only make it smaller;
     - the surviving pairs run Spark's THRESHOLDED levenshtein (banded
-      DP, O(d·len) not O(len²)); the band uses one cheap max-length
-      aggregate so it upper-bounds every per-pair τ·max(len).
+      DP, O(d·len) not O(len²)) with the PER-PAIR band
+      ⌊τ·max(len_a, len_b)⌋ — the narrowest lossless band; the
+      sentinel −1 return above the band doubles as the threshold
+      filter, so the DP runs exactly once per surviving candidate
+      (two references to the distance in a filter would each
+      re-evaluate it inside the join condition — measured as the
+      operator's top cost).
 
     Exactness note for oracles: Spark's levenshtein is per-CHARACTER;
     DuckDB's is per-BYTE — identical on ASCII corpora (this testdata),
@@ -786,16 +791,9 @@ def edit_near_dups(
             ]
         ),
     )
-    max_len = t.agg(F.max("__len")).first()[0] or 0
-    band = int(rel_threshold * max_len) + 1
     a = t.alias("a")
     b = t.alias("b")
     dmax = F.lit(rel_threshold) * F.greatest(F.col("a.__len"), F.col("b.__len"))
-    cond = (F.col("a.__id") < F.col("b.__id")) & (
-        F.abs(F.col("a.__len") - F.col("b.__len")) <= dmax
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     over = F.zip_with(
         "a.__bag", "b.__bag", lambda x, y: F.greatest(x - y, F.lit(0))
     )
@@ -806,17 +804,45 @@ def edit_near_dups(
         F.aggregate(over, F.lit(0), lambda acc, x: acc + x),
         F.aggregate(under, F.lit(0), lambda acc, x: acc + x),
     )
-    lev = F.levenshtein(F.col("a.__t"), F.col("b.__t"), band)
+    # per-pair banded DP: threshold ⌊τ·max(len)⌋ makes the sentinel −1
+    # return THE threshold test (d ≤ τ·maxlen ⟺ d ≤ ⌊τ·maxlen⌋ for
+    # integer d), so one levenshtein call replaces the two the old
+    # (d ≥ 0 AND d ≤ τ·maxlen) filter expanded to inside the join
+    # condition — and the global max-length aggregate job is gone
+    lev = F.expr(
+        "levenshtein(a.__t, b.__t, "
+        f"cast(floor({rel_threshold} * greatest(a.__len, b.__len)) as int))"
+    )
+    # the DP sits behind a CASE so its guards are ORDER-GUARANTEED
+    # cheapest-first: id<, the length band, then the bag bound, then —
+    # only for candidates surviving all three — the banded DP. Plain
+    # AND conjuncts in a join condition carry no evaluation-order
+    # contract (the optimizer's merged condition ran the DP before the
+    # trivial id/length tests — measured as the operator's top cost).
+    guarded = (
+        F.when(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.abs(F.col("a.__len") - F.col("b.__len")) <= dmax)
+            & (bag <= dmax),
+            lev,
+        ).otherwise(F.lit(-1))
+        >= 0
+    )
+    cond = guarded
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .filter(bag <= dmax)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
+            # survivors are the true near-dup pairs — a vanishing
+            # fraction — so re-evaluating the DP here for the output
+            # column costs nothing while keeping the join condition
+            # free of a projected-column dependency
             lev.alias("distance"),
             F.greatest(F.col("a.__len"), F.col("b.__len")).alias("__maxlen"),
         )
-        .filter((F.col("distance") >= 0) & (F.col("distance") <= F.lit(rel_threshold) * F.col("__maxlen")))
         .select(
             "id_a",
             "id_b",

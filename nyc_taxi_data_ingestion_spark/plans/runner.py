@@ -46,26 +46,69 @@ class _Task:
     deps: list[str] = field(default_factory=list)
 
 
-def _run_graph(tasks: list[_Task], max_retries: int) -> list[TaskResult]:
+def _run_task(t: _Task, max_retries: int) -> TaskResult:
+    res = TaskResult(t.name, "failed")
+    t0 = time.time()
+    for attempt in range(1, max_retries + 2):
+        res.attempts = attempt
+        try:
+            t.fn()
+            res.status = "ok"
+            res.error = None
+            break
+        except Exception as exc:  # noqa: BLE001 — fault isolation is the point
+            res.error = f"{type(exc).__name__}: {exc}"[:500]
+    res.seconds = round(time.time() - t0, 3)
+    return res
+
+
+def _run_graph(
+    tasks: list[_Task], max_retries: int, max_workers: int = 4
+) -> list[TaskResult]:
+    """Dependency-wave execution: tasks whose deps are all green run
+    CONCURRENTLY through a small driver thread pool (Airflow's
+    parallel task instances; Spark's scheduler interleaves the jobs so
+    one task's stage tail is back-filled by its siblings' tasks —
+    optimization-guide §2.6). Failure/skip semantics are unchanged: a
+    failed task still marks every transitive dependent ``skipped``,
+    retries stay per-task, and the report keeps declaration order."""
+    from concurrent.futures import ThreadPoolExecutor
+
     done: dict[str, TaskResult] = {}
-    for t in tasks:
-        if any(done[d].status != "ok" for d in t.deps if d in done):
-            done[t.name] = TaskResult(t.name, "skipped")
+    pending = list(tasks)
+    while pending:
+        waiting = {t.name for t in pending}
+        # a dep naming no task at all is ignored, as before
+        ready = [
+            t for t in pending
+            if not any(d in waiting and d not in done for d in t.deps)
+        ]
+        if not ready:
+            # dependency cycle: fall back to declaration order (the old
+            # sequential runner's behaviour — unresolved deps ignored)
+            ready = [pending[0]]
+        for t in ready:
+            if any(
+                done[d].status != "ok" for d in t.deps if d in done
+            ):
+                done[t.name] = TaskResult(t.name, "skipped")
+        batch = [t for t in ready if t.name not in done]
+        pending = [
+            t for t in pending if t.name not in done and t not in batch
+        ]
+        if not batch:
             continue
-        res = TaskResult(t.name, "failed")
-        t0 = time.time()
-        for attempt in range(1, max_retries + 2):
-            res.attempts = attempt
-            try:
-                t.fn()
-                res.status = "ok"
-                res.error = None
-                break
-            except Exception as exc:  # noqa: BLE001 — fault isolation is the point
-                res.error = f"{type(exc).__name__}: {exc}"[:500]
-        res.seconds = round(time.time() - t0, 3)
-        done[t.name] = res
-    return list(done.values())
+        if len(batch) == 1:
+            done[batch[0].name] = _run_task(batch[0], max_retries)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(batch))
+            ) as pool:
+                for res in pool.map(
+                    lambda t: _run_task(t, max_retries), batch
+                ):
+                    done[res.name] = res
+    return [done[t.name] for t in tasks]
 
 
 def run_medallion(

@@ -8181,41 +8181,54 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in one order more than their popularity predicts —
     association-rule mining's support/lift at brand granularity (the
     co-purchase analysis every retail deployment of the reference's
-    mart layer ends up writing). Baskets = distinct (order, brand); the
-    pair join is keyed on the ORDER key, so pair explosion is bounded
-    by per-order basket size (≤ line count, single digits in practice)
-    — linear in the fact table, never |brands|·|orders|. Marginals
-    (|brands| rows) and the order count broadcast onto the pair table.
-    Lift is one IEEE division of exact bigint products, identical
-    cross-engine; top-50 under a total order (support desc, pair).
-    The basket table feeds three branches (marginals, denominator,
-    pairs), so it is materialized once via eager localCheckpoint
-    rather than re-shuffled per branch."""
+    mart layer ends up writing). Baskets = per-order sorted brand SET,
+    built in one okey-keyed shuffle; pairs are generated order-locally
+    from the sorted array (combinators, bounded by per-order basket
+    size — ≤ line count, single digits in practice), so the pair table
+    is linear in the fact table, never |brands|·|orders|, and the old
+    okey self-join (two basket exchanges + a sort-merge join) is gone.
+    Marginals (|brands| rows) and the order count broadcast onto the
+    pair table. Lift is one IEEE division of exact bigint products,
+    identical cross-engine; top-50 under a total order (support desc,
+    pair). The basket table feeds three branches (marginals,
+    denominator, pairs), so it is materialized once via eager
+    localCheckpoint rather than re-shuffled per branch."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # one shuffle builds the per-order SORTED brand set; pairs are then
+    # generated order-locally with array combinators (bounded by basket
+    # size, single digits) instead of the okey self-join the old shape
+    # paid (two exchanges of the basket table + a sort-merge join).
+    # collect_set is skew-safe here: a basket's brand set is bounded by
+    # its line count.
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .localCheckpoint(eager=True)
     )
-    n_orders = baskets.agg(
-        F.countDistinct("okey").cast("long").alias("n")
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    marg = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("n_b"))
+        # feeds both broadcast legs below — materialize the |brands|-row
+        # frame once instead of re-exploding the basket table per leg
+        .localCheckpoint(eager=True)
     )
-    marg = baskets.groupBy("brand").agg(F.count("*").alias("n_b"))
-    a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count("*").alias("support"))
     )
@@ -8891,15 +8904,27 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("pa"))
-    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    # per-order sorted part set in ONE order-keyed shuffle (collect_set
+    # dedups, folding the old distinct pass in), then co-occurrence
+    # pairs generated order-locally with array combinators — replaces
+    # the distinct shuffle + two self-join exchanges + sort-merge join
+    # of the id-pair shape; still bounded by |basket|² per order
+    pairs = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+    )
     e = (
-        a.join(b, "o")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("__sup"))
         .filter(F.col("__sup") >= 2)
         .select("pa", "pb")
