@@ -190,7 +190,7 @@ def run_available_now(
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
     timeout_sec: int = 300,
-    state_partitions: int | None = 32,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming plan to completion with Trigger.AvailableNow
     into an in-memory sink, returning the result as a batch DataFrame.
@@ -202,12 +202,21 @@ def run_available_now(
 
     ``state_partitions`` pins the state-store partition count for this
     run. Streaming state partitioning is frozen at checkpoint creation
-    and must be sized deliberately (per-partition state-store/task
-    overhead dominates small runs; inheriting a batch-tuned
-    ``spark.sql.shuffle.partitions`` of 200+ made these runs ~10×
-    slower under a default session). The conf is restored afterwards —
-    each AvailableNow run uses a fresh checkpoint, so the pin cannot
-    conflict with an existing state layout. Pass None to inherit.
+    and must be sized to STATE VOLUME, not to the batch-compute core
+    count: every micro-batch pays per-partition state-store
+    load/commit I/O plus a task, whether or not the partition holds
+    keys (inheriting a batch-tuned ``spark.sql.shuffle.partitions`` of
+    200+ made these runs ~10× slower under a default session;
+    32 → 8 re-measured 2.5-4.2 s → 1.1-1.8 s addBatch on a 5-key
+    aggregate). Every registry drain holds ≤ a few thousand keys of
+    state, so the default is 8 — small enough that store overhead is
+    noise, large enough that cross-partition state handling is still
+    exercised; a production stream with millions of keys in its
+    horizon sizes this up to keys-in-horizon / target-store-size
+    exactly as it would size ``spark.sql.shuffle.partitions``. The
+    conf is restored afterwards — each AvailableNow run uses a fresh
+    checkpoint, so the pin cannot conflict with an existing state
+    layout. Pass None to inherit.
     """
     import uuid
 
