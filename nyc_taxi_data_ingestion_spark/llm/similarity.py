@@ -326,6 +326,28 @@ def auto_nprobe(num_cells: int, lo: int = 8) -> int:
     return min(num_cells, max(lo, math.isqrt(num_cells - 1) + 1))
 
 
+def _train_sample_matrix(
+    corpus: DataFrame,
+    n: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+) -> "np.ndarray":
+    """The shared deterministic training sample: the ``n`` lowest
+    xxhash64(id, seed) vectors as an ORDERED float64 matrix (ascending
+    (hash, id) — a prefix slice of a larger collect is therefore
+    bit-identical to a smaller collect, which is what lets composed
+    indexes like IVFADC collect the sample ONCE and hand each trainer
+    its own prefix instead of running two identical sort+limit jobs)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
+        .limit(n)
+        .collect()
+    )
+    return np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
+
+
 def train_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -334,6 +356,7 @@ def train_centroids(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    sample_x: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Lloyd's k-means on a bounded deterministic sample, driver-side.
 
@@ -346,15 +369,18 @@ def train_centroids(
     to FAISS's ~39 points/centroid floor, capped at 200k rows so the
     driver-side collect stays bounded (200k × 64-dim doubles ≈ 100 MB)
     — callers passing ``num_cells <= 256`` see the historical 10k
-    sample unchanged (oracle-twin stability)."""
+    sample unchanged (oracle-twin stability).
+
+    ``sample_x``: an already-collected ordered sample matrix from
+    ``_train_sample_matrix`` (must cover this trainer's widened sample
+    size unless it exhausted the corpus); its prefix slice is
+    bit-identical to this function's own collect, so composed callers
+    (``ivfpq_topk``) skip a duplicate sort+limit job."""
     sample = max(sample, min(39 * num_cells, 200_000))
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
-        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
-        .limit(sample)
-        .collect()
-    )
-    x = np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
+    if sample_x is not None:
+        x = sample_x[:sample]
+    else:
+        x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(num_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -513,6 +539,7 @@ def train_pq_codebooks(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    sample_x: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Per-subspace k-means codebooks for product quantization:
     shape (m, 2^nbits, d/m). Trained driver-side on the same bounded
@@ -520,14 +547,13 @@ def train_pq_codebooks(
     PQ codebooks on a sample at every scale). Vectors are L2-normalized
     before training — this PQ variant scores COSINE via dot products of
     normalized vectors, so the codebooks must live on the same sphere
-    slice as the data they quantize."""
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
-        .orderBy(F.xxhash64(F.col("i"), F.lit(seed)), F.col("i"))
-        .limit(sample)
-        .collect()
-    )
-    x = np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
+    slice as the data they quantize. ``sample_x`` as in
+    ``train_centroids``: a pre-collected ordered sample whose prefix
+    replaces this function's own collect bit-identically."""
+    if sample_x is not None:
+        x = sample_x[:sample]
+    else:
+        x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     d = x.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -739,11 +765,23 @@ def ivfpq_topk(
         num_cells = auto_num_cells(corpus.count())
     if nprobe is None:
         nprobe = auto_nprobe(num_cells)
+    # both trainers draw the SAME deterministic (hash, id)-ordered
+    # sample; collect it once at the larger of the two sizes and hand
+    # each trainer its prefix — one sort+limit job instead of two
+    # identical ones (prefix slices are bit-identical to separate
+    # collects because the sample order is a total order)
+    n_sample = max(
+        max(10_000, min(39 * num_cells, 200_000)),  # train_centroids
+        10_000,  # train_pq_codebooks
+    )
+    sample_x = _train_sample_matrix(corpus, n_sample, vec_col, id_col, seed)
     cent = train_centroids(
-        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
+        seed=seed, sample_x=sample_x,
     )
     books = train_pq_codebooks(
-        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
+        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col,
+        seed=seed, sample_x=sample_x,
     )
     assign1 = _nearest_cells_udf(cent, 1)
     probe = _nearest_cells_udf(cent, nprobe)
@@ -941,11 +979,17 @@ def build_ann_index(
 
     if num_cells is None:
         num_cells = auto_num_cells(corpus.count())
+    # shared-sample contract as in ivfpq_topk: one sort+limit collect,
+    # each trainer takes its bit-identical prefix
+    n_sample = max(10_000, min(39 * num_cells, 200_000))
+    sample_x = _train_sample_matrix(corpus, n_sample, vec_col, id_col, seed)
     cent = train_centroids(
-        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
+        seed=seed, sample_x=sample_x,
     )
     books = train_pq_codebooks(
-        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col, seed=seed
+        corpus, m=m, nbits=nbits, vec_col=vec_col, id_col=id_col,
+        seed=seed, sample_x=sample_x,
     )
     assign1 = _nearest_cells_udf(cent, 1)
     encode = _pq_encode_udf(books)

@@ -8521,11 +8521,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain the one-row frames through crossJoin: a 3-way single-row
     # cartesian measures 14-17 s of pure overhead on this Spark build
     # (and un-coalesced it plans a 32^3-task stage; measured 500 s).
-    cuts = {
-        p: exact_quantiles(rfm, col, fr, out_prefix=p).collect()[0]
-        for p, col in (("rq", "recency"), ("fq", "frequency"),
-                       ("mq", "mon_d"))
-    }
+    # The three selections are independent reads of the same
+    # checkpointed frame, each a chain of small driver-gated jobs —
+    # overlap them so one selection's driver round-trips back-fill the
+    # executors another's stragglers freed (guide §2.6; the
+    # dq_orchestration pattern).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cuts(arg):
+        p, col = arg
+        return p, exact_quantiles(rfm, col, fr, out_prefix=p).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        cuts = dict(
+            pool.map(
+                _cuts,
+                (("rq", "recency"), ("fq", "frequency"), ("mq", "mon_d")),
+            )
+        )
 
     def bucket(v: str, prefix: str):
         q = F.lit(1)
