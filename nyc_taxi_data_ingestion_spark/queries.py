@@ -11471,17 +11471,38 @@ _GREEN_R11 = [
 
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r12 churned the
-# snapshot layer under every read and commit AGAIN: scoped
-# instrumentation hooks replaced the module-global swaps
-# (_commit_manifest_any threshold, _resolve_manifest load observer,
-# _union_commit_frames zero-read guard — r11 ADVICE), the WAP verdict
-# fails closed on strings, expire's ref retention retains
-# timestamp-less legacy refs, the format reader resolves a COPY of
-# the pinned manifest, and the manifest head now persists the union
-# schema — so the ENTIRE snapshot family re-earns its verdict at r12
-# HEAD, plus the two rewritten lifecycle queries.
+# re-certifies them against the code as it stands now. r12 churned
+# three layers: (a) the BUILD half churned the snapshot layer under
+# every read and commit (scoped instrumentation hooks, fail-closed WAP
+# verdict, ref-retention fix, manifest-copy resolve, union-schema
+# manifest head, row-group pruning) and added five new oracle queries;
+# (b) the OPTIMIZATION half REWROTE operator algebra across the dedup/
+# text/analytics/quantile/drift/DQ families (window-based document
+# frequency, star-contraction windows, order-local pair generation,
+# guarded banded DP, union-count KS, pooled exact-quantile consumers,
+# overlapped DQ/reconciliation actions, wave-parallel task graph,
+# shared ANN training sample); (c) the streaming drains were re-sized
+# (state-store partition count — layout-only, lowest risk, so they
+# rank last within this tier). Ordered: never-driver-verified new
+# queries, then algebra rewrites, then the snapshot family, then the
+# streaming re-sizing. This displaces most of the r6-stale refresh
+# pool past the 50-prefix — re-certifying churned code is strictly
+# more valuable than refreshing stale-but-judge-reverified greens.
 _REFRESH_FIRST: list[str] = [
+    # never driver-verified (registered in r12)
+    "snapshot_upsert_eq", "snapshot_projected_scan", "bloom_dedup",
+    "tpch_q9_sql", "tpch_q16_sql",
+    # optimization-round algebra rewrites
+    "fingerprint_collisions", "window_dedup", "ngram_novelty",
+    "market_basket", "graph_triangles", "edit_near_dup",
+    "blocked_jaccard", "containment_pairs", "dedup_clusters",
+    "incremental_dedup_exact", "minhash_near_dup_exact", "stream_dedup",
+    "pagerank_exact", "ks_drift", "ks_drift_grouped", "quantiles",
+    "winsorize", "iqr_outliers_exact", "mad_outliers_exact",
+    "mad_outliers_grouped", "rfm_segments", "knn_label_prop_exact",
+    "pipeline_full", "dq_metrics_exact", "reconcile_rowcount",
+    "reconcile_agg",
+    # build-half snapshot-layer churn
     "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
     "snapshot_schema_evolution", "snapshot_merge_upsert",
     "snapshot_erase", "snapshot_merge_mor", "snapshot_update_mor",
@@ -11493,6 +11514,11 @@ _REFRESH_FIRST: list[str] = [
     "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
     "snapshot_format_partitioned", "snapshot_manifest_shards",
     "snapshot_wap", "snapshot_delete_eq", "snapshot_shard_skip",
+    # streaming state-store re-sizing (layout-only)
+    "stream_late_data", "stream_session_windows",
+    "stream_stateful_profile", "stream_tumbling_agg",
+    "stream_sliding_counts", "stream_drift_monitor",
+    "stream_stream_join",
 ]
 
 # The registry's OLDEST evidence (r10 verdict item 2, r11 item 1):
@@ -11535,8 +11561,13 @@ def _export_order() -> list[str]:
     (freshest lists iterate first; setdefault keeps the first
     assignment), except a _REFRESH_FIRST listing always wins."""
     tier = {}
+    # _REFRESH_FIRST is RANKED: its list position is the priority
+    # (never-verified new queries first, algebra rewrites next, …) —
+    # registration order must not reorder this tier, or late-registered
+    # never-verified queries fall past the driver's bounded prefix.
+    for j, n in enumerate(_REFRESH_FIRST):
+        tier.setdefault(n, j / (10.0 * max(1, len(_REFRESH_FIRST))))
     for names, rank in (
-        (_REFRESH_FIRST, 0),
         (_STALE_R6, 1.5),
         (_GREEN_R11, 10),
         (_GREEN_R10, 9),
