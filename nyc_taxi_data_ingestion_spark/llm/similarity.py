@@ -348,6 +348,17 @@ def _train_sample_matrix(
     return np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
 
 
+def _shared_sample(
+    corpus: DataFrame, n: int, vec_col: str, id_col: str, seed: int
+) -> tuple["np.ndarray", int]:
+    """``(matrix, n_asked)`` for trainers' ``sample_x``: carrying the
+    ASKED size lets a trainer distinguish a corpus-exhausted collect
+    (fewer rows back than asked — its prefix is still exactly the
+    trainer's own collect) from an under-asked one (caller's size
+    formula drifted below the trainer's — unsafe, fall back)."""
+    return _train_sample_matrix(corpus, n, vec_col, id_col, seed), n
+
+
 def train_centroids(
     corpus: DataFrame,
     num_cells: int = 16,
@@ -356,7 +367,7 @@ def train_centroids(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
-    sample_x: "np.ndarray | None" = None,
+    sample_x: "tuple[np.ndarray, int] | None" = None,
 ) -> "np.ndarray":
     """Lloyd's k-means on a bounded deterministic sample, driver-side.
 
@@ -371,15 +382,21 @@ def train_centroids(
     — callers passing ``num_cells <= 256`` see the historical 10k
     sample unchanged (oracle-twin stability).
 
-    ``sample_x``: an already-collected ordered sample matrix from
-    ``_train_sample_matrix`` (must cover this trainer's widened sample
-    size unless it exhausted the corpus); its prefix slice is
-    bit-identical to this function's own collect, so composed callers
-    (``ivfpq_topk``) skip a duplicate sort+limit job."""
+    ``sample_x``: a ``_shared_sample`` ``(matrix, n_asked)`` pair
+    collected with n_asked >= this trainer's widened sample size; its
+    prefix slice is bit-identical to this function's own collect, so
+    composed callers (``ivfpq_topk``) skip a duplicate sort+limit
+    job. An under-asked pair is ignored (own collect)."""
     sample = max(sample, min(39 * num_cells, 200_000))
-    if sample_x is not None:
-        x = sample_x[:sample]
+    if sample_x is not None and sample_x[1] >= sample:
+        x = sample_x[0][:sample]
     else:
+        # an UNDER-ASKED sample_x (caller's size formula drifted below
+        # this trainer's widened sample) falls back to the trainer's
+        # own collect: a short prefix would silently train on fewer
+        # rows than a direct call — correctness over the saved job.
+        # (A corpus-exhausted collect is fine: asked ≥ sample means
+        # the prefix equals this trainer's own collect exactly.)
         x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(num_cells, len(x)), replace=False)]
@@ -539,7 +556,7 @@ def train_pq_codebooks(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
-    sample_x: "np.ndarray | None" = None,
+    sample_x: "tuple[np.ndarray, int] | None" = None,
 ) -> "np.ndarray":
     """Per-subspace k-means codebooks for product quantization:
     shape (m, 2^nbits, d/m). Trained driver-side on the same bounded
@@ -550,9 +567,10 @@ def train_pq_codebooks(
     slice as the data they quantize. ``sample_x`` as in
     ``train_centroids``: a pre-collected ordered sample whose prefix
     replaces this function's own collect bit-identically."""
-    if sample_x is not None:
-        x = sample_x[:sample]
+    if sample_x is not None and sample_x[1] >= sample:
+        x = sample_x[0][:sample]
     else:
+        # under-ASKED sample_x → own collect (see train_centroids)
         x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     d = x.shape[1]
@@ -774,7 +792,7 @@ def ivfpq_topk(
         max(10_000, min(39 * num_cells, 200_000)),  # train_centroids
         10_000,  # train_pq_codebooks
     )
-    sample_x = _train_sample_matrix(corpus, n_sample, vec_col, id_col, seed)
+    sample_x = _shared_sample(corpus, n_sample, vec_col, id_col, seed)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
         seed=seed, sample_x=sample_x,
@@ -982,7 +1000,7 @@ def build_ann_index(
     # shared-sample contract as in ivfpq_topk: one sort+limit collect,
     # each trainer takes its bit-identical prefix
     n_sample = max(10_000, min(39 * num_cells, 200_000))
-    sample_x = _train_sample_matrix(corpus, n_sample, vec_col, id_col, seed)
+    sample_x = _shared_sample(corpus, n_sample, vec_col, id_col, seed)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,
         seed=seed, sample_x=sample_x,
