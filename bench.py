@@ -126,6 +126,29 @@ def _plan_fingerprint(df, inner_plans: list | None = None) -> str:
     return hashlib.sha256("\n---\n".join(parts).encode()).hexdigest()[:16]
 
 
+def _adopt_retry(was_unstable: bool, sweep_warm: float,
+                 retry_warm: float) -> bool:
+    """Whether a fresh-process retry's numbers replace the sweep's.
+
+    Unstable-class: the sweep numbers were flapping, a stable retry is
+    better information regardless of direction. Inflated-class: the
+    retry exists to deflate session-state inflation, so a SLOWER retry
+    is the retry process hitting a noisy VM window — keep the sweep
+    number (r12 verdict item 2: 4.5 s sweep -> 11.1 s retry was kept,
+    poisoning the artifact and the scaling ratios)."""
+    return was_unstable or retry_warm < sweep_warm
+
+
+def _artifact_suffix(cpus: str, sf_dir: str, sf) -> str:
+    """Filename suffix for the in-repo BENCH_full artifact: empty only
+    for the canonical config (32 cores, default SF dir), so variant
+    runs never clobber the canonical artifact (r12 verdict item 3)."""
+    suffix = "" if cpus == "32" else f"_c{cpus}"
+    if sf_dir.rstrip("/") != "/root/testdata/sf0.1":
+        suffix += f"_sf{sf}"
+    return suffix
+
+
 def _build_session():
     from nyc_taxi_data_ingestion_spark.session import get_spark
 
@@ -371,13 +394,29 @@ def main() -> None:
                     "cold": r["cold"],
                     "warm": r["warm"],
                 }
-                cold[name], timings[name] = r["cold"], r["warm"]
+                # The retry exists to DEFLATE session-state-inflated
+                # numbers. For the inflated class, an internally-stable
+                # retry that is SLOWER than the sweep is the retry
+                # process landing in a noisy VM window, not new truth —
+                # adopting it poisoned r12's artifact (4.5 s sweep ->
+                # 11.1 s retry kept) and the scaling ratios built on
+                # it. Adopt only improvements; both numbers stay under
+                # singles_remeasured either way. Unstable-class numbers
+                # were flapping in the sweep, so a stable retry replaces
+                # them regardless of direction.
+                adopt = _adopt_retry(
+                    name in unstable, timings[name], r["warm"]
+                )
+                if adopt:
+                    cold[name], timings[name] = r["cold"], r["warm"]
+                remeasured[name]["adopted"] = adopt
                 why = "unstable" if name in unstable else (
                     f"inflated vs prior {prior.get(name)}s"
                 )
                 print(
                     f"# {name}: fresh-process retry ({why}), cold "
-                    f"{r['cold']}s, warm {r['warm']}s",
+                    f"{r['cold']}s, warm {r['warm']}s"
+                    + ("" if adopt else " (slower than sweep: kept sweep)"),
                     file=sys.stderr,
                 )
             except Exception as exc:
@@ -470,8 +509,21 @@ def main() -> None:
                 if m:
                     rounds.append(int(m.group(1)))
             rnd = max(rounds) if rounds else 1
+        # Non-canonical configurations must not clobber the canonical
+        # artifact: the driver's 8-core scaling run overwrote the
+        # committed 32-core BENCH_full_r12.json in the working tree
+        # (r12 verdict item 3). Suffix the filename when the core count
+        # or data directory differs from the canonical sweep config, so
+        # the variant is still recorded but `BENCH_full_r{N}.json`
+        # always means 32 cores at the default SF dir. The baseline
+        # reader (_newest_prior_artifact) anchors its regex to the
+        # unsuffixed name, so variants never become cross-round
+        # baselines.
+        suffix = _artifact_suffix(
+            os.environ.get("SPARK_GRAFT_CPUS", "32"), sf_dir, sf
+        )
         with open(
-            os.path.join(here, f"BENCH_full_r{rnd:02d}.json"), "w"
+            os.path.join(here, f"BENCH_full_r{rnd:02d}{suffix}.json"), "w"
         ) as f:
             json.dump(payload, f, indent=1, sort_keys=True)
     except Exception as exc:  # read-only checkout must not kill the bench

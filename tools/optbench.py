@@ -1,10 +1,10 @@
-"""Optimization-round measurement harness (r12, guide §1).
+"""Optimization-round measurement harness (r13, guide §1).
 
 Measures a NAMED SUBSET of registry queries with the exact fence
 bench.py uses (clearCache + GC, cold + adaptive-warm best-of-4,
 count() action — the bench contract), and dumps each query's
-``explain("formatted")`` to ``plans/r12/<query>_<tag>.txt`` so plan
-claims in OPTIMIZATION_r12.md are auditable without running Spark.
+``explain("formatted")`` to ``plans/r13/<query>_<tag>.txt`` so plan
+claims in OPTIMIZATION_r13.md are auditable without running Spark.
 
 Usage:
   python tools/optbench.py --tag before q1 q2 ...
@@ -13,7 +13,7 @@ Usage:
   python tools/optbench.py --plans-only --tag before q1 ...
 
 Prints one JSON line {"tag": ..., "queries": {name: {"cold":..,
-"warm":..}}} and appends it to plans/r12/measurements.jsonl.
+"warm":..}}} and appends it to plans/r13/measurements.jsonl.
 """
 
 from __future__ import annotations
@@ -74,7 +74,7 @@ def main() -> None:
     spark = bench._build_session()
     bench._warmup(spark, names=set(names))
 
-    plans_dir = os.path.join(HERE, "plans", "r12")
+    plans_dir = os.path.join(HERE, "plans", "r13")
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
