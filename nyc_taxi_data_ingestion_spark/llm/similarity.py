@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +40,94 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _fold_dot_rows(a, b):
+    """Per-row fallback for :func:`_pair_dot`: replicates the
+    ``zip_with`` + left-fold semantics exactly — a length mismatch or
+    any NULL (list or element) poisons the fold to NULL, otherwise the
+    products accumulate sequentially in double."""
+    out = []
+    for va, vb in zip(a, b):
+        if va is None or vb is None or len(va) != len(vb) or any(
+            x is None for x in va
+        ) or any(x is None for x in vb):
+            out.append(None)
+            continue
+        acc = 0.0
+        for x, y in zip(va, vb):
+            acc = acc + float(x) * float(y)
+        out.append(acc)
+    return out
+
+
+def _list_matrix(arr):
+    """(n, d) float64 matrix from an Arrow list-of-float array, or
+    None when the batch needs the per-row fallback (nulls anywhere, or
+    rows of differing length)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        return None
+    if isinstance(arr, pa.FixedSizeListArray):
+        flat = arr.values
+        d = arr.type.list_size
+    else:
+        off = np.asarray(arr.offsets)
+        lens = np.diff(off)
+        if lens.size and not (lens == lens[0]).all():
+            return None
+        d = int(lens[0]) if lens.size else 0
+        flat = arr.flatten()
+    if flat.null_count:
+        return None
+    m = np.asarray(flat).astype(np.float64, copy=False)
+    if m.size != len(arr) * d:
+        return None
+    return m.reshape(len(arr), d if d else 0)
+
+
+def _pair_dot_arrays(a, b):
+    """Arrow-batch pair dot with the EXACT left-fold accumulation
+    order of :func:`_dot` — float→double casts are exact, each product
+    is one IEEE double multiply, and the accumulator adds products in
+    ascending index order (64 vectorized column adds, sequential per
+    row), so the result is bit-identical to the JVM fold and to
+    DuckDB's ``list_reduce`` oracle twin."""
+    ma, mb = _list_matrix(a), _list_matrix(b)
+    if ma is None or mb is None or ma.shape != mb.shape:
+        return pa.array(_fold_dot_rows(a.to_pylist(), b.to_pylist()),
+                        type=pa.float64())
+    prod = ma * mb
+    acc = np.zeros(len(ma), dtype=np.float64)
+    for j in range(prod.shape[1]):
+        acc += prod[:, j]
+    return pa.array(acc, type=pa.float64())
+
+
+def _make_pair_dot():
+    from pyspark.sql.types import DoubleType
+
+    # a DataType instance, not a DDL string: the module imports before
+    # any SparkSession exists and string return types parse through the
+    # active session
+    @F.arrow_udf(DoubleType())
+    def pair_dot(a: pa.Array, b: pa.Array) -> pa.Array:
+        return _pair_dot_arrays(a, b)
+
+    # nondeterministic marking (guide §4.4): the near-dup sites project
+    # the cosine AND filter on it, and the optimizer's pushed filter
+    # duplicated the ArrowEvalPython node — every candidate pair paid
+    # the Python boundary twice (measured 2x wall on
+    # embedding_near_dup_exact). The function is pure; the marking only
+    # stops the optimizer from copying it below its own filter.
+    return pair_dot.asNondeterministic()
+
+
+# vectorized exact-fold pair dot (guide §4): same math as _dot, batched
+# through numpy instead of per-row HOF interpretation. Use on PER-PAIR
+# frames (post-join), where the fold is the stage's CPU.
+_pair_dot = _make_pair_dot()
 
 
 def _norm(a: Column) -> Column:
@@ -61,15 +150,26 @@ def brute_force_topk(
     rank). Deterministic tie-break on neighbor id."""
     from pyspark.sql import Window
 
+    # norms once per VECTOR, not once per pair (r13): cosine(q, c)
+    # inlined three d-element folds into the O(Q·N) pair stage; the
+    # same sqrt(dot(v, v)) computed on each side before the cross join
+    # is bit-identical (identical fold, identical sqrt) and leaves one
+    # vectorized exact-fold dot per pair (guide §4). Per-side norms
+    # stay the JVM fold: they are O(N) not O(Q·N), and an Arrow stage
+    # inside the broadcast build measured as pure overhead.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     # small single-file corpora scan as ONE partition; round-robin so
     # the O(Q·N) scoring uses every core (queries side broadcasts)
     c = corpus.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism
     ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -77,7 +177,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                _pair_dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -203,7 +306,8 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_sim"),
+        # vectorized exact-fold dot (guide §4)
+        (_pair_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -278,7 +382,10 @@ def embedding_near_dups(
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
+            # vectorized exact-fold dot (guide §4): the verify stage's
+            # CPU is one fold per candidate pair — Arrow-batched numpy
+            # does the same double arithmetic in the same order
+            (_pair_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -530,7 +637,8 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("q_vec"), F.col("c_vec"))
+                # vectorized exact-fold dot (guide §4)
+                _pair_dot(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cosine_sim"),
         )
@@ -1394,8 +1502,20 @@ def prototype_prune(
             ).alias("__proto")
         )
     )
+    # prototype norm once per CELL (tiny broadcast frame), vector dot
+    # and self-dot per row through the vectorized exact fold (guide
+    # §4) — same IEEE sequence as cosine()'s inline folds, so scores
+    # (and the ranked survivor set) are bit-identical
+    proto = proto.withColumn(
+        "__pnorm", F.sqrt(_pair_dot(F.col("__proto"), F.col("__proto")))
+    )
     scored = sided.join(F.broadcast(proto), "__cell").withColumn(
-        "proto_sim", cosine(F.col(vec_col), F.col("__proto"))
+        "proto_sim",
+        _pair_dot(F.col(vec_col), F.col("__proto"))
+        / (
+            F.sqrt(_pair_dot(F.col(vec_col), F.col(vec_col)))
+            * F.col("__pnorm")
+        ),
     )
     from pyspark.sql import Window
 
@@ -1413,7 +1533,7 @@ def prototype_prune(
             F.col("__rn")
             <= F.ceil(F.lit(keep_frac) * F.col("__n")).cast("int")
         )
-        .drop("__rn", "__n", "__cell", "__proto")
+        .drop("__rn", "__n", "__cell", "__proto", "__pnorm")
     )
 
 
@@ -1611,7 +1731,9 @@ def semantic_dedup(
         a.join(b, F.col("a.__cell") == F.col("b.__cell"))
         .filter(F.col("a.__id") < F.col("b.__id"))
         .filter(
-            _dot(F.col("a.__vec"), F.col("b.__vec"))
+            # vectorized exact-fold dot (guide §4): bit-identical to
+            # the JVM fold, so the survivor set cannot move
+            _pair_dot(F.col("a.__vec"), F.col("b.__vec"))
             / (F.col("a.__norm") * F.col("b.__norm"))
             > threshold
         )

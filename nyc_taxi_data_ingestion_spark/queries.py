@@ -1372,15 +1372,19 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact (broadcast brute force) —
     the oracle-parity twin of embedding_near_dup. Correct tool only
     when one side broadcasts; the LSH form is the default at scale."""
-    from nyc_taxi_data_ingestion_spark.llm.similarity import _dot, _norm
+    from nyc_taxi_data_ingestion_spark.llm.similarity import (
+        _norm,
+        _pair_dot,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     # Precompute each vector's norm ONCE (N sqrt-folds instead of 2·N²
     # — cosine's norms are pair-invariant), round-robin the stream side
     # so the O(N²) dot products use every core, broadcast the build
-    # side. The fold order inside _dot/_norm matches the oracle's
-    # list_reduce exactly, so precomputing keeps bit parity.
+    # side. The per-pair dot is the vectorized exact fold (guide §4):
+    # identical double arithmetic in identical order to _dot and to the
+    # oracle's list_reduce, so bit parity holds.
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -1398,7 +1402,7 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            (_pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
                 "cosine_full"
             ),
         )
