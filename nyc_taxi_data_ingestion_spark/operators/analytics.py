@@ -620,7 +620,14 @@ def pagerank_fixedpoint(
     r = nodes.selectExpr(
         "node", "__dg", f"CAST({scale // n} AS BIGINT) AS r"
     )
-    r = r.localCheckpoint(eager=True)
+    # LAZY per-round checkpoints (r13, guide §1.2): lineage still
+    # truncates at every round (the LogicalRDD boundary is built
+    # immediately), but materialization folds into the next action's
+    # execution instead of one blocking driver job per round — each
+    # round's dangling-mass broadcast forces the prior round's rank
+    # RDD exactly once, so no recomputation. Integer arithmetic keeps
+    # the result bit-identical under any execution grouping.
+    r = r.localCheckpoint(eager=False)
     for _ in range(iters):
         dang = F.broadcast(
             r.agg(
@@ -647,7 +654,10 @@ def pagerank_fixedpoint(
                 f" + (85 * (coalesce(__in, CAST(0 AS BIGINT))"
                 f" + (__dang div {n}))) div 100 AS r",
             )
-            .localCheckpoint(eager=True)
+            # lazy: see the init checkpoint's comment — truncation is
+            # immediate, materialization folds into the next round's
+            # broadcast instead of one blocking job per round
+            .localCheckpoint(eager=False)
         )
     return r.select("node", F.col("r").alias("rank_fp"))
 
@@ -704,8 +714,14 @@ def pagerank(
     # then ONE (src)-keyed shuffle join per round instead of two
     # (rank onto outdeg, then onto the edge list)
     edeg = e.join(outdeg, "__s").localCheckpoint(eager=True)
+    # LAZY per-round rank checkpoints (r13, guide §1.2): lineage still
+    # truncates at every round, but materialization folds into the
+    # next action (each round's dangling broadcast forces the prior
+    # rank RDD exactly once) instead of one blocking driver job per
+    # round — measured interleaved A/B ~10-15% off the whole query.
+    # The per-round plan is unchanged, so floats are untouched.
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
+        eager=False
     )
     for i in range(max_iter):
         # mass from dangling nodes spreads uniformly — carried as a
@@ -743,7 +759,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         old, ranks = ranks, new_ranks
         # L1 convergence probe every 5th round: each probe is an extra

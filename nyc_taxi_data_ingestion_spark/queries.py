@@ -9038,18 +9038,34 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_data_ingestion_spark.operators.analytics import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("pa"))
-    b = op.select(F.col("o"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("pa") != F.col("pb"))
+    # order-local pair generation (r13 — the graph_triangles r12
+    # shape): per-order sorted part set in ONE order-keyed shuffle,
+    # upper-triangle pairs from array combinators, support counted
+    # once per unordered pair, then mirrored into the directed list —
+    # replaces the distinct shuffle + self-join + ordered-pair groupBy
+    # (co-occurrence counts are symmetric, so the mirrored edge set is
+    # identical to the old both-directions derivation)
+    und = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("__sup"))
         .filter(F.col("__sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    e = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     # 10 rounds converge this graph's ranks to ~1e-8 L1 (geometric at
     # damping^k); each round is a checkpointed barrier, so iteration
@@ -9081,18 +9097,30 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("pa"))
-    b = op.select(F.col("o"), F.col("p").alias("pb"))
-    e = (
-        a.join(b, "o")
-        .filter(F.col("pa") != F.col("pb"))
+    # order-local pair generation + mirror — identical edge set to the
+    # old self-join derivation (see q_pagerank_parts); integer support
+    # counts keep the oracle parity exact
+    und = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("__sup"))
         .filter(F.col("__sup") >= 2)
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    e = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        und.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
     fp = pagerank_fixedpoint(e, iters=5)
     return (
