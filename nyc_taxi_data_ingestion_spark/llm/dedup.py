@@ -1241,7 +1241,10 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (r13): materializes inside round 1's first job instead
+        # of a separate blocking checkpoint job; lineage truncation is
+        # immediate either way
+        .localCheckpoint(eager=False)
     )
     prev = None
     prev_count = None
@@ -1290,7 +1293,10 @@ def connected_components_star(
             .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy (r13): the convergence count() two lines down is the
+            # action that materializes this round's edge set — eager
+            # paid a second full job per round for the same blocks
+            .localCheckpoint(eager=False)
         )
         # EXACT fixed-point test — both sides are distinct edge sets,
         # so equality is (same count) ∧ (cur ⧵ prev = ∅). An endpoint-

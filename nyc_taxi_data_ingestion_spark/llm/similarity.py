@@ -455,15 +455,57 @@ def _train_sample_matrix(
     return np.asarray([np.asarray(r.v, dtype=np.float64) for r in rows])
 
 
+def _centroid_sample_size(num_cells: int, sample: int = 10_000) -> int:
+    """train_centroids' widened training-sample size — ONE definition
+    shared by the trainer and composed callers (ivfpq_topk,
+    build_ann_index), so a formula change can never silently under-ask
+    the shared sample and lose the one-collect optimization (r12
+    ADVICE)."""
+    return max(sample, min(39 * num_cells, 200_000))
+
+
 def _shared_sample(
     corpus: DataFrame, n: int, vec_col: str, id_col: str, seed: int
-) -> tuple["np.ndarray", int]:
-    """``(matrix, n_asked)`` for trainers' ``sample_x``: carrying the
-    ASKED size lets a trainer distinguish a corpus-exhausted collect
-    (fewer rows back than asked — its prefix is still exactly the
-    trainer's own collect) from an under-asked one (caller's size
-    formula drifted below the trainer's — unsafe, fall back)."""
-    return _train_sample_matrix(corpus, n, vec_col, id_col, seed), n
+) -> tuple["np.ndarray", int, int, str, str]:
+    """``(matrix, n_asked, seed, vec_col, id_col)`` for trainers'
+    ``sample_x``: the ASKED size lets a trainer distinguish a
+    corpus-exhausted collect (fewer rows back than asked — its prefix
+    is still exactly the trainer's own collect) from an under-asked
+    one (caller's size formula drifted below the trainer's — unsafe,
+    fall back); the provenance triple (seed, vec_col, id_col) lets the
+    trainer REJECT a sample collected from different parameters
+    outright (r12 ADVICE — the size guard alone cannot catch that
+    misuse class)."""
+    return (
+        _train_sample_matrix(corpus, n, vec_col, id_col, seed),
+        n,
+        seed,
+        vec_col,
+        id_col,
+    )
+
+
+def _sample_prefix(sample_x, sample, vec_col, id_col, seed):
+    """The trainer-side sample_x contract: returns the bit-identical
+    prefix matrix, or None when the trainer must do its own collect.
+    Mismatched provenance raises — a sample from different parameters
+    is wrong DATA, not a missed optimization."""
+    if sample_x is None:
+        return None
+    if tuple(sample_x[2:]) != (seed, vec_col, id_col):
+        raise ValueError(
+            f"sample_x was collected with (seed, vec_col, id_col)="
+            f"{tuple(sample_x[2:])} but the trainer wants "
+            f"{(seed, vec_col, id_col)} — training on it would use the "
+            "wrong data."
+        )
+    if sample_x[1] < sample:
+        # under-asked: a short prefix would silently train on fewer
+        # rows than a direct call — correctness over the saved job.
+        # (A corpus-exhausted collect is fine: asked >= sample means
+        # the prefix equals the trainer's own collect exactly.)
+        return None
+    return sample_x[0][:sample]
 
 
 def train_centroids(
@@ -494,16 +536,9 @@ def train_centroids(
     prefix slice is bit-identical to this function's own collect, so
     composed callers (``ivfpq_topk``) skip a duplicate sort+limit
     job. An under-asked pair is ignored (own collect)."""
-    sample = max(sample, min(39 * num_cells, 200_000))
-    if sample_x is not None and sample_x[1] >= sample:
-        x = sample_x[0][:sample]
-    else:
-        # an UNDER-ASKED sample_x (caller's size formula drifted below
-        # this trainer's widened sample) falls back to the trainer's
-        # own collect: a short prefix would silently train on fewer
-        # rows than a direct call — correctness over the saved job.
-        # (A corpus-exhausted collect is fine: asked ≥ sample means
-        # the prefix equals this trainer's own collect exactly.)
+    sample = _centroid_sample_size(num_cells, sample)
+    x = _sample_prefix(sample_x, sample, vec_col, id_col, seed)
+    if x is None:
         x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(num_cells, len(x)), replace=False)]
@@ -675,10 +710,8 @@ def train_pq_codebooks(
     slice as the data they quantize. ``sample_x`` as in
     ``train_centroids``: a pre-collected ordered sample whose prefix
     replaces this function's own collect bit-identically."""
-    if sample_x is not None and sample_x[1] >= sample:
-        x = sample_x[0][:sample]
-    else:
-        # under-ASKED sample_x → own collect (see train_centroids)
+    x = _sample_prefix(sample_x, sample, vec_col, id_col, seed)
+    if x is None:
         x = _train_sample_matrix(corpus, sample, vec_col, id_col, seed)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     d = x.shape[1]
@@ -897,7 +930,7 @@ def ivfpq_topk(
     # identical ones (prefix slices are bit-identical to separate
     # collects because the sample order is a total order)
     n_sample = max(
-        max(10_000, min(39 * num_cells, 200_000)),  # train_centroids
+        _centroid_sample_size(num_cells),  # train_centroids
         10_000,  # train_pq_codebooks
     )
     sample_x = _shared_sample(corpus, n_sample, vec_col, id_col, seed)
@@ -1107,7 +1140,7 @@ def build_ann_index(
         num_cells = auto_num_cells(corpus.count())
     # shared-sample contract as in ivfpq_topk: one sort+limit collect,
     # each trainer takes its bit-identical prefix
-    n_sample = max(10_000, min(39 * num_cells, 200_000))
+    n_sample = max(_centroid_sample_size(num_cells), 10_000)
     sample_x = _shared_sample(corpus, n_sample, vec_col, id_col, seed)
     cent = train_centroids(
         corpus, num_cells=num_cells, vec_col=vec_col, id_col=id_col,

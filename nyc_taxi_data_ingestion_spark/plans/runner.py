@@ -72,7 +72,7 @@ def _run_graph(
     optimization-guide §2.6). Failure/skip semantics are unchanged: a
     failed task still marks every transitive dependent ``skipped``,
     retries stay per-task, and the report keeps declaration order."""
-    from concurrent.futures import ThreadPoolExecutor
+    from nyc_taxi_data_ingestion_spark.parallel import par_pool_map
 
     done: dict[str, TaskResult] = {}
     pending = list(tasks)
@@ -101,13 +101,12 @@ def _run_graph(
         if len(batch) == 1:
             done[batch[0].name] = _run_task(batch[0], max_retries)
         else:
-            with ThreadPoolExecutor(
-                max_workers=min(max_workers, len(batch))
-            ) as pool:
-                for res in pool.map(
-                    lambda t: _run_task(t, max_retries), batch
-                ):
-                    done[res.name] = res
+            for res in par_pool_map(
+                lambda t: _run_task(t, max_retries),
+                batch,
+                max_workers=min(max_workers, len(batch)),
+            ):
+                done[res.name] = res
     return [done[t.name] for t in tasks]
 
 

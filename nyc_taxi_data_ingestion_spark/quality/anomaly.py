@@ -325,7 +325,13 @@ def ks_drift(
     per = tagged.groupBy("v").agg(
         F.count(F.when(F.col("__side") == 1, True)).alias("oc"),
         F.count(F.when(F.col("__side") == 0, True)).alias("nc"),
-    )
+    # materialized ONCE (r13): four branches consume this subtree
+    # (boundary sketch, bucket subtotals, the cumsum, totals) and the
+    # plan showed zero exchange reuse — the scan+union+groupBy ran per
+    # branch (20 parquet scans in the executed plan). The frame is
+    # (v, oc, nc): #distinct-value rows of three scalars, the same
+    # narrow at-rest class as partitioned_prefix_sum's checkpoint.
+    ).localCheckpoint(eager=True)
     # deterministic monotone bucketing: bucket(v) = #boundaries <= v.
     # Boundary placement only affects balance, never correctness.
     fracs = F.array(
@@ -666,7 +672,9 @@ def ks_drift_grouped(
     per = tagged.groupBy(*g, "v").agg(
         F.count(F.when(F.col("__side") == 1, True)).alias("oc"),
         F.count(F.when(F.col("__side") == 0, True)).alias("nc"),
-    )
+    # materialized ONCE — see ks_drift: three consumer branches, no
+    # exchange reuse, narrow (group, v, oc, nc) rows
+    ).localCheckpoint(eager=True)
     # deterministic per-group monotone bucketing: bucket(v) =
     # #boundaries <= v (ks_drift's rule, grouped)
     fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])

@@ -82,7 +82,9 @@ def validate_table(
     # later jobs back-fill executors freed by earlier tails). Each
     # task's result — and the assembled report — is identical to the
     # sequential form; exceptions propagate on .result() exactly as
-    # they did inline.
+    # they did inline. Threads are inheritable (r12 ADVICE) so job
+    # groups/descriptions propagate under pinned-thread mode.
+    from nyc_taxi_data_ingestion_spark.parallel import _inheritable
     from concurrent.futures import ThreadPoolExecutor
 
     def _anomaly(col: str) -> dict[str, Any]:
@@ -114,18 +116,22 @@ def validate_table(
         return df.agg(F.max(config.timestamp_column)).first()[0]
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_checks = pool.submit(run_checks, df, config.checks)
-        f_exp = pool.submit(run_expectations, df, config.expectations)
+        f_checks = pool.submit(_inheritable(run_checks), df, config.checks)
+        f_exp = pool.submit(
+            _inheritable(run_expectations), df, config.expectations
+        )
         f_anom = {
-            col: pool.submit(_anomaly, col)
+            col: pool.submit(_inheritable(_anomaly), col)
             for col in config.anomaly_columns
         }
         f_spike = {
-            col: pool.submit(_spike, col)
+            col: pool.submit(_inheritable(_spike), col)
             for col in config.null_spike_columns
         }
         f_fresh = (
-            pool.submit(_freshness) if config.timestamp_column else None
+            pool.submit(_inheritable(_freshness))
+            if config.timestamp_column
+            else None
         )
         check_result = f_checks.result()
         report["checks"] = check_result

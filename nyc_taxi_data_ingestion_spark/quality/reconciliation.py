@@ -41,12 +41,12 @@ def _par2(fa, fb):
     """Run two independent driver actions concurrently (guide §2.6:
     the scheduler back-fills the second job into the first's stage
     tails; each source/target pair below was measured as two fully
-    sequential full-table jobs). Results identical by independence."""
-    from concurrent.futures import ThreadPoolExecutor
+    sequential full-table jobs). Results identical by independence.
+    Delegates to the shared inheritable-thread helper (r12 ADVICE) so
+    job groups/descriptions propagate under pinned-thread mode."""
+    from nyc_taxi_data_ingestion_spark.parallel import par2
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        ra, rb = pool.submit(fa), pool.submit(fb)
-        return ra.result(), rb.result()
+    return par2(fa, fb)
 
 
 def check_row_count(

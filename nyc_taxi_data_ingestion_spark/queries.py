@@ -2465,8 +2465,11 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unlike the JVM-side windowed aggregates (whose wall is state-store
     # I/O — run_available_now's default 8 partitions), this operator's
     # wall is PYTHON state compute per key batch; 8 partitions measured
-    # 2.3× slower because the Arrow state tasks lost parallelism. Size
-    # to available compute, not to store count.
+    # 2.3× slower ON THE 32-CORE BENCH SESSION because the Arrow state
+    # tasks lost parallelism. Size to available compute, not to store
+    # count. (On a session with <= 8 cores — e.g. the vanilla local[8]
+    # driver — defaultParallelism equals or undercuts the default and
+    # this override is a no-op; the 2.3x only materializes above it.)
     updates = run_available_now(
         prof, "q_stream_stateful", output_mode="update",
         state_partitions=spark.sparkContext.defaultParallelism,
@@ -8529,20 +8532,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed frame, each a chain of small driver-gated jobs —
     # overlap them so one selection's driver round-trips back-fill the
     # executors another's stragglers freed (guide §2.6; the
-    # dq_orchestration pattern).
-    from concurrent.futures import ThreadPoolExecutor
+    # dq_orchestration pattern). Inheritable threads (r12 ADVICE) so
+    # job descriptions/groups propagate under pinned-thread mode.
+    from nyc_taxi_data_ingestion_spark.parallel import par_pool_map
 
     def _cuts(arg):
         p, col = arg
         return p, exact_quantiles(rfm, col, fr, out_prefix=p).collect()[0]
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        cuts = dict(
-            pool.map(
-                _cuts,
-                (("rq", "recency"), ("fq", "frequency"), ("mq", "mon_d")),
-            )
+    cuts = dict(
+        par_pool_map(
+            _cuts,
+            (("rq", "recency"), ("fq", "frequency"), ("mq", "mon_d")),
+            max_workers=3,
         )
+    )
 
     def bucket(v: str, prefix: str):
         q = F.lit(1)
@@ -9317,7 +9321,7 @@ def q_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_snapshot_stream,
     )
     from nyc_taxi_data_ingestion_spark.sources.snapshots import (
-        snapshot_write,
+        snapshot_write_many,
     )
     from nyc_taxi_data_ingestion_spark.streaming.ingest import (
         run_available_now,
@@ -9329,12 +9333,14 @@ def q_snapshot_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="spark_graft_snapstream_")
     try:
-        for r in range(3):
-            snapshot_write(
-                orders.filter(F.col("o_orderkey") % 3 == r),
-                path,
-                mode="append",
-            )
+        # staging overlapped, commits sequential (snapshot_write_many)
+        snapshot_write_many(
+            [
+                orders.filter(F.col("o_orderkey") % 3 == r)
+                for r in range(3)
+            ],
+            path,
+        )
         streamed = (
             spark.readStream.format("snapshot_stream")
             .option("path", path)
@@ -9894,7 +9900,7 @@ def q_snapshot_format_stream_chain(
     )
     from nyc_taxi_data_ingestion_spark.sources.snapshots import (
         read_snapshot,
-        snapshot_write,
+        snapshot_write_many,
     )
 
     register_snapshot_format(spark)
@@ -9905,12 +9911,14 @@ def q_snapshot_format_stream_chain(
     root = tempfile.mkdtemp(prefix="spark_graft_snapchain_")
     src, dst = f"{root}/a", f"{root}/b"
     try:
-        for r in range(3):
-            snapshot_write(
-                orders.filter(F.col("o_orderkey") % 3 == r),
-                src,
-                mode="append",
-            )
+        # staging overlapped, commits sequential (snapshot_write_many)
+        snapshot_write_many(
+            [
+                orders.filter(F.col("o_orderkey") % 3 == r)
+                for r in range(3)
+            ],
+            src,
+        )
         q = (
             spark.readStream.format("snapshot_stream")
             .option("path", src)
@@ -10805,16 +10813,21 @@ def q_snapshot_shard_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # manifest list is six single-range shards with disjoint
         # hulls — the 800k-file layout in miniature
         with S.shard_inline_max(17):
-            for i in range(6):
-                S.snapshot_write(
+            # staging overlapped, commits sequential (r13 —
+            # snapshot_write_many): the six 18-file writes are
+            # independent jobs; only the manifest chain is ordered
+            S.snapshot_write_many(
+                [
                     base.where(
                         (F.col("o_orderkey") >= mn + i * w)
                         & (F.col("o_orderkey") <= mn + (i + 1) * w - 1)
-                    ).repartition(18),
-                    path,
-                    mode="append" if i else "overwrite",
-                    stats_cols=["o_orderkey"],
-                )
+                    ).repartition(18)
+                    for i in range(6)
+                ],
+                path,
+                modes=["overwrite"] + ["append"] * 5,
+                stats_cols=["o_orderkey"],
+            )
         lo, hi = mn + 3 * w, mn + 4 * w - 1
         st = S.scan_prune_stats(path, "o_orderkey", lower=lo, upper=hi)
         # real exceptions, not asserts (python -O strips asserts)
@@ -10947,14 +10960,17 @@ def q_snapshot_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # 5 commits x 18 files: the 4th crosses _SHARD_INLINE_MAX
         # (64) whatever the scale factor — file count, not row count,
-        # trips sharding — and the 5th demonstrates shard REUSE
-        for i in range(5):
-            S.snapshot_write(
-                base.where(F.col("o_orderkey") % 5 == i).repartition(18),
-                path,
-                mode="append" if i else "overwrite",
-                stats_cols=["o_orderkey"],
-            )
+        # trips sharding — and the 5th demonstrates shard REUSE.
+        # Staging overlapped, commits sequential (snapshot_write_many)
+        S.snapshot_write_many(
+            [
+                base.where(F.col("o_orderkey") % 5 == i).repartition(18)
+                for i in range(5)
+            ],
+            path,
+            modes=["overwrite"] + ["append"] * 4,
+            stats_cols=["o_orderkey"],
+        )
         head = S.current_version(path)
         with open(S._manifest_path(path, head)) as fh:
             raw = json.load(fh)

@@ -1172,6 +1172,70 @@ def snapshot_write(
     )
 
 
+def snapshot_write_many(
+    frames: "list[DataFrame]",
+    path: str,
+    modes: "list[str] | None" = None,
+    stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> list[int]:
+    """Commit several frames as CONSECUTIVE snapshot versions with the
+    parquet staging overlapped (guide §2.6): the data-file writes are
+    independent Spark jobs — only the manifest chain needs ordering —
+    so they run through a small inheritable-thread pool and the
+    commits land sequentially in input order afterwards. The resulting
+    table (file contents, commit order, stats, stream of versions) is
+    identical to N sequential :func:`snapshot_write` calls; staged
+    dir names differ only in their cosmetic version prefix, which
+    nothing parses (see snapshot_write). Returns the committed
+    version numbers in order.
+
+    For the multi-append fixtures (3–6 sequential writes of a
+    dim-sized frame) the staging overlap is the whole win; at real
+    scale it is the standard trick of building N commits' files
+    concurrently and serializing only the metadata swaps."""
+    if modes is None:
+        modes = ["append"] * len(frames)
+    if len(modes) != len(frames):
+        raise ValueError("modes must match frames")
+    from nyc_taxi_data_ingestion_spark.parallel import par_pool_map
+
+    os.makedirs(_snap_root(path), exist_ok=True)
+    cur = current_version(path)
+    staged = [
+        os.path.join(
+            _DATA_DIR,
+            f"c{(cur or 0) + i + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
+        for i in range(len(frames))
+    ]
+
+    def _stage(i: int):
+        writer = frames[i].write.mode("error")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(path, staged[i]))
+        return _staged_parquet_files(
+            os.path.join(path, staged[i]), count_rows=False
+        )[0]
+
+    file_lists = par_pool_map(_stage, range(len(frames)), max_workers=4)
+    versions = []
+    for i, (rel, files) in enumerate(zip(staged, file_lists)):
+        versions.append(
+            commit_staged_files(
+                path,
+                rel,
+                files,
+                mode=modes[i],
+                partition_by=partition_by,
+                stats_cols=stats_cols,
+                spark=frames[i].sparkSession,
+            )
+        )
+    return versions
+
+
 def commit_staged_stream_batch(
     path: str,
     commit_rel: str,

@@ -3306,3 +3306,53 @@ def test_rewrite_manifests_backfills_schema_record(spark, tmp_path):
     assert sorted(r.id for r in read_snapshot(spark, path).collect()) == (
         list(range(40))
     )
+
+
+def test_snapshot_write_many_matches_sequential(spark, tmp_path):
+    """r13 optimization: snapshot_write_many overlaps the parquet
+    staging but must produce a table indistinguishable from N
+    sequential snapshot_write calls — same version chain, same rows
+    at every version, stats present for every commit."""
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        scan_prune_stats,
+        snapshot_write_many,
+    )
+
+    seq = str(tmp_path / "seq")
+    par = str(tmp_path / "par")
+    frames = [_frame(spark, i * 10, (i + 1) * 10, f"t{i}") for i in range(4)]
+    for i, f in enumerate(frames):
+        snapshot_write(
+            f, seq, mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    versions = snapshot_write_many(
+        [_frame(spark, i * 10, (i + 1) * 10, f"t{i}") for i in range(4)],
+        par,
+        modes=["overwrite"] + ["append"] * 3,
+        stats_cols=["id"],
+    )
+    assert versions == [1, 2, 3, 4]
+    assert current_version(par) == current_version(seq) == 4
+    for v in range(1, 5):
+        assert _rows(read_snapshot(spark, par, version=v)) == _rows(
+            read_snapshot(spark, seq, version=v)
+        )
+    # stats landed for every commit: a selective scan prunes files in
+    # both layouts identically
+    st_seq = scan_prune_stats(seq, "id", lower=35, upper=39)
+    st_par = scan_prune_stats(par, "id", lower=35, upper=39)
+    assert st_par["total_files"] == st_seq["total_files"]
+    assert st_par["pruned_files"] == st_seq["pruned_files"]
+
+
+def test_snapshot_write_many_mode_validation(spark, tmp_path):
+    from nyc_taxi_data_ingestion_spark.sources.snapshots import (
+        snapshot_write_many,
+    )
+
+    with pytest.raises(ValueError, match="modes must match"):
+        snapshot_write_many(
+            [_frame(spark, 0, 5, "a")], str(tmp_path / "x"),
+            modes=["append", "append"],
+        )
