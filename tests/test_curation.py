@@ -3,11 +3,14 @@ stratified sampling, shard packing, contamination, line dedup."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_ingestion_spark.llm import curation as cu
 
 
+@pytest.mark.slow
 def test_pii_redaction_and_counts(spark):
     df = spark.createDataFrame(
         [

@@ -381,6 +381,7 @@ def test_resize_media_schema_and_padding(spark):
     assert rows[1].width == 224 and rows[1].height == 224
 
 
+@pytest.mark.slow
 def test_incremental_dedup_kills_index_and_self_dups(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
         incremental_minhash_dedup,
@@ -427,6 +428,7 @@ def test_incremental_dedup_empty_index_is_self_dedup(spark):
     assert updated.count() == 2
 
 
+@pytest.mark.slow
 def test_incremental_exact_agrees_with_minhash_on_exact_dups(spark):
     """On planted EXACT duplicates (J = 1, which MinHash estimates
     perfectly) the exact-verification twin must produce the same
@@ -465,6 +467,7 @@ def test_incremental_exact_agrees_with_minhash_on_exact_dups(spark):
     assert sorted(r.doc_id for r in mh.collect()) == [11, 13]
 
 
+@pytest.mark.slow
 def test_prototype_prune_invariants(spark, sf_dir):
     """Per-cell keep counts, hard/easy complementarity, determinism."""
     from nyc_taxi_data_ingestion_spark.llm.similarity import prototype_prune
@@ -493,6 +496,7 @@ def test_prototype_prune_invariants(spark, sf_dir):
     assert len(ids1 & easy_ids) <= cells
 
 
+@pytest.mark.slow
 def test_signature_jaccard_estimator_bounds(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
         minhash_signatures,
@@ -561,6 +565,7 @@ def test_heavy_hitters_small_capacity_still_superset_of_top(spark):
     assert got[0].cnt == 2000
 
 
+@pytest.mark.slow
 def test_pq_topk_recall(emb):
     from nyc_taxi_data_ingestion_spark.llm.similarity import pq_topk
 
@@ -589,6 +594,7 @@ def test_pq_codes_shape_and_compression(spark, emb):
     assert np.array_equal(books, again)
 
 
+@pytest.mark.slow
 def test_ivfpq_topk_recall_and_composition(emb):
     from nyc_taxi_data_ingestion_spark.llm.similarity import ivfpq_topk, pq_topk
 
@@ -760,6 +766,7 @@ def test_containment_pairs_finds_embedded_doc(spark):
     assert (1, 4) not in pairs and (4, 1) not in pairs
 
 
+@pytest.mark.slow
 def test_edit_near_dups_planted_and_bag_prune_lossless(spark):
     from nyc_taxi_data_ingestion_spark.llm.dedup import edit_near_dups
 
@@ -842,6 +849,7 @@ def test_bpe_encode_counts(spark):
     assert 0 < out[0] <= 12 and 0 < out[1] <= 3
 
 
+@pytest.mark.slow
 def test_connected_components_star_matches_min_label(spark):
     import random
 
@@ -1188,6 +1196,7 @@ def test_source_fingerprint_tracks_content_changes(tmp_path):
     assert source_fingerprint(str(d)) != fpd
 
 
+@pytest.mark.slow
 def test_append_ann_index_encode_only_parity(emb, tmp_path):
     """Incremental index maintenance: build on half the corpus, append
     the other half — searches over the union must be bit-identical to
@@ -1437,6 +1446,7 @@ def test_chunk_documents_relational_vs_udtf(spark, docs):
         chunk_documents(one, window=8, stride=9)
 
 
+@pytest.mark.slow
 def test_knn_auto_regime_above_floor_agrees_with_exact(spark):
     """Gates the AUTO-SIZED IVF regime above the clamp floor (the r8
     review finding: the sf-scale agreement test only ever exercised

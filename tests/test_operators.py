@@ -4,6 +4,8 @@ cases and plan-shape claims that sf0.01 data may not exercise)."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -454,6 +456,7 @@ def test_skyline_2d_known_frontier(spark):
     assert skyline_2d(empty, "maxm", "minm", "k").count() == 0
 
 
+@pytest.mark.slow
 def test_pagerank_matches_reference_power_iteration(spark):
     """pagerank == a pure-python power iteration with the same damping
     and dangling-mass redistribution, on a graph with a cycle, a hub,

@@ -94,6 +94,7 @@ def test_no_python_eval_in_relational_queries(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, name
 
 
+@pytest.mark.slow
 def test_pipeline_curation_scan_count(spark, sf_dir):
     # the five curation stages must compose into one lazy plan: the
     # Gopher filter + redaction fuse into the scan; sampling adds no
@@ -108,6 +109,7 @@ def test_pipeline_curation_scan_count(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+@pytest.mark.slow
 def test_simhash_packed_aggregate_count(spark, sf_dir):
     # the striped-lane rewrite must keep the aggregate narrow: 16
     # packed counters + 1 count, not 64 CASE sums (a regression here
@@ -590,6 +592,7 @@ def test_media_dedup_digest_only_grouping_shuffle(spark, sf_dir):
         raise AssertionError("no digest-keyed exchange found")
 
 
+@pytest.mark.slow
 def test_registry_audits_clean_of_errors(spark, sf_dir):
     """Sweep: every registry query's plan passes its own reviewer
     (plans/audit) at error level, modulo an EXPLICIT whitelist of

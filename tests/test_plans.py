@@ -173,6 +173,7 @@ def test_compile_pipeline_gold_matches_sql(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_run_pipeline_full_and_incremental_equivalent(spark, sf_dir, tmp_path):
     cfg = events_config(sf_dir)
     plan = compile_pipeline(spark, cfg)
@@ -544,6 +545,7 @@ def test_compile_stream_pipeline_matches_batch(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_run_stream_pipeline_incremental_resume(spark, sf_dir, tmp_path):
     """Checkpointed streaming materialization: drain, add new source
     files, drain again — the second run processes ONLY the new data

@@ -71,6 +71,7 @@ def _union_find_components(edges):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Min-label propagation must agree with sequential union-find on
     arbitrary random graphs (chains, cliques, self-merging stars)."""
@@ -118,6 +119,7 @@ def test_simhash_lane_width_invariance(spark, sf_dir):
         unique_by=lambda t: t[0],
     )
 )
+@pytest.mark.slow
 def test_incremental_dedup_survivor_invariants(spark, rows):
     """On arbitrary batches drawn from a small text pool: (1) survivors
     carry pairwise-distinct texts, (2) each text pool member present in
@@ -393,6 +395,7 @@ def test_containment_pairs_matches_naive(spark, texts, tau):
         max_size=4,
     ),
 )
+@pytest.mark.slow
 def test_exact_quantiles_matches_builtin_percentile(spark, values, fracs):
     """Distributed rank-selection must be BIT-identical to the built-in
     exact `percentile` aggregate on arbitrary value sets and fractions
@@ -430,6 +433,7 @@ def test_exact_quantiles_matches_builtin_percentile(spark, values, fracs):
         unique_by=lambda r: (r[0], r[1]),
     )
 )
+@pytest.mark.slow
 def test_partitioned_prefix_sum_matches_sequential(spark, rows):
     """The bucketed two-pass running sum must equal the sequential
     per-group prefix sum for arbitrary groups, sparse/duplicate-free
@@ -458,6 +462,7 @@ def test_partitioned_prefix_sum_matches_sequential(spark, rows):
     assert got == want
 
 
+@pytest.mark.slow
 def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
     """Regression: with max_task_rows forced tiny, BOTH open-ended
     outer ranges (p near 0 and p near 1) stay active into the same
@@ -510,6 +515,7 @@ def test_exact_quantiles_refinement_with_both_tails_active(spark, sf_dir):
     ),
     keep_last=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_last):
     """Model-based check of the versioned-table DML algebra — the
     MERGE-ON-READ family, rollback, and (r9) metadata-only RENAME: an
@@ -696,6 +702,7 @@ def test_snapshot_lifecycle_matches_model(spark, tmp_path_factory, ops, keep_las
     ),
     st.sampled_from([0.34, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_blocked_jaccard_matches_naive_all_pairs(spark, texts, tau):
     """Prefix filtering (AllPairs candidate rule) must be LOSSLESS vs
     the naive O(n²) set-Jaccard join on random short token streams —
@@ -749,6 +756,7 @@ def test_blocked_jaccard_matches_naive_all_pairs(spark, texts, tau):
         max_size=25,
     )
 )
+@pytest.mark.slow
 def test_min_hop_closure_matches_naive_bfs(spark, edges):
     """Level-synchronous DataFrame BFS must equal a per-source python
     BFS on random directed graphs with cycles and self-loops."""
@@ -798,6 +806,7 @@ def test_min_hop_closure_matches_naive_bfs(spark, edges):
         unique_by=lambda r: (r[0], r[2]),
     )
 )
+@pytest.mark.slow
 def test_grouped_select_at_ranks_matches_sorted(spark, rows):
     """Distributed grouped rank selection must return exactly the row a
     per-group (value, tie) sort puts at each requested rank — for
@@ -824,6 +833,7 @@ def test_grouped_select_at_ranks_matches_sorted(spark, rows):
         assert all(m == n for _v, _t, m, _r in got[g])
 
 
+@pytest.mark.slow
 def test_grouped_select_at_ranks_narrowing_path(spark, sf_dir):
     """Force the histogram-refinement rounds (max_task_rows tiny) on a
     real table: the narrowed result must equal the unnarrowed one —
@@ -881,6 +891,7 @@ def test_audit_low_cardinality_window(spark, sf_dir):
     ]
 
 
+@pytest.mark.slow
 def test_grouped_select_at_ranks_mode_skew_makes_progress(spark):
     """r9 review: when one value holds most of a group's mass the
     sketch puts every boundary ON it and bucket narrowing stalls — the

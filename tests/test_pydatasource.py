@@ -68,6 +68,7 @@ def test_planted_duplicates_exact_count(spark):
     assert exact_dedup(df).count() == df.count() - extra
 
 
+@pytest.mark.slow
 def test_snapshot_stream_tails_appends_exactly_once(spark, tmp_path):
     """Streaming FROM a versioned table (the Delta table-as-stream read
     path): offsets are snapshot versions, so across restarts each
@@ -226,6 +227,7 @@ def test_snapshot_batch_format_time_travel_and_pushdown(spark, tmp_path):
     assert kept < total and kept >= 1
 
 
+@pytest.mark.slow
 def test_snapshot_format_schema_union_across_evolved_appends(spark, tmp_path):
     """Schema is the PERMISSIVE UNION across commits: appends that add
     a column or losslessly widen a type must read back whole — the
@@ -285,6 +287,7 @@ def test_snapshot_format_schema_union_across_evolved_appends(spark, tmp_path):
     assert got.filter("w = 'fresh'").count() == 10
 
 
+@pytest.mark.slow
 def test_snapshot_stream_bootstraps_over_rewritten_history(spark, tmp_path):
     """A stream starting fresh on a table whose HISTORY contains
     rewrites (or partitioned versions) must bootstrap from the head
@@ -346,6 +349,7 @@ def test_snapshot_stream_bootstraps_over_rewritten_history(spark, tmp_path):
     assert spark.read.parquet(out).count() == 90
 
 
+@pytest.mark.slow
 def test_snapshot_format_write_roundtrip_and_stats(spark, tmp_path):
     """The write half of the format API (r8): executor tasks stage
     Arrow batches as parquet under a fresh commit dir; the driver-side
@@ -424,6 +428,7 @@ def test_snapshot_format_write_roundtrip_and_stats(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 7
 
 
+@pytest.mark.slow
 def test_snapshot_format_stream_write_exactly_once(spark, tmp_path):
     """The stream-write half of the format API (r8): snapshot table A
     streamed through the snapshot_stream source into table B via
@@ -503,6 +508,7 @@ def test_snapshot_format_stream_write_exactly_once(spark, tmp_path):
     assert not os.path.exists(os.path.join(dst, "_staging", stale))
 
 
+@pytest.mark.slow
 def test_snapshot_format_reads_partitioned_tables(spark, tmp_path):
     """Partitioned (Hive-layout) tables now read through BOTH format
     sources (r8 — previously rejected): partition columns are
@@ -588,6 +594,7 @@ def test_snapshot_format_reads_partitioned_tables(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
     """Delta-parity stream-source options (r8; r9 made startingVersion
     INCLUSIVE, Delta's actual contract — the named version's own
@@ -670,6 +677,7 @@ def test_snapshot_stream_starting_version_and_rate_limit(spark, tmp_path):
     assert r2.latestOffset() == {"version": 10}
 
 
+@pytest.mark.slow
 def test_snapshot_format_applies_mor_delete_vectors(spark, tmp_path):
     """Both format sources must apply positional delete vectors: the
     batch read at head hides deleted rows (while a pinned pre-delete
@@ -962,6 +970,7 @@ def test_format_append_inherits_partition_spec(spark, tmp_path):
         SnapshotStreamWriter(path, {"partitionby": "p"})
 
 
+@pytest.mark.slow
 def test_snapshot_format_applies_schema_evolution(spark, tmp_path):
     """Metadata-only rename/drop (snapshots.snapshot_rename_column /
     snapshot_drop_column) through BOTH format sources: the published
@@ -1819,6 +1828,7 @@ def test_row_group_pruning_skips_groups_and_keeps_positions(
     assert not (set(range(4100, 4150)) & got)
 
 
+@pytest.mark.slow
 def test_columns_option_projects_at_decode_level(spark, tmp_path):
     """r12 — explicit projection pushdown: the Python DataSource
     protocol passes reader() the FULL schema whatever the query

@@ -468,6 +468,7 @@ def test_benford_drift_conforming_and_uniform(spark):
     assert rows[9].n_obs == 50
 
 
+@pytest.mark.slow
 def test_mad_outliers_grouped_matches_single_per_group(spark):
     from nyc_taxi_data_ingestion_spark.quality.anomaly import (
         mad_outliers,

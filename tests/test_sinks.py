@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -73,6 +75,7 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4
 
 
+@pytest.mark.slow
 def test_write_clustered_enables_row_group_skipping(spark, sf_dir, tmp_path):
     """Clustered layout must shrink per-row-group key ranges so that a
     selective predicate intersects only a few row groups — measured
@@ -131,6 +134,7 @@ def test_write_clustered_enables_row_group_skipping(spark, sf_dir, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
     """Z-order layout must give BOTH participating columns selective
     per-file min/max stats: a point predicate on either column may
@@ -196,6 +200,7 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
         assert frac <= 0.7, (col, frac)
 
 
+@pytest.mark.slow
 def test_catalog_survives_process_restart(tmp_path):
     """Persistent multi-session catalog (reference Hive metastore,
     ``bronze_to_silver.py:138-195``): a table created through

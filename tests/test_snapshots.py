@@ -1778,6 +1778,7 @@ def test_expire_dry_run_reports_without_deleting(spark, tmp_path):
         read_snapshot(spark, path, version=1)
 
 
+@pytest.mark.slow
 def test_rewrite_data_files_compacts_only_the_delete_debt(spark, tmp_path):
     """Partial compaction: only files masked by delete vectors are
     rewritten — every other file rides into the new version untouched
@@ -2321,6 +2322,7 @@ def test_branch_refs_stage_isolate_publish_and_diverge(spark, tmp_path):
         S.snapshot_drop_branch(path, "b2")
 
 
+@pytest.mark.slow
 def test_write_audit_publish_gates_on_quality_verdict(spark, tmp_path):
     """write_audit_publish composes branches with the DQ orchestrator
     the way the reference's fail_on_error gates promotion: a failing
@@ -2465,6 +2467,7 @@ def test_stats_cols_reset_keeps_carried_bounds(spark, tmp_path):
     assert not m.get("stats_cols")  # the property itself did reset
 
 
+@pytest.mark.slow
 def test_equality_delete_lifecycle(spark, tmp_path, monkeypatch):
     """r10 verdict item 2 — Iceberg v2's SECOND delete flavor: an
     equality delete commits a key list with ZERO table reads (proven
@@ -2599,6 +2602,7 @@ def test_equality_delete_lifecycle(spark, tmp_path, monkeypatch):
     assert eng == fmt3 == [1, 3]
 
 
+@pytest.mark.slow
 def test_expire_pins_branch_chain_and_ages_refs_per_policy(
     spark, tmp_path
 ):
@@ -2846,6 +2850,7 @@ def test_path_bounds_skip_timestamp_shaped_values(spark, tmp_path):
     assert st2["pruned_files"] >= 1
 
 
+@pytest.mark.slow
 def test_eq_deletes_compose_with_shard_skipping_and_rewrite(
     spark, tmp_path, monkeypatch
 ):
@@ -2940,6 +2945,7 @@ def test_metadata_stress_ratios_hold():
     assert rep["schema_sec"] < 0.1 * rep["full_resolve_sec"] + 0.01
 
 
+@pytest.mark.slow
 def test_concurrent_eq_deletes_race_appends_linearizably(
     spark, tmp_path
 ):
@@ -3308,6 +3314,7 @@ def test_rewrite_manifests_backfills_schema_record(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_snapshot_write_many_matches_sequential(spark, tmp_path):
     """r13 optimization: snapshot_write_many overlaps the parquet
     staging but must produce a table indistinguishable from N

@@ -151,6 +151,7 @@ def test_stateful_profile_accumulates_across_batches(spark, tmp_path):
     assert f1.first_event.day == 1 and f1.last_event.day == 3
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark, tmp_path):
     """Late-data semantics: an event arriving AFTER its window's state
     was evicted must be dropped (numRowsDroppedByWatermark), and the
@@ -199,6 +200,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(rows) == 1 and rows[0].cnt == 2, rows
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, events_dir, events_schema):
     """Stream-stream time-bounded join across several micro-batches must
     equal the batch interval join — matches where the two sides arrive
@@ -302,6 +304,7 @@ def test_stream_corpus_dedup_watermarked_state(spark, tmp_path):
     assert "fresh text two" in texts
 
 
+@pytest.mark.slow
 def test_stream_incremental_dedup_matches_sequential_batches(spark, tmp_path):
     from nyc_taxi_data_ingestion_spark.llm.dedup import (
         incremental_minhash_dedup,
@@ -478,6 +481,7 @@ def test_running_totals_transform_with_state(spark, sf_dir):
     assert final == want
 
 
+@pytest.mark.slow
 def test_snapshot_append_sink_exactly_once(spark, tmp_path):
     """Streaming ingest into a versioned snapshot table: each
     micro-batch is one append commit with its batch id in the manifest;
@@ -563,6 +567,7 @@ def test_snapshot_rollback_rewinds_stream_markers(spark, tmp_path):
     assert read_snapshot(spark, tbl).count() == 2
 
 
+@pytest.mark.slow
 def test_snapshot_drain_to_head_bounded_windows(spark, tmp_path):
     """r11 verdict item 7 — bounded-drain trigger semantics: a
     restarted stream with a deep backlog drains exactly to the head
@@ -637,6 +642,7 @@ def test_snapshot_drain_to_head_bounded_windows(spark, tmp_path):
     assert rep3["drained_to"] == 7 and sorted(out) == list(range(70))
 
 
+@pytest.mark.slow
 def test_snapshot_drain_clamps_to_entry_head_under_racing_writer(
     spark, tmp_path
 ):
