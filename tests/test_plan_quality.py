@@ -96,15 +96,16 @@ def test_no_python_eval_in_relational_queries(spark, sf_dir):
 
 @pytest.mark.slow
 def test_pipeline_curation_scan_count(spark, sf_dir):
-    # the five curation stages must compose into one lazy plan: the
-    # Gopher filter + redaction fuse into the scan; sampling adds no
-    # extra scan, and the shard packer's boundary/offset tables are
-    # materialized off its narrow checkpoint (RDD scans — not parquet
-    # re-reads). Only line dedup's boilerplate census legitimately
-    # references the staged frame a second time — so the final plan
-    # reads `documents` exactly twice, never more.
+    # the curation stages compose into one lazy plan over the STAGED
+    # frame, which is materialized exactly once (r13): the Gopher
+    # filter + PII redaction fuse into the single documents scan
+    # inside the checkpoint, and every later stage (line dedup's two
+    # inherent references included) reads the staged RDD — the final
+    # plan must therefore contain NO parquet re-read of `documents`,
+    # and no stage may fall back to Python row evaluation.
     plan = plan_of(spark, "pipeline_curation", sf_dir)
-    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    assert plan.count("documents.parquet") == 0, plan.count("documents.parquet")
+    assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
