@@ -11523,56 +11523,60 @@ _GREEN_R11 = [
     "tpch_q7_sql", "tpch_q8_sql",
 ]
 
+# Hash-green in CORRECTNESS_r12.json — the driver's full 50-row r12
+# window (the re-ranked churn refresh: 5 new + the r12 algebra
+# rewrites + snapshot churn + stream_dedup).
+_GREEN_R12 = [
+    "blocked_jaccard", "bloom_dedup", "containment_pairs",
+    "dedup_clusters", "dq_metrics_exact", "edit_near_dup",
+    "fingerprint_collisions", "graph_triangles",
+    "incremental_dedup_exact", "iqr_outliers_exact",
+    "knn_label_prop_exact", "ks_drift", "ks_drift_grouped",
+    "mad_outliers_exact", "mad_outliers_grouped", "market_basket",
+    "mart_from_cdc", "minhash_near_dup_exact", "ngram_novelty",
+    "pagerank_exact", "pipeline_full", "quantiles", "reconcile_agg",
+    "reconcile_rowcount", "rfm_segments", "snapshot_cdc",
+    "snapshot_delete_mor", "snapshot_diff", "snapshot_erase",
+    "snapshot_format_partitioned_write", "snapshot_format_write",
+    "snapshot_incremental_ingest", "snapshot_incremental_read",
+    "snapshot_merge_mor", "snapshot_merge_upsert", "snapshot_null_skip",
+    "snapshot_projected_scan", "snapshot_pruned_scan",
+    "snapshot_pruned_scan_2d", "snapshot_rewrite_debt",
+    "snapshot_schema_evolution", "snapshot_stream_tail",
+    "snapshot_time_travel", "snapshot_update_mor", "snapshot_upsert_eq",
+    "stream_dedup", "tpch_q16_sql", "tpch_q9_sql", "window_dedup",
+    "winsorize",
+]
+
 # Greens whose implementing code changed AFTER their last verdict —
 # these occupy the very front of the prefix so the next CORRECTNESS
-# re-certifies them against the code as it stands now. r12 churned
-# three layers: (a) the BUILD half churned the snapshot layer under
-# every read and commit (scoped instrumentation hooks, fail-closed WAP
-# verdict, ref-retention fix, manifest-copy resolve, union-schema
-# manifest head, row-group pruning) and added five new oracle queries;
-# (b) the OPTIMIZATION half REWROTE operator algebra across the dedup/
-# text/analytics/quantile/drift/DQ families (window-based document
-# frequency, star-contraction windows, order-local pair generation,
-# guarded banded DP, union-count KS, pooled exact-quantile consumers,
-# overlapped DQ/reconciliation actions, wave-parallel task graph,
-# shared ANN training sample); (c) the streaming drains were re-sized
-# (state-store partition count — layout-only, lowest risk, so they
-# rank last within this tier). Ordered: never-driver-verified new
-# queries, then algebra rewrites, then the snapshot family, then the
-# streaming re-sizing. This displaces most of the r6-stale refresh
-# pool past the 50-prefix — re-certifying churned code is strictly
-# more valuable than refreshing stale-but-judge-reverified greens.
+# re-certifies them against the code as it stands now. r13 (the
+# second optimization round) churned four layers, ranked by risk:
+# (a) the vectorized exact-fold pair dot (an Arrow UDF replacing the
+# per-pair HOF fold — bit-identical by construction, but it rewires
+# the similarity family's verify stages) and the PageRank
+# edge-derivation/lazy-checkpoint restructure; (b) shared-subtree
+# materializations (ks_drift's per-value counts, the curation
+# pipeline's staged frame, the star loop's lazy rounds); (c) the
+# multi-commit snapshot fixtures now staging their writes
+# concurrently (same table proven by test, lowest semantic risk of
+# the code changes); (d) driver-overlap sites rewrapped in
+# inheritable threads (scheduling-only). The r6-stale pool (18
+# queries, 7 rounds stale) takes the remaining slots via _STALE_R6.
 _REFRESH_FIRST: list[str] = [
-    # never driver-verified (registered in r12)
-    "snapshot_upsert_eq", "snapshot_projected_scan", "bloom_dedup",
-    "tpch_q9_sql", "tpch_q16_sql",
-    # optimization-round algebra rewrites
-    "fingerprint_collisions", "window_dedup", "ngram_novelty",
-    "market_basket", "graph_triangles", "edit_near_dup",
-    "blocked_jaccard", "containment_pairs", "dedup_clusters",
-    "incremental_dedup_exact", "minhash_near_dup_exact", "stream_dedup",
-    "pagerank_exact", "ks_drift", "ks_drift_grouped", "quantiles",
-    "winsorize", "iqr_outliers_exact", "mad_outliers_exact",
-    "mad_outliers_grouped", "rfm_segments", "knn_label_prop_exact",
-    "pipeline_full", "dq_metrics_exact", "reconcile_rowcount",
-    "reconcile_agg",
-    # build-half snapshot-layer churn
-    "snapshot_diff", "snapshot_incremental_read", "snapshot_time_travel",
-    "snapshot_schema_evolution", "snapshot_merge_upsert",
-    "snapshot_erase", "snapshot_merge_mor", "snapshot_update_mor",
-    "snapshot_delete_mor", "snapshot_incremental_ingest",
-    "snapshot_cdc", "mart_from_cdc", "snapshot_stream_tail",
-    "snapshot_pruned_scan", "snapshot_null_skip",
-    "snapshot_rewrite_debt", "snapshot_pruned_scan_2d",
-    "snapshot_format_write", "snapshot_format_partitioned_write",
-    "snapshot_format_stream_chain", "snapshot_zorder_scan_2d",
-    "snapshot_format_partitioned", "snapshot_manifest_shards",
-    "snapshot_wap", "snapshot_delete_eq", "snapshot_shard_skip",
-    # streaming state-store re-sizing (layout-only)
-    "stream_late_data", "stream_session_windows",
-    "stream_stateful_profile", "stream_tumbling_agg",
-    "stream_sliding_counts", "stream_drift_monitor",
-    "stream_stream_join",
+    # (a) vectorized pair dot + PageRank restructure
+    "embedding_near_dup_exact", "semantic_dedup_exact",
+    "knn_label_prop_exact", "embedding_topk", "centroid_shift",
+    "pagerank_exact",
+    # (b) shared-subtree materializations
+    "ks_drift", "ks_drift_grouped", "pipeline_curation",
+    "dedup_clusters",
+    # (c) snapshot fixtures on snapshot_write_many
+    "snapshot_shard_skip", "snapshot_manifest_shards",
+    "snapshot_stream_tail", "snapshot_format_stream_chain",
+    # (d) inheritable-thread overlap sites
+    "rfm_segments", "dq_orchestration", "pipeline_full",
+    "reconcile_rowcount", "reconcile_agg",
 ]
 
 # The registry's OLDEST evidence (r10 verdict item 2, r11 item 1):
@@ -11598,6 +11602,7 @@ _STALE_R6 = [
 _PRIOR_GREEN = (
     _GREEN_R02 + _GREEN_R03 + _GREEN_R04 + _GREEN_R05 + _GREEN_R06
     + _GREEN_R07 + _GREEN_R08 + _GREEN_R09 + _GREEN_R10 + _GREEN_R11
+    + _GREEN_R12
 )
 
 
@@ -11623,6 +11628,7 @@ def _export_order() -> list[str]:
         tier.setdefault(n, j / (10.0 * max(1, len(_REFRESH_FIRST))))
     for names, rank in (
         (_STALE_R6, 1.5),
+        (_GREEN_R12, 11),
         (_GREEN_R11, 10),
         (_GREEN_R10, 9),
         (_GREEN_R09, 8),
