@@ -720,6 +720,13 @@ def train_pq_codebooks(
     ksize = 2**nbits
     rng = np.random.RandomState(seed)
     books = np.zeros((m, ksize, sub))
+    # per-subspace Lloyd loop, deliberately NOT batched across
+    # subspaces (r13 A/B): a single (n, m, k, s) einsum per iteration
+    # runs through einsum's generic non-BLAS path (4.6 s vs 1.1 s at
+    # m=16/nbits=8) and batched np.matmul is worse still on this
+    # container's OpenBLAS (tiny strided gemms pay thread-pool
+    # latency, the same pathology _assign_nearest documents) — the
+    # small per-j einsum remains the measured optimum.
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
         cent = xs[rng.choice(len(xs), size=min(ksize, len(xs)), replace=False)]
